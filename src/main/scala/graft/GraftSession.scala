@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the reference's execution posture (single-coordinator Trino,
+  * UTC-naive timestamps, tolerant casts — see SURVEY.md §4, §2.7-F4) while
+  * configuring Spark for scale: AQE on (runtime coalescing, skew-join
+  * handling), shuffle partitions sized to local cores (not the 200 default),
+  * ANSI off so `cast` returns NULL on bad data like Trino's tolerated inputs.
+  *
+  * At cluster scale the same builder is used minus `.master(...)` —
+  * spark-submit supplies the master; AQE re-sizes the 32-partition hint to
+  * whatever the cluster's `spark.sql.shuffle.partitions` advisory allows.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: Int = defaultCores): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(
+      math.max(2, Runtime.getRuntime.availableProcessors()))
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
