@@ -1,7 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.sources.Tables
 
@@ -10,20 +12,35 @@ import graft.sources.Tables
   *
   * Conventions for oracle hash-parity:
   *   - every computed column aliased identically in Spark and SQL;
-  *   - floating-point aggregates rounded (2dp money, 4dp ratios) so
-  *     summation-order nondeterminism across partitions can't flip a hash;
-  *   - deterministic ORDER BY on both sides.
+  *   - floating-point aggregates rounded (2dp money, 4dp ratios) BEFORE any
+  *     order-by/limit that depends on them, so summation-order
+  *     nondeterminism across partitions can't flip a hash or a top-k cut;
+  *   - deterministic ORDER BY (with a unique-key tiebreak) on both sides;
+  *   - DuckDB `TRY_CAST` mirrors Spark's non-ANSI `cast` (NULL on bad data,
+  *     the Trino-tolerant semantics chosen in SURVEY.md §2.7-F4);
+  *   - integer aggregates cast to BIGINT in DuckDB (whose sum(int) widens
+  *     to HUGEINT) to match Spark's LongType.
+  *
+  * Scale notes are per-query scaladoc: the shapes here are the ones that
+  * survive 100 TB — partial aggregation before a single key-shuffle,
+  * broadcast of dimension tables, anti/semi joins instead of NOT IN
+  * subplans, window functions partitioned by high-cardinality keys.
   */
 object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** TPC-H Q1-style pricing summary: partial-agg (map-side combine) then a
-    * single shuffle on the 6-value grouping key. At 100 TB this stays one
-    * exchange of ~6 rows per map task — scale-safe by construction. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- scans+agg
+
+  /** TPC-H Q1-style pricing summary (SURVEY §2.5): partial agg (map-side
+    * combine) then one shuffle of ~6 rows per map task — scale-safe by
+    * construction. Filter is pushed to the parquet scan. */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "lineitem")
+    t(s, dir, "lineitem")
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
@@ -36,8 +53,276 @@ object RelationalQueries {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Projection + predicate (SURVEY §2.3 P1-P4): both reach the parquet
+    * scan (PushedFilters / ReadSchema) — no full-width read. Per-row
+    * arithmetic is deterministic, no shuffle besides the final sort. */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        // integer cents via floor(x*100+0.5): pure IEEE ops, bit-identical
+        // in any engine — immune to HALF_UP-vs-C-round boundary skew
+        floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")
+          * 100.0 + 0.5).as("charge_cents"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  // ------------------------------------------------------------------- joins
+
+  /** LEFT OUTER equi-join (SURVEY §2.4 J1 — the curated_provider join
+    * shape). customer is the smaller side; at scale both sides shuffle on
+    * custkey unless customer fits the broadcast threshold — AQE decides. */
+  def q3LeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey", "left")
+      .select($"o_orderkey", $"o_totalprice", $"c_name", $"c_mktsegment")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Multi-way join + agg (TPC-H Q5 shape): revenue per nation. nation and
+    * region are broadcast explicitly — at 100 TB the fact-side shuffle on
+    * the join keys is the only exchange; dims never shuffle. */
+  def q4JoinMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat = broadcast(t(s, dir, "nation"))
+    val reg = broadcast(t(s, dir, "region"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(nat, $"s_nationkey" === $"n_nationkey")
+      .join(reg, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Anti-join (SURVEY §2.4 J2 / §2.8 T3 `relationships` semantics):
+    * customers with no orders. left_anti instead of NOT IN — null-safe and
+    * plans as a single shuffle-or-broadcast hash join at scale. */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Semi-join: customers with at least one high-value order (EXISTS). */
+  def q6SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = t(s, dir, "orders").filter($"o_totalprice" > 200000.0)
+    t(s, dir, "customer")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  // ------------------------------------------------- dedup / distinct / union
+
+  /** Exact dedup (SURVEY §2.5 A2) — DISTINCT over a projection. Map-side
+    * partial dedup before the shuffle keeps exchange volume ~|distinct|. */
+  def q7Distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_mktsegment", $"c_nationkey")
+      .distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** Latest-per-key (SURVEY §2.9 ST4 — the CDC merge primitive): one row
+    * per user_id, newest by (ts, event_id). Window row_number over a
+    * key-partitioned sort; at scale this is one shuffle on user_id and the
+    * sort is per-partition. Tiebreak on event_id keeps it deterministic. */
+  def q8LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        $"event_type", round($"value", 4).as("value"))
+      .orderBy($"user_id")
+  }
+
+  /** UNION dedup (SURVEY §2.6): nation keys present in either table. */
+  def q9Union(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+      .union(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+      .distinct()
+      .orderBy($"nationkey")
+  }
+
+  // ------------------------------------------ scalar functions (SURVEY §2.7)
+
+  /** JSON extraction (F1): `get_json_object` ≡ DuckDB json_extract_string.
+    * At scale: single-pass codegen'd JsonPath — no UDF. */
+  def q10JsonGet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Quote-strip regex (F5) — the reference's exact `'^"|"$'` cleaning
+    * regex applied to a deliberately quoted value. */
+  def q11RegexClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id",
+        regexp_replace(concat(lit("\""), $"event_type", lit("\"")), "^\"|\"$", "")
+          .as("event_type_clean"))
+      .orderBy($"event_id")
+  }
+
+  /** Tolerant cast (F4): non-ANSI cast → NULL on malformed input, the
+    * Trino-tolerated semantics. Oracle uses TRY_CAST. */
+  def q12CastTolerant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id",
+        when($"event_type" === "error", lit("not-a-number"))
+          .otherwise($"event_id".cast(StringType)).cast(LongType).as("id_int"))
+      .orderBy($"event_id")
+  }
+
+  /** date_format partition-key derivation (F2 — `ingestion_cdc_date`):
+    * daily buckets of orders. This is the partition column a 100 TB raw
+    * layer is laid out by. */
+  def q13DateFormat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("d", date_format($"o_orderdate", "yyyy-MM-dd"))
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"d")
+  }
+
+  // ------------------------------------------------- sort / top-k / window
+
+  /** Top-K (SURVEY §2.6 L1 + ORDER BY): top 10 customers by revenue.
+    * Rounded before ranking so the k-boundary is engine-stable; Spark
+    * plans this as TakeOrderedAndProject — no global sort materialized. */
+  def q14TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"revenue".desc, $"o_custkey")
+      .limit(10)
+  }
+
+  /** Windowed running total per customer (SURVEY §2.6 — the CDC
+    * latest-per-key machinery generalized). Deterministic frame order via
+    * (o_orderdate, o_orderkey). */
+  def q15WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        // cast to long: DuckDB row_number() is BIGINT, Spark's is INT
+        row_number().over(w).cast(LongType).as("order_seq"),
+        round(sum($"o_totalprice").over(w), 2).as("running_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Exact COUNT(DISTINCT) per group (SURVEY §2.5): expands to a two-phase
+    * aggregate in Spark — scale-safe; approx_count_distinct is the 100 TB
+    * variant (not oracle-comparable, kept in ops). */
+  def q16CountDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_nationkey").as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Conditional aggregation (CASE WHEN inside agg — the DQ metric shape). */
+  def q17ConditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        round(sum(when($"event_type" === "purchase", $"value").otherwise(lit(0.0))), 4)
+          .as("purchase_value"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_errors"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  // --------------------------------------------- DQ checks (SURVEY §2.8)
+
+  /** T1 `unique` violations on a key expected non-unique — returns the
+    * duplicate (user_id, event_type) pairs with counts. */
+  def q18CheckUniqueViolations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** T1+T2 as a one-row metrics summary (unique on PK + null counts) —
+    * the Elementary-style per-run metric collection (SURVEY §2.8 T4). */
+  def q19CheckMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+    val dups = ord.groupBy($"o_orderkey").agg(count(lit(1)).as("n")).filter($"n" > 1)
+    ord.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count($"o_custkey")).as("null_custkey"),
+      (count(lit(1)) - count($"o_orderdate")).as("null_orderdate"))
+      .crossJoin(dups.agg(count(lit(1)).as("pk_dup_groups")))
+  }
+
+  /** T3 `relationships` violations: lineitems whose orderkey has no parent
+    * order (expected empty — shape matters, result proves referential
+    * integrity). Distinct violating keys, anti-join plan. */
+  def q20CheckRelationships(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").select($"l_orderkey")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey", "left_anti")
+      .distinct()
+      .orderBy($"l_orderkey")
+  }
+
+  // ------------------------------------------------------------- inventory
+
   val queries: Map[String, Q] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_left_join" -> (q3LeftJoin _),
+    "q4_join_multi" -> (q4JoinMulti _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_semi_join" -> (q6SemiJoin _),
+    "q7_distinct" -> (q7Distinct _),
+    "q8_latest_per_key" -> (q8LatestPerKey _),
+    "q9_union" -> (q9Union _),
+    "q10_json_get" -> (q10JsonGet _),
+    "q11_regex_clean" -> (q11RegexClean _),
+    "q12_cast_tolerant" -> (q12CastTolerant _),
+    "q13_date_format" -> (q13DateFormat _),
+    "q14_topk" -> (q14TopK _),
+    "q15_window_running" -> (q15WindowRunning _),
+    "q16_count_distinct" -> (q16CountDistinct _),
+    "q17_conditional_agg" -> (q17ConditionalAgg _),
+    "q18_check_unique" -> (q18CheckUniqueViolations _),
+    "q19_check_metrics" -> (q19CheckMetrics _),
+    "q20_check_relationships" -> (q20CheckRelationships _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,6 +337,132 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |            * 100.0 + 0.5) AS BIGINT) AS charge_cents
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_left_join" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q4_join_multi" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey
+        |FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q8_latest_per_key" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        | event_type, round(value, 4) AS value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q9_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q10_json_get" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q11_regex_clean" ->
+      """SELECT event_id,
+        | regexp_replace(concat('"', event_type, '"'), '^"|"$', '', 'g')
+        |   AS event_type_clean
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q12_cast_tolerant" ->
+      """SELECT event_id,
+        | TRY_CAST(CASE WHEN event_type = 'error' THEN 'not-a-number'
+        |               ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS id_int
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q13_date_format" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY d
+        |ORDER BY d""".stripMargin,
+    "q14_topk" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey
+        |LIMIT 10""".stripMargin,
+    "q15_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | row_number() OVER w AS order_seq,
+        | round(sum(o_totalprice) OVER w, 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q16_count_distinct" ->
+      """SELECT c_mktsegment,
+        | count(DISTINCT c_nationkey) AS n_nations,
+        | count(*) AS n_customers
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q17_conditional_agg" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4)
+        |   AS purchase_value,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_errors,
+        | count(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q18_check_unique" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events
+        |GROUP BY user_id, event_type
+        |HAVING count(*) > 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q19_check_metrics" ->
+      """SELECT count(*) AS n_rows,
+        | count(*) - count(o_custkey) AS null_custkey,
+        | count(*) - count(o_orderdate) AS null_orderdate,
+        | (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |    GROUP BY o_orderkey HAVING count(*) > 1)) AS pk_dup_groups
+        |FROM orders""".stripMargin,
+    "q20_check_relationships" ->
+      """SELECT DISTINCT l_orderkey
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin
   )
 }
