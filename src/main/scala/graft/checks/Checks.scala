@@ -1,0 +1,102 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the engine-native form of dbt schema
+  * tests (reference `dbt/promptly/models/curated/schema.yaml:10-37`,
+  * SURVEY.md §2.8) plus the Elementary-style per-run metrics (T4).
+  *
+  * Each check compiles to a DataFrame aggregation/anti-join; `runAll`
+  * fuses all single-pass checks (not_null, accepted_values, row_count,
+  * freshness) into ONE aggregation job so a table of any size is scanned
+  * once, and runs the grouped/join checks (unique, relationships) as
+  * separate single-shuffle jobs. Violation counts, not violation rows, come
+  * back to the driver — nothing here collects data proportional to input.
+  */
+object Checks {
+
+  sealed trait Severity
+  case object Error extends Severity
+  case object Warn extends Severity
+
+  final case class CheckResult(
+      check: String, column: String, violations: Long,
+      severity: Severity, passed: Boolean, detail: String = "")
+
+  sealed trait Check { def severity: Severity }
+  /** dbt `unique` (T1): no key group with count > 1. */
+  final case class Unique(cols: Seq[String], severity: Severity = Error) extends Check
+  /** dbt `not_null` (T2). */
+  final case class NotNull(col: String, severity: Severity = Error) extends Check
+  /** dbt `accepted_values`. */
+  final case class AcceptedValues(col: String, values: Seq[String],
+                                  severity: Severity = Error) extends Check
+  /** dbt `relationships` (T3): every non-NULL FK exists in the parent.
+    * NULL FKs pass, per dbt semantics. */
+  final case class Relationships(col: String, parent: DataFrame, parentCol: String,
+                                 severity: Severity = Error) extends Check
+  /** Elementary-style volume monitor: row count within bounds. */
+  final case class RowCountBetween(min: Long, max: Long = Long.MaxValue,
+                                   severity: Severity = Warn) extends Check
+  /** Elementary-style freshness monitor: max(tsCol) within maxAgeMs of now. */
+  final case class Freshness(col: String, maxAgeMs: Long,
+                             severity: Severity = Warn) extends Check
+
+  def runAll(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+    // --- fuse every single-pass check into one aggregation over one scan
+    val aggExprs = checks.flatMap {
+      case NotNull(c, _) =>
+        Some(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
+      case AcceptedValues(c, vs, _) =>
+        Some(sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L))
+          .as(s"av_$c"))
+      case RowCountBetween(_, _, _) => None // count(*) added below
+      case Freshness(c, _, _) => Some(max(col(c)).cast("long").as(s"fr_$c"))
+      case _ => None
+    } :+ count(lit(1)).as("__n")
+    val row: Row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    val nRows = row.getAs[Long]("__n")
+
+    checks.map {
+      case Unique(cols, sev) =>
+        val v = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count()
+        CheckResult("unique", cols.mkString(","), v, sev, v == 0)
+      case NotNull(c, sev) =>
+        val v = row.getAs[Long](s"nn_$c")
+        CheckResult("not_null", c, v, sev, v == 0)
+      case AcceptedValues(c, vs, sev) =>
+        val v = row.getAs[Long](s"av_$c")
+        CheckResult("accepted_values", c, v, sev, v == 0,
+          detail = s"allowed=${vs.mkString("|")}")
+      case Relationships(c, parent, pc, sev) =>
+        val v = df.select(col(c)).filter(col(c).isNotNull)
+          .join(parent.select(col(pc).as(c)), Seq(c), "left_anti").count()
+        CheckResult("relationships", c, v, sev, v == 0, detail = s"parent=$pc")
+      case RowCountBetween(mn, mx, sev) =>
+        val ok = nRows >= mn && nRows <= mx
+        CheckResult("row_count", "*", if (ok) 0 else 1, sev, ok,
+          detail = s"rows=$nRows bounds=[$mn,$mx]")
+      case Freshness(c, maxAge, sev) =>
+        val maxTs = if (row.isNullAt(row.fieldIndex(s"fr_$c"))) 0L
+          else row.getAs[Long](s"fr_$c") * 1000L
+        val age = System.currentTimeMillis() - maxTs
+        val ok = age <= maxAge
+        CheckResult("freshness", c, if (ok) 0 else 1, sev, ok,
+          detail = s"ageMs=$age max=$maxAge")
+    }
+  }
+
+  def errorsOnly(rs: Seq[CheckResult]): Seq[CheckResult] =
+    rs.filter(r => !r.passed && r.severity == Error)
+
+  /** Per-run metrics table (Elementary T4 analog): one row of volume /
+    * null-rate / freshness numbers for the run report. */
+  def metrics(df: DataFrame, notNullCols: Seq[String], tsCol: Option[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("row_count")) ++
+      notNullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")) ++
+      tsCol.map(c => max(col(c)).as(s"max_$c")).toSeq
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.checks.Checks
+import graft.checks.Checks.{Check, CheckResult}
+import graft.sinks.SnapshotTable
+
+/** Dependency-ordered model pipeline — the engine-native form of the
+  * reference's dbt model graph + `app.py` sequential runner + Airflow DAG
+  * declaration (SURVEY.md §2.10 O1-O3, §3.1).
+  *
+  * A `Stage` is a named model: it builds a DataFrame from the session plus
+  * previously materialized stages (`ref()`-style), optionally writes it to
+  * a [[SnapshotTable]] (Write-Audit-Publish: checks run against the STAGED
+  * snapshot and only a clean audit publishes — reference README.md:62), and
+  * carries dbt-style tags for graph selection (`tag:raw+` = tagged nodes
+  * and all descendants, the reference's `--exclude tag:raw+`).
+  *
+  * Execution is sequential fail-fast like `app.py:61-64`; each stage's own
+  * Spark job graph is where the parallelism lives, so a driver-side loop
+  * adds no scale penalty — 1000 executors stay busy inside each stage.
+  */
+final case class Stage(
+    name: String,
+    deps: Seq[String] = Nil,
+    tags: Set[String] = Set.empty,
+    build: (SparkSession, Map[String, DataFrame]) => DataFrame,
+    checks: Seq[Check] = Nil,
+    sink: Option[Sink] = None)
+
+sealed trait Sink
+/** Full-snapshot write with WAP audit. */
+final case class Overwrite(table: SnapshotTable, partitionBy: Seq[String] = Nil) extends Sink
+/** Merge-upsert by key (reference K3 `incremental_strategy='merge'`). */
+final case class Merge(table: SnapshotTable, keys: Seq[String],
+                       orderCols: Seq[Column], partitionBy: Seq[String] = Nil) extends Sink
+
+final case class StageResult(
+    name: String, ok: Boolean, checks: Seq[CheckResult],
+    publishedVersion: Option[Long], durationMs: Long, error: Option[String])
+
+final case class PipelineResult(stages: Seq[StageResult]) {
+  def ok: Boolean = stages.forall(_.ok)
+}
+
+class Pipeline(val stages: Seq[Stage]) {
+  private val byName = stages.map(s => s.name -> s).toMap
+  require(byName.size == stages.size, "duplicate stage names")
+  stages.foreach(s => s.deps.foreach(d =>
+    require(byName.contains(d), s"stage ${s.name} depends on unknown $d")))
+
+  /** Topological order (stable: input order among ready nodes). */
+  lazy val ordered: Seq[Stage] = {
+    val done = scala.collection.mutable.LinkedHashSet[String]()
+    var frontier = true
+    while (frontier) {
+      frontier = false
+      stages.foreach { s =>
+        if (!done.contains(s.name) && s.deps.forall(done.contains)) {
+          done += s.name; frontier = true
+        }
+      }
+    }
+    require(done.size == stages.size,
+      s"dependency cycle among: ${stages.map(_.name).filterNot(done.contains).mkString(",")}")
+    done.toSeq.map(byName)
+  }
+
+  private lazy val children: Map[String, Seq[String]] =
+    stages.flatMap(s => s.deps.map(_ -> s.name)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+
+  private def descendants(roots: Set[String]): Set[String] = {
+    val seen = scala.collection.mutable.Set[String](roots.toSeq: _*)
+    var frontier = roots.toSeq
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(n => children.getOrElse(n, Nil)).filterNot(seen)
+      seen ++= frontier
+    }
+    seen.toSet
+  }
+
+  /** dbt-style selector: `name`, `name+`, `tag:t`, `tag:t+` (`+` = include
+    * descendants). Matches reference `--select elementary` /
+    * `--exclude tag:raw+` (`app.py:35-44`). */
+  private def resolve(selector: String): Set[String] = {
+    val plus = selector.endsWith("+")
+    val base = if (plus) selector.dropRight(1) else selector
+    val roots: Set[String] =
+      if (base.startsWith("tag:")) {
+        val tag = base.stripPrefix("tag:")
+        stages.filter(_.tags.contains(tag)).map(_.name).toSet
+      } else Set(base).filter(byName.contains)
+    if (plus) descendants(roots) else roots
+  }
+
+  def select(selector: String): Pipeline =
+    new Pipeline(restrict(resolve(selector)))
+
+  def exclude(selector: String): Pipeline =
+    new Pipeline(restrict(stages.map(_.name).toSet -- resolve(selector)))
+
+  /** Keep only `names`, dropping dep edges that point outside the slice
+    * (the sliced-away model is assumed already materialized, like dbt). */
+  private def restrict(names: Set[String]): Seq[Stage] =
+    stages.filter(s => names.contains(s.name))
+      .map(s => s.copy(deps = s.deps.filter(names.contains)))
+
+  /** Sequential fail-fast run. Returns per-stage results; stops at the
+    * first stage whose Error-severity checks fail or whose build throws. */
+  def run(spark: SparkSession,
+          log: String => Unit = s => println(s"[pipeline] $s")): PipelineResult = {
+    val ctx = scala.collection.mutable.Map[String, DataFrame]()
+    val results = scala.collection.mutable.ArrayBuffer[StageResult]()
+    var failed = false
+    ordered.foreach { st =>
+      if (!failed) {
+        val t0 = System.nanoTime()
+        try {
+          log(s"stage ${st.name} starting (deps=${st.deps.mkString(",")})")
+          val df = st.build(spark, ctx.toMap)
+          val (version, checkResults, materialized) = st.sink match {
+            case Some(Overwrite(table, parts)) =>
+              val n = table.stage(df, parts)
+              val staged = table.readVersion(n)
+              val rs = Checks.runAll(staged, st.checks)
+              if (Checks.errorsOnly(rs).isEmpty) {
+                table.publish(n); (Some(n), rs, table.read())
+              } else (None, rs, staged)
+            case Some(Merge(table, keys, order, parts)) =>
+              val n = table.merge(df, keys, order, parts)
+              val rs = Checks.runAll(table.read(), st.checks)
+              // merge is idempotent; a failed audit reports but the merge
+              // result is already the latest-per-key state
+              (Some(n), rs, table.read())
+            case None =>
+              val rs = if (st.checks.nonEmpty) Checks.runAll(df, st.checks) else Nil
+              (None, rs, df)
+          }
+          ctx(st.name) = materialized
+          val bad = Checks.errorsOnly(checkResults)
+          val ok = bad.isEmpty
+          val ms = (System.nanoTime() - t0) / 1000000
+          results += StageResult(st.name, ok, checkResults, version, ms,
+            if (ok) None else Some(s"checks failed: ${bad.map(_.check).mkString(",")}"))
+          checkResults.foreach(r => log(
+            s"stage ${st.name} check ${r.check}(${r.column}): " +
+              s"${if (r.passed) "pass" else s"FAIL violations=${r.violations}"}"))
+          log(s"stage ${st.name} ${if (ok) "ok" else "FAILED"} (${ms}ms)")
+          if (!ok) failed = true
+        } catch {
+          case e: Exception =>
+            val ms = (System.nanoTime() - t0) / 1000000
+            log(s"stage ${st.name} ERROR: ${e.getMessage}")
+            results += StageResult(st.name, ok = false, Nil, None, ms, Some(e.toString))
+            failed = true
+        }
+      }
+    }
+    PipelineResult(results.toSeq)
+  }
+}

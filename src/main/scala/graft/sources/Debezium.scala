@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium CDC envelope handling (SURVEY.md §2.9, FIXTURES.md §3).
+  *
+  * Envelope shape (schemas disabled, plain JSON — reference
+  * `docker-compose.yaml:154-155`, `infra/trino/etc/kafka-table-descriptions/
+  * provider.json:13-25`):
+  * {{{
+  *   {"payload": {"before": ..., "after": ..., "op": "c|u|r|d",
+  *                "ts_ms": 123, "source": {"db","schema","table"}}}
+  * }}}
+  *
+  * Design choice (SURVEY §2.7-F1): one `from_json` into the full envelope
+  * `StructType` instead of N `json_query` calls — single parse, codegen'd,
+  * and sidesteps Trino's quoted-scalar quirk entirely. A `get_json_object`
+  * compat path is kept for the raw layer, which stores the un-shredded
+  * after-image JSON string (`nested_data`) for schema-on-read.
+  *
+  * At 100 TB: parsing happens in the scan's project, fully parallel; the
+  * envelope columns prune into the parse (Spark's JsonExpressionOptimization
+  * rewrites `from_json(x).field` to a pruned parse).
+  */
+object Debezium {
+
+  /** Envelope schema parameterized by the source table's row schema. */
+  def envelopeSchema(row: StructType): StructType = StructType(Seq(
+    StructField("payload", StructType(Seq(
+      StructField("before", row),
+      StructField("after", row),
+      StructField("op", StringType),
+      StructField("ts_ms", LongType),
+      StructField("source", StructType(Seq(
+        StructField("db", StringType),
+        StructField("schema", StringType),
+        StructField("table", StringType)))))))))
+
+  /** Read a JSONL topic dump — the file stand-in for a Kafka topic, with
+    * the same column contract Spark's Kafka source yields: `value` (the
+    * message) and `timestamp` (broker arrival; here derived from the
+    * envelope's ts_ms so tests are deterministic). Swapping in real Kafka
+    * is `spark.read.format("kafka")... .select(col("value").cast("string"),
+    * col("timestamp"))` — downstream code is identical. */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .withColumnRenamed("value", "raw")
+      .select(
+        col("raw").as("value"),
+        timestamp_millis(get_json_object(col("raw"), "$.payload.ts_ms").cast(LongType))
+          .as("timestamp"))
+
+  /** The raw-layer model (reference `raw_provider_postgres.sql:14-32`):
+    * drop tombstones (payload.after IS NULL — deletes do NOT propagate,
+    * ST2), keep the key + un-shredded after-image + audit columns.
+    * `keyField` is the source PK name inside the after image. */
+  def rawModel(cdc: DataFrame, keyField: String): DataFrame =
+    cdc
+      .filter(get_json_object(col("value"), "$.payload.after").isNotNull)
+      .select(
+        get_json_object(col("value"), s"$$.payload.after.$keyField").as(keyField),
+        get_json_object(col("value"), "$.payload.after").as("nested_data"),
+        get_json_object(col("value"), "$.payload.ts_ms").cast(LongType).as("cdc_ts_ms"),
+        col("timestamp").as("ingestion_cdc_time"),
+        date_format(col("timestamp"), "yyyy-MM-dd").as("ingestion_cdc_date"),
+        current_timestamp().as("ingestion_timestamp"))
+
+  /** Shred the raw layer's `nested_data` after-image into typed columns
+    * (reference `curated_provider.sql:12-54`, minus the per-field
+    * json_query+regexp dance — one parse). Tolerant casts: non-ANSI `cast`
+    * NULLs malformed values, matching the chosen Trino-tolerant semantics. */
+  def shred(raw: DataFrame, row: StructType): DataFrame = {
+    val parsed = raw.withColumn("_r", from_json(col("nested_data"), row))
+    row.fields.foldLeft(parsed) { (df, f) =>
+      df.withColumn(f.name, col(s"_r.${f.name}"))
+    }.drop("_r")
+  }
+
+  /** Latest-per-key compaction (ST4/K3): the newest version of each key
+    * wins, ordered by the CDC timestamp with explicit tiebreaks. One
+    * shuffle on the key; per-partition sort — the scale-safe realization
+    * of `incremental_strategy='merge'`. */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.checks.Checks
+import graft.checks.Checks._
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    (1, Some("a"), "x"), (2, Some("b"), "y"), (2, None, "z"))
+    .toDF("id", "name", "cat")
+
+  test("unique flags duplicate keys") {
+    val rs = Checks.runAll(df, Seq(Unique(Seq("id"))))
+    assert(!rs.head.passed && rs.head.violations == 1)
+    assert(Checks.runAll(df, Seq(Unique(Seq("id", "cat")))).head.passed)
+  }
+
+  test("not_null counts nulls") {
+    val rs = Checks.runAll(df, Seq(NotNull("name"), NotNull("id")))
+    assert(!rs(0).passed && rs(0).violations == 1)
+    assert(rs(1).passed)
+  }
+
+  test("accepted_values ignores NULLs, flags strays") {
+    val rs = Checks.runAll(df, Seq(AcceptedValues("cat", Seq("x", "y"))))
+    assert(!rs.head.passed && rs.head.violations == 1)
+    val rs2 = Checks.runAll(df, Seq(AcceptedValues("name", Seq("a", "b"))))
+    assert(rs2.head.passed) // the NULL name passes
+  }
+
+  test("relationships: NULL FKs pass, orphans flagged (dbt semantics)") {
+    val parent = Seq(1, 2).toDF("pid")
+    val child = Seq(Some(1), Some(99), None).toDF("fk")
+    val rs = Checks.runAll(child, Seq(Relationships("fk", parent, "pid")))
+    assert(!rs.head.passed && rs.head.violations == 1) // only 99
+  }
+
+  test("row_count and freshness monitors") {
+    val rs = Checks.runAll(df, Seq(RowCountBetween(1, 10)))
+    assert(rs.head.passed)
+    assert(!Checks.runAll(df, Seq(RowCountBetween(5))).head.passed)
+  }
+
+  test("metrics emits one row of volume/null-rate numbers") {
+    val m = Checks.metrics(df, Seq("name"), None).collect()(0)
+    assert(m.getAs[Long]("row_count") == 3 && m.getAs[Long]("nulls_name") == 1)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.Fixtures
+import graft.ops.ProviderModels
+import graft.sources.Debezium
+
+class DebeziumSpec extends SparkSpec {
+
+  lazy val cdcPath: String = {
+    val p = tmpDir("cdc") + "/provider.jsonl"
+    Fixtures.providerCdcJsonl(p, n = 50)
+    p
+  }
+
+  test("tombstones (after=null) are dropped — deletes never reach the lake") {
+    val cdc = Debezium.readJsonl(spark, cdcPath)
+    val raw = ProviderModels.rawProvider(cdc)
+    // fixture: ids % 7 == 0 got a delete event; the create/update rows for
+    // those ids must STILL be present (delete drops the tombstone row only)
+    assert(raw.filter(col("nested_data").isNull).count() == 0)
+    val opsSeen = cdc.select(get_json_object(col("value"), "$.payload.op").as("op"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(opsSeen == Set("c", "u", "d"))
+    assert(raw.count() == 50 + 2 * 10) // 50 creates + 2 updates for ids%5==0
+  }
+
+  test("shred round-trips the after-image into typed columns") {
+    val raw = ProviderModels.rawProvider(Debezium.readJsonl(spark, cdcPath))
+    val shredded = Debezium.shred(raw, ProviderModels.providerSchema)
+    assert(shredded.schema("provider_id").dataType.typeName == "integer")
+    val r = shredded.filter(col("provider_id") === 1)
+      .select("provider_name", "npi").collect()
+    assert(r.length == 1 && r(0).getString(1).length == 10)
+  }
+
+  test("latest-per-key picks newest by ts_ms; stale out-of-order update loses") {
+    val raw = ProviderModels.rawProvider(Debezium.readJsonl(spark, cdcPath))
+    val latest = Debezium.latestPerKey(raw, Seq("provider_id"), Seq(col("cdc_ts_ms")))
+    assert(latest.count() == 50)
+    val shredded = Debezium.shred(latest, ProviderModels.providerSchema)
+    val names = shredded.select("provider_id", "provider_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val ps = Fixtures.providers(50)
+    ps.foreach { p =>
+      assert(names(p.id) == Fixtures.expectedName(p),
+        s"id=${p.id}: got ${names(p.id)}")
+      if (p.id % 5 == 0) assert(!names(p.id).startsWith("Stale"))
+    }
+  }
+}
