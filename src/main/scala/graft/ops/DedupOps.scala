@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM corpus curation, each designed for the
+  * 100 TB shape:
+  *
+  *  - exact: hash-groupBy on a content fingerprint — one shuffle keyed by
+  *    a 128-bit hash, no text moves across the wire;
+  *  - MinHash+LSH: shingle → k minhashes → b bands → bucket-join; only
+  *    bucket-colliding pairs are verified, so cost is ~linear in corpus
+  *    size instead of O(n²);
+  *  - SimHash: 64-bit signature + banded hamming join (pigeonhole);
+  *  - n-gram Jaccard: inverted-index self-join with a frequent-shingle cap
+  *    (a shingle appearing in >maxDf docs is dropped — the classic
+  *    stop-shingle guard that keeps the index join from quadratic blowup).
+  *
+  * No UDFs, no driver-side loops: everything is `functions._` + joins, so
+  * Catalyst/AQE handle partitioning, skew, and codegen.
+  */
+object DedupOps {
+
+  // --------------------------------------------------------------- exact
+
+  /** Exact dedup: canonical row per normalized-content fingerprint (lowest
+    * id wins). Returns the input columns + `fingerprint` + `dup_count`. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = df.withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("fingerprint"))
+    fp.withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** Deterministic MinHash coefficient pairs (a,b) over the Mersenne prime
+    * 2^31-1; a,b < p so a*h+b stays in signed-64 range. */
+  private def coeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+  private val P = 2147483647L // 2^31 - 1
+
+  /** MinHash signatures: `sig` = array<long> of length k. One projection
+    * over the corpus — the signature is ~k*8 bytes regardless of doc size,
+    * which is what makes LSH shuffle-light at scale. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 64, shingleLen: Int = 3,
+                        seed: Long = 42L): DataFrame = {
+    val hashes = TextOps.shingleHashes(col(textCol), shingleLen)
+    val sig = array(coeffs(k, seed).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
+    }: _*)
+    df.select(col(idCol), sig.as("sig"))
+  }
+
+  /** LSH band buckets: (band_idx, band_hash, id). Docs sharing any bucket
+    * are candidate pairs. bands*rowsPerBand must equal k. */
+  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("band_hash"))
+    }
+    sigs.select(col(idCol), explode(array(bandRows: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs from bucket collisions (id1 < id2, distinct). The
+    * self-join is keyed on (band_idx, band_hash) — hash-partitionable;
+    * giant buckets (degenerate content) are capped to keep worst-case
+    * quadratic blowup bounded. */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val sized = buckets
+      .withColumn("__bs", count(lit(1)).over(
+        Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("__bs") <= maxBucketSize).drop("__bs")
+    val l = sized.select(col("band_idx"), col("band_hash"), col(idCol).as("id1"))
+    val r = sized.select(col("band_idx"), col("band_hash"), col(idCol).as("id2"))
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → buckets → candidate
+    * pairs → exact-Jaccard verification on shingle sets. Returns pairs
+    * with `jaccard >= threshold`. Verification joins shingle arrays only
+    * for candidates — the corpus text itself never self-joins. */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, k: Int = 64, bands: Int = 16,
+                      shingleLen: Int = 3, seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleLen, seed)
+    val pairs = lshCandidatePairs(
+      lshBuckets(sigs, idCol, bands, k / bands), idCol)
+    val sets = df.select(col(idCol),
+      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+    pairs
+      .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document: per-token xxhash64, sum ±1 per bit over
+    * tokens, sign → bit. One explode + one groupBy (single shuffle on the
+    * doc id, partial-aggregated map-side). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, found by the
+    * pigeonhole band join: split the 64-bit signature into maxDist+1
+    * chunks — any pair within maxDist matches exactly on >=1 chunk, so the
+    * join is equi (hash-partitionable) and the hamming check runs only on
+    * collisions. */
+  def simhashNearDups(sims: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val banded = sims.select(col(idCol), col("simhash"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * width)
+            .bitwiseAND((1L << width) - 1).as("chunk_val"))
+      }: _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.chunk"), col("b.chunk_val"))
+    val l = banded.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id1"), col("simhash").as("s1"))
+    val r = banded.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id2"), col("simhash").as("s2"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // -------------------------------------------------------- ngram jaccard
+
+  /** All-pairs n-gram Jaccard via inverted index: explode distinct
+    * shingles, drop shingles in > maxDf docs (stop-shingle cap), self-join
+    * on shingle to count intersections, then Jaccard from set sizes.
+    * Equivalent to the SQL a DuckDB oracle can run — and the scalable
+    * alternative to a cross join. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleLen: Int, threshold: Double,
+                        maxDf: Int = 100): DataFrame = {
+    val sets = df.select(col(idCol),
+      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+    val sizes = sets.select(col(idCol), size(col("sh")).as("n"))
+    val inv = sets.select(col(idCol), explode(col("sh")).as("g"))
+    val capped = inv
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+    val inter = capped.select(col("g"), col(idCol).as("id1"))
+      .join(capped.select(col("g"), col(idCol).as("id2")), Seq("g"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col(idCol).as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+}

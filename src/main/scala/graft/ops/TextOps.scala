@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token counting,
+  * quality scoring, language identification, fingerprinting.
+  *
+  * All pure `org.apache.spark.sql.functions` compositions — codegen'd,
+  * whole-stage-compiled, no UDFs — so every op runs at parquet-scan speed
+  * and scales linearly with executors. Each returns a `Column` so callers
+  * compose them into one projection (one pass over 100 TB, not five).
+  */
+object TextOps {
+
+  /** Canonical text form for hashing/dedup: lowercase, collapse runs of
+    * whitespace, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Token count (whitespace tokenization; 0 for empty/blank). */
+  def tokenCount(text: Column): Column =
+    when(length(normalize(text)) === 0, lit(0L))
+      .otherwise(size(tokens(text)).cast("long"))
+
+  /** BPE-ish subword count estimate: words + intra-word transitions that
+    * typically split (case flips, letter↔digit, punctuation). A cheap,
+    * deterministic proxy for tokenizer budget at corpus scale. */
+  def subwordCountEstimate(text: Column): Column =
+    tokenCount(text) +
+      size(regexp_extract_all(text, lit("[a-z][A-Z]|[A-Za-z][0-9]|[0-9][A-Za-z]|[\\p{Punct}]"), lit(0))).cast("long")
+
+  /** Punctuation chars / total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double") / n)
+  }
+
+  /** English-ish stopword token ratio — one marker-class regex pass. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "be", "this", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    val hits = size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("double")
+    when(n === 0, lit(0.0)).otherwise(hits / n)
+  }
+
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(normalize(text), " ", "")).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1] (C4/Gopher-style cheap filters):
+    * rewards moderate length, some stopwords, low punctuation density,
+    * word-like average token length. Deterministic, tunable weights. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+    val wordScore = when(avgTokenLen(text).between(2.5, 9.0), lit(1.0)).otherwise(lit(0.4))
+    lenScore * 0.3 + stopScore * 0.3 + punctScore * 0.2 + wordScore * 0.2
+  }
+
+  /** Language-ID marker classes: per-language high-frequency function words
+    * plus a CJK script test. Matched as whole tokens. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "with"),
+    "es" -> Seq("el", "la", "los", "las", "que", "de", "y", "en", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "vous"))
+
+  /** N-gram-heuristic language ID: score = marker-token hits per language;
+    * CJK script presence short-circuits to zh; argmax with fixed tie order
+    * (en > es > de > fr > unknown). Pure column expression — no UDF. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    val cjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val argmax = scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // NB foldRight + `when` chain means earlier entries win ties
+    when(cjk > 0, lit("zh")).otherwise(argmax)
+  }
+
+  /** Content fingerprint: md5 of normalized text — engine-portable (md5 is
+    * bit-identical everywhere), the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Word k-grams ("shingles") of the normalized text, distinct. The unit
+    * set for Jaccard/MinHash similarity. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n < k, array(normalize(text))).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** Rolling (polynomial) hash per shingle, mod 2^31-1 — the numeric
+    * universe for MinHash permutations. Computed from xxhash64 for speed;
+    * strictly positive. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => pmod(xxhash64(s), lit(2147483647L)))
+}

@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.sources.Tables
+
+/** Driver-visible LLM-pipeline operator coverage on the `documents` and
+  * `embeddings` tables: text analysis, dedup family, similarity search,
+  * multimodal plumbing. SQL-expressible ops carry DuckDB oracle twins
+  * (identical expression shape both sides); the hash-based ops (MinHash,
+  * SimHash, LSH ANN) are rows-only — their correctness gates live in
+  * ScalaTest with planted near-duplicates and recall-vs-brute-force
+  * assertions.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token / char counting (whitespace + normalized) per doc. */
+  def q22TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        TextOps.tokenCount($"text").as("n_tokens"),
+        length($"text").cast("long").as("n_chars_raw"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality-score metrics per doc (C4-style cheap filters). */
+  def q23TextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        TextOps.tokenCount($"text").as("n_tokens"),
+        size(regexp_extract_all($"text", lit("[\\p{Punct}]"), lit(0))).cast("long")
+          .as("punct_cnt"),
+        size(filter(TextOps.tokens($"text"), t => t.isin(TextOps.stopwords: _*)))
+          .cast("long").as("stop_cnt"),
+        // integer e4 fixed-point (floor(x*1e4+0.5)): same IEEE ops in any
+        // engine, immune to HALF_UP-vs-C-round half-boundary skew
+        floor(TextOps.avgTokenLen($"text") * 10000.0 + 0.5).as("avg_token_len_e4"),
+        floor(TextOps.qualityScore($"text") * 10000.0 + 0.5).as("quality_e4"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID scoring (marker n-gram heuristic) + agreement with the
+    * dataset label, aggregated per labeled lang. */
+  def q24LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", TextOps.langId($"text").as("lang_pred"))
+      .groupBy($"lang", $"lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  /** Exact dedup by md5 content fingerprint: canonical doc per group. */
+  def q25ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.exactDedup(Tables.load(s, dir, "documents"), "text", "doc_id")
+      .select($"doc_id", $"fingerprint", $"dup_count")
+      .orderBy($"doc_id")
+  }
+
+  /** n-gram Jaccard near-dup pairs via inverted index (2-gram, low
+    * threshold so the synthetic corpus yields pairs). */
+  def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", shingleLen = 2, threshold = 0.05, maxDf = 1000000)
+      .orderBy($"id1", $"id2")
+  }
+
+  /** MinHash-LSH: per-band bucket-size distribution (rows-only; the
+    * pair-level correctness gate is DedupOpsSpec's planted-dup recall). */
+  def q27MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = DedupOps.minhashSignatures(
+      Tables.load(s, dir, "documents"), "text", "doc_id")
+    DedupOps.lshBuckets(sigs, "doc_id", bands = 16, rowsPerBand = 4)
+      .groupBy($"band_idx")
+      .agg(countDistinct($"band_hash").as("n_buckets"), count(lit(1)).as("n_rows"))
+      .orderBy($"band_idx")
+  }
+
+  /** SimHash signatures (rows-only; deterministic xxhash64 base). */
+  def q28Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.simhash(Tables.load(s, dir, "documents"), "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** Brute-force cosine top-k: first 3 vectors as queries over the corpus. */
+  def q29CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    SimilarityOps.bruteForceTopK(emb, queries, k = 10)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** LSH-bucketed ANN (rows-only; recall gate in SimilarityOpsSpec). */
+  def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    SimilarityOps.lshTopK(emb, queries, k = 5, bits = 4)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Multimodal plumbing: synthesize binary media from text, run the
+    * partition-batched feature extractor. byte_len/kind are oracle-checked;
+    * decoded dims come from the documented stub. */
+  def q31Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = MultimodalOps.synthesizeFromText(
+      Tables.load(s, dir, "documents"), "doc_id", "text")
+    MultimodalOps.extractFeatures(media).toDF()
+      .select($"media_id", $"kind", $"byte_len")
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q22_token_count" -> (q22TokenCount _),
+    "q23_text_quality" -> (q23TextQuality _),
+    "q24_lang_id" -> (q24LangId _),
+    "q25_exact_dedup" -> (q25ExactDedup _),
+    "q26_ngram_jaccard" -> (q26NgramJaccard _),
+    "q27_minhash_lsh" -> (q27MinhashLsh _),
+    "q28_simhash" -> (q28Simhash _),
+    "q29_cosine_topk" -> (q29CosineTopK _),
+    "q30_ann_lsh" -> (q30AnnLsh _),
+    "q31_multimodal" -> (q31Multimodal _)
+  )
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private val nTokSql =
+    s"CASE WHEN length($normSql) = 0 THEN 0 ELSE len($toksSql) END"
+  private val stopListSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q22_token_count" ->
+      s"""SELECT doc_id,
+         | CAST($nTokSql AS BIGINT) AS n_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars_raw
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "q23_text_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST($nTokSql AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS punct_cnt,
+         |    CAST(len(list_filter($toksSql, t -> t IN ($stopListSql))) AS BIGINT) AS stop_cnt,
+         |    CASE WHEN $nTokSql = 0 THEN 0.0
+         |         ELSE CAST(length(replace($normSql, ' ', '')) AS DOUBLE) / $nTokSql
+         |    END AS atl,
+         |    length(text) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
+         | CAST(floor(atl * 10000.0 + 0.5) AS BIGINT) AS avg_token_len_e4,
+         | CAST(floor((
+         |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3 +
+         |   least((CASE WHEN n_tokens = 0 THEN 0.0
+         |          ELSE CAST(stop_cnt AS DOUBLE) / n_tokens END) * 5.0, 1.0) * 0.3 +
+         |   greatest(1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+         |          ELSE CAST(punct_cnt AS DOUBLE) / n_chars END) * 10.0, 0.0) * 0.2 +
+         |   (CASE WHEN atl BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.4 END) * 0.2
+         | ) * 10000.0 + 0.5) AS BIGINT) AS quality_e4
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
+    "q24_lang_id" -> {
+      val scoreSql = TextOps.langMarkers.map { case (lang, markers) =>
+        val list = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter($toksSql, t -> t IN ($list))) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val bestSql = langs.map(l => s"s_$l").reduce((a, b) => s"greatest($a, $b)")
+      val caseSql = langs.map(l =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+         |    $scoreSql
+         |  FROM documents),
+         |b AS (SELECT *, $bestSql AS best FROM s),
+         |p AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN cjk > 0 THEN 'zh' $caseSql ELSE 'unknown' END AS lang_pred
+         |  FROM b)
+         |SELECT lang, lang_pred, count(*) AS n
+         |FROM p GROUP BY lang, lang_pred
+         |ORDER BY lang, lang_pred""".stripMargin
+    },
+    "q25_exact_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, md5($normSql) AS fingerprint FROM documents),
+         |g AS (
+         |  SELECT doc_id, fingerprint,
+         |    count(*) OVER (PARTITION BY fingerprint) AS dup_count,
+         |    row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |  FROM f)
+         |SELECT doc_id, fingerprint, dup_count
+         |FROM g WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "q26_ngram_jaccard" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) < 2 THEN [$normSql]
+         |         ELSE list_distinct(list_transform(
+         |           range(0, len($toksSql) - 1),
+         |           i -> concat_ws(' ', $toksSql[i+1], $toksSql[i+2])))
+         |    END AS sh
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+         |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id1, id2,
+         |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+         |FROM inter
+         | JOIN sizes s1 ON s1.doc_id = id1
+         | JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.05
+         |ORDER BY id1, id2""".stripMargin,
+    "q29_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(e.embedding, q.q_vec),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(q.q_vec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos, rank
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+    "q31_multimodal" ->
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents
+        |ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, TextOps}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus with planted duplicates: 100 distinct base docs; docs 1000+i
+    * are near-dup copies of doc i (one word changed) for i < 10; docs
+    * 2000+i are EXACT copies (whitespace/case variants) for i < 5. */
+  lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    // wide vocab so DISTINCT docs are distinct in unigram space too
+    // (simhash is a bag-of-words signature; a tiny vocab makes all docs
+    // legitimately similar and the negative assertions meaningless)
+    val vocab = (0 until 60).map(i => s"word$i")
+    val base = (0 until 100).map { i =>
+      (i.toLong, (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = base.take(10).map { case (i, t) =>
+      val words = t.split(" "); words(20) = "CHANGED"
+      (1000L + i, words.mkString(" "))
+    }
+    val exactDups = base.take(5).map { case (i, t) =>
+      (2000L + i, "  " + t.toUpperCase + "  ") // normalize() must equate
+    }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: case/whitespace variants collapse to canonical id") {
+    val d = DedupOps.exactDedup(corpus, "text", "doc_id")
+    assert(d.count() == 110) // 115 - 5 exact dups
+    val dupGroups = d.filter($"dup_count" > 1)
+    assert(dupGroups.count() == 5)
+    // canonical = lowest id: base ids 0..4 survive, 2000-series dropped
+    assert(dupGroups.filter($"doc_id" >= 2000).count() == 0)
+  }
+
+  test("minhash LSH finds all planted near-dups with no false negatives") {
+    val pairs = DedupOps.minhashNearDups(corpus, "text", "doc_id",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)),
+        s"missed planted near-dup pair ($i, ${1000 + i}); got $pairs")
+    }
+    // distinct random docs must not pair at 0.5 jaccard
+    assert(pairs.forall { case (a, b) => b - a == 1000 || b - a == 2000 })
+  }
+
+  test("minhash signature is stable under whitespace noise") {
+    val a = DedupOps.minhashSignatures(
+      Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
+      "text", "doc_id").head().getSeq[Long](1)
+    val b = DedupOps.minhashSignatures(
+      Seq((1L, "  THE   quick brown fox JUMPS over the lazy dog ")).toDF("doc_id", "text"),
+      "text", "doc_id").head().getSeq[Long](1)
+    assert(a == b)
+  }
+
+  test("simhash: hamming distance small for near-dups, large for distinct") {
+    val sims = DedupOps.simhash(corpus, "text", "doc_id")
+    val byId = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 10).foreach { i =>
+      assert(ham(byId(i.toLong), byId(1000L + i)) <= 12,
+        s"near-dup $i hamming too large")
+    }
+    val distinctPairs = for (i <- 20 until 30; j <- 40 until 45)
+      yield ham(byId(i.toLong), byId(j.toLong))
+    assert(distinctPairs.count(_ <= 6) == 0, "distinct docs too close")
+  }
+
+  test("simhash banded near-dup join finds close pairs only") {
+    val sims = DedupOps.simhash(corpus, "text", "doc_id")
+    val found = DedupOps.simhashNearDups(sims, "doc_id", maxDist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every found pair must genuinely be within 12 bits (verified in-op);
+    // planted exact dups (identical simhash) must appear
+    (0 until 5).foreach { i =>
+      assert(found.contains((i.toLong, 2000L + i)))
+    }
+  }
+
+  test("ngram jaccard inverted index agrees with direct set computation") {
+    val pairs = DedupOps.ngramJaccardPairs(corpus, "text", "doc_id",
+      shingleLen = 3, threshold = 0.5, maxDf = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    (0 until 10).foreach { i =>
+      val j = pairs.get((i.toLong, 1000L + i))
+      assert(j.isDefined && j.get > 0.5 && j.get < 1.0)
+    }
+    // sanity: direct jaccard of one planted pair matches the op's value
+    val sets = corpus.filter($"doc_id".isin(0L, 1000L))
+      .select(TextOps.shingles($"text", 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    val expected = sets(0).intersect(sets(1)).size.toDouble /
+      sets(0).union(sets(1)).size
+    assert(math.abs(pairs((0L, 1000L)) - expected) < 1e-3)
+  }
+}

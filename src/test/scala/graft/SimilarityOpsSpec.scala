@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic clustered vectors: 10 cluster centers, 30 members each
+    * with small noise → high intra-cluster cosine. */
+  lazy val corpus = {
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val centers = Seq.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    (0 until 300).map { i =>
+      val c = centers(i % 10)
+      val v = c.zipWithIndex.map { case (x, _) => x + rnd.nextGaussian().toFloat * 0.1f }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("cosine column agrees with scala computation") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val got = df.select(SimilarityOps.cosine($"a", $"b")).head().getDouble(0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("brute-force top-k returns same-cluster neighbors first") {
+    val queries = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val top = SimilarityOps.bruteForceTopK(corpus, queries, k = 5)
+    val rows = top.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val q = r.getLong(0); val hit = r.getLong(1)
+      assert(hit % 10 == q % 10, s"query $q matched off-cluster $hit")
+      assert(r.getDouble(2) > 0.9)
+    }
+  }
+
+  test("LSH ANN recall >= 0.6 vs brute force at 16x bucket reduction") {
+    val queries = corpus.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = SimilarityOps.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilarityOps.lshTopK(corpus, queries, k = 5, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // approximate hits must still be genuinely similar (same cluster)
+    approx.foreach { case (q, hit) => assert(hit % 10 == q % 10) }
+  }
+
+  test("cosineNearDups finds intra-cluster pairs only") {
+    val pairs = SimilarityOps.cosineNearDups(corpus.limit(50), threshold = 0.9,
+      bits = 4)
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == r.getLong(1) % 10)
+      assert(r.getDouble(2) >= 0.9)
+    }
+  }
+}
