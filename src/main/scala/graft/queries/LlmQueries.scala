@@ -64,12 +64,14 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
-  /** n-gram Jaccard near-dup pairs via inverted index (2-gram, low
-    * threshold so the synthetic corpus yields pairs). */
+  /** n-gram Jaccard near-dup pairs via inverted index. 2-grams over the
+    * synthetic corpus's tiny vocabulary are near-universal, so the
+    * stop-shingle cap (df <= 40) does real work here — exactly the guard
+    * that keeps the index join sub-quadratic on a skewed real corpus. */
   def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     DedupOps.ngramJaccardPairs(Tables.load(s, dir, "documents"),
-        "text", "doc_id", shingleLen = 2, threshold = 0.05, maxDf = 1000000)
+        "text", "doc_id", shingleLen = 2, threshold = 0.03, maxDf = 40)
       .orderBy($"id1", $"id2")
   }
 
@@ -219,16 +221,20 @@ object LlmQueries {
          |  FROM documents),
          |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
          |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+         |capped AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM inv)
+         |  WHERE df <= 40),
          |inter AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT id1, id2,
          |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
          |FROM inter
          | JOIN sizes s1 ON s1.doc_id = id1
          | JOIN sizes s2 ON s2.doc_id = id2
-         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.05
+         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.03
          |ORDER BY id1, id2""".stripMargin,
     "q29_cosine_topk" ->
       """WITH q AS (
