@@ -42,6 +42,32 @@ final case class StageResult(
 
 final case class PipelineResult(stages: Seq[StageResult]) {
   def ok: Boolean = stages.forall(_.ok)
+
+  /** Run report (the Elementary report analog, SURVEY.md §2.8 T4):
+    * machine-readable JSON with per-stage status, timings, check outcomes
+    * and violation counts. */
+  def toJson: String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val stagesJson = stages.map { st =>
+      val checksJson = st.checks.map { c =>
+        s"""{"check":${q(c.check)},"column":${q(c.column)},"passed":${c.passed},""" +
+          s""""violations":${c.violations},"severity":${q(c.severity.toString)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"name":${q(st.name)},"ok":${st.ok},"durationMs":${st.durationMs},""" +
+        s""""publishedVersion":${st.publishedVersion.getOrElse(-1L)},""" +
+        s""""checks":$checksJson${st.error.map(e => s""","error":${q(e)}""").getOrElse("")}}"""
+    }.mkString("[", ",", "]")
+    s"""{"ok":$ok,"stages":$stagesJson}"""
+  }
+
+  def writeReport(path: String): Unit = {
+    val pp = java.nio.file.Paths.get(path)
+    Option(pp.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(pp, toJson)
+  }
 }
 
 class Pipeline(val stages: Seq[Stage]) {

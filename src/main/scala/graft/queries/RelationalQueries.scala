@@ -300,6 +300,47 @@ object RelationalQueries {
       .orderBy($"l_orderkey")
   }
 
+  /** Gap-based sessionization (batch form of the streaming session window):
+    * a new session starts after >30 min of user inactivity. Two stacked
+    * windows over ONE shuffle on user_id (lag → flag → running sum), then
+    * the session aggregate reuses the same partitioning — Catalyst plans a
+    * single exchange for all three. */
+  def q32Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 30L * 60 * 1000000
+    t(s, dir, "events")
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("new_sess",
+        when(($"ts_us" - lag($"ts_us", 1).over(w)) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("session_start_us"),
+        max($"ts_us").as("session_end_us"),
+        round(sum($"value"), 4).as("session_value"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  /** ROLLUP hierarchy totals (region → nation → grand total): Spark plans
+    * grouping sets as one expand + one partial-agg shuffle — no N-pass
+    * re-aggregation. NULL grouping slots labeled 'ALL' for oracle parity. */
+  def q33Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val nat = broadcast(t(s, dir, "nation"))
+    val reg = broadcast(t(s, dir, "region"))
+    cust.join(nat, $"c_nationkey" === $"n_nationkey")
+      .join(reg, $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), round(sum($"c_acctbal"), 2).as("total_bal"))
+      .select(coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"n_customers", $"total_bal")
+      .orderBy($"region", $"nation")
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, Q] = Map(
@@ -322,7 +363,9 @@ object RelationalQueries {
     "q17_conditional_agg" -> (q17ConditionalAgg _),
     "q18_check_unique" -> (q18CheckUniqueViolations _),
     "q19_check_metrics" -> (q19CheckMetrics _),
-    "q20_check_relationships" -> (q20CheckRelationships _)
+    "q20_check_relationships" -> (q20CheckRelationships _),
+    "q32_sessionize" -> (q32Sessionize _),
+    "q33_rollup" -> (q33Rollup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -463,6 +506,40 @@ object RelationalQueries {
       """SELECT DISTINCT l_orderkey
         |FROM lineitem
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
-        |ORDER BY l_orderkey""".stripMargin
+        |ORDER BY l_orderkey""".stripMargin,
+    "q32_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sessioned AS (
+        |  SELECT *, CAST(sum(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  count(*) AS n_events,
+        |  min(ts_us) AS session_start_us,
+        |  max(ts_us) AS session_end_us,
+        |  round(sum(value), 4) AS session_value
+        |FROM sessioned
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q33_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        | coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_customers,
+        | round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin
   )
 }

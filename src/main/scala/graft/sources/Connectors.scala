@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** External-system source wrappers (SURVEY.md §2.1 S1/S2): thin,
+  * config-to-options layers over Spark's built-in connectors so the option
+  * maps are unit-testable pure functions even where the external system
+  * (Postgres, Kafka broker) isn't present in the test environment. The
+  * DataFrames they produce feed the exact same downstream code as the
+  * file-based stand-ins ([[Debezium.readJsonl]] for Kafka, parquet
+  * fixtures for JDBC).
+  */
+object Connectors {
+
+  /** JDBC scan config (reference `postgresql.properties`, S2). For scale,
+    * always provide the partition quad — without it Spark reads the whole
+    * table through ONE connection; with it, `numPartitions` parallel
+    * range-partitioned queries, and Catalyst pushes filters/projections
+    * into the remote SQL. */
+  final case class JdbcConfig(
+      url: String, user: String, password: String,
+      driver: String = "org.postgresql.Driver",
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[Long] = None, upperBound: Option[Long] = None,
+      numPartitions: Option[Int] = None, fetchSize: Int = 10000)
+
+  def jdbcOptions(cfg: JdbcConfig, dbtable: String): Map[String, String] =
+    Map(
+      "url" -> cfg.url, "dbtable" -> dbtable, "user" -> cfg.user,
+      "password" -> cfg.password, "driver" -> cfg.driver,
+      "fetchsize" -> cfg.fetchSize.toString) ++
+      cfg.partitionColumn.map("partitionColumn" -> _) ++
+      cfg.lowerBound.map("lowerBound" -> _.toString) ++
+      cfg.upperBound.map("upperBound" -> _.toString) ++
+      cfg.numPartitions.map("numPartitions" -> _.toString)
+
+  def readJdbc(spark: SparkSession, cfg: JdbcConfig, dbtable: String): DataFrame =
+    spark.read.format("jdbc").options(jdbcOptions(cfg, dbtable)).load()
+
+  /** Kafka batch-scan config (reference kafka connector, S1). Produces the
+    * (value, timestamp, key) column contract that [[Debezium.rawModel]]
+    * and the key-scan (S5) consume. */
+  final case class KafkaConfig(
+      bootstrapServers: String,
+      startingOffsets: String = "earliest",
+      endingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None)
+
+  def kafkaOptions(cfg: KafkaConfig, topics: Seq[String]): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> cfg.startingOffsets,
+      "endingOffsets" -> cfg.endingOffsets) ++
+      cfg.maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+
+  /** Batch Kafka read → Debezium column contract. The raw `value` bytes
+    * cast to string (schemas disabled = plain JSON, reference
+    * docker-compose.yaml:154-155); `timestamp` is broker arrival time
+    * (Trino's `_timestamp`); `key` the JSON key (`provider_id_key`, S5). */
+  def readKafka(spark: SparkSession, cfg: KafkaConfig, topics: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.format("kafka").options(kafkaOptions(cfg, topics)).load()
+      .select(
+        col("value").cast("string").as("value"),
+        col("timestamp"),
+        col("key").cast("string").as("key"),
+        col("topic"))
+  }
+
+  /** Streaming variant with identical downstream contract. */
+  def readKafkaStream(spark: SparkSession, cfg: KafkaConfig, topics: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.readStream.format("kafka")
+      .options(kafkaOptions(cfg, topics) - "endingOffsets").load()
+      .select(
+        col("value").cast("string").as("value"),
+        col("timestamp"),
+        col("key").cast("string").as("key"),
+        col("topic"))
+  }
+}

@@ -79,12 +79,21 @@ object Debezium {
   }
 
   /** Latest-per-key compaction (ST4/K3): the newest version of each key
-    * wins, ordered by the CDC timestamp with explicit tiebreaks. One
-    * shuffle on the key; per-partition sort — the scale-safe realization
-    * of `incremental_strategy='merge'`. */
+    * wins, ordered by the CDC timestamp with explicit tiebreaks — the
+    * scale-safe realization of `incremental_strategy='merge'`.
+    *
+    * Implemented as `max_by(struct(*), struct(orderBy...))`: a hash
+    * aggregate with map-side partial combine, so each map task forwards at
+    * most one row per key and no per-partition sort happens (the
+    * row_number-window formulation shuffles EVERY version of every key and
+    * sorts each partition — strictly more IO at CDC-update-heavy scale).
+    * Struct comparison is lexicographic, so callers pass explicit
+    * tiebreaks to stay deterministic on order-ties. */
   def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val valueCols = df.columns.filterNot(keys.contains)
+    val packed = struct(valueCols.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(packed, struct(orderBy: _*)).as("__latest"))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__latest.$c")): _*)
   }
 }
