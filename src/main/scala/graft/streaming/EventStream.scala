@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analytics over event streams: watermarked windowed
+  * aggregation and custom session state — the streaming operators a
+  * training-data/telemetry pipeline needs beyond CDC ingestion.
+  *
+  * Scale posture: state is the whole game in streaming. The windowed agg
+  * keeps one row of state per (window, event_type) and the watermark lets
+  * Spark DROP window state once event time passes window_end + watermark —
+  * bounded state at any throughput. The sessionizer keys state by user and
+  * expires it by event-time timeout, so state is O(active users), not
+  * O(events seen).
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums per event_type with a watermark for late
+    * data. Append mode: a window emits once, when the watermark passes it. */
+  def windowedAgg(events: DataFrame, windowLen: String = "5 minutes",
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
+  final case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
+                           n_events: Long, total_value: Double)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: a session
+    * closes after `gapMs` of user inactivity (event-time timeout), emitting
+    * one Session row. The streaming twin of the batch q32_sessionize. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.lastSeen, s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val tUs = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if tUs - s.lastSeen <= gapMs * 1000L =>
+                  cur = Some(s.copy(lastSeen = tUs, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.lastSeen, s.nEvents, s.totalValue)
+                  cur = Some(SessionState(tUs, tUs, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(tUs, tUs, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen / 1000L + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run a file-sourced event stream through `windowedAgg` into an
+    * in-memory table (local smoke path; swap source/sink for Kafka/parquet
+    * in production — the transform is identical). Returns the result. */
+  def runWindowedOnce(spark: SparkSession, parquetDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      queryName: String): DataFrame = {
+    val raw = spark.readStream.schema(schema).parquet(parquetDir)
+    // nanosAsLong surfaces TIMESTAMP(NANOS) as epoch-nanos longs
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = windowedAgg(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked windowed agg over a file stream matches batch totals") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.sources.Tables.load(spark, dir, "events")
+    // streaming file source wants a directory; stage the single file
+    val streamDir = tmpDir("winstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val got = EventStream.runWindowedOnce(spark, streamDir,
+      schema, "win_smoke")
+    // batch equivalent over the same 5-minute tumbling windows. Append
+    // mode only emits windows the final watermark (max ts - 10 min)
+    // passed — the last open window(s) correctly stay unemitted.
+    val maxTs = batch.agg(max($"ts")).head().getTimestamp(0)
+    val closed = batch
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter($"window.end" <= lit(new Timestamp(maxTs.getTime - 10 * 60000)))
+    assert(got.count() == closed.count())
+    assert(got.agg(sum($"n")).head().getLong(0) ==
+      closed.agg(sum($"n")).head().getLong(0))
+  }
+
+  test("stateful sessionizer closes sessions on gap and aggregates values") {
+    def ev(u: Long, minute: Long, v: Double) =
+      Event(u, new Timestamp(1700000000000L + minute * 60000L), "click", v)
+    // user 1: two sessions (gap 40min > 30min); user 2: one session
+    val events = Seq(
+      ev(1, 0, 1.0), ev(1, 10, 2.0), // session A
+      ev(1, 50, 4.0),                // session B (gap 40)
+      ev(2, 5, 8.0), ev(2, 20, 16.0))
+    val dir = tmpDir("sess")
+    events.toDF().repartition(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(events.toDF().schema).parquet(s"$dir/in").as[Event]
+    val q = EventStream.sessionize(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions").as[Session].collect()
+    // with a single micro-batch, only sessions CLOSED by a newer event are
+    // emitted (open sessions await timeout): user 1's first session
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0)
+    assert((s.session_end_us - s.session_start_us) == 10L * 60 * 1000000)
+  }
+}
