@@ -89,6 +89,31 @@ object ProviderModels {
       when(col(c) === from, lit(to)).otherwise(acc)
     }
 
+  /** Fuzzy site-name matching — the alias-map-free fallback tier for the
+    * harmonization join (FIXTURES.md §2: "site-name fuzzy/alias match").
+    * Matches each candidate name to its closest canonical site if the
+    * edit distance is within `maxDist` or the candidate is a strict prefix
+    * abbreviation. Canonical set is tiny (8 rows) → broadcast cross join;
+    * with a large canonical set, add a blocking key (first token) first. */
+  def fuzzySiteMatch(names: DataFrame, nameCol: String, canonical: DataFrame,
+                     canonicalCol: String, maxDist: Int = 6): DataFrame = {
+    val cand = canonical.select(col(canonicalCol).as("__canonical"))
+    val scored = names.crossJoin(broadcast(cand))
+      .withColumn("__dist",
+        when(expr(s"startswith(__canonical, $nameCol)"),
+          lit(0)) // prefix abbreviation = exact-tier match
+          .otherwise(levenshtein(col(nameCol), col("__canonical"))))
+      .filter(col("__dist") <= maxDist)
+    // keep the single best (lowest-distance, then alphabetical) candidate
+    graft.sources.Debezium.latestPerKey(
+      scored.withColumn("__neg", -col("__dist")),
+      names.columns.toSeq,
+      Seq(col("__neg"), col("__canonical")))
+      .drop("__neg")
+      .withColumnRenamed("__canonical", "matched_site")
+      .withColumnRenamed("__dist", "match_dist")
+  }
+
   /** Clean the client-dropped CSV (FIXTURES.md §2 bad-data rules):
     *   - literal string "NULL" → SQL NULL (every column);
     *   - specialty abbreviations normalized (SpecSource holds the expansion

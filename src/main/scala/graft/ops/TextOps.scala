@@ -113,4 +113,37 @@ object TextOps {
     * strictly positive. */
   def shingleHashes(text: Column, k: Int): Column =
     transform(shingles(text, k), s => pmod(xxhash64(s), lit(2147483647L)))
+
+  /** Token-bounded chunking with overlap — the context-window splitter for
+    * training-data prep. Chunk i covers tokens [i*(size-overlap),
+    * i*(size-overlap)+size); the last chunk is short rather than dropped.
+    * Returns array<string>; explode + posexplode downstream. Pure column
+    * algebra, so chunking 100 TB is a projection, not a shuffle. */
+  def chunk(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    val numChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - lit(chunkTokens)).cast("double") / step).cast("int") + 1)
+    transform(sequence(lit(0), numChunks - 1),
+      i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkTokens))))
+  }
+
+  /** PII redaction: emails, URLs, IPv4s, US-style phone numbers → typed
+    * placeholder tags. Patterns are RE2-compatible (no lookaround) so the
+    * same regexes run in any engine. One chained projection — single pass. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b|\\b[0-9]{3}[-.][0-9]{4}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, url, "[URL]"),
+          email, "[EMAIL]"),
+        ip, "[IP]"),
+      phone, "[PHONE]")
+  }
 }

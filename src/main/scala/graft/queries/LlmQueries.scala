@@ -126,7 +126,79 @@ object LlmQueries {
       .orderBy($"media_id")
   }
 
+  /** Context-window chunking: token-bounded overlapping chunks, exploded
+    * with positions. Chunking is a projection — zero shuffle at any scale. */
+  def q34Chunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        posexplode(TextOps.chunk($"text", chunkTokens = 32, overlap = 8)))
+      .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+        $"col".as("chunk"),
+        TextOps.tokenCount($"col").as("chunk_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** PII redaction: plant synthetic emails/phones/URLs, redact, verify by
+    * oracle running the identical construction + regexes. */
+  def q35Redact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("dirty", concat($"text",
+        lit(" contact user"), $"doc_id", lit("@example.com or http://ex.com/"),
+        $"doc_id", lit(" tel 555-123-4567 ip 10.0.0.1")))
+      .select($"doc_id", TextOps.redactPii($"dirty").as("clean"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus length percentiles per lang (exact linear-interpolation
+    * percentile ≡ DuckDB quantile_cont). Exact percentile needs the full
+    * sorted group — fine for per-lang stats; approx_percentile is the
+    * streaming/100TB variant (not oracle-comparable). */
+  def q36Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        floor(expr("percentile(n_chars, 0.5)") * 10000.0 + 0.5).as("p50_e4"),
+        floor(expr("percentile(n_chars, 0.9)") * 10000.0 + 0.5).as("p90_e4"),
+        count(lit(1)).as("n"))
+      .orderBy($"lang")
+  }
+
+  /** Deterministic stratified sampling: hash-free doc_id modulus with
+    * per-stratum rates (en kept at ~10%, others ~30%) — reproducible
+    * across engines and runs, no rand() in the plan. */
+  def q37StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 97 <
+        when($"lang" === "en", 10).otherwise(29))
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+      .orderBy($"lang")
+  }
+
+  /** Fuzzy string matching (levenshtein) — the alias-free fallback for the
+    * site-name harmonization tier. All nation-name pairs within edit
+    * distance 5. At corpus scale the cross join needs a blocking key
+    * (first char, length band) — documented in FuzzyOps. */
+  def q38FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.load(s, dir, "nation").select($"n_name".as("name1"))
+    val b = Tables.load(s, dir, "nation").select($"n_name".as("name2"))
+    a.crossJoin(broadcast(b))
+      .filter($"name1" < $"name2")
+      .withColumn("dist", levenshtein($"name1", $"name2").cast("long"))
+      .filter($"dist" <= 5)
+      .orderBy($"name1", $"name2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q34_chunking" -> (q34Chunking _),
+    "q35_redact" -> (q35Redact _),
+    "q36_percentiles" -> (q36Percentiles _),
+    "q37_stratified_sample" -> (q37StratifiedSample _),
+    "q38_fuzzy_match" -> (q38FuzzyMatch _),
     "q22_token_count" -> (q22TokenCount _),
     "q23_text_quality" -> (q23TextQuality _),
     "q24_lang_id" -> (q24LangId _),
@@ -147,6 +219,60 @@ object LlmQueries {
   private val stopListSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q34_chunking" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks, $nTokSql AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n <= 32 THEN 1
+         |         ELSE CAST(ceil(CAST(n - 32 AS DOUBLE) / 24) AS INT) + 1 END AS nc,
+         |    toks
+         |  FROM t)
+         |SELECT doc_id,
+         |  unnest(range(0, nc)) AS chunk_idx,
+         |  unnest(list_transform(range(0, nc),
+         |    i -> array_to_string(toks[i*24+1 : i*24+32], ' '))) AS chunk,
+         |  unnest(list_transform(range(0, nc),
+         |    i -> len(toks[i*24+1 : i*24+32]))) AS chunk_tokens
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q35_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    concat(text, ' contact user', doc_id, '@example.com or http://ex.com/',
+        |           doc_id, ' tel 555-123-4567 ip 10.0.0.1') AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(dirty, 'https?://[^\s]+', '[URL]', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b|\b[0-9]{3}[-.][0-9]{4}\b',
+        |    '[PHONE]', 'g') AS clean
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
+    "q36_percentiles" ->
+      """SELECT lang,
+        | CAST(floor(quantile_cont(n_chars, 0.5) * 10000.0 + 0.5) AS BIGINT) AS p50_e4,
+        | CAST(floor(quantile_cont(n_chars, 0.9) * 10000.0 + 0.5) AS BIGINT) AS p90_e4,
+        | count(*) AS n
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q37_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled
+        |FROM documents
+        |WHERE doc_id % 97 < (CASE WHEN lang = 'en' THEN 10 ELSE 29 END)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q38_fuzzy_match" ->
+      """SELECT a.n_name AS name1, b.n_name AS name2,
+        | CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        |FROM nation a, nation b
+        |WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 5
+        |ORDER BY name1, name2""".stripMargin,
     "q22_token_count" ->
       s"""SELECT doc_id,
          | CAST($nTokSql AS BIGINT) AS n_tokens,

@@ -341,6 +341,25 @@ object RelationalQueries {
       .orderBy($"region", $"nation")
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL surface:
+    * small-order lineitems per part. Catalyst decorrelates the per-part
+    * average into an aggregate + join — verify with explain that no
+    * per-row re-execution survives. l_quantity is integer-valued so the
+    * avg boundary is engine-exact (integer sums in double are exact). */
+  def q39ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_brand,
+        | CAST(floor(sum(l_extendedprice) * 100.0 + 0.5) AS BIGINT) AS revenue_cents,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, Q] = Map(
@@ -365,7 +384,8 @@ object RelationalQueries {
     "q19_check_metrics" -> (q19CheckMetrics _),
     "q20_check_relationships" -> (q20CheckRelationships _),
     "q32_sessionize" -> (q32Sessionize _),
-    "q33_rollup" -> (q33Rollup _)
+    "q33_rollup" -> (q33Rollup _),
+    "q39_scalar_subquery" -> (q39ScalarSubquery _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -540,6 +560,15 @@ object RelationalQueries {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
-        |ORDER BY region, nation""".stripMargin
+        |ORDER BY region, nation""".stripMargin,
+    "q39_scalar_subquery" ->
+      """SELECT p_brand,
+        | CAST(floor(sum(l_extendedprice) * 100.0 + 0.5) AS BIGINT) AS revenue_cents,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
   )
 }

@@ -50,6 +50,20 @@ class ProviderModelsSpec extends SparkSpec {
       .forall(_.getString(0).length == 3))
   }
 
+  test("fuzzy site match resolves abbreviations and typos to canonical names") {
+    val canonical = graft.fixtures.Fixtures.careSiteDf(spark)
+      .select($"care_site_name")
+    val names = Seq("Metro Med", "North Health Inst", "Cty Hospital", "Westside Family")
+      .toDF("site")
+    val got = graft.ops.ProviderModels.fuzzySiteMatch(
+      names, "site", canonical, "care_site_name")
+      .collect().map(r => r.getAs[String]("site") -> r.getAs[String]("matched_site")).toMap
+    assert(got("Metro Med") == "Metro Medical Center")       // prefix tier
+    assert(got("North Health Inst") == "North Health Institute")
+    assert(got("Cty Hospital") == "City Hospital")           // levenshtein tier
+    assert(got("Westside Family") == "Westside Family Practice")
+  }
+
   test("harmonization matches on NPI, falls back to ProviderID when NPI null") {
     val pg = Seq(
       (1, "1234567890", "John Doe"),

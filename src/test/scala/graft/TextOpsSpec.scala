@@ -47,6 +47,26 @@ class TextOpsSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("chunking covers all tokens with the configured overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val chunks = one(text, TextOps.chunk($"text", 32, 8))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(chunks.length == 4) // ceil((100-32)/24)+1
+    assert(chunks.head.split(" ").length == 32)
+    assert(chunks.head.endsWith(" t32") && chunks(1).startsWith("t25 "))
+    assert(chunks.last.split(" ").last == "t100") // full coverage
+    val short = one("a b c", TextOps.chunk($"text", 32, 8))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(short == Seq("a b c"))
+  }
+
+  test("PII redaction replaces emails, urls, ips, phones; keeps prose") {
+    val dirty = "mail a.b+c@x-corp.io visit https://x.io/p?q=1 " +
+      "host 192.168.0.254 call 555-123-4567 or 867-5309 done"
+    val clean = one(dirty, TextOps.redactPii($"text")).asInstanceOf[String]
+    assert(clean == "mail [EMAIL] visit [URL] host [IP] call [PHONE] or [PHONE] done")
+  }
+
   test("quality score rewards prose, penalizes punctuation soup") {
     val good = one("the quick brown fox jumps over the lazy dog and runs to the house " * 3,
       TextOps.qualityScore($"text")).asInstanceOf[Double]
