@@ -34,6 +34,29 @@ object DedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental (cross-batch) exact dedup — the production shape: dedup
+    * each arriving batch against the accumulated corpus fingerprint table,
+    * admit only novel documents, extend the table. The fingerprint table
+    * carries (fingerprint, first idCol) only — ~40 bytes/doc regardless of
+    * document size, so the anti-join side stays tiny relative to a 100 TB
+    * corpus and is often broadcastable per batch. Returns the admitted
+    * (novel, batch-deduped) rows. */
+  def incrementalExactDedup(batch: DataFrame, textCol: String, idCol: String,
+                            fingerprints: graft.sinks.SnapshotTable): DataFrame = {
+    val batchDeduped = exactDedup(batch, textCol, idCol).drop("dup_count")
+    val novel =
+      if (fingerprints.exists)
+        batchDeduped.join(fingerprints.read().select("fingerprint"),
+          Seq("fingerprint"), "left_anti")
+      else batchDeduped
+    val admitted = novel.cache()
+    val newFps = admitted.select(col("fingerprint"), col(idCol))
+    if (fingerprints.exists)
+      fingerprints.overwrite(fingerprints.read().unionByName(newFps))
+    else fingerprints.overwrite(newFps)
+    admitted
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** Deterministic MinHash coefficient pairs (a,b) over the Mersenne prime

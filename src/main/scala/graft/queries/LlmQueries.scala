@@ -193,7 +193,59 @@ object LlmQueries {
       .orderBy($"name1", $"name2")
   }
 
+  /** As-of join (TemporalJoins): every event gets the user's most recent
+    * purchase value at-or-before its timestamp. Oracle = DuckDB's native
+    * ASOF LEFT JOIN — our union+carry-forward window must agree exactly. */
+  def q44AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros($"ts"))
+    val left = ev.select($"user_id", $"event_id", $"ts_us")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us".as("p_ts_us"), $"value")
+    graft.ops.TemporalJoins.asOfJoin(left, purchases,
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "p_ts_us",
+        valueCols = Seq("value"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Range join (TemporalJoins): clicks whose value falls inside a
+    * [signup.value, signup.value+50] interval of the same user — the
+    * bucketized equi-join formulation; oracle is the plain inequality
+    * join (identical result set, quadratic plan DuckDB can afford). */
+  def q45RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"value".as("click_value"))
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_id"),
+        $"value".as("lo"), ($"value" + 50.0).as("hi"))
+    graft.ops.TemporalJoins.rangeJoin(clicks, "click_value", signups,
+        "lo", "hi", keys = Seq("user_id"), bucketWidth = 50.0)
+      .select($"user_id", $"click_id", $"signup_id", $"click_value", $"lo", $"hi")
+      .orderBy($"user_id", $"click_id", $"signup_id")
+  }
+
+  /** SpaceSaving heavy hitters over corpus tokens. Capacity 512 >> the
+    * synthetic vocabulary, so the sketch is provably exact here and the
+    * DuckDB exact count oracle applies; the approximation regime is
+    * exercised in SpaceSavingSpec. */
+  def q46HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+      .as[String]
+    toks.select(graft.functions.SpaceSaving.topK(512).name("hh"))
+      .withColumn("h", explode($"hh"))
+      .select($"h.item".as("token"), $"h.count".as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_asof_join" -> (q44AsofJoin _),
+    "q45_range_join" -> (q45RangeJoin _),
+    "q46_heavy_hitters" -> (q46HeavyHitters _),
     "q34_chunking" -> (q34Chunking _),
     "q35_redact" -> (q35Redact _),
     "q36_percentiles" -> (q36Percentiles _),
@@ -219,6 +271,32 @@ object LlmQueries {
   private val stopListSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q44_asof_join" ->
+      """SELECT e.user_id, e.event_id,
+        | epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+        | p.value AS asof_value
+        |FROM events e
+        | ASOF LEFT JOIN (
+        |   SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts_us, value
+        |   FROM events WHERE event_type = 'purchase') p
+        | ON e.user_id = p.user_id
+        |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= p.p_ts_us
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+    "q45_range_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        | s.event_id AS signup_id,
+        | c.value AS click_value, s.value AS lo, s.value + 50.0 AS hi
+        |FROM events c JOIN events s
+        |  ON c.user_id = s.user_id
+        | AND c.event_type = 'click' AND s.event_type = 'signup'
+        | AND c.value >= s.value AND c.value <= s.value + 50.0
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q46_heavy_hitters" ->
+      s"""SELECT g AS token, count(*) AS n
+         |FROM (SELECT unnest($toksSql) AS g FROM documents)
+         |GROUP BY g
+         |ORDER BY n DESC, token
+         |LIMIT 20""".stripMargin,
     "q34_chunking" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks, $nTokSql AS n FROM documents),

@@ -12,9 +12,12 @@ import graft.sources.Tables
   *
   * Conventions for oracle hash-parity:
   *   - every computed column aliased identically in Spark and SQL;
-  *   - floating-point aggregates rounded (2dp money, 4dp ratios) BEFORE any
-  *     order-by/limit that depends on them, so summation-order
-  *     nondeterminism across partitions can't flip a hash or a top-k cut;
+  *   - money aggregates quantize PER ROW to integer cents/e4 units before
+  *     summing (fixed-precision inputs make each term exact; integer sums
+  *     are order-independent), so no engine or partition order can flip a
+  *     rounding boundary — `round(sum(...))` on big float sums is banned;
+  *   - ratio outputs (avg of tiny sums) round to 4dp — error ~1e-12 vs a
+  *     5e-5 boundary;
   *   - deterministic ORDER BY (with a unique-key tiebreak) on both sides;
   *   - DuckDB `TRY_CAST` mirrors Spark's non-ANSI `cast` (NULL on bad data,
   *     the Trino-tolerant semantics chosen in SURVEY.md §2.7-F4);
@@ -45,8 +48,12 @@ object RelationalQueries {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        // money: per-row integer quantization BEFORE the sum — fixed-
+        // precision inputs make each term exact, and integer sums are
+        // order-independent, so no engine can flip a rounding boundary
+        sum(floor($"l_extendedprice" * 100.0 + 0.5)).as("sum_base_price_cents"),
+        sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000.0 + 0.5))
+          .as("sum_disc_price_e4"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -99,7 +106,8 @@ object RelationalQueries {
       .join(nat, $"s_nationkey" === $"n_nationkey")
       .join(reg, $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000.0 + 0.5))
+        .as("revenue_e4"),
         count(lit(1)).as("n_items"))
       .orderBy($"r_name", $"n_name")
   }
@@ -204,7 +212,8 @@ object RelationalQueries {
     t(s, dir, "orders")
       .withColumn("d", date_format($"o_orderdate", "yyyy-MM-dd"))
       .groupBy($"d")
-      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100.0 + 0.5)).as("total_cents"))
       .orderBy($"d")
   }
 
@@ -217,9 +226,9 @@ object RelationalQueries {
     import s.implicits._
     t(s, dir, "orders")
       .groupBy($"o_custkey")
-      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+      .agg(sum(floor($"o_totalprice" * 100.0 + 0.5)).as("revenue_cents"),
         count(lit(1)).as("n_orders"))
-      .orderBy($"revenue".desc, $"o_custkey")
+      .orderBy($"revenue_cents".desc, $"o_custkey")
       .limit(10)
   }
 
@@ -351,13 +360,79 @@ object RelationalQueries {
     Tables.load(s, dir, "part").createOrReplaceTempView("part")
     s.sql(
       """SELECT p_brand,
-        | CAST(floor(sum(l_extendedprice) * 100.0 + 0.5) AS BIGINT) AS revenue_cents,
+        | CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS revenue_cents,
         | count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin)
+  }
+
+  /** Order-count histogram (TPC-H Q13 shape): LEFT join so zero-order
+    * customers count, two stacked aggregations — both partial-agg'd, the
+    * second one tiny (distinct counts ≤ max orders per customer). */
+  def q40OrderHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count")) // count(col): NULLs don't count
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** Supplier diversity per part attribute (TPC-H Q16 shape): distinct
+    * suppliers per (brand, size) for non-promo parts, excluding suppliers
+    * with negative balance via NOT IN (planned as null-aware anti join). */
+  def q41SupplierDiversity(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type NOT LIKE 'PROMO%'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+  }
+
+  /** Dormant rich customers (TPC-H Q22 shape): above-average balance with
+    * no orders — scalar subquery + anti join in one statement. */
+  def q42DormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS numcust,
+        | CAST(sum(floor(c_acctbal * 100.0 + 0.5)) AS BIGINT) AS totacctbal_cents
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Bilateral shipping volume by year (TPC-H Q7 shape): fact-fact join
+    * plus two broadcast dimension legs and a year extraction — the
+    * canonical multi-join with time bucketing. */
+  def q43VolumeByYear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val supp = t(s, dir, "supplier")
+    val cust = t(s, dir, "customer")
+    val n1 = broadcast(t(s, dir, "nation").select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation").select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation")))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(n1, $"s_nationkey" === $"s_nk")
+      .join(n2, $"c_nationkey" === $"c_nk")
+      .filter($"supp_nation" < $"cust_nation")
+      .withColumn("l_year", year($"l_shipdate").cast("long"))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000.0 + 0.5))
+        .as("revenue_e4"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
   // ------------------------------------------------------------- inventory
@@ -385,15 +460,21 @@ object RelationalQueries {
     "q20_check_relationships" -> (q20CheckRelationships _),
     "q32_sessionize" -> (q32Sessionize _),
     "q33_rollup" -> (q33Rollup _),
-    "q39_scalar_subquery" -> (q39ScalarSubquery _)
+    "q39_scalar_subquery" -> (q39ScalarSubquery _),
+    "q40_order_histogram" -> (q40OrderHistogram _),
+    "q41_supplier_diversity" -> (q41SupplierDiversity _),
+    "q42_dormant_customers" -> (q42DormantCustomers _),
+    "q43_volume_by_year" -> (q43VolumeByYear _)
   )
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT)
+        |   AS sum_base_price_cents,
+        | CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5))
+        |      AS BIGINT) AS sum_disc_price_e4,
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(avg(l_discount), 4) AS avg_disc,
         | count(*) AS count_order
@@ -414,7 +495,8 @@ object RelationalQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "q4_join_multi" ->
       """SELECT r_name, n_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5))
+        |      AS BIGINT) AS revenue_e4,
         | count(*) AS n_items
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
@@ -473,16 +555,18 @@ object RelationalQueries {
         |ORDER BY event_id""".stripMargin,
     "q13_date_format" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
-        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        | count(*) AS n_orders,
+        | CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS total_cents
         |FROM orders
         |GROUP BY d
         |ORDER BY d""".stripMargin,
     "q14_topk" ->
-      """SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT o_custkey,
+        | CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS revenue_cents,
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY o_custkey
-        |ORDER BY revenue DESC, o_custkey
+        |ORDER BY revenue_cents DESC, o_custkey
         |LIMIT 10""".stripMargin,
     "q15_window_running" ->
       """SELECT o_custkey, o_orderkey,
@@ -563,12 +647,48 @@ object RelationalQueries {
         |ORDER BY region, nation""".stripMargin,
     "q39_scalar_subquery" ->
       """SELECT p_brand,
-        | CAST(floor(sum(l_extendedprice) * 100.0 + 0.5) AS BIGINT) AS revenue_cents,
+        | CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS revenue_cents,
         | count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand""".stripMargin,
+    "q40_order_histogram" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q41_supplier_diversity" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type NOT LIKE 'PROMO%'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q42_dormant_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        | CAST(sum(floor(c_acctbal * 100.0 + 0.5)) AS BIGINT) AS totacctbal_cents
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q43_volume_by_year" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5))
+        |      AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
   )
 }

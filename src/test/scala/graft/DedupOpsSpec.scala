@@ -38,6 +38,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(dupGroups.filter($"doc_id" >= 2000).count() == 0)
   }
 
+  test("incremental dedup admits only novel docs across batches") {
+    val table = new graft.sinks.SnapshotTable(spark, tmpDir("incdedup") + "/fp")
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "ALPHA  beta gamma")) // in-batch dup of 1
+      .toDF("doc_id", "text")
+    val a1 = graft.ops.DedupOps.incrementalExactDedup(b1, "text", "doc_id", table)
+    assert(a1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val b2 = Seq((4L, "delta epsilon zeta"), // dup of admitted 2
+      (5L, "brand new content"))
+      .toDF("doc_id", "text")
+    val a2 = graft.ops.DedupOps.incrementalExactDedup(b2, "text", "doc_id", table)
+    assert(a2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L))
+    assert(table.read().count() == 3) // fingerprints: docs 1, 2, 5
+  }
+
   test("minhash LSH finds all planted near-dups with no false negatives") {
     val pairs = DedupOps.minhashNearDups(corpus, "text", "doc_id",
       threshold = 0.5).collect()
