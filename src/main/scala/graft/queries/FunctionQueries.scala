@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scalar-function and set-operator breadth beyond the reference's minimal
+  * surface (SURVEY §2.6/§2.7 note these as absent-but-free): set ops, date
+  * arithmetic, array algebra, string functions, approximate aggregates.
+  * Everything stays codegen'd `functions._`; oracles mirror semantics
+  * exactly (dialect deltas documented per query).
+  */
+object FunctionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** INTERSECT / EXCEPT with dedup semantics, labeled and unioned. */
+  def q47SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+    val su = Tables.load(s, dir, "supplier").select($"s_nationkey".as("nationkey"))
+    c.intersect(su).withColumn("op", lit("intersect"))
+      .unionByName(c.except(su).withColumn("op", lit("except")))
+      .select($"op", $"nationkey")
+      .orderBy($"op", $"nationkey")
+  }
+
+  /** Date arithmetic: extraction, day diffs, month shifts, weekday.
+    * Dialect deltas handled: Spark dayofweek is 1=Sunday, DuckDB 0=Sunday
+    * (+1 in oracle); add_months ≡ `+ INTERVAL n MONTH` (both clamp to
+    * month end). */
+  def q48DateArith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"),
+        datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"),
+        date_format(add_months($"o_orderdate", 3), "yyyy-MM-dd").as("plus3m"),
+        dayofweek($"o_orderdate").cast("long").as("dow"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Array algebra over embeddings: size, bounds, slice aggregation. */
+  def q49ArrayOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        floor(array_max($"embedding").cast("double") * 10000.0 + 0.5).as("vmax_e4"),
+        floor(array_min($"embedding").cast("double") * 10000.0 + 0.5).as("vmin_e4"),
+        floor(aggregate(slice($"embedding", 1, 8),
+          lit(0.0), (acc, x) => acc + x.cast("double")) * 10000.0 + 0.5)
+          .as("head8_sum_e4"))
+      .orderBy($"vec_id")
+  }
+
+  /** String function breadth on customer names. */
+  def q50StringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey",
+        upper($"c_name").as("up"),
+        substring($"c_name", 3, 5).as("sub"),
+        lpad($"c_custkey".cast("string"), 10, "0").as("padded"),
+        reverse($"c_name").as("rev"),
+        translate($"c_name", "#0", "_O").as("tr"),
+        length($"c_name").cast("long").as("len"),
+        concat_ws("|", $"c_mktsegment", $"c_name").as("tagged"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Approximate aggregates — the 100 TB metrics path (HLL + quantile
+    * sketches; partial-agg'd, fixed-size state). Implementations differ
+    * across engines by design → rows-only gate + relative-error assertions
+    * in ApproxSpec. */
+  def q51ApproxStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q47_setops" -> (q47SetOps _),
+    "q48_date_arith" -> (q48DateArith _),
+    "q49_array_ops" -> (q49ArrayOps _),
+    "q50_string_funcs" -> (q50StringFuncs _),
+    "q51_approx_stats" -> (q51ApproxStats _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q47_setops" ->
+      """SELECT 'intersect' AS op, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except' AS op, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier)
+        |ORDER BY op, nationkey""".stripMargin,
+    "q48_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS days_since_95,
+        | strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q49_array_ops" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS BIGINT) AS dim,
+        | CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |      AS BIGINT) AS vmax_e4,
+        | CAST(floor(CAST(list_min(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |      AS BIGINT) AS vmin_e4,
+        | CAST(floor(list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+        |    (acc, x) -> acc + x) * 10000.0 + 0.5) AS BIGINT) AS head8_sum_e4
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+    "q50_string_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS up,
+        | substring(c_name, 3, 5) AS sub,
+        | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        | reverse(c_name) AS rev,
+        | translate(c_name, '#0', '_O') AS tr,
+        | CAST(length(c_name) AS BIGINT) AS len,
+        | concat_ws('|', c_mktsegment, c_name) AS tagged
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -28,20 +28,17 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
-  /** Quality-score metrics per doc (C4-style cheap filters). */
+  /** Quality-score metrics per doc (C4-style cheap filters), via the
+    * one-pass [[TextOps.withMetrics]] (tokenization materialized once —
+    * the per-metric column functions re-tokenize 8×, measured 9× slower). */
   def q23TextQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select($"doc_id",
-        TextOps.tokenCount($"text").as("n_tokens"),
-        size(regexp_extract_all($"text", lit("[\\p{Punct}]"), lit(0))).cast("long")
-          .as("punct_cnt"),
-        size(filter(TextOps.tokens($"text"), t => t.isin(TextOps.stopwords: _*)))
-          .cast("long").as("stop_cnt"),
+    TextOps.withMetrics(Tables.load(s, dir, "documents"), "text")
+      .select($"doc_id", $"n_tokens", $"punct_cnt", $"stop_cnt",
         // integer e4 fixed-point (floor(x*1e4+0.5)): same IEEE ops in any
         // engine, immune to HALF_UP-vs-C-round half-boundary skew
-        floor(TextOps.avgTokenLen($"text") * 10000.0 + 0.5).as("avg_token_len_e4"),
-        floor(TextOps.qualityScore($"text") * 10000.0 + 0.5).as("quality_e4"))
+        floor($"avg_token_len" * 10000.0 + 0.5).as("avg_token_len_e4"),
+        floor($"quality" * 10000.0 + 0.5).as("quality_e4"))
       .orderBy($"doc_id")
   }
 
@@ -49,8 +46,8 @@ object LlmQueries {
     * dataset label, aggregated per labeled lang. */
   def q24LangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select($"doc_id", $"lang", TextOps.langId($"text").as("lang_pred"))
+    TextOps.withMetrics(Tables.load(s, dir, "documents"), "text",
+        includeLang = true)
       .groupBy($"lang", $"lang_pred")
       .agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"lang_pred")
