@@ -6,14 +6,16 @@ import graft.pipeline.ProviderPipeline
 /** CLI entry: seed deterministic CDC/CSV fixtures and run the full
   * provider pipeline end-to-end (raw merge → curated WAP → harmonized).
   *
-  * Usage: `runMain graft.RunPipeline [workDir] [nProviders]`
+  * Usage: `runMain graft.RunPipeline [workDir] [nProviders] [--parallel]`
   * Prints per-stage results and the curated/harmonized row counts.
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse(
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val work = pos.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
-    val n = args.lift(1).map(_.toInt).getOrElse(1000)
+    val n = pos.lift(1).map(_.toInt).getOrElse(1000)
     val spark = GraftSession.getOrCreate("graft-pipeline")
 
     val provPath = s"$work/topics/provider.jsonl"
@@ -29,7 +31,10 @@ object RunPipeline {
     Fixtures.writeSampleCsv(csvPath)
 
     val cfg = ProviderPipeline.Config(provPath, sitePath, csvPath, s"$work/lake")
-    val result = ProviderPipeline.build(spark, cfg).run(spark)
+    val pipeline = ProviderPipeline.build(spark, cfg)
+    val result =
+      if (flags.contains("--parallel")) pipeline.runParallel(spark)
+      else pipeline.run(spark)
 
     result.stages.foreach { st =>
       println(f"[stage] ${st.name}%-28s ok=${st.ok} version=${st.publishedVersion.getOrElse(-1L)} ${st.durationMs}ms" +

@@ -133,6 +133,84 @@ class Pipeline(val stages: Seq[Stage]) {
     stages.filter(s => names.contains(s.name))
       .map(s => s.copy(deps = s.deps.filter(names.contains)))
 
+  /** Dependency-parallel run: stages whose deps are satisfied execute
+    * concurrently (bounded by `parallelism` driver threads; Spark's
+    * scheduler interleaves their jobs across executors — FAIR-share if
+    * configured). Fail-fast: a failed stage cancels stages that haven't
+    * started. Independent raw-layer ingests overlap — the wall-clock win
+    * when one source's scan is IO-bound and another's is CPU-bound. */
+  def runParallel(spark: SparkSession, parallelism: Int = 4,
+                  log: String => Unit = s => println(s"[pipeline] $s")): PipelineResult = {
+    import java.util.concurrent.{ConcurrentHashMap, Executors}
+    val pool = Executors.newFixedThreadPool(parallelism)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val ctx = new ConcurrentHashMap[String, DataFrame]()
+    val results = new ConcurrentHashMap[String, StageResult]()
+    @volatile var aborted = false
+    val futures = scala.collection.mutable.Map[String, scala.concurrent.Future[Unit]]()
+    ordered.foreach { st =>
+      val depFutures = st.deps.map(futures)
+      futures(st.name) = scala.concurrent.Future.sequence(depFutures).map { _ =>
+        val depsOk = st.deps.forall(d => Option(results.get(d)).exists(_.ok))
+        if (!aborted && depsOk) {
+          val r = runStage(st, spark, k => Option(ctx.get(k)), log)
+          r._2.foreach { df => ctx.put(st.name, df) }
+          results.put(st.name, r._1)
+          if (!r._1.ok) aborted = true
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures.values.toSeq),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    PipelineResult(ordered.flatMap(st => Option(results.get(st.name))))
+  }
+
+  /** Execute one stage; returns (result, materialized frame if ok). */
+  private def runStage(st: Stage, spark: SparkSession,
+                       ref: String => Option[DataFrame],
+                       log: String => Unit): (StageResult, Option[DataFrame]) = {
+    val t0 = System.nanoTime()
+    try {
+      log(s"stage ${st.name} starting (deps=${st.deps.mkString(",")})")
+      val deps = st.deps.flatMap(d => ref(d).map(d -> _)).toMap
+      val df = st.build(spark, deps)
+      val (version, checkResults, materialized) = st.sink match {
+        case Some(Overwrite(table, parts)) =>
+          val n = table.stage(df, parts)
+          val staged = table.readVersion(n)
+          val rs = Checks.runAll(staged, st.checks)
+          if (Checks.errorsOnly(rs).isEmpty) {
+            table.publish(n); (Some(n), rs, table.read())
+          } else (None, rs, staged)
+        case Some(Merge(table, keys, order, parts)) =>
+          val n = table.merge(df, keys, order, parts)
+          val rs = Checks.runAll(table.read(), st.checks)
+          (Some(n), rs, table.read())
+        case None =>
+          val rs = if (st.checks.nonEmpty) Checks.runAll(df, st.checks) else Nil
+          (None, rs, df)
+      }
+      val bad = Checks.errorsOnly(checkResults)
+      val ok = bad.isEmpty
+      val ms = (System.nanoTime() - t0) / 1000000
+      checkResults.foreach(r => log(
+        s"stage ${st.name} check ${r.check}(${r.column}): " +
+          s"${if (r.passed) "pass" else s"FAIL violations=${r.violations}"}"))
+      log(s"stage ${st.name} ${if (ok) "ok" else "FAILED"} (${ms}ms)")
+      (StageResult(st.name, ok, checkResults, version, ms,
+        if (ok) None else Some(s"checks failed: ${bad.map(_.check).mkString(",")}")),
+        if (ok) Some(materialized) else None)
+    } catch {
+      case e: Exception =>
+        val ms = (System.nanoTime() - t0) / 1000000
+        log(s"stage ${st.name} ERROR: ${e.getMessage}")
+        (StageResult(st.name, ok = false, Nil, None, ms, Some(e.toString)), None)
+    }
+  }
+
   /** Sequential fail-fast run. Returns per-stage results; stops at the
     * first stage whose Error-severity checks fail or whose build throws. */
   def run(spark: SparkSession,

@@ -120,10 +120,42 @@ class SnapshotTable(spark: SparkSession, root: String) {
                           orderCols: Seq[Column]): DataFrame = {
     val upd = updates.withColumn("__src", lit(1))
     val base = latestVersion match {
-      case Some(_) => read().withColumn("__src", lit(0)).unionByName(upd)
+      case Some(_) =>
+        // schema evolution: columns new in `updates` appear (NULL for
+        // existing rows); columns dropped from `updates` persist (NULL for
+        // new rows) — additive evolution, Iceberg-style, no rewrite of old
+        // data semantics
+        read().withColumn("__src", lit(0))
+          .unionByName(upd, allowMissingColumns = true)
       case None => upd
     }
     Debezium.latestPerKey(base, keys, orderCols :+ col("__src")).drop("__src")
+  }
+
+  /** Compact the published snapshot into ~`targetRowsPerFile`-row files —
+    * the small-files remedy for streaming/merge-heavy tables (a 100 TB
+    * table fed by micro-batches degrades into millions of tiny parquet
+    * files; scan cost is per-file). Writes a new snapshot, preserving
+    * history. */
+  def compact(targetRowsPerFile: Long = 1000000L,
+              partitionBy: Seq[String] = Nil): Long = {
+    val df = read()
+    val rows = df.count()
+    val files = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val n = stage(df.repartition(files), partitionBy)
+    publish(n)
+    n
+  }
+
+  /** Keep only the newest `retain` snapshots (the published one always
+    * survives) — bounded time-travel history. */
+  def expireSnapshots(retain: Int): Unit = latestVersion.foreach { cur =>
+    val st = fs.listStatus(rootPath)
+    st.filter(s => s.isDirectory && s.getPath.getName.startsWith("snapshot="))
+      .map(s => s.getPath.getName.stripPrefix("snapshot=").toLong)
+      .sorted.reverse.drop(retain)
+      .filter(_ != cur)
+      .foreach(v => fs.delete(snapDir(v), true))
   }
 
   /** Scale path for huge date-partitioned tables: rewrite ONLY the
