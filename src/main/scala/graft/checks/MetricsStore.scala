@@ -1,0 +1,57 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotTable
+
+/** Per-run metrics history + anomaly rules — the engine-native form of the
+  * reference's Elementary monitoring (SURVEY.md §2.8 T4: volume/freshness
+  * anomaly models persisted across runs).
+  *
+  * Each pipeline run appends one row per monitored table (run id, row
+  * count, null counts, max event time, wall clock). Anomaly checks compare
+  * the newest run against trailing history — all computed as DataFrame
+  * aggregation over the (tiny) metrics table, never over the data itself.
+  */
+class MetricsStore(spark: SparkSession, root: String) {
+
+  private val table = new SnapshotTable(spark, root)
+
+  /** Record metrics for one table in one run. */
+  def record(runId: String, tableName: String, df: DataFrame,
+             notNullCols: Seq[String] = Nil, tsCol: Option[String] = None): Unit = {
+    val aggs = Seq(count(lit(1)).as("row_count")) ++
+      notNullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")) ++
+      tsCol.map(c => max(col(c)).cast("long").as("max_ts")).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("run_id", lit(runId))
+      .withColumn("table_name", lit(tableName))
+      .withColumn("recorded_at", current_timestamp())
+    if (table.exists)
+      table.overwrite(table.read().unionByName(row, allowMissingColumns = true))
+    else table.overwrite(row)
+  }
+
+  def history(tableName: String): DataFrame =
+    table.read().filter(col("table_name") === tableName)
+      .orderBy(col("recorded_at"))
+
+  /** Volume anomaly: newest row_count deviates from the trailing mean of
+    * prior runs by more than `tolerance` (fraction). Returns None when
+    * there's no history to compare against. */
+  def volumeAnomaly(tableName: String, tolerance: Double = 0.5): Option[Checks.CheckResult] = {
+    val h = history(tableName).select("row_count").collect().map(_.getLong(0))
+    if (h.length < 2) None
+    else {
+      val prior = h.dropRight(1)
+      val mean = prior.sum.toDouble / prior.length
+      val latest = h.last
+      val dev = if (mean == 0) 0.0 else math.abs(latest - mean) / mean
+      val ok = dev <= tolerance
+      Some(Checks.CheckResult("volume_anomaly", tableName,
+        if (ok) 0 else 1, Checks.Warn, ok,
+        detail = f"latest=$latest mean=$mean%.1f deviation=$dev%.3f tol=$tolerance"))
+    }
+  }
+}

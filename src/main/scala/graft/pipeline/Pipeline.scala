@@ -27,7 +27,12 @@ final case class Stage(
     tags: Set[String] = Set.empty,
     build: (SparkSession, Map[String, DataFrame]) => DataFrame,
     checks: Seq[Check] = Nil,
-    sink: Option[Sink] = None)
+    sink: Option[Sink] = None,
+    /** Re-attempts on build/write exceptions (transient executor loss,
+      * object-store 503s). Check FAILURES are never retried — a data
+      * quality violation is deterministic, retrying it just burns cluster
+      * time. */
+    retries: Int = 0)
 
 sealed trait Sink
 /** Full-snapshot write with WAP audit. */
@@ -168,10 +173,23 @@ class Pipeline(val stages: Seq[Stage]) {
     PipelineResult(ordered.flatMap(st => Option(results.get(st.name))))
   }
 
-  /** Execute one stage; returns (result, materialized frame if ok). */
+  /** Execute one stage with its retry budget; check failures don't retry. */
   private def runStage(st: Stage, spark: SparkSession,
                        ref: String => Option[DataFrame],
                        log: String => Unit): (StageResult, Option[DataFrame]) = {
+    var attempt = 0
+    var out = runStageOnce(st, spark, ref, log)
+    while (!out._1.ok && out._1.checks.isEmpty && attempt < st.retries) {
+      attempt += 1
+      log(s"stage ${st.name} retry $attempt/${st.retries}")
+      out = runStageOnce(st, spark, ref, log)
+    }
+    out
+  }
+
+  private def runStageOnce(st: Stage, spark: SparkSession,
+                           ref: String => Option[DataFrame],
+                           log: String => Unit): (StageResult, Option[DataFrame]) = {
     val t0 = System.nanoTime()
     try {
       log(s"stage ${st.name} starting (deps=${st.deps.mkString(",")})")
@@ -220,46 +238,10 @@ class Pipeline(val stages: Seq[Stage]) {
     var failed = false
     ordered.foreach { st =>
       if (!failed) {
-        val t0 = System.nanoTime()
-        try {
-          log(s"stage ${st.name} starting (deps=${st.deps.mkString(",")})")
-          val df = st.build(spark, ctx.toMap)
-          val (version, checkResults, materialized) = st.sink match {
-            case Some(Overwrite(table, parts)) =>
-              val n = table.stage(df, parts)
-              val staged = table.readVersion(n)
-              val rs = Checks.runAll(staged, st.checks)
-              if (Checks.errorsOnly(rs).isEmpty) {
-                table.publish(n); (Some(n), rs, table.read())
-              } else (None, rs, staged)
-            case Some(Merge(table, keys, order, parts)) =>
-              val n = table.merge(df, keys, order, parts)
-              val rs = Checks.runAll(table.read(), st.checks)
-              // merge is idempotent; a failed audit reports but the merge
-              // result is already the latest-per-key state
-              (Some(n), rs, table.read())
-            case None =>
-              val rs = if (st.checks.nonEmpty) Checks.runAll(df, st.checks) else Nil
-              (None, rs, df)
-          }
-          ctx(st.name) = materialized
-          val bad = Checks.errorsOnly(checkResults)
-          val ok = bad.isEmpty
-          val ms = (System.nanoTime() - t0) / 1000000
-          results += StageResult(st.name, ok, checkResults, version, ms,
-            if (ok) None else Some(s"checks failed: ${bad.map(_.check).mkString(",")}"))
-          checkResults.foreach(r => log(
-            s"stage ${st.name} check ${r.check}(${r.column}): " +
-              s"${if (r.passed) "pass" else s"FAIL violations=${r.violations}"}"))
-          log(s"stage ${st.name} ${if (ok) "ok" else "FAILED"} (${ms}ms)")
-          if (!ok) failed = true
-        } catch {
-          case e: Exception =>
-            val ms = (System.nanoTime() - t0) / 1000000
-            log(s"stage ${st.name} ERROR: ${e.getMessage}")
-            results += StageResult(st.name, ok = false, Nil, None, ms, Some(e.toString))
-            failed = true
-        }
+        val (r, materialized) = runStage(st, spark, ctx.get, log)
+        materialized.foreach(ctx(st.name) = _)
+        results += r
+        if (!r.ok) failed = true
       }
     }
     PipelineResult(results.toSeq)
