@@ -19,6 +19,7 @@ object GraftSession {
     SparkSession
       .builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -22,6 +22,14 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("GraftExtensions exposes the functions without explicit register") {
+    // SharedSpark is built via GraftSession.builder → extensions active
+    assert(spark.sql("SELECT cosine_similarity(array(1.0f, 0.0f), array(1.0f, 0.0f))")
+      .head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT dot_product_f(array(2.0f, 3.0f), array(4.0f, 5.0f))")
+      .head().getDouble(0) == 23.0)
+  }
+
   test("SQL surface works and nulls on mismatch / zero vectors") {
     CosineSimilarity.register(spark)
     Seq((Seq(1f, 0f), Seq(1f, 0f))).toDF("a", "b").createOrReplaceTempView("vv")
