@@ -98,18 +98,51 @@ object SimilarityOps {
       .select(col(qIdCol), col(idCol), col("cos"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: bucket join (both sides the
-    * corpus) + cosine threshold — the embedding analog of MinHash dedup. */
-  def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int = 8,
+  /** Exact embedding-cosine near-dup pairs by brute force — O(n²) scored
+    * with the fused native expression; the recall oracle for the banded
+    * variant and the right tool up to ~10⁵ vectors per comparable group.
+    * At corpus scale, partition first (by language/source/cluster) or use
+    * [[cosineNearDups]]. */
+  def bruteForceNearDups(corpus: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    fused(corpus)
+    val l = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    l.crossJoin(r).filter(col("id1") < col("id2"))
+      .withColumn("cos", round(
+        graft.functions.CosineSimilarity(col("v1"), col("v2")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via BANDED sign-LSH: `bands`
+    * independent bucket codes of `bitsPerBand` hyperplane signs; pairs
+    * colliding in ANY band become candidates (explode + equi-join per
+    * band, exactly the MinHash banding scheme), then exact-cosine
+    * verification keeps true pairs. Recall for a pair at angle θ is
+    * 1-(1-(1-θ/π)^b)^B — tune (b,B) to the target threshold; the default
+    * (4,16) gives ~94% recall at cos 0.4 and ~100% at cos≥0.7, at a
+    * candidate-set cost of ~2^b-th of the corpus per band. */
+  def cosineNearDups(corpus: DataFrame, threshold: Double,
+                     bitsPerBand: Int = 4, bands: Int = 16,
                      dim: Int = 64, seed: Long = 42L,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     fused(corpus)
-    val planes = hyperplanes(bits, dim, seed)
-    val b = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
-    val l = b.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = b.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
-    l.join(r, Seq("bucket"))
+    val bandCols = (0 until bands).map { bi =>
+      val planes = hyperplanes(bitsPerBand, dim, seed + bi * 7919L)
+      struct(lit(bi).as("band"), lshBucket(col(vecCol), planes).as("code"))
+    }
+    val banded = corpus.select(col(idCol), col(vecCol),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col(vecCol), col("b.band"), col("b.code"))
+    val l = banded.select(col("band"), col("code"),
+      col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = banded.select(col("band"), col("code"),
+      col(idCol).as("id2"), col(vecCol).as("v2"))
+    l.join(r, Seq("band", "code"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2")).distinct()
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col("v1"), col("v2")), 4))
       .filter(col("cos") >= threshold)

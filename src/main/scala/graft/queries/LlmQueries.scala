@@ -239,7 +239,18 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** Embedding-cosine near-dup pairs, exact (brute force with the fused
+    * native expression) — oracle-checked; the banded-LSH variant with the
+    * same output contract is recall-gated in SimilarityOpsSpec. */
+  def q52CosineNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SimilarityOps.bruteForceNearDups(
+        Tables.load(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy($"id1", $"id2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q52_cosine_neardups" -> (q52CosineNearDups _),
     "q44_asof_join" -> (q44AsofJoin _),
     "q45_range_join" -> (q45RangeJoin _),
     "q46_heavy_hitters" -> (q46HeavyHitters _),
@@ -268,6 +279,20 @@ object LlmQueries {
   private val stopListSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q52_cosine_neardups" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cos FROM p
+        |WHERE cos >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
     "q44_asof_join" ->
       """SELECT e.user_id, e.event_id,
         | epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,

@@ -54,13 +54,26 @@ class SimilarityOpsSpec extends SparkSpec {
   }
 
   test("cosineNearDups finds intra-cluster pairs only") {
-    val pairs = SimilarityOps.cosineNearDups(corpus.limit(50), threshold = 0.9,
-      bits = 4)
+    val pairs = SimilarityOps.cosineNearDups(corpus.limit(50), threshold = 0.9)
     val rows = pairs.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) % 10 == r.getLong(1) % 10)
       assert(r.getDouble(2) >= 0.9)
     }
+  }
+
+  test("banded LSH near-dups reach >=0.85 recall vs brute force on real embeddings") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = SimilarityOps.bruteForceNearDups(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilarityOps.cosineNearDups(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // LSH may only MISS pairs, never invent them (verification is exact)
+    assert(approx.subsetOf(exact))
+    val recall = approx.size.toDouble / exact.size
+    info(f"recall=$recall%.3f (${approx.size}/${exact.size})")
+    assert(recall >= 0.85, s"recall=$recall")
   }
 }
