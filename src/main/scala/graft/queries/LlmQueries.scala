@@ -249,7 +249,18 @@ object LlmQueries {
       .orderBy($"id1", $"id2")
   }
 
+  /** IVF ANN (rows-only; recall gate in SimilarityOpsSpec). */
+  def q53AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    SimilarityOps.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 4)
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q53_ann_ivf" -> (q53AnnIvf _),
     "q52_cosine_neardups" -> (q52CosineNearDups _),
     "q44_asof_join" -> (q44AsofJoin _),
     "q45_range_join" -> (q45RangeJoin _),

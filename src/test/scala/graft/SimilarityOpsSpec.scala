@@ -63,6 +63,19 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN on clustered vectors: high recall at nprobe/nlist cost cut") {
+    val queries = corpus.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = SimilarityOps.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(corpus, queries, k = 5, nlist = 12, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(f"IVF recall=$recall%.3f")
+    assert(recall >= 0.8, s"recall=$recall")
+    ivf.foreach { case (q, hit) => assert(hit % 10 == q % 10) } // same cluster
+  }
+
   test("banded LSH near-dups reach >=0.85 recall vs brute force on real embeddings") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val exact = SimilarityOps.bruteForceNearDups(emb, threshold = 0.4)
