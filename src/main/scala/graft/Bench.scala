@@ -49,12 +49,8 @@ object Bench {
     graft.queries.CdcBench.envelopes(spark, 2000000L)
       .write.mode("overwrite").parquet(cdcDir)
     results("cdc_pipeline_2m") = time {
-      val cdc = spark.read.parquet(cdcDir)
-      val raw = graft.sources.Debezium.rawModel(cdc, "provider_id")
-      val latest = graft.sources.Debezium.latestPerKey(
-        raw, Seq("provider_id"), Seq(org.apache.spark.sql.functions.col("cdc_ts_ms")))
-      materialize(graft.ops.ProviderModels.curatedProvider(
-        latest, graft.fixtures.Fixtures.careSiteDf(spark)))
+      materialize(graft.queries.CdcBench.curatedFromEnvelopes(
+        spark.read.parquet(cdcDir)))
     }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -37,8 +37,11 @@ object CdcTablePipeline {
       Stage(
         name = rawStageName(spec),
         tags = spec.tags + "raw" + "cdc",
-        build = (s, _) => Debezium.rawModel(
-          Debezium.readJsonl(s, spec.topicPath), spec.keyField),
+        // schema is declared in the spec → single-parse typed raw model;
+        // raw layer persists the reference contract (string after-image)
+        build = (s, _) => Debezium.rawModelTyped(
+          Debezium.readJsonl(s, spec.topicPath), spec.keyField,
+          spec.rowSchema).drop("after"),
         checks = Seq(NotNull(spec.keyField), Unique(Seq(spec.keyField))),
         sink = Some(Merge(rawTable, Seq(spec.keyField),
           Seq(col("cdc_ts_ms")), partitionBy = Seq("ingestion_cdc_date")))),

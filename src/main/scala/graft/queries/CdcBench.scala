@@ -57,9 +57,18 @@ object CdcBench {
 
   /** Full transform: raw model → latest-per-key → shred → curated join.
     * Returns the curated DataFrame (caller materializes to time it). */
-  def curatedFromCdc(spark: SparkSession, n: Long): DataFrame = {
-    val raw = Debezium.rawModel(envelopes(spark, n), "provider_id")
+  def curatedFromCdc(spark: SparkSession, n: Long): DataFrame =
+    curatedFrom(Debezium.rawModel(envelopes(spark, n), "provider_id"))
+
+  /** Same transform from a pre-materialized envelope DataFrame. Uses the
+    * single-parse typed raw model (schema is known here). */
+  def curatedFromEnvelopes(cdc: org.apache.spark.sql.DataFrame): DataFrame =
+    curatedFrom(Debezium.rawModelTyped(cdc, "provider_id",
+      ProviderModels.providerSchema).drop("after"))
+
+  private def curatedFrom(raw: DataFrame): DataFrame = {
     val latest = Debezium.latestPerKey(raw, Seq("provider_id"), Seq(col("cdc_ts_ms")))
-    ProviderModels.curatedProvider(latest, Fixtures.careSiteDf(spark))
+    ProviderModels.curatedProvider(
+      latest, Fixtures.careSiteDf(raw.sparkSession))
   }
 }

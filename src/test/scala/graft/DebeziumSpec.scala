@@ -26,6 +26,20 @@ class DebeziumSpec extends SparkSpec {
     assert(raw.count() == 50 + 2 * 10) // 50 creates + 2 updates for ids%5==0
   }
 
+  test("typed single-parse raw model agrees with the schema-free path") {
+    val cdc = Debezium.readJsonl(spark, cdcPath)
+    val free = ProviderModels.rawProvider(cdc)
+    val typed = Debezium.rawModelTyped(cdc, "provider_id",
+      ProviderModels.providerSchema).drop("after")
+    assert(typed.count() == free.count())
+    def shredded(df: org.apache.spark.sql.DataFrame) =
+      Debezium.shred(df.select("nested_data", "cdc_ts_ms"),
+          ProviderModels.providerSchema)
+        .select("provider_id", "provider_name", "npi", "cdc_ts_ms")
+        .collect().map(_.toSeq).toSet
+    assert(shredded(typed) == shredded(free))
+  }
+
   test("shred round-trips the after-image into typed columns") {
     val raw = ProviderModels.rawProvider(Debezium.readJsonl(spark, cdcPath))
     val shredded = Debezium.shred(raw, ProviderModels.providerSchema)
