@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.checks.Checks.{NotNull, RowCountBetween, Unique}
+import graft.ops.{DedupOps, TextOps}
+import graft.sinks.SnapshotTable
+import graft.sources.Tables
+
+/** End-to-end LLM training-corpus curation pipeline: the LLM-scale
+  * operators composed through the same DAG/WAP machinery as the CDC
+  * pipeline — clean → quality-gate → exact dedup → near dedup → chunk →
+  * corpus stats. Every stage is a snapshot table (auditable, time
+  * travel), every filter is declarative (one projection/shuffle per
+  * stage), and nothing collects to the driver except final stats rows.
+  *
+  * This is the 100 TB shape: per-doc work (clean, metrics, chunk) is
+  * embarrassingly parallel projections; the only shuffles are the two
+  * dedup key-exchanges and the chunk write's date/lang partitioning.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      sfDir: String,
+      lakeRoot: String,
+      minQuality: Double = 0.3,
+      minTokens: Long = 10,
+      nearDupThreshold: Double = 0.5)
+
+  def build(spark: SparkSession, cfg: Config): Pipeline = {
+    val cleanTable = new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/clean")
+    val dedupTable = new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/deduped")
+    val chunkTable = new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/chunks")
+    val statsTable = new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/stats")
+
+    new Pipeline(Seq(
+      Stage(
+        name = "corpus_clean",
+        tags = Set("corpus", "clean"),
+        build = (s, _) => {
+          val docs = Tables.load(s, cfg.sfDir, "documents")
+            .withColumn("text", TextOps.redactPii(col("text")))
+          TextOps.withMetrics(docs, "text", includeLang = true)
+        },
+        checks = Seq(NotNull("doc_id"), Unique(Seq("doc_id"))),
+        sink = Some(Overwrite(cleanTable))),
+      Stage(
+        name = "corpus_quality_gate",
+        deps = Seq("corpus_clean"),
+        tags = Set("corpus", "filter"),
+        build = (_, ctx) => ctx("corpus_clean")
+          .filter(col("quality") >= cfg.minQuality &&
+            col("n_tokens") >= cfg.minTokens),
+        checks = Seq(RowCountBetween(min = 1))),
+      Stage(
+        name = "corpus_exact_dedup",
+        deps = Seq("corpus_quality_gate"),
+        tags = Set("corpus", "dedup"),
+        build = (_, ctx) => DedupOps.exactDedup(
+          ctx("corpus_quality_gate"), "text", "doc_id"),
+        checks = Seq(Unique(Seq("fingerprint")))),
+      Stage(
+        name = "corpus_near_dedup",
+        deps = Seq("corpus_exact_dedup"),
+        tags = Set("corpus", "dedup"),
+        build = (_, ctx) => {
+          val docs = ctx("corpus_exact_dedup")
+          val pairs = DedupOps.minhashNearDups(docs, "text", "doc_id",
+            threshold = cfg.nearDupThreshold)
+          // survivorship: drop the higher id of each near-dup pair
+          docs.join(pairs.select(col("id2").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        },
+        checks = Seq(Unique(Seq("doc_id")), RowCountBetween(min = 1)),
+        sink = Some(Overwrite(dedupTable))),
+      Stage(
+        name = "corpus_chunks",
+        deps = Seq("corpus_near_dedup"),
+        tags = Set("corpus", "chunk"),
+        build = (_, ctx) => ctx("corpus_near_dedup")
+          .select(col("doc_id"), col("lang"),
+            posexplode(TextOps.chunk(col("text"), chunkTokens = 64, overlap = 16))
+              .as(Seq("chunk_idx", "chunk")))
+          .withColumn("chunk_tokens", TextOps.tokenCount(col("chunk"))),
+        checks = Seq(NotNull("chunk")),
+        sink = Some(Overwrite(chunkTable, partitionBy = Seq("lang")))),
+      Stage(
+        name = "corpus_stats",
+        deps = Seq("corpus_near_dedup", "corpus_chunks"),
+        tags = Set("corpus", "stats"),
+        build = (_, ctx) => {
+          val docs = ctx("corpus_near_dedup")
+          val chunks = ctx("corpus_chunks")
+          docs.agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(avg(col("quality")), 4).as("avg_quality"))
+            .crossJoin(chunks.agg(
+              count(lit(1)).as("n_chunks"),
+              sum(col("chunk_tokens")).as("total_chunk_tokens")))
+        },
+        sink = Some(Overwrite(statsTable)))))
+  }
+}

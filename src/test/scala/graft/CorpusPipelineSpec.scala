@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus pipeline curates documents end-to-end with near-dup removal") {
+    val root = tmpDir("corpus")
+    // seed the standard documents table into a custom sfDir, with planted
+    // near-dups and a junk doc that must fail the quality gate
+    val base = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100).select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val nearDup = base.filter($"doc_id" === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" tailword")).as("text"), $"lang", $"source", $"n_chars")
+    val junk = Seq((200000L, "!!! ## !!", "en", "junk", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.unionByName(nearDup).unionByName(junk)
+      .coalesce(1).write.parquet(s"$root/sf/documents.parquet")
+
+    val cfg = CorpusPipeline.Config(s"$root/sf", s"$root/lake",
+      minQuality = 0.2, minTokens = 5, nearDupThreshold = 0.5)
+    val result = CorpusPipeline.build(spark, cfg).run(spark, _ => ())
+    assert(result.ok, result.stages.map(s => s"${s.name}:${s.error}").mkString(";"))
+
+    val deduped = new graft.sinks.SnapshotTable(spark, s"$root/lake/corpus/deduped").read()
+    val ids = deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(0L) && !ids.contains(100000L)) // near-dup dropped, original kept
+    assert(!ids.contains(200000L)) // junk failed quality gate
+    // the tiny-vocab synthetic corpus contains a few genuine intra-corpus
+    // near-dup pairs at this threshold — every dropped base doc must be
+    // the higher id of a verified pair, nothing else may be dropped
+    val pairs = graft.ops.DedupOps.minhashNearDups(
+        base.unionByName(nearDup), "text", "doc_id", threshold = 0.5)
+      .select("id2").collect().map(_.getLong(0)).toSet
+    val droppedBase = (0L until 100L).toSet -- ids
+    assert(droppedBase.subsetOf(pairs), s"unexpected drops: ${droppedBase -- pairs}")
+    assert(deduped.count() == 100 - droppedBase.size)
+
+    val chunks = new graft.sinks.SnapshotTable(spark, s"$root/lake/corpus/chunks").read()
+    assert(chunks.count() >= deduped.count()) // every doc yields >=1 chunk
+    assert(chunks.columns.contains("lang")) // partition column readable
+    val stats = new graft.sinks.SnapshotTable(spark, s"$root/lake/corpus/stats").read().head()
+    assert(stats.getAs[Long]("n_docs") == deduped.count())
+    assert(stats.getAs[Long]("n_chunks") == chunks.count())
+  }
+}
