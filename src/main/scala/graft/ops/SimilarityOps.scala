@@ -123,7 +123,7 @@ object SimilarityOps {
         case (r, i) if i % 7 == 0 =>
           (i / 7, r.getSeq[Float](1))
       }
-    def cellScores(vec: Column): Column = array(centroids.map { case (cid, c) =>
+    def cellScores(vec: Column): Column = array(centroids.toIndexedSeq.map { case (cid, c) =>
       struct(graft.functions.CosineSimilarity(vec,
         array(c.map(lit): _*).cast("array<float>")).as("cos"),
         lit(cid).as("cid"))

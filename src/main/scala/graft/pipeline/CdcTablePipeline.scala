@@ -51,7 +51,7 @@ object CdcTablePipeline {
         tags = spec.tags + "shredded",
         build = (_, ctx) => Debezium.shred(
           ctx(rawStageName(spec)), spec.rowSchema)
-          .select(spec.rowSchema.fieldNames.map(col) :+
+          .select(spec.rowSchema.fieldNames.toIndexedSeq.map(col) :+
             col("ingestion_cdc_date"): _*),
         checks = Seq(NotNull(spec.keyField), Unique(Seq(spec.keyField))) ++
           spec.extraChecks,

@@ -114,7 +114,7 @@ object Debezium {
     * tiebreaks to stay deterministic on order-ties. */
   def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
     val valueCols = df.columns.filterNot(keys.contains)
-    val packed = struct(valueCols.map(col): _*)
+    val packed = struct(valueCols.toIndexedSeq.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(packed, struct(orderBy: _*)).as("__latest"))
       .select(keys.map(col) ++ valueCols.map(c => col(s"__latest.$c")): _*)
