@@ -32,6 +32,11 @@ object GraftSession {
       // exist in the testdata, so floor-division to micros is lossless).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // managed tables (bucketed layouts) land here, not in the cwd;
+      // production overrides with a durable warehouse path
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("GRAFT_WAREHOUSE",
+          s"${sys.props("java.io.tmpdir")}/graft-warehouse"))
       .config("spark.ui.enabled", "false")
 
   def defaultCores: Int =
