@@ -55,6 +55,18 @@ object ProviderModels {
     val shredded = Debezium.shred(
       rawProviderDf.select("nested_data"), providerSchema)
       .filter(col("provider_id").isNotNull) // curated_provider.sql:53
+    curatedFromShredded(shredded, careSiteDf)
+  }
+
+  /** Fast path from a TYPED raw frame (rawModelTyped's `after` struct):
+    * skips the serialize→reparse round-trip of the string contract —
+    * same output, one less JSON pass over every row. */
+  def curatedProviderTyped(typedRawDf: DataFrame, careSiteDf: DataFrame): DataFrame =
+    curatedFromShredded(
+      typedRawDf.select(col("after.*")).filter(col("provider_id").isNotNull),
+      careSiteDf)
+
+  private def curatedFromShredded(shredded: DataFrame, careSiteDf: DataFrame): DataFrame = {
     shredded
       .join(broadcast(careSiteDf), shredded("care_site") === careSiteDf("care_site_name"), "left")
       .select(
