@@ -111,23 +111,59 @@ object SimilarityOps {
     *
     * At 100 TB the assigned corpus is written once, bucketed/partitioned
     * by `cell`, so each query's probe is a partition-pruned scan. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    fused(corpus)
-    val centroids: Array[(Int, Seq[Float])] = corpus
-      .select(col(idCol), col(vecCol))
+  /** Deterministic stride-sampled seed centroids. */
+  def seedCentroids(corpus: DataFrame, nlist: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IndexedSeq[(Int, Seq[Float])] =
+    corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(nlist * 7)
       .collect().zipWithIndex.collect {
-        case (r, i) if i % 7 == 0 =>
-          (i / 7, r.getSeq[Float](1))
-      }
-    def cellScores(vec: Column): Column = array(centroids.toIndexedSeq.map { case (cid, c) =>
+        case (r, i) if i % 7 == 0 => (i / 7, r.getSeq[Float](1))
+      }.toIndexedSeq
+
+  private def cellScoresFor(centroids: IndexedSeq[(Int, Seq[Float])])(vec: Column): Column =
+    array(centroids.map { case (cid, c) =>
       struct(graft.functions.CosineSimilarity(vec,
         array(c.map(lit): _*).cast("array<float>")).as("cos"),
         lit(cid).as("cid"))
     }: _*)
+
+  /** Lloyd refinement of the coarse quantizer: iterate
+    * assign-to-nearest-centroid → element-wise mean per cell. Each
+    * iteration is one distributed pass (posexplode + two aggregations);
+    * only the nlist·dim centroid matrix ever reaches the driver. Empty
+    * cells keep their previous centroid. */
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): IndexedSeq[(Int, Seq[Float])] = {
+    fused(corpus)
+    var centroids = seedCentroids(corpus, nlist, idCol, vecCol)
+    (1 to iters).foreach { _ =>
+      val assigned = corpus.withColumn("cell",
+        array_max(cellScoresFor(centroids)(col(vecCol))).getField("cid"))
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      centroids = centroids.map { case (cid, old) =>
+        cid -> means.getOrElse(cid, old)
+      }
+    }
+    centroids
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "q_id", qVecCol: String = "q_vec",
+              trained: Option[IndexedSeq[(Int, Seq[Float])]] = None): DataFrame = {
+    fused(corpus)
+    val centroids = trained.getOrElse(seedCentroids(corpus, nlist, idCol, vecCol))
+    def cellScores(vec: Column): Column = cellScoresFor(centroids)(vec)
     val assigned = corpus.withColumn("cell",
       array_max(cellScores(col(vecCol))).getField("cid"))
     val probed = queries.withColumn("probe",

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.{LlmQueries, RelationalQueries}
+
+/** Physical-plan regression tests: the scale-critical plan properties
+  * (filter pushdown into the scan, column pruning, broadcast dimension
+  * joins, map-side partial aggregation, bounded shuffle counts) asserted
+  * directly, so a refactor that silently degrades a plan fails CI even
+  * while results stay correct.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def shuffles(df: DataFrame): Int =
+    "Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("q2: both predicates push into the parquet scan; schema pruned") {
+    val p = plan(RelationalQueries.q2FilterProject(spark, dir))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45.0)")
+      && p.contains("EqualTo(l_returnflag,R)"))
+    // 11-column table, 7 read (keys + arithmetic inputs + filters)
+    assert(!p.contains("l_shipdate"), "unneeded column not pruned")
+  }
+
+  test("q4: dimension joins broadcast; aggregation is partial before exchange") {
+    val p = plan(RelationalQueries.q4JoinMulti(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4)
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge at this size")
+  }
+
+  test("as-of join: one key shuffle + window, never a nested loop") {
+    val df = LlmQueries.q44AsofJoin(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+    assert(shuffles(df) <= 2, s"asof should shuffle at most twice (join key + output sort), got ${shuffles(df)}")
+  }
+
+  test("minhash signatures: partial aggregation, no sort in the plan") {
+    val df = graft.ops.DedupOps.minhashSignatures(
+      graft.sources.Tables.load(spark, dir, "documents"), "text", "doc_id")
+    val p = plan(df)
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Sort "), "minhash must not sort")
+    assert(shuffles(df) == 1, s"exactly one shuffle on doc_id, got ${shuffles(df)}")
+  }
+
+  test("latest-per-key merge: single shuffle hash aggregate, no window sort") {
+    val df = graft.sources.Debezium.latestPerKey(
+      graft.sources.Tables.load(spark, dir, "events"),
+      Seq("user_id"), Seq(org.apache.spark.sql.functions.col("ts")))
+    val p = plan(df)
+    assert(p.contains("max_by") || p.contains("HashAggregate"))
+    assert(!p.contains("Window"), "merge must be aggregate-based, not window")
+    assert(shuffles(df) == 1)
+  }
+}

@@ -76,6 +76,22 @@ class SimilarityOpsSpec extends SparkSpec {
     ivf.foreach { case (q, hit) => assert(hit % 10 == q % 10) } // same cluster
   }
 
+  test("Lloyd-trained IVF centroids keep full recall with fewer probes") {
+    val queries = corpus.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = SimilarityOps.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = SimilarityOps.trainIvfCentroids(corpus, nlist = 12, iters = 2)
+    val seeds = SimilarityOps.seedCentroids(corpus, nlist = 12)
+    assert(trained.map(_._2) != seeds.map(_._2), "training changed nothing")
+    val ivf = SimilarityOps.ivfTopK(corpus, queries, k = 5, nlist = 12,
+        nprobe = 2, trained = Some(trained))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(f"trained-IVF recall=$recall%.3f at nprobe=2")
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("banded LSH near-dups reach >=0.85 recall vs brute force on real embeddings") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val exact = SimilarityOps.bruteForceNearDups(emb, threshold = 0.4)
