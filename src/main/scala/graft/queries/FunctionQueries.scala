@@ -87,7 +87,39 @@ object FunctionQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Unpivot (wide→long melt) via stack(): per-part numeric attributes as
+    * (attribute, value) rows — the reshape primitive for metric tables. */
+  def q54Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "part")
+      .select($"p_partkey",
+        expr("""stack(2, 'size', CAST(p_size AS DOUBLE),
+               |         'retailprice', p_retailprice) AS (attr, val)""".stripMargin))
+      .select($"p_partkey", $"attr",
+        floor($"val" * 100.0 + 0.5).as("val_cents"))
+      .orderBy($"p_partkey", $"attr")
+  }
+
+  /** Ranking-window breadth: rank / dense_rank / percent_rank / ntile /
+    * lag / lead over one partition spec — one shuffle, one sort. */
+  def q55RankFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment",
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        floor(percent_rank().over(w) * 10000.0 + 0.5).as("prank_e4"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag($"c_custkey", 1).over(w).as("prev_cust"),
+        lead($"c_custkey", 1).over(w).as("next_cust"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q54_unpivot" -> (q54Unpivot _),
+    "q55_rank_funcs" -> (q55RankFuncs _),
     "q47_setops" -> (q47SetOps _),
     "q48_date_arith" -> (q48DateArith _),
     "q49_array_ops" -> (q49ArrayOps _),
@@ -96,6 +128,25 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_unpivot" ->
+      """SELECT p_partkey, attr,
+        | CAST(floor(val * 100.0 + 0.5) AS BIGINT) AS val_cents
+        |FROM (
+        |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
+    "q55_rank_funcs" ->
+      """SELECT c_custkey, c_mktsegment,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | CAST(floor(percent_rank() OVER w * 10000.0 + 0.5) AS BIGINT) AS prank_e4,
+        | ntile(4) OVER w AS quartile,
+        | lag(c_custkey, 1) OVER w AS prev_cust,
+        | lead(c_custkey, 1) OVER w AS next_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q47_setops" ->
       """SELECT 'intersect' AS op, nationkey FROM (
         |  SELECT c_nationkey AS nationkey FROM customer
