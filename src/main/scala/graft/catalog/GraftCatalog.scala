@@ -29,6 +29,13 @@ class GraftCatalog(spark: SparkSession, lakeRoot: String) {
   def register(schema: String, name: String): Unit =
     read(schema, name).createOrReplaceTempView(viewName(schema, name))
 
+  /** Time-travel view: pin `<schema>__<table>__v<N>` to snapshot N. */
+  def registerVersion(schema: String, name: String, version: Long): String = {
+    val v = s"${viewName(schema, name)}__v$version"
+    table(schema, name).readVersion(version).createOrReplaceTempView(v)
+    v
+  }
+
   /** Discover schemas/tables from the lake layout: any directory with a
     * published `_LATEST` pointer. */
   def listTables(): Seq[(String, String)] = {

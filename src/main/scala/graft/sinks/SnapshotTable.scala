@@ -188,6 +188,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def readInPlace(): DataFrame =
     spark.read.parquet(new Path(rootPath, "data").toString)
 
+  /** Roll back to an earlier retained snapshot — WAP's undo: the pointer
+    * swap is the same atomic publish, no data movement. */
+  def rollback(to: Long): Unit = publish(to)
+
   /** Drop all snapshots older than the published one. */
   def vacuum(): Unit = latestVersion.foreach { keep =>
     val st = fs.listStatus(rootPath)
