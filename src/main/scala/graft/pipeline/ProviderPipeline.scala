@@ -64,9 +64,16 @@ object ProviderPipeline {
       Stage(
         name = "csv_providers_clean",
         tags = Set("csv"),
-        build = (s, _) => ProviderModels.cleanCsvProviders(
-          s.read.schema(ProviderModels.csvProviderSchema)
-            .option("header", true).csv(cfg.csvPath)),
+        build = (s, _) => {
+          val load = graft.sources.CsvSource.readWithQuarantine(
+            s, cfg.csvPath, ProviderModels.csvProviderSchema)
+          // unparseable upload rows land in an auditable lake table, not
+          // in a log line
+          if (!load.quarantine.isEmpty)
+            new SnapshotTable(s, s"${cfg.lakeRoot}/quarantine/csv_providers")
+              .overwrite(load.quarantine)
+          ProviderModels.cleanCsvProviders(load.clean)
+        },
         checks = Seq(Unique(Seq("ProviderID", "NPI")))),
       Stage(
         name = "curated_provider_harmonized",

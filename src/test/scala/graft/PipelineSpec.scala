@@ -96,6 +96,31 @@ class PipelineSpec extends SparkSpec {
       .head().getAs[String]("npi") == null)
   }
 
+  test("malformed CSV rows land in the quarantine table, pipeline still passes") {
+    val root = tmpDir("lakeq")
+    val provPath = s"$root/topics/provider.jsonl"
+    val sitePath = s"$root/topics/care_site.jsonl"
+    val csvPath = s"$root/dropzone/providers.csv"
+    Fixtures.providerCdcJsonl(provPath, n = 5)
+    java.nio.file.Files.write(java.nio.file.Paths.get(sitePath),
+      Fixtures.careSites.map { case (i, n, v) =>
+        Fixtures.envelope(Some(
+          s"""{"care_site_id": $i, "care_site_name": "$n", "care_site_source_value": "$v"}"""),
+          "c", 1757700000000L + i, table = "care_site")
+      }.mkString("\n").getBytes("UTF-8"))
+    // sample.csv plus one row with broken quoting
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(csvPath).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(csvPath),
+      (Fixtures.sampleCsv + "\nBroken \"Row,099,123,Peds,Nowhere,x,y").getBytes("UTF-8"))
+    val cfg = ProviderPipeline.Config(provPath, sitePath, csvPath, s"$root/lake")
+    val result = ProviderPipeline.build(spark, cfg).run(spark, _ => ())
+    assert(result.ok)
+    val q = new graft.sinks.SnapshotTable(spark, s"$root/lake/quarantine/csv_providers")
+    assert(q.exists && q.read().count() == 1)
+    assert(q.read().head().getString(0).contains("Broken"))
+  }
+
   test("re-running the pipeline is idempotent for the merge stage") {
     val root = tmpDir("lake2")
     val provPath = s"$root/topics/provider.jsonl"
