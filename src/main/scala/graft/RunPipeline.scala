@@ -45,6 +45,18 @@ object RunPipeline {
       val harmonized = new graft.sinks.SnapshotTable(
         spark, s"$work/lake/curated/provider_harmonized").read()
       println(s"[done] curated=${curated.count()} rows, harmonized=${harmonized.count()} rows, lake=$work/lake")
+      // SQL surface over the published lake (the engine's Trino-equivalent
+      // interface): discover + register every table, run analytics SQL
+      val cat = new graft.catalog.GraftCatalog(spark, s"$work/lake")
+      cat.registerAll()
+      val top = cat.sql(
+        """SELECT care_site_name, count(*) AS n_providers
+          |FROM curated__provider
+          |WHERE care_site_name IS NOT NULL
+          |GROUP BY care_site_name ORDER BY n_providers DESC, care_site_name
+          |LIMIT 3""".stripMargin).collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+      println(s"[sql] top care sites by provider count: $top")
     } else {
       println("[done] PIPELINE FAILED")
       sys.exit(1)

@@ -22,6 +22,23 @@ class PlanAssertionsSpec extends SparkSpec {
     "Exchange hashpartitioning|Exchange rangepartitioning".r
       .findAllIn(df.queryExecution.executedPlan.toString).length
 
+  test("no driver query plans an accidental cartesian / nested-loop join") {
+    // brute-force vector scorers broadcast one side BY DESIGN; everything
+    // else must plan hash/sort-merge joins
+    val intentionallyBruteForce = Set(
+      "q29_cosine_topk", "q52_cosine_neardups", "q38_fuzzy_match",
+      "q19_check_metrics" /* 1-row x 1-row metric crossJoin */)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val bad = (p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin")) &&
+        !intentionallyBruteForce.contains(name)
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop plans: $offenders")
+  }
+
   test("q2: both predicates push into the parquet scan; schema pruned") {
     val p = plan(RelationalQueries.q2FilterProject(spark, dir))
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45.0)")
