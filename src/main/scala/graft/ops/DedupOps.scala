@@ -198,10 +198,11 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleLen: Int, threshold: Double,
                         maxDf: Int = 100): DataFrame = {
-    val sets = df.select(col(idCol),
-      TextOps.shingles(col(textCol), shingleLen).as("sh"))
-    val sizes = sets.select(col(idCol), size(col("sh")).as("n"))
-    val inv = sets.select(col(idCol), explode(col("sh")).as("g"))
+    val inv = df.select(col(idCol),
+      explode(TextOps.shingles(col(textCol), shingleLen)).as("g"))
+    // set sizes derived from the exploded index (shingles are distinct per
+    // doc) — avoids shingling the corpus a second time
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     // Pair enumeration WITHOUT a self-join: group the inverted index per
     // gram (one shuffle), apply the document-frequency cap on the posting
     // list size, sort each list, and emit ordered pairs with array
