@@ -26,6 +26,23 @@ class DebeziumSpec extends SparkSpec {
     assert(raw.count() == 50 + 2 * 10) // 50 creates + 2 updates for ids%5==0
   }
 
+  test("snapshot-read ops ('r') flow through as upserts like creates") {
+    val p = tmpDir("rop") + "/t.jsonl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), Seq(
+      Fixtures.envelope(Some("""{"care_site_id": 1, "care_site_name": "A", "care_site_source_value": "a"}"""),
+        "r", 1757700000001L, table = "care_site"),
+      Fixtures.envelope(Some("""{"care_site_id": 1, "care_site_name": "B", "care_site_source_value": "b"}"""),
+        "u", 1757700000002L, table = "care_site")
+    ).mkString("\n").getBytes("UTF-8"))
+    val raw = Debezium.rawModel(Debezium.readJsonl(spark, p), "care_site_id")
+    assert(raw.count() == 2) // 'r' kept, not treated as tombstone
+    val latest = Debezium.latestPerKey(raw, Seq("care_site_id"),
+      Seq(col("cdc_ts_ms")))
+    val name = Debezium.shred(latest, graft.ops.ProviderModels.careSiteSchema)
+      .head().getAs[String]("care_site_name")
+    assert(name == "B") // update beats the snapshot read
+  }
+
   test("typed single-parse raw model agrees with the schema-free path") {
     val cdc = Debezium.readJsonl(spark, cdcPath)
     val free = ProviderModels.rawProvider(cdc)

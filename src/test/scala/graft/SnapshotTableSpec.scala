@@ -49,6 +49,16 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().head().getString(1) == "good")
   }
 
+  test("a reader pinned to an old snapshot survives a concurrent publish") {
+    val t = new SnapshotTable(spark, tmpDir("snap") + "/iso")
+    t.overwrite(Seq((1, "old")).toDF("id", "v"))
+    val pinned = t.read() // plan captured against snapshot=1 files
+    t.overwrite(Seq((2, "new")).toDF("id", "v"))
+    // snapshot immutability: the pinned frame still reads v1's files
+    assert(pinned.collect().map(_.getString(1)).toSeq == Seq("old"))
+    assert(t.read().head().getString(1) == "new")
+  }
+
   test("partitioned write + vacuum keeps only latest snapshot") {
     val t = new SnapshotTable(spark, tmpDir("snap") + "/t5")
     t.overwrite(Seq((1, "a", "2024-01-01"), (2, "b", "2024-01-02"))
