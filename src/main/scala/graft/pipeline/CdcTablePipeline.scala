@@ -38,10 +38,18 @@ object CdcTablePipeline {
         name = rawStageName(spec),
         tags = spec.tags + "raw" + "cdc",
         // schema is declared in the spec → single-parse typed raw model;
-        // raw layer persists the reference contract (string after-image)
-        build = (s, _) => Debezium.rawModelTyped(
-          Debezium.readJsonl(s, spec.topicPath), spec.keyField,
-          spec.rowSchema).drop("after"),
+        // raw layer persists the reference contract (string after-image).
+        // Garbage messages (unparseable payload) quarantine instead of
+        // masquerading as tombstones.
+        build = (s, _) => {
+          val (valid, malformed) = Debezium.splitMalformed(
+            Debezium.readJsonl(s, spec.topicPath))
+          if (!malformed.isEmpty)
+            new SnapshotTable(s, s"$lakeRoot/quarantine/${spec.table}_cdc")
+              .overwrite(malformed)
+          Debezium.rawModelTyped(valid, spec.keyField, spec.rowSchema)
+            .drop("after")
+        },
         checks = Seq(NotNull(spec.keyField), Unique(Seq(spec.keyField))),
         sink = Some(Merge(rawTable, Seq(spec.keyField),
           Seq(col("cdc_ts_ms")), partitionBy = Seq("ingestion_cdc_date")))),

@@ -52,6 +52,17 @@ object Debezium {
         timestamp_millis(get_json_object(col("raw"), "$.payload.ts_ms").cast(LongType))
           .as("timestamp"))
 
+  /** Split a CDC frame into (valid, malformed): a message whose entire
+    * `payload` fails to parse is garbage (truncated write, non-Debezium
+    * producer on the topic) and must NOT be silently conflated with a
+    * tombstone (valid payload, null after). Malformed rows carry the
+    * verbatim message for quarantine. */
+  def splitMalformed(cdc: DataFrame): (DataFrame, DataFrame) = {
+    val payload = get_json_object(col("value"), "$.payload")
+    (cdc.filter(payload.isNotNull),
+      cdc.filter(payload.isNull).select(col("value").as("raw_message")))
+  }
+
   /** The raw-layer model (reference `raw_provider_postgres.sql:14-32`):
     * drop tombstones (payload.after IS NULL — deletes do NOT propagate,
     * ST2), keep the key + un-shredded after-image + audit columns.

@@ -18,7 +18,9 @@ class CdcTablePipelineSpec extends SparkSpec {
       Fixtures.envelope(Some(
         s"""{"item_id": $i, "sku": "SKU-$i", "qty": ${i * 10}}"""),
         "c", 1757700000000L + i, table = "inventory")
-    } :+ Fixtures.envelope(None, "d", 1757700009999L, table = "inventory")
+    } ++ Seq(
+      Fixtures.envelope(None, "d", 1757700009999L, table = "inventory"),
+      """{"truncated": "garbage not a debezium envel""") // malformed line
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/topics/inventory.jsonl"),
       invLines.mkString("\n").getBytes("UTF-8"))
@@ -39,6 +41,11 @@ class CdcTablePipelineSpec extends SparkSpec {
 
     val inv = spark.read.parquet(s"$root/lake/shredded/inventory/snapshot=1")
     assert(inv.count() == 6) // tombstone dropped, 6 typed rows
+    // the garbage line quarantined, not silently conflated with tombstones
+    val q = new graft.sinks.SnapshotTable(
+      spark, s"$root/lake/quarantine/inventory_cdc")
+    assert(q.exists && q.read().count() == 1)
+    assert(q.read().head().getString(0).contains("garbage"))
     assert(inv.schema("qty").dataType == IntegerType)
     assert(inv.filter($"sku" === "SKU-3").head().getAs[Int]("qty") == 30)
     val prov = spark.read.parquet(s"$root/lake/shredded/provider/snapshot=1")
