@@ -71,6 +71,35 @@ object MultimodalOps {
       }
   }
 
+  final case class Frame(media_id: Long, frame_idx: Int, frame_payload: Array[Byte],
+                         frame_hash: Long)
+
+  /** Explode video payloads into per-frame rows (STUB decode: fixed-size
+    * byte windows stand in for decoded frames) — the fan-out that feeds
+    * per-frame feature extraction. Plumbing notes that matter at scale:
+    * emitted frames are bounded per doc (`maxFrames`), the explode happens
+    * partition-batched (codec init amortized), and downstream should
+    * project features then DROP frame_payload before any shuffle. */
+  def explodeFrames(media: DataFrame, frameBytes: Int = 4096,
+                    maxFrames: Int = 64): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val n = math.min(maxFrames,
+            math.max(1, payload.length / math.max(1, frameBytes)))
+          (0 until n).iterator.map { i =>
+            val frame = payload.slice(i * frameBytes,
+              math.min(payload.length, (i + 1) * frameBytes))
+            Frame(id, i, frame,
+              frame.foldLeft(-3750763034362895579L)((a, b) => (a ^ b) * 1099511628211L))
+          }
+        }
+      }
+  }
+
   /** STUB resize: emits a deterministic derived payload (here: truncated
     * bytes) with updated metadata — the write-back plumbing for a real
     * resize. */

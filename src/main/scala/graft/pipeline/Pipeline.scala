@@ -75,8 +75,15 @@ final case class PipelineResult(stages: Seq[StageResult]) {
   }
 }
 
-class Pipeline(val stages: Seq[Stage]) {
+class Pipeline(val stages: Seq[Stage],
+               metrics: Option[graft.checks.MetricsStore] = None,
+               runId: String = java.util.UUID.randomUUID().toString.take(8)) {
   private val byName = stages.map(s => s.name -> s).toMap
+
+  /** Attach a metrics store: every materialized stage records its volume
+    * row after a successful run (the Elementary history feed, T4). */
+  def withMetrics(store: graft.checks.MetricsStore, runId: String): Pipeline =
+    new Pipeline(stages, Some(store), runId)
   require(byName.size == stages.size, "duplicate stage names")
   stages.foreach(s => s.deps.foreach(d =>
     require(byName.contains(d), s"stage ${s.name} depends on unknown $d")))
@@ -127,10 +134,10 @@ class Pipeline(val stages: Seq[Stage]) {
   }
 
   def select(selector: String): Pipeline =
-    new Pipeline(restrict(resolve(selector)))
+    new Pipeline(restrict(resolve(selector)), metrics, runId)
 
   def exclude(selector: String): Pipeline =
-    new Pipeline(restrict(stages.map(_.name).toSet -- resolve(selector)))
+    new Pipeline(restrict(stages.map(_.name).toSet -- resolve(selector)), metrics, runId)
 
   /** Keep only `names`, dropping dep edges that point outside the slice
     * (the sliced-away model is assumed already materialized, like dbt). */
@@ -213,6 +220,10 @@ class Pipeline(val stages: Seq[Stage]) {
       }
       val bad = Checks.errorsOnly(checkResults)
       val ok = bad.isEmpty
+      // synchronized: runParallel stages record concurrently and the
+      // metrics table append is read-union-overwrite
+      if (ok) metrics.foreach(m =>
+        this.synchronized { m.record(runId, st.name, materialized) })
       val ms = (System.nanoTime() - t0) / 1000000
       checkResults.foreach(r => log(
         s"stage ${st.name} check ${r.check}(${r.column}): " +

@@ -32,6 +32,23 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(f(1L).width == again(1L).width && f(1L).content_hash == again(1L).content_hash)
   }
 
+  test("frame explode emits bounded, deterministic per-frame rows for videos only") {
+    val big = MultimodalOps.synthesizeFromText(
+      Seq((2L, "v " * 6000), (3L, "image text"), (5L, "short video"))
+        .toDF("doc_id", "text"), "doc_id", "text") // ids 2,5 → video; 3 → image
+    val frames = MultimodalOps.explodeFrames(big, frameBytes = 1000, maxFrames = 5)
+      .collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(!byId.contains(3L)) // image not frame-sampled
+    assert(byId(2L).length == 5) // 12000 bytes / 1000 capped at maxFrames
+    assert(byId(5L).length == 1) // short payload → 1 frame
+    assert(byId(2L).map(_.frame_idx).sorted.toSeq == (0 until 5))
+    // deterministic: same payload → same frame hashes
+    val again = MultimodalOps.explodeFrames(big, frameBytes = 1000, maxFrames = 5)
+      .collect().groupBy(_.media_id)
+    assert(byId(2L).map(_.frame_hash).toSeq == again(2L).map(_.frame_hash).toSeq)
+  }
+
   test("resize stub shrinks payloads and stamps metadata, keeps schema") {
     val resized = MultimodalOps.resizeStub(media, maxBytes = 5)
     val r = resized.filter($"media_id" === 2L).head()
