@@ -24,6 +24,7 @@ object LlmQueries {
     Tables.load(s, dir, "documents")
       .select($"doc_id",
         TextOps.tokenCount($"text").as("n_tokens"),
+        TextOps.subwordCountEstimate($"text").as("n_subwords"),
         length($"text").cast("long").as("n_chars_raw"))
       .orderBy($"doc_id")
   }
@@ -387,6 +388,9 @@ object LlmQueries {
     "q22_token_count" ->
       s"""SELECT doc_id,
          | CAST($nTokSql AS BIGINT) AS n_tokens,
+         | CAST($nTokSql + len(regexp_extract_all(text,
+         |   '[a-z][A-Z]|[A-Za-z][0-9]|[0-9][A-Za-z]|[[:punct:]]')) AS BIGINT)
+         |   AS n_subwords,
          | CAST(length(text) AS BIGINT) AS n_chars_raw
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
