@@ -37,6 +37,19 @@ object Connectors {
   def readJdbc(spark: SparkSession, cfg: JdbcConfig, dbtable: String): DataFrame =
     spark.read.format("jdbc").options(jdbcOptions(cfg, dbtable)).load()
 
+  /** JDBC bulk write (reference K4 — the COPY-based fixture loader role).
+    * `batchsize` maps to executor-side batched inserts; `numPartitions`
+    * bounds concurrent connections against the database. */
+  def writeJdbc(df: DataFrame, cfg: JdbcConfig, dbtable: String,
+                mode: String = "append", batchSize: Int = 10000,
+                maxConnections: Int = 8): Unit =
+    df.coalesce(maxConnections)
+      .write.format("jdbc")
+      .options(jdbcOptions(cfg, dbtable) +
+        ("batchsize" -> batchSize.toString))
+      .mode(mode)
+      .save()
+
   /** Kafka batch-scan config (reference kafka connector, S1). Produces the
     * (value, timestamp, key) column contract that [[Debezium.rawModel]]
     * and the key-scan (S5) consume. */
