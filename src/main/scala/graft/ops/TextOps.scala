@@ -109,8 +109,14 @@ object TextOps {
   }
 
   /** Rolling (polynomial) hash per shingle, mod 2^31-1 — the numeric
-    * universe for MinHash permutations. Computed from xxhash64 for speed;
-    * strictly positive. */
+    * universe for MinHash permutations. Computed from xxhash64 of the
+    * k-gram string; strictly positive.
+    *
+    * (An arithmetic per-token-hash formulation — polynomial fold over
+    * token hashes to skip the k-gram string build — was measured 50%
+    * SLOWER: nested higher-order lambdas (aggregate inside transform)
+    * evaluate interpreted per element, costing more than the string
+    * concat + one xxhash64 they avoid. Kept the flat form.) */
   def shingleHashes(text: Column, k: Int): Column =
     transform(shingles(text, k), s => pmod(xxhash64(s), lit(2147483647L)))
 

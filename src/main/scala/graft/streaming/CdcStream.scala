@@ -43,13 +43,21 @@ object CdcStream {
   def ingestAvailableNow(spark: SparkSession, topicDir: String,
                          table: SnapshotTable, keyField: String,
                          checkpointDir: String,
-                         partitionBy: Seq[String] = Seq("ingestion_cdc_date")): Long = {
+                         partitionBy: Seq[String] = Seq("ingestion_cdc_date"),
+                         quarantine: Option[SnapshotTable] = None): Long = {
     var batches = 0L
     val q = readJsonlStream(spark, topicDir).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val raw = Debezium.rawModel(batch, keyField)
+        // garbage messages must not masquerade as tombstones (same rule
+        // as the batch fleet pipeline)
+        val (valid, malformed) = Debezium.splitMalformed(batch)
+        quarantine.foreach { qt =>
+          if (!malformed.isEmpty)
+            qt.merge(malformed, Seq("raw_message"), Seq(col("raw_message")))
+        }
+        val raw = Debezium.rawModel(valid, keyField)
         if (!raw.isEmpty) {
           table.merge(raw, Seq(keyField), Seq(col("cdc_ts_ms")), partitionBy)
         }

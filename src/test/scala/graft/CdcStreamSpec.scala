@@ -45,5 +45,15 @@ class CdcStreamSpec extends SparkSpec {
     CdcStream.ingestAvailableNow(spark, topicDir, table, "provider_id",
       s"$root/ckpt")
     assert(table.latestVersion.get == vBefore)
+
+    // a garbage line in a later file quarantines; merges stay clean
+    Files.write(Paths.get(s"$topicDir/batch3.jsonl"),
+      "THIS IS NOT AN ENVELOPE".getBytes("UTF-8"))
+    val quarantine = new SnapshotTable(spark, s"$root/quarantine")
+    CdcStream.ingestAvailableNow(spark, topicDir, table, "provider_id",
+      s"$root/ckpt", quarantine = Some(quarantine))
+    assert(table.read().count() == 20)
+    assert(quarantine.read().count() == 1)
+    assert(quarantine.read().head().getString(0).startsWith("THIS IS NOT"))
   }
 }
