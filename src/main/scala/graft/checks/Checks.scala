@@ -36,6 +36,16 @@ object Checks {
     * NULL FKs pass, per dbt semantics. */
   final case class Relationships(col: String, parent: DataFrame, parentCol: String,
                                  severity: Severity = Error) extends Check
+  /** dbt `expression_is_true` analog: every row must satisfy the
+    * predicate (NULL predicate counts as a violation). Fused into the
+    * single-pass aggregation. */
+  final case class Expression(name: String, predicate: org.apache.spark.sql.Column,
+                              severity: Severity = Error) extends Check
+  /** dbt singular-test analog: arbitrary logic returning a violation
+    * count. Runs as its own job — use for checks that genuinely need
+    * joins/subqueries beyond the declarative forms. */
+  final case class CustomCheck(name: String, violations: DataFrame => Long,
+                               severity: Severity = Error) extends Check
   /** Elementary-style volume monitor: row count within bounds. */
   final case class RowCountBetween(min: Long, max: Long = Long.MaxValue,
                                    severity: Severity = Warn) extends Check
@@ -53,6 +63,8 @@ object Checks {
           .as(s"av_$c"))
       case RowCountBetween(_, _, _) => None // count(*) added below
       case Freshness(c, _, _) => Some(max(col(c)).cast("long").as(s"fr_$c"))
+      case Expression(n, pred, _) =>
+        Some(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"ex_$n"))
       case _ => None
     } :+ count(lit(1)).as("__n")
     val row: Row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
@@ -74,6 +86,12 @@ object Checks {
         val v = df.select(col(c)).filter(col(c).isNotNull)
           .join(parent.select(col(pc).as(c)), Seq(c), "left_anti").count()
         CheckResult("relationships", c, v, sev, v == 0, detail = s"parent=$pc")
+      case Expression(n, _, sev) =>
+        val v = row.getAs[Long](s"ex_$n")
+        CheckResult("expression", n, v, sev, v == 0)
+      case CustomCheck(n, fn, sev) =>
+        val v = fn(df)
+        CheckResult("custom", n, v, sev, v == 0)
       case RowCountBetween(mn, mx, sev) =>
         val ok = nRows >= mn && nRows <= mx
         CheckResult("row_count", "*", if (ok) 0 else 1, sev, ok,

@@ -36,6 +36,27 @@ class ChecksSpec extends SparkSpec {
     assert(!rs.head.passed && rs.head.violations == 1) // only 99
   }
 
+  test("expression checks count predicate failures, NULLs violate") {
+    val df2 = Seq((1, Some(5)), (2, Some(-1)), (3, None)).toDF("id", "v")
+    val rs = Checks.runAll(df2, Seq(
+      Expression("v_nonneg", $"v" >= 0),
+      Expression("id_positive", $"id" > 0)))
+    assert(!rs(0).passed && rs(0).violations == 2) // -1 and the NULL
+    assert(rs(1).passed)
+  }
+
+  test("custom checks run arbitrary logic as singular tests") {
+    val parent = Seq(1, 2).toDF("pid")
+    val rs = Checks.runAll(df, Seq(
+      CustomCheck("ids_in_parent",
+        d => d.join(parent, d("id") === parent("pid"), "left_anti").count())))
+    assert(rs.head.check == "custom" && rs.head.passed) // ids 1,2 both present
+    val rs2 = Checks.runAll(df, Seq(
+      CustomCheck("always_fails", _ => 7L, Checks.Warn)))
+    assert(!rs2.head.passed && rs2.head.violations == 7
+      && rs2.head.severity == Checks.Warn)
+  }
+
   test("row_count and freshness monitors") {
     val rs = Checks.runAll(df, Seq(RowCountBetween(1, 10)))
     assert(rs.head.passed)
