@@ -435,6 +435,46 @@ object RelationalQueries {
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
+  /** accepted_values check shape (SURVEY §2.8): stray categorical values
+    * per column, one fused scan. Expected zero rows of violations —
+    * returned as counts so the result is non-empty either way. */
+  def q56CheckAccepted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events").agg(
+      sum(when(!$"event_type".isin("click", "view", "purchase", "signup", "error"), 1L)
+        .otherwise(0L)).as("bad_event_types"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** Disjunctive OR-of-ANDs predicate (TPC-H Q19 shape): Catalyst must
+    * push the common conjuncts and keep the disjunction semantically
+    * intact — the classic filter-simplification stress. */
+  def q57DisjunctivePredicate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"l_quantity".between(1, 11) && $"p_size".between(1, 5)) ||
+        ($"p_brand" === "Brand#2" && $"l_quantity".between(10, 20) && $"p_size".between(1, 10)) ||
+        ($"p_brand" === "Brand#3" && $"l_quantity".between(20, 30) && $"p_size".between(1, 15)))
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000.0 + 0.5))
+        .as("revenue_e4"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Multiple DISTINCT aggregates in one GROUP BY — Spark plans this via
+    * Expand (one pass, grouping-id multiplexing), not N scans. */
+  def q58MultiDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("d_orders"),
+        countDistinct($"l_partkey").as("d_parts"),
+        countDistinct($"l_suppkey").as("d_supps"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, Q] = Map(
@@ -464,7 +504,10 @@ object RelationalQueries {
     "q40_order_histogram" -> (q40OrderHistogram _),
     "q41_supplier_diversity" -> (q41SupplierDiversity _),
     "q42_dormant_customers" -> (q42DormantCustomers _),
-    "q43_volume_by_year" -> (q43VolumeByYear _)
+    "q43_volume_by_year" -> (q43VolumeByYear _),
+    "q56_check_accepted" -> (q56CheckAccepted _),
+    "q57_disjunctive_predicate" -> (q57DisjunctivePredicate _),
+    "q58_multi_distinct" -> (q58MultiDistinct _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -689,6 +732,31 @@ object RelationalQueries {
         | JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name < n2.n_name
         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q56_check_accepted" ->
+      """SELECT
+        | CAST(sum(CASE WHEN event_type NOT IN
+        |   ('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS bad_event_types,
+        | count(*) AS n_rows
+        |FROM events""".stripMargin,
+    "q57_disjunctive_predicate" ->
+      """SELECT
+        | CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5))
+        |      AS BIGINT) AS revenue_e4,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q58_multi_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS d_orders,
+        | count(DISTINCT l_partkey) AS d_parts,
+        | count(DISTINCT l_suppkey) AS d_supps,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
