@@ -37,7 +37,7 @@ class GraftCatalog(spark: SparkSession, lakeRoot: String) {
   }
 
   /** Discover schemas/tables from the lake layout: any directory with a
-    * published `_LATEST` pointer. */
+    * published pointer (`_LATEST.<seq>`, or a legacy bare `_LATEST`). */
   def listTables(): Seq[(String, String)] = {
     val fs = new org.apache.hadoop.fs.Path(lakeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -46,7 +46,10 @@ class GraftCatalog(spark: SparkSession, lakeRoot: String) {
     for {
       schemaDir <- fs.listStatus(root).toSeq if schemaDir.isDirectory
       tableDir <- fs.listStatus(schemaDir.getPath).toSeq if tableDir.isDirectory
-      if fs.exists(new org.apache.hadoop.fs.Path(tableDir.getPath, "_LATEST"))
+      if fs.listStatus(tableDir.getPath).exists { f =>
+        val n = f.getPath.getName
+        n == "_LATEST" || (n.startsWith("_LATEST.") && !n.contains("tmp"))
+      }
     } yield (schemaDir.getPath.getName, tableDir.getPath.getName)
   }
 

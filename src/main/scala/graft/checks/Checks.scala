@@ -49,7 +49,10 @@ object Checks {
   /** Elementary-style volume monitor: row count within bounds. */
   final case class RowCountBetween(min: Long, max: Long = Long.MaxValue,
                                    severity: Severity = Warn) extends Check
-  /** Elementary-style freshness monitor: max(tsCol) within maxAgeMs of now. */
+  /** Elementary-style freshness monitor: max(tsCol) within maxAgeMs of now.
+    * Column type decides the epoch unit: TimestampType casts to seconds
+    * (×1000), Date to days (×86_400_000), integral columns are taken as
+    * epoch-MILLIS verbatim (the CDC path's `cdc_ts_ms` convention). */
   final case class Freshness(col: String, maxAgeMs: Long,
                              severity: Severity = Warn) extends Check
 
@@ -97,8 +100,14 @@ object Checks {
         CheckResult("row_count", "*", if (ok) 0 else 1, sev, ok,
           detail = s"rows=$nRows bounds=[$mn,$mx]")
       case Freshness(c, maxAge, sev) =>
+        import org.apache.spark.sql.types._
+        val toMillis: Long => Long = df.schema(c).dataType match {
+          case TimestampType | TimestampNTZType => _ * 1000L // cast = epoch-secs
+          case DateType => _ * 86400000L // cast = epoch-days
+          case _ => identity // integral column: already epoch-millis (cdc_ts_ms)
+        }
         val maxTs = if (row.isNullAt(row.fieldIndex(s"fr_$c"))) 0L
-          else row.getAs[Long](s"fr_$c") * 1000L
+          else toMillis(row.getAs[Long](s"fr_$c"))
         val age = System.currentTimeMillis() - maxTs
         val ok = age <= maxAge
         CheckResult("freshness", c, if (ok) 0 else 1, sev, ok,

@@ -35,14 +35,18 @@ object DedupOps {
   }
 
   /** Incremental (cross-batch) exact dedup — the production shape: dedup
-    * each arriving batch against the accumulated corpus fingerprint table,
-    * admit only novel documents, extend the table. The fingerprint table
-    * carries (fingerprint, first idCol) only — ~40 bytes/doc regardless of
-    * document size, so the anti-join side stays tiny relative to a 100 TB
-    * corpus and is often broadcastable per batch. Returns the admitted
-    * (novel, batch-deduped) rows. */
+    * each arriving batch against the accumulated corpus fingerprint store,
+    * admit only novel documents, APPEND the batch's new fingerprints. The
+    * store carries (fingerprint, first idCol) only — ~40 bytes/doc
+    * regardless of document size, so the anti-join side stays tiny
+    * relative to a 100 TB corpus. Per-batch write IO is proportional to
+    * the batch (append-only files), never to the accumulated store — the
+    * previous snapshot-table formulation rewrote the whole fingerprint
+    * table every batch, which at 10⁹ docs is an unbounded-growth ~40 GB
+    * read+write per micro-batch. Returns the admitted (novel,
+    * batch-deduped) rows. */
   def incrementalExactDedup(batch: DataFrame, textCol: String, idCol: String,
-                            fingerprints: graft.sinks.SnapshotTable): DataFrame = {
+                            fingerprints: graft.sinks.AppendOnlyStore): DataFrame = {
     val batchDeduped = exactDedup(batch, textCol, idCol).drop("dup_count")
     val novel =
       if (fingerprints.exists)
@@ -50,10 +54,7 @@ object DedupOps {
           Seq("fingerprint"), "left_anti")
       else batchDeduped
     val admitted = novel.cache()
-    val newFps = admitted.select(col("fingerprint"), col(idCol))
-    if (fingerprints.exists)
-      fingerprints.overwrite(fingerprints.read().unionByName(newFps))
-    else fingerprints.overwrite(newFps)
+    fingerprints.append(admitted.select(col("fingerprint"), col(idCol)))
     admitted
   }
 

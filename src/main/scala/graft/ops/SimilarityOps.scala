@@ -214,16 +214,23 @@ object SimilarityOps {
       val planes = hyperplanes(bitsPerBand, dim, seed + bi * 7919L)
       struct(lit(bi).as("band"), lshBucket(col(vecCol), planes).as("code"))
     }
-    val banded = corpus.select(col(idCol), col(vecCol),
+    // The banded join and the distinct carry IDs ONLY — a pair colliding
+    // in many bands would otherwise shuffle both dim×4-byte vectors once
+    // per collision (up to `bands`× redundant vector bytes through the
+    // distinct). Vectors join back exactly once per surviving pair, for
+    // the exact-cosine verification.
+    val banded = corpus.select(col(idCol),
       explode(array(bandCols: _*)).as("b"))
-      .select(col(idCol), col(vecCol), col("b.band"), col("b.code"))
-    val l = banded.select(col("band"), col("code"),
-      col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = banded.select(col("band"), col("code"),
-      col(idCol).as("id2"), col(vecCol).as("v2"))
-    l.join(r, Seq("band", "code"))
+      .select(col(idCol), col("b.band"), col("b.code"))
+    val l = banded.select(col("band"), col("code"), col(idCol).as("id1"))
+    val r = banded.select(col("band"), col("code"), col(idCol).as("id2"))
+    val candidates = l.join(r, Seq("band", "code"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2")).distinct()
+      .select(col("id1"), col("id2")).distinct()
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("v1")), Seq("id1"))
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("v2")), Seq("id2"))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col("v1"), col("v2")), 4))
       .filter(col("cos") >= threshold)

@@ -211,9 +211,19 @@ class Pipeline(val stages: Seq[Stage],
             table.publish(n); (Some(n), rs, table.read())
           } else (None, rs, staged)
         case Some(Merge(table, keys, order, parts)) =>
-          val n = table.merge(df, keys, order, parts)
-          val rs = Checks.runAll(table.read(), st.checks)
-          (Some(n), rs, table.read())
+          // Write-Audit-Publish for merges too: the merged snapshot is
+          // staged, checks run against the STAGED data, and only a clean
+          // audit publishes — an Error-severity failure never moves the
+          // pointer (same contract as the Overwrite sink).
+          var rs: Seq[CheckResult] = Nil
+          val published = table.mergeAudited(df, keys, order, staged => {
+            rs = Checks.runAll(staged, st.checks)
+            Checks.errorsOnly(rs).isEmpty
+          }, parts)
+          published match {
+            case Some(n) => (Some(n), rs, table.read())
+            case None => (None, rs, df)
+          }
         case None =>
           val rs = if (st.checks.nonEmpty) Checks.runAll(df, st.checks) else Nil
           (None, rs, df)

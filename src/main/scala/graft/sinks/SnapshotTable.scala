@@ -13,7 +13,7 @@ import graft.sources.Debezium
   * {{{
   *   <root>/snapshot=N/          immutable parquet snapshot (optionally
   *                               partitioned by user columns)
-  *   <root>/_LATEST              pointer file containing N
+  *   <root>/_LATEST.<seq>        pointer files containing N; max seq wins
   * }}}
   *
   * Write protocol = Write-Audit-Publish (reference README.md:62,108-116):
@@ -40,18 +40,42 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   private def snapDir(n: Long) = new Path(rootPath, s"snapshot=$n")
 
+  // Pointer protocol: publish writes a NEW file `_LATEST.<seq>` (tmp-write +
+  // rename-to-fresh-name — atomic on HDFS/local, single-object PUT on S3)
+  // and readers resolve the max-seq pointer. There is never a
+  // delete-then-recreate window: the previous pointer stays on disk until a
+  // later publish garbage-collects seqs older than the newest few, so a
+  // concurrent reader always finds a pointer. Sequence order (not version
+  // order) wins, which is what makes `rollback` a plain publish of an older
+  // version. A bare legacy `_LATEST` file is still honored on read.
+
+  private def pointerSeqs(): Seq[(Long, Path)] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq
+      .map(_.getPath)
+      .flatMap { p =>
+        val name = p.getName
+        if (name.startsWith("_LATEST.") && !name.contains("tmp"))
+          name.stripPrefix("_LATEST.").toLongOption.map(_ -> p)
+        else None
+      }
+
+  private def readPointer(p: Path): Long = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8").trim.toLong
+    } finally in.close()
+  }
+
   def latestVersion: Option[Long] = {
-    if (!fs.exists(latestPtr)) None
-    else {
-      val in = fs.open(latestPtr)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](256)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        Some(buf.toString("UTF-8").trim.toLong)
-      } finally in.close()
-    }
+    val seqs = pointerSeqs()
+    if (seqs.nonEmpty) Some(readPointer(seqs.maxBy(_._1)._2))
+    else if (fs.exists(latestPtr)) Some(readPointer(latestPtr))
+    else None
   }
 
   def exists: Boolean = latestVersion.isDefined
@@ -73,17 +97,25 @@ class SnapshotTable(spark: SparkSession, root: String) {
     next
   }
 
-  /** Atomically repoint _LATEST to snapshot n (the P of WAP). */
+  /** Atomically repoint the table to snapshot n (the P of WAP). Writes a
+    * fresh `_LATEST.<seq>` pointer (never deletes-then-recreates), so
+    * concurrent readers always observe SOME published pointer. Older
+    * pointers beyond the newest few are garbage-collected best-effort —
+    * the max-seq pointer is never deleted. */
   def publish(n: Long): Unit = {
     require(fs.exists(snapDir(n)), s"snapshot $n not staged at $root")
-    val tmp = new Path(rootPath, s"_LATEST.tmp${System.nanoTime()}")
+    val seqs = pointerSeqs()
+    val next = (seqs.map(_._1) :+ 0L).max + 1
+    val tmp = new Path(rootPath, s"_LATEST_tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-    // rename over the old pointer: atomic on HDFS/local; on S3 a small-file
-    // PUT — last-writer-wins, still a single-object swap.
-    if (fs.exists(latestPtr)) fs.delete(latestPtr, false)
-    if (!fs.rename(tmp, latestPtr))
+    if (!fs.rename(tmp, new Path(rootPath, s"_LATEST.$next")))
       throw new IllegalStateException(s"pointer swap failed for $root -> $n")
+    // migrate away from a legacy bare _LATEST, then GC stale seq pointers
+    // (keep the newest 4 so in-flight readers that already listed still
+    // find their file)
+    if (fs.exists(latestPtr)) fs.delete(latestPtr, false)
+    seqs.sortBy(-_._1).drop(3).foreach { case (_, p) => fs.delete(p, false) }
   }
 
   /** stage + publish in one step (non-audited write). */

@@ -6,26 +6,28 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.DedupOps
-import graft.sinks.SnapshotTable
+import graft.sinks.{AppendOnlyStore, SnapshotTable}
 
 /** Streaming corpus ingestion with cross-batch exact dedup: documents
   * arrive as files (the object-store drop pattern), each micro-batch is
-  * deduped against the accumulated fingerprint table, and only novel docs
+  * deduped against the accumulated fingerprint store, and only novel docs
   * enter the corpus. AvailableNow + checkpoint = each file processed once;
   * the dedup itself is idempotent (replayed docs hash to known
   * fingerprints), so crash-recovery double-processing is harmless —
   * the streaming twin of [[DedupOps.incrementalExactDedup]].
   *
-  * State never lives in the stream: fingerprints (~40 B/doc) live in a
-  * snapshot table, so a 100 TB corpus's dedup state is a few TB of
-  * hashes, join-able and broadcastable per batch — not executor memory.
+  * State never lives in the stream: fingerprints (~40 B/doc) live in an
+  * append-only prefix-partitioned store, so a 100 TB corpus's dedup state
+  * is a few TB of hashes joined per batch — not executor memory, and each
+  * micro-batch WRITES only its own fingerprints (append), never the
+  * accumulated store.
   */
 object CorpusStream {
 
   def ingestDedupedAvailableNow(spark: SparkSession, docsDir: String,
                                 schema: StructType,
                                 corpus: SnapshotTable,
-                                fingerprints: SnapshotTable,
+                                fingerprints: AppendOnlyStore,
                                 checkpointDir: String,
                                 textCol: String = "text",
                                 idCol: String = "doc_id"): Unit = {

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.sinks.SnapshotTable
+import graft.sinks.{AppendOnlyStore, SnapshotTable}
 import graft.streaming.CorpusStream
 
 class CorpusStreamSpec extends SparkSpec {
@@ -13,7 +13,7 @@ class CorpusStreamSpec extends SparkSpec {
     val docsDir = s"$root/drop"
     Files.createDirectories(Paths.get(docsDir))
     val corpus = new SnapshotTable(spark, s"$root/corpus")
-    val fps = new SnapshotTable(spark, s"$root/fps")
+    val fps = new AppendOnlyStore(spark, s"$root/fps")
     val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
 
     Seq((1L, "first document body"), (2L, "second document body"))

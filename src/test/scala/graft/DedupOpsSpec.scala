@@ -39,18 +39,41 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("incremental dedup admits only novel docs across batches") {
-    val table = new graft.sinks.SnapshotTable(spark, tmpDir("incdedup") + "/fp")
+    val store = new graft.sinks.AppendOnlyStore(spark, tmpDir("incdedup") + "/fp")
     val b1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
       (3L, "ALPHA  beta gamma")) // in-batch dup of 1
       .toDF("doc_id", "text")
-    val a1 = graft.ops.DedupOps.incrementalExactDedup(b1, "text", "doc_id", table)
+    val a1 = graft.ops.DedupOps.incrementalExactDedup(b1, "text", "doc_id", store)
     assert(a1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
     val b2 = Seq((4L, "delta epsilon zeta"), // dup of admitted 2
       (5L, "brand new content"))
       .toDF("doc_id", "text")
-    val a2 = graft.ops.DedupOps.incrementalExactDedup(b2, "text", "doc_id", table)
+    val a2 = graft.ops.DedupOps.incrementalExactDedup(b2, "text", "doc_id", store)
     assert(a2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L))
-    assert(table.read().count() == 3) // fingerprints: docs 1, 2, 5
+    assert(store.read().count() == 3) // fingerprints: docs 1, 2, 5
+  }
+
+  test("incremental dedup is append-only: prior store files never rewritten") {
+    val store = new graft.sinks.AppendOnlyStore(spark, tmpDir("incappend") + "/fp")
+    val b1 = (0 until 50).map(i => (i.toLong, s"document body number $i"))
+      .toDF("doc_id", "text")
+    graft.ops.DedupOps.incrementalExactDedup(b1, "text", "doc_id", store)
+    val filesAfterB1 = store.dataFiles().toSet
+    assert(filesAfterB1.nonEmpty)
+    val b2 = (50 until 80).map(i => (i.toLong, s"document body number $i"))
+      .toDF("doc_id", "text")
+    graft.ops.DedupOps.incrementalExactDedup(b2, "text", "doc_id", store)
+    val filesAfterB2 = store.dataFiles().toSet
+    // batch 2 ADDED files; every batch-1 file survives untouched — the
+    // per-batch write is O(batch), not O(accumulated store)
+    assert(filesAfterB1.subsetOf(filesAfterB2),
+      "a prior batch's files were rewritten — store is not append-only")
+    assert(filesAfterB2.size > filesAfterB1.size)
+    assert(store.read().count() == 80)
+    // compaction bounds small-file growth and preserves content
+    store.compact()
+    assert(store.read().count() == 80)
+    assert(store.dataFiles().size <= filesAfterB2.size)
   }
 
   test("minhash LSH finds all planted near-dups with no false negatives") {

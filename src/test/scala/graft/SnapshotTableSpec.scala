@@ -59,6 +59,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().head().getString(1) == "new")
   }
 
+  test("publish is atomic: a concurrent reader never sees a missing pointer") {
+    val t = new SnapshotTable(spark, tmpDir("snap") + "/atomic")
+    // stage two snapshots once, then flip the pointer between them rapidly
+    val v1 = t.stage(Seq((1, "a")).toDF("id", "v"))
+    t.publish(v1)
+    val v2 = t.stage(Seq((2, "b")).toDF("id", "v"))
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val v = t.latestVersion
+          if (v.isEmpty) failures.incrementAndGet()
+          else t.readVersion(v.get) // plan build resolves snapshot dir
+        } catch { case _: Exception => failures.incrementAndGet() }
+      }
+    })
+    reader.start()
+    (1 to 200).foreach { i => t.publish(if (i % 2 == 0) v1 else v2) }
+    stop = true
+    reader.join()
+    assert(failures.get() == 0,
+      s"${failures.get()} reads observed a missing/broken pointer during publishes")
+    assert(t.latestVersion.contains(v1))
+    // rollback (publish of an older version) still wins over max-version
+    t.publish(v2); t.rollback(v1)
+    assert(t.latestVersion.contains(v1))
+  }
+
   test("partitioned write + vacuum keeps only latest snapshot") {
     val t = new SnapshotTable(spark, tmpDir("snap") + "/t5")
     t.overwrite(Seq((1, "a", "2024-01-01"), (2, "b", "2024-01-02"))
