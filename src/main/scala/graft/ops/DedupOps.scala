@@ -145,31 +145,53 @@ object DedupOps {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per document: per-token xxhash64, sum ±1 per bit over
+  /** SimHash per document: per-token hash bits, sum ±1 per bit over
     * tokens, sign → bit. One explode + one groupBy (single shuffle on the
-    * doc id, partial-aggregated map-side). */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * doc id, partial-aggregated map-side). `tokenHash` produces the
+    * per-token hash column; `bitOf(h, j)` extracts bit j as a boolean. */
+  private def simhashGeneric(df: DataFrame, textCol: String, idCol: String,
+                             bits: Int, tokenHash: Column => Column,
+                             bitOf: (Column, Int) => Column): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      .withColumn("h", tokenHash(col("tok")))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(bitOf(col("h"), j), 1).otherwise(-1)).as(s"b$j")
     }
     val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { j =>
+    val sim = (0 until bits).map { j =>
       when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col(idCol), sim.as("simhash"))
   }
 
+  /** 64-bit SimHash on xxhash64 token hashes — the production path (one
+    * 64-bit hash per token, no string hashing beyond xxhash64). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashGeneric(df, textCol, idCol, bits = 64, tokenHash = xxhash64(_),
+      bitOf = (h, j) => shiftright(h, j).bitwiseAND(1) === 1)
+
+  /** 32-bit PORTABLE SimHash: per-token bits are the high bit of each of
+    * the first 32 hex chars of md5(token). md5 is standardized, so any
+    * engine (the DuckDB oracle included) computes the identical signature —
+    * this is the cross-engine-checkable twin of [[simhash]], sharing the
+    * same aggregation/banding machinery. */
+  def simhashPortable(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashGeneric(df, textCol, idCol, bits = 32, tokenHash = md5(_),
+      bitOf = (h, j) =>
+        substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"))
+
   /** SimHash near-dup pairs with hamming distance <= maxDist, found by the
-    * pigeonhole band join: split the 64-bit signature into maxDist+1
-    * chunks — any pair within maxDist matches exactly on >=1 chunk, so the
-    * join is equi (hash-partitionable) and the hamming check runs only on
-    * collisions. */
-  def simhashNearDups(sims: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    * pigeonhole band join: split the `sigBits`-bit signature into
+    * maxDist+1 chunks — any pair within maxDist matches exactly on >=1
+    * chunk, so the join is equi (hash-partitionable) and the hamming check
+    * runs only on collisions. Recall is provably 1.0 (pigeonhole), so the
+    * output EQUALS the brute-force hamming join — which is what lets the
+    * DuckDB oracle cross-check the banded plan exactly. */
+  def simhashNearDups(sims: DataFrame, idCol: String, maxDist: Int = 3,
+                      sigBits: Int = 64): DataFrame = {
     val chunks = maxDist + 1
-    val width = 64 / chunks
+    val width = sigBits / chunks
     val banded = sims.select(col(idCol), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),

@@ -78,11 +78,24 @@ object FunctionQueries {
     * in ApproxSpec. */
   def q51ApproxStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // HARD oracle via self-verified error bounds: emit the EXACT
+    // aggregates (oracle-matched) plus booleans asserting the sketches
+    // land within their bounds — HLL++ at rsd=0.01 vs a 5% bound (5σ),
+    // approx_percentile at accuracy 1000 vs a 5% value bound. The oracle
+    // emits the exact values and literal 1s; a sketch drifting out of
+    // bounds flips a 1 to 0 and breaks the hash. Sketches are
+    // deterministic given the data, so this is a stable gate, not a coin
+    // flip.
+    val exactD = countDistinct($"l_orderkey")
+    val exactMed = expr("percentile(l_extendedprice, 0.5)")
     Tables.load(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_orderkey").as("approx_orders"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median_price"),
+        exactD.as("n_orders_exact"),
+        (abs(approx_count_distinct($"l_orderkey", 0.01) - exactD) <=
+          exactD * 0.05).cast("long").as("hll_within_5pct"),
+        (abs(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)) - exactMed) <=
+          exactMed * 0.05).cast("long").as("median_within_5pct"),
         count(lit(1)).as("n"))
       .orderBy($"l_returnflag")
   }
@@ -128,6 +141,15 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_approx_stats" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS n_orders_exact,
+        | CAST(1 AS BIGINT) AS hll_within_5pct,
+        | CAST(1 AS BIGINT) AS median_within_5pct,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q54_unpivot" ->
       """SELECT p_partkey, attr,
         | CAST(floor(val * 100.0 + 0.5) AS BIGINT) AS val_cents

@@ -73,23 +73,41 @@ object LlmQueries {
       .orderBy($"id1", $"id2")
   }
 
-  /** MinHash-LSH: per-band bucket-size distribution (rows-only; the
-    * pair-level correctness gate is DedupOpsSpec's planted-dup recall). */
+  /** Documents plus planted exact duplicates (every 10th doc re-emitted
+    * under doc_id+100000 with identical text) — shared by the dedup
+    * queries so the DuckDB oracle can reproduce the exact same corpus. */
+  private def withPlantedDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
+  /** MinHash-LSH near-dup pairs at threshold 1.0 over a planted-duplicate
+    * corpus. HARD oracle: at jaccard 1.0 a pair means IDENTICAL shingle
+    * sets, and identical sets provably produce identical signatures →
+    * identical band hashes → guaranteed bucket collision. So the full
+    * signatures→bands→buckets→verify pipeline must emit exactly the
+    * identical-shingle-set pairs, which DuckDB computes directly by
+    * grouping docs on their canonical (sorted) shingle set. Any bug in
+    * the MinHash/banding path drops or adds a pair and breaks the hash. */
   def q27MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = DedupOps.minhashSignatures(
-      Tables.load(s, dir, "documents"), "text", "doc_id")
-    DedupOps.lshBuckets(sigs, "doc_id", bands = 16, rowsPerBand = 4)
-      .groupBy($"band_idx")
-      .agg(countDistinct($"band_hash").as("n_buckets"), count(lit(1)).as("n_rows"))
-      .orderBy($"band_idx")
+    val docs = withPlantedDups(Tables.load(s, dir, "documents"))
+    DedupOps.minhashNearDups(docs, "text", "doc_id", threshold = 1.0)
+      .orderBy($"id1", $"id2")
   }
 
-  /** SimHash signatures (rows-only; deterministic xxhash64 base). */
+  /** Portable 32-bit SimHash near-dup pairs (hamming <= 3) over the
+    * planted-duplicate corpus. HARD oracle: per-token bits come from md5
+    * hex chars (engine-independent), and the pigeonhole band join has
+    * provable recall 1.0 at maxDist — so the banded plan's output must
+    * equal DuckDB's brute-force all-pairs hamming join exactly. */
   def q28Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    DedupOps.simhash(Tables.load(s, dir, "documents"), "text", "doc_id")
-      .orderBy($"doc_id")
+    val docs = withPlantedDups(Tables.load(s, dir, "documents"))
+    val sims = DedupOps.simhashPortable(docs, "text", "doc_id")
+    DedupOps.simhashNearDups(sims, "doc_id", maxDist = 3, sigBits = 32)
+      .select($"id1", $"id2", $"hamming".cast("long").as("hamming"))
+      .orderBy($"id1", $"id2")
   }
 
   /** Brute-force cosine top-k: first 3 vectors as queries over the corpus. */
@@ -102,7 +120,12 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
-  /** LSH-bucketed ANN (rows-only; recall gate in SimilarityOpsSpec). */
+  /** LSH-bucketed ANN. HARD oracle: the hyperplane values are embedded as
+    * float literals in the oracle SQL (generated from the same seeded
+    * generator), and both engines fold the projection dot product in the
+    * same element order — so bucket codes, candidate sets, and ranked
+    * cosines must agree exactly. Recall-vs-brute-force is additionally
+    * gated in SimilarityOpsSpec. */
   def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
@@ -250,7 +273,12 @@ object LlmQueries {
       .orderBy($"id1", $"id2")
   }
 
-  /** IVF ANN (rows-only; recall gate in SimilarityOpsSpec). */
+  /** IVF ANN. HARD oracle: the stride-sampled seed centroids are
+    * themselves SQL-expressible (row_number over vec_id order), so DuckDB
+    * reproduces the full assign→probe→score→rank pipeline: cell argmax
+    * with (cos, cid) tie-break, top-nprobe probes, exact cosine on probed
+    * cells. Recall-vs-brute-force is additionally gated in
+    * SimilarityOpsSpec. */
   def q53AnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
@@ -290,7 +318,150 @@ object LlmQueries {
     s"CASE WHEN length($normSql) = 0 THEN 0 ELSE len($toksSql) END"
   private val stopListSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The planted-duplicate corpus, as SQL (twin of [[withPlantedDups]]). */
+  private val plantedSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Word 3-gram shingle list (twin of TextOps.shingles(k=3)). */
+  private val shingles3Sql =
+    s"""CASE WHEN len($toksSql) < 3 THEN [$normSql]
+       |     ELSE list_distinct(list_transform(
+       |       range(0, len($toksSql) - 2),
+       |       i -> concat_ws(' ', $toksSql[i+1], $toksSql[i+2], $toksSql[i+3])))
+       |END""".stripMargin
+
+  /** Sequential-fold cosine between two FLOAT[] expressions — identical
+    * accumulation order to the engine's fused CosineSimilarity. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform($a,
+       |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform($b,
+       |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  /** Sequential-fold dot product (twin of the fused DotProductF). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+
+  /** The q30 hyperplanes as FLOAT[] SQL literals — the same seeded values
+    * lshTopK(bits=4, dim=64, seed=42) materializes as float literals in
+    * its plan, so both engines project against bit-identical planes. */
+  private def planeSqlLits(bits: Int, dim: Int, seed: Long): Seq[String] =
+    graft.ops.SimilarityOps.hyperplanes(bits, dim, seed).map { p =>
+      p.map(x => java.lang.Float.toString(x.toFloat))
+        .mkString("[", ", ", "]::FLOAT[]")
+    }
+
+  /** Bucket-code SQL: bit j set iff dot(vec, plane_j) >= 0. */
+  private def bucketSql(vec: String, planes: Seq[String]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${dotSql(vec, p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", "\n + ", ")")
+
+  /** Portable 32-bit simhash signature SQL over a token-hash column `h`
+    * (md5 hex): per-bit ±1 sums, sign → bit — twin of
+    * DedupOps.simhashPortable. */
+  private val simhashBitSumsSql: String = (0 until 32).map { j =>
+    s"""SUM(CASE WHEN substr(h, ${j + 1}, 1) IN
+       | ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"""
+      .stripMargin.replace("\n", "")
+  }.mkString(",\n    ")
+  private val simhashFromBitsSql: String = (0 until 32).map { j =>
+    s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q27_minhash_lsh" ->
+      s"""WITH all_docs AS (
+         |  $plantedSql),
+         |sets AS (
+         |  SELECT doc_id, $shingles3Sql AS sh FROM all_docs),
+         |keyed AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(sh), chr(30))) AS set_key
+         |  FROM sets)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM keyed a JOIN keyed b
+         |  ON a.set_key = b.set_key AND a.doc_id < b.doc_id
+         |ORDER BY id1, id2""".stripMargin,
+    "q28_simhash" ->
+      s"""WITH all_docs AS (
+         |  $plantedSql),
+         |tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM all_docs),
+         |hashed AS (
+         |  SELECT doc_id, md5(t) AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $simhashBitSumsSql
+         |  FROM hashed GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id, $simhashFromBitsSql AS simhash FROM bits)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
+    "q30_ann_lsh" -> {
+      val planes = planeSqlLits(bits = 4, dim = 64, seed = 42L)
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", planes)} AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, bucket
+         |  FROM b WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(${cosSql("e.embedding", "q.q_vec")}, 4) AS cos
+         |  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    "q53_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT CAST((rn - 1) / 7 AS INT) AS cid, embedding AS c
+         |  FROM (SELECT vec_id, embedding,
+         |          row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM embeddings ORDER BY vec_id LIMIT 112)
+         |  WHERE (rn - 1) % 7 = 0),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c")} DESC, c.cid DESC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT q_id, q_vec, cell FROM (
+         |    SELECT q.q_id, q.q_vec, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("q.q_vec", "c.c")} DESC, c.cid DESC) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    round(${cosSql("a.embedding", "p.q_vec")}, 4) AS cos
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "q52_cosine_neardups" ->
       """WITH p AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
