@@ -1,19 +1,20 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-wise per partition.
   *
-  * The Spark-side machinery here is REAL and tested — schema, partition
-  * batching, feature extraction signatures, the executor-side processing
-  * loop. The codec layer (`decodeImageStub`) is a clearly-marked
-  * deterministic FAKE: this container has no image/audio libraries, so the
-  * stub derives plausible metadata purely from the bytes. Swapping in a
-  * real decoder changes exactly one function and zero plumbing.
+  * Decode is REAL for the formats a JVM can handle without external
+  * libraries: PNG / JPEG / GIF / BMP dimensions are parsed straight from
+  * the container headers (magic bytes + the public header layouts), WAV
+  * from the RIFF header, and image resize decodes/re-encodes through JDK
+  * ImageIO. Video remains a clearly-marked deterministic STUB (no video
+  * codec ships with the JDK): frame count/explode derive from byte
+  * windows, with the real plumbing (schema, bounded fan-out, partition
+  * batching) in place so a codec drop-in changes one function.
   *
   * At 100 TB: binary payloads stay columnar in parquet (no base64 bloat),
   * `mapPartitions` amortizes codec init per partition (the same batching
@@ -36,34 +37,110 @@ object MultimodalOps {
       media_id: Long, kind: String, byte_len: Long, content_hash: Long,
       width: Int, height: Int, n_frames: Int, format: String)
 
-  /** STUB — stands in for a real image/audio decode (???-equivalent).
-    * Deterministic in the payload bytes so tests and oracles are stable. */
-  def decodeImageStub(bytes: Array[Byte]): (Int, Int, String) = {
-    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
-    val width = 64 + math.floorMod(h, 1024).toInt
-    val height = 64 + math.floorMod(h >> 16, 1024).toInt
-    val fmt = Seq("png", "jpeg", "webp")(math.floorMod(h >> 32, 3).toInt)
-    (width, height, fmt)
+  // ------------------------------------------------------------- decode
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    b.length >= i + s.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+
+  /** REAL header decode: (width, height, format) from container magic
+    * bytes. PNG IHDR (big-endian dims at offset 16/20), JPEG SOFn segment
+    * scan, GIF logical screen descriptor (little-endian at 6/8), BMP
+    * BITMAPINFOHEADER (little-endian at 18/22), WAV RIFF/WAVE (no dims).
+    * Unknown containers → (0, 0, "unknown") — never throws on garbage. */
+  def decodeHeader(bytes: Array[Byte]): (Int, Int, String) = {
+    if (bytes == null || bytes.length < 12) return (0, 0, "unknown")
+    // PNG: 89 50 4E 47 0D 0A 1A 0A, IHDR is always the first chunk
+    if ((bytes(0) & 0xff) == 0x89 && ascii(bytes, 1, "PNG") && bytes.length >= 24)
+      return (be32(bytes, 16), be32(bytes, 20), "png")
+    // JPEG: FF D8, walk segments to the first SOFn (C0-CF minus C4/C8/CC)
+    if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var pos = 2
+      while (pos + 9 < bytes.length && (bytes(pos) & 0xff) == 0xff) {
+        val m = bytes(pos + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return (be16(bytes, pos + 7), be16(bytes, pos + 5), "jpeg")
+        pos += 2 + (if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) 0 else be16(bytes, pos + 2))
+      }
+      return (0, 0, "jpeg")
+    }
+    if (ascii(bytes, 0, "GIF8"))
+      return (le16(bytes, 6), le16(bytes, 8), "gif")
+    if (ascii(bytes, 0, "BM") && bytes.length >= 26)
+      return (le32(bytes, 18), le32(bytes, 22), "bmp")
+    if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE"))
+      return (0, 0, "wav")
+    (0, 0, "unknown")
   }
 
-  /** STUB frame sampler for video payloads: deterministic frame count. */
+  /** WAV sample rate from the RIFF fmt chunk (0 if not a WAV). */
+  def wavSampleRate(bytes: Array[Byte]): Int =
+    if (bytes != null && bytes.length >= 28 &&
+      ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE") && ascii(bytes, 12, "fmt "))
+      le32(bytes, 24)
+    else 0
+
+  /** STUB frame sampler for video payloads (no JDK video codec):
+    * deterministic frame count from byte length. */
   def frameSampleStub(bytes: Array[Byte], everyN: Int): Int =
     math.max(1, (bytes.length / math.max(1, everyN)) % 512)
 
   private def contentHash(bytes: Array[Byte]): Long =
     bytes.foldLeft(-7046029254386353131L)((acc, b) => (acc ^ b) * 1099511628211L)
 
+  // ------------------------------------------------------------- encode
+
+  /** Deterministic single-color image encoded through JDK ImageIO
+    * (real PNG/JPEG/GIF/BMP containers). */
+  def encodeImage(width: Int, height: Int, rgbSeed: Long, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (rgbSeed * 2654435761L & 0xffffffL).toInt
+    (0 until height).foreach(y => (0 until width).foreach(x => img.setRGB(x, y, rgb)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** Canonical 44-byte-header PCM16 mono WAV of `nSamples` silence. */
+  def encodeWav(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.array()
+  }
+
+  // ------------------------------------------------------------ extract
+
   /** Partition-batched feature extraction — the `mapInPandas` shape in
     * Scala: one iterator per partition, codec state initialized once per
-    * partition, fixed-width typed output. */
+    * partition, fixed-width typed output. Dimensions/format come from the
+    * REAL header parse; only video frame counts are stubbed. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition "codec" init happens here (stub: nothing to init)
+        // per-partition codec init happens here (header parse needs none)
         it.map { case (id, kind, payload) =>
-          val (w, h, fmt) = decodeImageStub(payload)
+          val (w, h, fmt) = decodeHeader(payload)
           val frames = if (kind == "video") frameSampleStub(payload, 1024) else 1
           MediaFeatures(id, kind, payload.length.toLong, contentHash(payload),
             w, h, frames, fmt)
@@ -100,26 +177,75 @@ object MultimodalOps {
       }
   }
 
-  /** STUB resize: emits a deterministic derived payload (here: truncated
-    * bytes) with updated metadata — the write-back plumbing for a real
-    * resize. */
-  def resizeStub(media: DataFrame, maxBytes: Int): DataFrame = {
-    val truncate = udf((b: Array[Byte]) => b.take(maxBytes))
-    media.withColumn("payload", truncate(col("payload")))
-      .withColumn("meta", struct(
-        col("meta.source"),
-        concat(col("meta.declared_format"), lit(s"-resized")).as("declared_format")))
+  /** REAL image resize: decode (ImageIO), scale so max(w,h) <= maxDim
+    * preserving aspect, re-encode in the same container. Non-image or
+    * already-small payloads pass through untouched. Partition-batched —
+    * the per-partition loop is where a hardware-accelerated codec would
+    * initialize. */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val resized = media
+      .select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val (w, h, fmt) = decodeHeader(payload)
+          val isImage = fmt == "png" || fmt == "jpeg" || fmt == "gif" || fmt == "bmp"
+          if (kind != "image" || !isImage || math.max(w, h) <= maxDim) (id, payload)
+          else {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            val scale = maxDim.toDouble / math.max(w, h)
+            val nw = math.max(1, math.round(w * scale).toInt)
+            val nh = math.max(1, math.round(h * scale).toInt)
+            val dst = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, fmt, out)
+            (id, out.toByteArray)
+          }
+        }
+      }.toDF("media_id", "payload_resized")
+    media.join(resized, Seq("media_id"))
+      .withColumn("payload", col("payload_resized")).drop("payload_resized")
   }
 
-  /** Build a synthetic media table from any text corpus — deterministic
-    * payloads so the multimodal path is exercisable without binary
-    * testdata. kind cycles image/audio/video by id. */
-  def synthesizeFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).cast(LongType).as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol), lit(3)) + 1).cast(IntegerType)).as("kind"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      struct(lit("synthetic").as("source"),
-        lit("raw").as("declared_format")).as("meta"))
+  /** Build a synthetic-but-REAL media table from any text corpus:
+    * payloads are genuine PNG/JPEG/GIF/WAV containers (dims and sample
+    * rate are deterministic functions of the id, so an oracle can verify
+    * the decoded metadata), plus a stub `video` payload (raw text bytes)
+    * for the frame-explode path. kind cycles by id % 5:
+    * png / jpeg / gif image, wav audio, video. */
+  def synthesizeFromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // per-partition codec init (ImageIO writers) happens here
+        it.map { case (id, text) =>
+          val kind5 = (id % 5).toInt
+          val (kind, fmt) = kind5 match {
+            case 0 => ("image", "png")
+            case 1 => ("image", "jpeg")
+            case 2 => ("image", "gif")
+            case 3 => ("audio", "wav")
+            case _ => ("video", "raw")
+          }
+          val payload = kind5 match {
+            case 0 | 1 | 2 =>
+              encodeImage(8 + (id % 24).toInt, 8 + ((id * 7) % 24).toInt, id, fmt)
+            case 3 => encodeWav(8000 + (id % 4).toInt * 4000, 64)
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, kind, payload, "synthetic", fmt)
+        }
+      }
+      .toDF("media_id", "kind", "payload", "source", "declared_format")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("source"), col("declared_format")).as("meta"))
+  }
 }

@@ -179,6 +179,87 @@ object SimilarityOps {
       .select(col(qIdCol), col(idCol), col("cos"), col("rank"))
   }
 
+  // ------------------------------------------------------ persisted index
+
+  /** A persisted IVF index: the cell-assigned corpus laid out as one
+    * directory per cell plus the centroid matrix. */
+  final case class IvfIndex(root: String, centroids: IndexedSeq[(Int, Seq[Float])]) {
+    def cellsPath: String = s"$root/cells"
+    def centroidsPath: String = s"$root/centroids"
+  }
+
+  /** Assign every corpus vector to its nearest coarse centroid. */
+  def assignCells(corpus: DataFrame, centroids: IndexedSeq[(Int, Seq[Float])],
+                  vecCol: String = "embedding"): DataFrame = {
+    fused(corpus)
+    corpus.withColumn("cell",
+      array_max(cellScoresFor(centroids)(col(vecCol))).getField("cid"))
+  }
+
+  /** Build and persist the IVF index: assign cells ONCE and write the
+    * corpus partitioned by `cell` (one directory per cell), plus the
+    * centroid matrix. This is the 100 TB shape [[ivfTopK]] lacks: ivfTopK
+    * re-scores every corpus vector against every centroid on every call,
+    * while an indexed probe reads only the nprobe matching cell
+    * directories — a partition-pruned scan of ~corpus·nprobe/nlist bytes
+    * with no shuffle (queries broadcast). The write is the classic
+    * amortize-once layout investment, same rationale as
+    * [[graft.sinks.BucketedTables]] for recurring joins (partition layout
+    * chosen over bucketing because probes need partition PRUNING, not
+    * co-located join placement). */
+  def buildIvfIndex(corpus: DataFrame, root: String, nlist: Int = 16,
+                    lloydIters: Int = 0,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfIndex = {
+    fused(corpus)
+    val centroids =
+      if (lloydIters > 0) trainIvfCentroids(corpus, nlist, lloydIters, idCol, vecCol)
+      else seedCentroids(corpus, nlist, idCol, vecCol)
+    assignCells(corpus, centroids, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/cells")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    IvfIndex(root, centroids)
+  }
+
+  /** Load a previously built index (centroids are nlist·dim floats). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, root: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$root/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).sortBy(_._1).toIndexedSeq
+    IvfIndex(root, cents)
+  }
+
+  /** ANN over a persisted [[IvfIndex]]: probe only the nprobe cell
+    * directories the query batch needs. The probed cell ids (≤ nlist
+    * ints) are collected to the driver to drive PARTITION PRUNING on the
+    * scan — the queries side is small and broadcast by contract, so the
+    * probe plan is: pruned scan → broadcast-hash join → per-query top-k.
+    * No shuffle touches corpus vectors. */
+  def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
+                     nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val spark = queries.sparkSession
+    fused(queries)
+    val probed = queries.withColumn("probe",
+      explode(slice(reverse(array_sort(
+        cellScoresFor(index.centroids)(col(qVecCol)))), 1, nprobe)))
+      .withColumn("cell", col("probe.cid")).drop("probe")
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val scan = spark.read.parquet(index.cellsPath)
+      .filter(col("cell").isin(cells: _*)) // partition-pruned: nprobe dirs
+    val scored = scan.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("cos", round(
+        graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cos"), col("rank"))
+  }
+
   /** Exact embedding-cosine near-dup pairs by brute force — O(n²) scored
     * with the fused native expression; the recall oracle for the banded
     * variant and the right tool up to ~10⁵ vectors per comparable group.

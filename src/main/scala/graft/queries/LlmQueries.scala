@@ -135,15 +135,19 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
-  /** Multimodal plumbing: synthesize binary media from text, run the
-    * partition-batched feature extractor. byte_len/kind are oracle-checked;
-    * decoded dims come from the documented stub. */
+  /** Multimodal: synthesize REAL media containers (ImageIO-encoded
+    * PNG/JPEG/GIF, canonical WAV, stub video bytes), then run the
+    * partition-batched extractor whose dims/format come from a REAL
+    * magic-bytes header parse. The oracle reproduces the deterministic
+    * dimension formulas — a header-parser bug yields wrong dims and
+    * breaks the hash. */
   def q31Multimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = MultimodalOps.synthesizeFromText(
       Tables.load(s, dir, "documents"), "doc_id", "text")
     MultimodalOps.extractFeatures(media).toDF()
-      .select($"media_id", $"kind", $"byte_len")
+      .select($"media_id", $"kind", $"width", $"height", $"format",
+        $"n_frames".cast("long").as("n_frames"))
       .orderBy($"media_id")
   }
 
@@ -671,8 +675,15 @@ object LlmQueries {
         |ORDER BY q_id, rank""".stripMargin,
     "q31_multimodal" ->
       """SELECT doc_id AS media_id,
-        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        | CASE WHEN doc_id % 5 <= 2 THEN 'image'
+        |      WHEN doc_id % 5 = 3 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(CASE WHEN doc_id % 5 <= 2 THEN 8 + doc_id % 24 ELSE 0 END AS INT) AS width,
+        | CAST(CASE WHEN doc_id % 5 <= 2 THEN 8 + (doc_id * 7) % 24 ELSE 0 END AS INT) AS height,
+        | CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |      WHEN 3 THEN 'wav' ELSE 'unknown' END AS format,
+        | CAST(CASE WHEN doc_id % 5 = 4
+        |      THEN greatest(1, (octet_length(encode(text)) // 1024) % 512)
+        |      ELSE 1 END AS BIGINT) AS n_frames
         |FROM documents
         |ORDER BY media_id""".stripMargin
   )

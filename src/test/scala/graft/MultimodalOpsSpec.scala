@@ -1,15 +1,14 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
 import graft.ops.MultimodalOps
 
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ids cycle kind by id % 5: 0 png, 1 jpeg, 2 gif, 3 wav, 4 video
   lazy val media = MultimodalOps.synthesizeFromText(
-    Seq((1L, "hello world"), (2L, "a longer document body with more bytes"),
-      (3L, "third"))
+    Seq((0L, "png doc"), (1L, "jpeg doc"), (2L, "gif doc"),
+      (3L, "wav doc"), (4L, "a video document body with more bytes"))
       .toDF("doc_id", "text"), "doc_id", "text")
 
   test("synthesized media table matches the canonical schema") {
@@ -17,45 +16,69 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(media.schema("meta").dataType.typeName == "struct")
     val kinds = media.select("media_id", "kind").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(kinds == Map(1L -> "audio", 2L -> "video", 3L -> "image"))
+    assert(kinds == Map(0L -> "image", 1L -> "image", 2L -> "image",
+      3L -> "audio", 4L -> "video"))
   }
 
-  test("feature extraction is deterministic and byte-faithful") {
+  test("header decode parses real PNG/JPEG/GIF/BMP/WAV containers") {
+    Seq("png", "jpeg", "gif", "bmp").foreach { fmt =>
+      val bytes = MultimodalOps.encodeImage(17, 23, rgbSeed = 9L, fmt)
+      assert(MultimodalOps.decodeHeader(bytes) == ((17, 23, fmt)),
+        s"wrong header decode for $fmt")
+    }
+    val wav = MultimodalOps.encodeWav(16000, 64)
+    assert(MultimodalOps.decodeHeader(wav) == ((0, 0, "wav")))
+    assert(MultimodalOps.wavSampleRate(wav) == 16000)
+    // garbage never throws
+    assert(MultimodalOps.decodeHeader("not media".getBytes) == ((0, 0, "unknown")))
+    assert(MultimodalOps.decodeHeader(Array.emptyByteArray) == ((0, 0, "unknown")))
+  }
+
+  test("feature extraction decodes real dimensions per format") {
     val f = MultimodalOps.extractFeatures(media).collect()
       .map(x => x.media_id -> x).toMap
-    assert(f(1L).byte_len == "hello world".getBytes("UTF-8").length)
-    assert(f(2L).kind == "video" && f(2L).n_frames >= 1)
-    assert(f(3L).n_frames == 1) // image
-    // stub decode is pure: same payload → same dims on recompute
+    // dims are 8 + id%24 by 8 + (id*7)%24, from the REAL container header
+    assert(f(0L).format == "png" && f(0L).width == 8 && f(0L).height == 8)
+    assert(f(1L).format == "jpeg" && f(1L).width == 9 && f(1L).height == 15)
+    assert(f(2L).format == "gif" && f(2L).width == 10 && f(2L).height == 22)
+    assert(f(3L).format == "wav" && f(3L).kind == "audio")
+    assert(f(4L).format == "unknown" && f(4L).kind == "video" && f(4L).n_frames >= 1)
+    // decode is pure: same payload → same dims and hash on recompute
     val again = MultimodalOps.extractFeatures(media).collect()
       .map(x => x.media_id -> x).toMap
-    assert(f(1L).width == again(1L).width && f(1L).content_hash == again(1L).content_hash)
+    assert(f(0L).width == again(0L).width && f(0L).content_hash == again(0L).content_hash)
   }
 
   test("frame explode emits bounded, deterministic per-frame rows for videos only") {
     val big = MultimodalOps.synthesizeFromText(
-      Seq((2L, "v " * 6000), (3L, "image text"), (5L, "short video"))
-        .toDF("doc_id", "text"), "doc_id", "text") // ids 2,5 → video; 3 → image
+      Seq((4L, "v " * 6000), (0L, "image text"), (9L, "short video"))
+        .toDF("doc_id", "text"), "doc_id", "text") // ids 4,9 → video; 0 → image
     val frames = MultimodalOps.explodeFrames(big, frameBytes = 1000, maxFrames = 5)
       .collect()
     val byId = frames.groupBy(_.media_id)
-    assert(!byId.contains(3L)) // image not frame-sampled
-    assert(byId(2L).length == 5) // 12000 bytes / 1000 capped at maxFrames
-    assert(byId(5L).length == 1) // short payload → 1 frame
-    assert(byId(2L).map(_.frame_idx).sorted.toSeq == (0 until 5))
+    assert(!byId.contains(0L)) // image not frame-sampled
+    assert(byId(4L).length == 5) // 12000 bytes / 1000 capped at maxFrames
+    assert(byId(9L).length == 1) // short payload → 1 frame
+    assert(byId(4L).map(_.frame_idx).sorted.toSeq == (0 until 5))
     // deterministic: same payload → same frame hashes
     val again = MultimodalOps.explodeFrames(big, frameBytes = 1000, maxFrames = 5)
       .collect().groupBy(_.media_id)
-    assert(byId(2L).map(_.frame_hash).toSeq == again(2L).map(_.frame_hash).toSeq)
+    assert(byId(4L).map(_.frame_hash).toSeq == again(4L).map(_.frame_hash).toSeq)
   }
 
-  test("resize stub shrinks payloads and stamps metadata, keeps schema") {
-    val resized = MultimodalOps.resizeStub(media, maxBytes = 5)
-    val r = resized.filter($"media_id" === 2L).head()
-    assert(r.getAs[Array[Byte]]("payload").length == 5)
-    assert(r.getAs[org.apache.spark.sql.Row]("meta")
-      .getAs[String]("declared_format") == "raw-resized")
-    // downstream feature extraction still runs on the derived table
-    assert(MultimodalOps.extractFeatures(resized).count() == 3)
+  test("real resize shrinks oversized images preserving aspect and container") {
+    val wide = Seq((100L, "w")).toDF("media_id", "text")
+    val df = wide.select($"media_id", org.apache.spark.sql.functions.lit("image").as("kind"),
+      org.apache.spark.sql.functions.typedLit(
+        MultimodalOps.encodeImage(64, 32, 1L, "png")).as("payload"))
+    val resized = MultimodalOps.resizeImages(df, maxDim = 16)
+    val out = resized.head().getAs[Array[Byte]]("payload")
+    assert(MultimodalOps.decodeHeader(out) == ((16, 8, "png")))
+    // small payloads pass through byte-identical
+    val small = df.withColumn("payload",
+      org.apache.spark.sql.functions.typedLit(MultimodalOps.encodeImage(8, 8, 1L, "png")))
+    val untouched = MultimodalOps.resizeImages(small, maxDim = 16)
+      .head().getAs[Array[Byte]]("payload")
+    assert(untouched.toSeq == MultimodalOps.encodeImage(8, 8, 1L, "png").toSeq)
   }
 }

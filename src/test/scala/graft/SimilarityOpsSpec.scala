@@ -92,6 +92,36 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("persisted IVF index: probe equals direct ivfTopK, scan is pruned and shuffle-free") {
+    val root = tmpDir("ivfindex")
+    val index = SimilarityOps.buildIvfIndex(corpus, root, nlist = 8)
+    // reload round-trip: centroids survive persistence
+    val loaded = SimilarityOps.loadIvfIndex(spark, root)
+    assert(loaded.centroids == index.centroids)
+    val queries = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val direct = SimilarityOps.ivfTopK(corpus, queries, k = 5, nlist = 8,
+      nprobe = 2, trained = Some(index.centroids))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val indexed = SimilarityOps.ivfTopKIndexed(loaded, queries, k = 5, nprobe = 2)
+    val got = indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == direct, "indexed probe diverged from direct IVF scoring")
+    // plan gates: the scan reads only the probed cell directories
+    // (partition pruning) and corpus vectors never shuffle — the only
+    // allowed exchange is the tiny per-query top-k rank. (AQE's toString
+    // repeats the plan under "== Initial Plan ==" — gate the final one.)
+    val full = indexed.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cell"), s"scan not partition-pruned:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, // only the per-query rank may repartition
+      s"probe plan shuffles corpus data ($exchanges exchanges):\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "queries side was not broadcast")
+  }
+
   test("banded LSH near-dups reach >=0.85 recall vs brute force on real embeddings") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val exact = SimilarityOps.bruteForceNearDups(emb, threshold = 0.4)
