@@ -28,3 +28,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Lint gate (CI runs `sbt lint test`, mirroring the reference's
+// lint→acceptance ladder). scalafmt cannot resolve in this zero-egress
+// build, so this is a self-contained mechanical style check: no tabs, no
+// trailing whitespace, no CRLF, lines <= 120 chars.
+lazy val lint = taskKey[Unit]("style-check all Scala sources")
+lint := {
+  val srcs = ((Compile / scalaSource).value ** "*.scala").get ++
+    ((Test / scalaSource).value ** "*.scala").get
+  val problems = srcs.flatMap { f =>
+    IO.readLines(f).zipWithIndex.flatMap { case (l, i) =>
+      Seq(
+        if (l.contains("\t")) Some("tab character") else None,
+        if (l != l.replaceAll("\\s+$", "")) Some("trailing whitespace") else None,
+        if (l.contains("\r")) Some("CRLF line ending") else None,
+        if (l.length > 120) Some(s"line length ${l.length} > 120") else None,
+      ).flatten.map(msg => s"$f:${i + 1}: $msg")
+    }
+  }
+  if (problems.nonEmpty) sys.error(("lint failures:" +: problems).mkString("\n"))
+  streams.value.log.info(s"lint: ${srcs.size} Scala sources clean")
+}

@@ -73,6 +73,51 @@ final case class PipelineResult(stages: Seq[StageResult]) {
     Option(pp.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(pp, toJson)
   }
+
+  /** Human-readable run report (the Elementary HTML report analog the
+    * reference exports and asserts on — `app.py:52-58`,
+    * `test_dbt.py:172-177`): self-contained HTML, per-stage status,
+    * timings, and check outcomes with violation counts. */
+  def toHtml: String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val rows = stages.map { st =>
+      val checksHtml =
+        if (st.checks.isEmpty) "&mdash;"
+        else st.checks.map { c =>
+          val cls = if (c.passed) "pass" else "fail"
+          s"""<span class="$cls">${esc(c.check)}(${esc(c.column)})""" +
+            (if (c.passed) "" else s" &times;${c.violations}") + "</span>"
+        }.mkString(" ")
+      val cls = if (st.ok) "pass" else "fail"
+      s"""<tr><td>${esc(st.name)}</td><td class="$cls">${
+        if (st.ok) "ok" else "FAILED"}</td>""" +
+        s"<td>${st.durationMs} ms</td><td>${
+          st.publishedVersion.map(_.toString).getOrElse("&mdash;")}</td>" +
+        s"<td>$checksHtml</td><td>${st.error.map(esc).getOrElse("")}</td></tr>"
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>graft run report</title>
+       |<style>
+       |body{font-family:sans-serif;margin:2em}
+       |table{border-collapse:collapse}
+       |td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}
+       |.pass{color:#0a7d33}.fail{color:#b00020;font-weight:bold}
+       |</style></head><body>
+       |<h1>Pipeline run: <span class="${if (ok) "pass" else "fail"}">${
+        if (ok) "SUCCESS" else "FAILED"}</span></h1>
+       |<table>
+       |<tr><th>stage</th><th>status</th><th>duration</th>
+       |<th>published</th><th>checks</th><th>error</th></tr>
+       |$rows
+       |</table></body></html>""".stripMargin
+  }
+
+  def writeReportHtml(path: String): Unit = {
+    val pp = java.nio.file.Paths.get(path)
+    Option(pp.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(pp, toHtml)
+  }
 }
 
 class Pipeline(val stages: Seq[Stage],

@@ -5,10 +5,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** External-system source wrappers (SURVEY.md §2.1 S1/S2): thin,
   * config-to-options layers over Spark's built-in connectors so the option
   * maps are unit-testable pure functions even where the external system
-  * (Postgres, Kafka broker) isn't present in the test environment. The
-  * DataFrames they produce feed the exact same downstream code as the
-  * file-based stand-ins ([[Debezium.readJsonl]] for Kafka, parquet
-  * fixtures for JDBC).
+  * isn't present in the test environment.
+  *
+  * Test posture: the JDBC paths (S2 scan incl. partitioned parallel
+  * reads + pushdown, K4 bulk write) are LIVE-tested against embedded
+  * Derby in JdbcConnectorSpec — the in-sandbox analog of the reference's
+  * testcontainers Postgres rig. The Kafka paths cannot be live-tested
+  * here: this environment has no Kafka broker and no kafka-clients /
+  * spark-sql-kafka jars (zero-egress container), so S1/S5 are covered by
+  * the option-builder unit tests plus [[Debezium.readJsonl]], a file
+  * stand-in producing the identical (value, timestamp, key, topic) column
+  * contract that the whole downstream CDC path consumes. On a real
+  * deployment, `readKafka`/`readKafkaStream` are one spark-sql-kafka jar
+  * away from live, with no downstream changes.
   */
 object Connectors {
 

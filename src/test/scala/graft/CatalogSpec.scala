@@ -61,5 +61,15 @@ class CatalogSpec extends SparkSpec {
       java.nio.file.Paths.get(path)), "UTF-8")
     assert(json.contains("\"ok\":false"))
     assert(json.contains("\"check\":\"not_null\"") && json.contains("\"violations\":1"))
+    // HTML twin (the Elementary report-artifact parity check,
+    // reference test_dbt.py:172-177): artifact exists, carries the
+    // verdict, stage names, and check outcomes
+    val htmlPath = tmpDir("report") + "/run_report.html"
+    r.writeReportHtml(htmlPath)
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(htmlPath)), "UTF-8")
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("FAILED") && html.contains("s1"))
+    assert(html.contains("not_null(x)") && html.contains("&times;1"))
   }
 }

@@ -26,7 +26,11 @@ class CdcStreamSpec extends SparkSpec {
 
     // second file: late update for provider 1 with newer ts
     val newer = Fixtures.envelope(
-      Some("""{"provider_id": 1, "provider_name": "Streamed Rename", "npi": "0000000000", "specialty": "Cardiology", "care_site": "City Hospital", "provider_source_value": "x", "specialty_source_value": "y", "provider_id_source_value": "z"}"""),
+      Some("""{"provider_id": 1, "provider_name": "Streamed Rename",
+        | "npi": "0000000000", "specialty": "Cardiology",
+        | "care_site": "City Hospital", "provider_source_value": "x",
+        | "specialty_source_value": "y",
+        | "provider_id_source_value": "z"}""".stripMargin.replace("\n", "")),
       "u", 1757700099999L)
     Files.write(Paths.get(s"$topicDir/batch2.jsonl"), newer.getBytes("UTF-8"))
 

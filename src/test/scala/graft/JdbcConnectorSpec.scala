@@ -1,0 +1,73 @@
+package graft
+
+import graft.sources.Connectors
+import graft.sources.Connectors.JdbcConfig
+
+/** LIVE JDBC round-trip against embedded Derby (on the Spark classpath) —
+  * the in-sandbox analog of the reference's testcontainers Postgres
+  * acceptance rig (`tests/acceptance/conftest.py:35-61`): S2 (JDBC scan,
+  * incl. the partitioned parallel-read path) and K4 (JDBC bulk write) run
+  * against a real database engine, not just option-builder assertions.
+  */
+class JdbcConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val cfg = JdbcConfig(url = url, user = "app", password = "app",
+    driver = "org.apache.derby.jdbc.EmbeddedDriver")
+
+  private def withStatement[A](f: java.sql.Statement => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try f(conn.createStatement()) finally conn.close()
+  }
+
+  private lazy val seeded: Unit = withStatement { st =>
+    st.executeUpdate(
+      """CREATE TABLE care_site (
+        |  care_site_id INT PRIMARY KEY,
+        |  care_site_name VARCHAR(100))""".stripMargin)
+    (1 to 8).foreach(i => st.executeUpdate(
+      s"INSERT INTO care_site VALUES ($i, 'Site $i')"))
+  }
+
+  test("S2: JDBC scan reads a live table") {
+    seeded
+    val df = Connectors.readJdbc(spark, cfg, "care_site")
+    val rows = df.orderBy("CARE_SITE_ID").collect()
+    assert(rows.length == 8)
+    assert(rows.head.getInt(0) == 1 && rows.head.getString(1) == "Site 1")
+  }
+
+  test("S2: partition quad produces parallel range-partitioned reads") {
+    seeded
+    val parCfg = cfg.copy(partitionColumn = Some("care_site_id"),
+      lowerBound = Some(1L), upperBound = Some(9L), numPartitions = Some(4))
+    val df = Connectors.readJdbc(spark, parCfg, "care_site")
+    assert(df.rdd.getNumPartitions == 4) // 4 concurrent range queries
+    assert(df.count() == 8) // ranges partition, never drop rows
+  }
+
+  test("S2: filters and projection push into the remote query") {
+    seeded
+    val df = Connectors.readJdbc(spark, cfg, "care_site")
+      .filter($"CARE_SITE_ID" > 5).select("CARE_SITE_NAME")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"filter not pushed to JDBC source:\n$plan")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("Site 6", "Site 7", "Site 8"))
+  }
+
+  test("K4: JDBC bulk write + read-back round-trip") {
+    val out = Seq((1, "alpha", 10L), (2, "beta", 20L), (3, "gamma", 30L))
+      .toDF("id", "name", "ts")
+    Connectors.writeJdbc(out, cfg, "loaded_table", maxConnections = 2)
+    val back = Connectors.readJdbc(spark, cfg, "loaded_table")
+      .orderBy("ID").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(back.toSeq == Seq((1, "alpha", 10L), (2, "beta", 20L), (3, "gamma", 30L)))
+    // append mode accumulates (the daily-load shape)
+    Connectors.writeJdbc(Seq((4, "delta", 40L)).toDF("id", "name", "ts"),
+      cfg, "loaded_table")
+    assert(Connectors.readJdbc(spark, cfg, "loaded_table").count() == 4)
+  }
+}
