@@ -211,6 +211,102 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag every corpus document that shares at
+    * least one word n-gram with an evaluation/benchmark set — the
+    * standard guard against test-set leakage into training data (n=13
+    * word-grams is the common published choice; smaller n for short
+    * texts). Adds boolean `is_contaminated`.
+    *
+    * Shape at 100 TB: the corpus side is one explode into 8-byte
+    * `xxhash64` gram keys (full 64-bit universe — NOT the 2^31 MinHash
+    * universe, whose birthday collisions would false-flag at corpus
+    * scale) and a semi-join; the benchmark gram set is tiny (eval suites,
+    * not corpora), so AQE broadcasts it and the corpus never shuffles.
+    * The contaminated-id set (small) then broadcast-joins back. */
+  def contaminationFlags(corpus: DataFrame, textCol: String, idCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 13): DataFrame = {
+    val grams = corpus.select(col(idCol),
+      explode(transform(TextOps.shingles(col(textCol), n), xxhash64(_))).as("g"))
+    val benchGrams = benchmark.select(
+      explode(transform(TextOps.shingles(col(benchTextCol), n), xxhash64(_))).as("g"))
+      .distinct()
+    val contaminated = grams.join(benchGrams, Seq("g"), "left_semi")
+      .select(col(idCol)).distinct().withColumn("__c", lit(true))
+    corpus.join(contaminated, Seq(idCol), "left")
+      .withColumn("is_contaminated", coalesce(col("__c"), lit(false)))
+      .drop("__c")
+  }
+
+  /** The filtering form: corpus minus contaminated documents. */
+  def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 13): DataFrame =
+    contaminationFlags(corpus, textCol, idCol, benchmark, benchTextCol, n)
+      .filter(!col("is_contaminated")).drop("is_contaminated")
+
+  // ------------------------------------------------- duplicate clustering
+
+  /** Connected components over a near-dup pair list — the stage that turns
+    * pairwise dedup output (MinHash/SimHash/Jaccard/cosine pairs) into
+    * duplicate CLUSTERS so one canonical document per cluster survives.
+    * Returns (node, component) with component = min node id reachable.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels; labels only
+    * decrease, and the iteration stops when a round changes nothing. Each
+    * round is two hash-partitioned shuffles (a join keyed on node + a
+    * groupBy min with map-side partial agg) over (node, label) pairs —
+    * 16 bytes/node regardless of document size — and rounds ≈ component
+    * diameter. Near-dup graphs are locally dense (clusters of copies), so
+    * diameters are small; a corpus-scale run converges in a handful of
+    * rounds. `localCheckpoint` truncates lineage each round so the plan
+    * does not grow with iterations (the classic iterative-Spark trap).
+    * For adversarial long-chain graphs, swap in the large-star/small-star
+    * variant — same contract, same per-round shuffle shape. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id1",
+                          dstCol: String = "id2", maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    var labels = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // push each node's label to its neighbors, keep the per-node min
+      val pushed = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = pushed.unionByName(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // labels only decrease, so "no label decreased" == fixpoint
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).isEmpty
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Duplicate clusters from a near-dup pair list: every node annotated
+    * with its cluster id (min doc id in the component), the cluster size,
+    * and whether it is the canonical survivor. Downstream corpus pruning
+    * is `filter(is_canonical)` — plus the untouched docs that never
+    * appeared in a pair. */
+  def dupClusters(pairs: DataFrame, srcCol: String = "id1",
+                  dstCol: String = "id2"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("label", "cluster_id")
+    cc.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical", col("node") === col("cluster_id"))
+  }
+
   // -------------------------------------------------------- ngram jaccard
 
   /** All-pairs n-gram Jaccard via inverted index: explode distinct

@@ -292,7 +292,41 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Duplicate clustering: the q26 near-dup pairs collapsed into
+    * connected components, each doc labeled with its cluster id (min doc
+    * id reachable), cluster size, and canonical-survivor flag. Oracle =
+    * DuckDB recursive-CTE transitive closure over the identical pair
+    * list — any propagation bug (dropped edge, early convergence) yields
+    * different cluster ids and breaks the hash. */
+  def q59DupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupOps.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+      "text", "doc_id", shingleLen = 2, threshold = 0.03, maxDf = 40)
+    DedupOps.dupClusters(pairs)
+      .select($"node".as("doc_id"), $"cluster_id", $"cluster_size",
+        $"is_canonical".cast("long").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark decontamination: docs with doc_id % 50 == 7 act as the
+    * "eval set"; every other doc is flagged iff it shares a 5-gram with
+    * that set. Oracle computes the identical membership on string
+    * 5-grams — the engine's xxhash64 gram keys must induce exactly the
+    * same contaminated set (full-64-bit universe: collision-free here). */
+  def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val bench = docs.filter($"doc_id" % 50 === 7)
+      .select($"text".as("bench_text"))
+    DedupOps.contaminationFlags(docs.filter($"doc_id" % 50 =!= 7),
+        "text", "doc_id", bench, "bench_text", n = 5)
+      .select($"doc_id", $"is_contaminated".cast("long").as("is_contaminated"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q60_decontaminate" -> (q60Decontaminate _),
+    "q59_dup_clusters" -> (q59DupClusters _),
     "q53_ann_ivf" -> (q53AnnIvf _),
     "q52_cosine_neardups" -> (q52CosineNearDups _),
     "q44_asof_join" -> (q44AsofJoin _),
@@ -378,6 +412,29 @@ object LlmQueries {
   private val simhashFromBitsSql: String = (0 until 32).map { j =>
     s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
+
+  /** The q26 2-gram Jaccard pair pipeline as a CTE chain (sets → sizes →
+    * inv → capped → inter), shared by q26 and the q59 clustering oracle so
+    * both engines see the identical edge list. */
+  private val jaccard2gramCtes =
+    s"""sets AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len($toksSql) < 2 THEN [$normSql]
+       |         ELSE list_distinct(list_transform(
+       |           range(0, len($toksSql) - 1),
+       |           i -> concat_ws(' ', $toksSql[i+1], $toksSql[i+2])))
+       |    END AS sh
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+       |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+       |capped AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM inv)
+       |  WHERE df <= 40),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q27_minhash_lsh" ->
@@ -627,24 +684,7 @@ object LlmQueries {
          |FROM g WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
     "q26_ngram_jaccard" ->
-      s"""WITH sets AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len($toksSql) < 2 THEN [$normSql]
-         |         ELSE list_distinct(list_transform(
-         |           range(0, len($toksSql) - 1),
-         |           i -> concat_ws(' ', $toksSql[i+1], $toksSql[i+2])))
-         |    END AS sh
-         |  FROM documents),
-         |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
-         |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
-         |capped AS (
-         |  SELECT doc_id, g FROM (
-         |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM inv)
-         |  WHERE df <= 40),
-         |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-         |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
+      s"""WITH $jaccard2gramCtes
          |SELECT id1, id2,
          |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
          |FROM inter
@@ -652,6 +692,47 @@ object LlmQueries {
          | JOIN sizes s2 ON s2.doc_id = id2
          |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.03
          |ORDER BY id1, id2""".stripMargin,
+    "q60_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t, $normSql AS norm FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(t) < 5 THEN [norm]
+         |         ELSE list_distinct(list_transform(range(0, len(t) - 4),
+         |           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5])))
+         |    END) AS g
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 7),
+         |hits AS (
+         |  SELECT DISTINCT doc_id FROM grams
+         |  WHERE doc_id % 50 <> 7 AND g IN (SELECT g FROM bench))
+         |SELECT doc_id,
+         |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+         |FROM documents WHERE doc_id % 50 <> 7
+         |ORDER BY doc_id""".stripMargin,
+    "q59_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccard2gramCtes,
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |   JOIN sizes s1 ON s1.doc_id = id1
+         |   JOIN sizes s2 ON s2.doc_id = id2
+         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.03),
+         |sym AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS src, id1 AS dst FROM pairs),
+         |walk(node, reach) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src),
+         |cc AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node)
+         |SELECT node AS doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_canonical
+         |FROM cc
+         |ORDER BY doc_id""".stripMargin,
     "q29_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),

@@ -350,6 +350,45 @@ object RelationalQueries {
       .orderBy($"region", $"nation")
   }
 
+  /** Pivot (long→wide): per user-bucket event-type counts. The pivot
+    * values are passed EXPLICITLY — without them Spark runs an extra
+    * distinct-collect job over the full input to discover the columns,
+    * which at corpus scale is a full scan before the real one; with them
+    * the pivot compiles to one hash aggregate with a fixed projection. */
+  def q61Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("bucket", $"user_id" % 10)
+      .groupBy($"bucket")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      // absent (bucket, type) combos pivot to NULL; the conditional-agg
+      // twin yields 0 — normalize so both engines agree
+      .select($"bucket" +: Seq("click", "error", "purchase", "signup", "view")
+        .map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
+      .orderBy($"bucket")
+  }
+
+  /** GROUPING SETS: region totals, nation totals, and the grand total in
+    * ONE pass (Expand + single hash aggregate — vs three scans + union).
+    * The NULL slots from non-grouped columns are sentineled 'ALL' so the
+    * three stratum shapes stay distinguishable and hash-comparable. */
+  def q62GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val joined = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+    joined
+      .groupingSets(Seq(Seq($"r_name"), Seq($"n_name"), Seq()),
+        $"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(floor($"c_acctbal" * 100.0 + 0.5)).cast("long").as("total_bal_cents"))
+      .select(coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"n_customers", $"total_bal_cents")
+      .orderBy($"region", $"nation")
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL surface:
     * small-order lineitems per part. Catalyst decorrelates the per-part
     * average into an aggregate + join — verify with explain that no
@@ -507,7 +546,9 @@ object RelationalQueries {
     "q43_volume_by_year" -> (q43VolumeByYear _),
     "q56_check_accepted" -> (q56CheckAccepted _),
     "q57_disjunctive_predicate" -> (q57DisjunctivePredicate _),
-    "q58_multi_distinct" -> (q58MultiDistinct _)
+    "q58_multi_distinct" -> (q58MultiDistinct _),
+    "q61_pivot" -> (q61Pivot _),
+    "q62_grouping_sets" -> (q62GroupingSets _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -757,6 +798,26 @@ object RelationalQueries {
         | count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    "q61_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        | count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events
+        |GROUP BY user_id % 10
+        |ORDER BY bucket""".stripMargin,
+    "q62_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        | coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_customers,
+        | CAST(sum(floor(c_acctbal * 100.0 + 0.5)) AS BIGINT) AS total_bal_cents
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY region, nation""".stripMargin
   )
 }

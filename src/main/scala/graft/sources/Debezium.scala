@@ -69,11 +69,19 @@ object Debezium {
     * `keyField` is the source PK name inside the after image. */
   def rawModel(cdc: DataFrame, keyField: String): DataFrame =
     cdc
-      .filter(get_json_object(col("value"), "$.payload.after").isNotNull)
+      // json_tuple parses each JSON string ONCE and emits several fields —
+      // the naive formulation (one get_json_object per field + one in the
+      // tombstone filter) re-parses the full envelope 4×. Two-level
+      // extraction: envelope → payload text, payload → (after, ts_ms),
+      // then only the (small) after-image is parsed for the key.
+      .select(json_tuple(col("value"), "payload").as("__p"), col("timestamp"))
+      .select(json_tuple(col("__p"), "after", "ts_ms").as(Seq("__after", "__ts_ms")),
+        col("timestamp"))
+      .filter(col("__after").isNotNull)
       .select(
-        get_json_object(col("value"), s"$$.payload.after.$keyField").as(keyField),
-        get_json_object(col("value"), "$.payload.after").as("nested_data"),
-        get_json_object(col("value"), "$.payload.ts_ms").cast(LongType).as("cdc_ts_ms"),
+        get_json_object(col("__after"), s"$$.$keyField").as(keyField),
+        col("__after").as("nested_data"),
+        col("__ts_ms").cast(LongType).as("cdc_ts_ms"),
         col("timestamp").as("ingestion_cdc_time"),
         date_format(col("timestamp"), "yyyy-MM-dd").as("ingestion_cdc_date"),
         current_timestamp().as("ingestion_timestamp"))

@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.DedupOps
+
+/** Duplicate clustering: connected components over near-dup pairs and the
+  * canonical-survivor selection built on it. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] =
+    DedupOps.connectedComponents(edges.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain propagates the min label across the full diameter") {
+    // 1-2-3-4-5 is the worst case for naive propagation: diameter 4
+    assert(cc(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep distinct min labels") {
+    val got = cc(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L, 21L -> 20L)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("min label wins regardless of edge direction") {
+    // min id only ever appears on the right-hand side
+    assert(cc(5L -> 1L, 6L -> 5L, 7L -> 6L) ==
+      Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
+  test("dupClusters sizes clusters and flags exactly one canonical each") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L).toDF("id1", "id2")
+    val got = DedupOps.dupClusters(pairs)
+      .select($"node", $"cluster_id", $"cluster_size", $"is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (10L, 10L, 2L, true), (11L, 10L, 2L, false)))
+  }
+
+  test("planted exact duplicates land in the same cluster end-to-end") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"), (4L, "epsilon zeta eta theta"),
+      (5L, "totally unrelated words here")).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleLen = 2, threshold = 0.9, maxDf = 10)
+    val clusters = DedupOps.dupClusters(pairs)
+      .select($"node", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // doc 5 never paired: untouched by clustering (survives by default)
+  }
+}

@@ -80,4 +80,29 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Window"), "merge must be aggregate-based, not window")
     assert(shuffles(df) == 1)
   }
+
+  test("grouping sets: ONE Expand + one aggregate, not three scans") {
+    val df = RelationalQueries.q62GroupingSets(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(p).length == 1, "grouping sets must Expand once")
+    assert(!p.contains("Union"), "must not union per-stratum scans")
+    assert("FileScan parquet".r.findAllIn(p).length <= 3) // customer+nation+region
+  }
+
+  test("pivot with explicit values: single aggregate, no distinct-discovery scan") {
+    val df = RelationalQueries.q61Pivot(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // one scan of events only — value discovery would add a second
+    assert("FileScan parquet".r.findAllIn(p).length == 1)
+    // canonical pivot = two-phase aggregate ((bucket,type) agg → pivot_first
+    // by bucket) + the output range sort = 3 exchanges, all partial-agg'd
+    assert(shuffles(df) <= 3, s"pivot shuffle count regressed: ${shuffles(df)}")
+  }
+
+  test("decontamination: gram joins stay hash/broadcast, corpus never cartesian") {
+    val df = LlmQueries.q60Decontaminate(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi"), "gram membership must be a semi-join")
+  }
 }
