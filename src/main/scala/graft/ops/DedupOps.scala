@@ -268,8 +268,12 @@ object DedupOps {
     * variant — same contract, same per-round shuffle shape. */
   def connectedComponents(edges: DataFrame, srcCol: String = "id1",
                           dstCol: String = "id2", maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // materialize the (possibly expensive) edge pipeline ONCE — the
+    // symmetric union below references it twice, and every iteration
+    // rejoins it
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = sym.groupBy("src").agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
@@ -278,16 +282,21 @@ object DedupOps {
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      // push each node's label to its neighbors, keep the per-node min
+      // push each node's label to its neighbors, keep the per-node min;
+      // each node's OWN previous label rides along (min ignores nulls) so
+      // convergence ("no label decreased" — labels only decrease) reads
+      // off the same aggregate instead of a second join
       val pushed = sym.join(labels, sym("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = pushed.unionByName(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast("long").as("own"))
+      val own = labels.select(col("node"), col("label"),
+        col("label").as("own"))
+      val next = pushed.unionByName(own)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), min(col("own")).as("old"))
         .localCheckpoint()
-      // labels only decrease, so "no label decreased" == fixpoint
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") < col("old")).isEmpty
+      labels = next.select(col("node"), col("label"))
     }
     sym.unpersist()
     labels

@@ -204,4 +204,48 @@ object TextOps {
         ip, "[IP]"),
       phone, "[PHONE]")
   }
+
+  /** BM25 relevance of every document against a fixed term list (Okapi
+    * BM25, the standard k1/b parameterization) — the lexical-ranking
+    * primitive for corpus search / quality-by-query filtering.
+    *
+    * Returns (idCol, doc_len, score) for ALL docs (score 0.0 when no term
+    * matches). Shape at 100 TB: ONE pass over the text — per-term tf via
+    * fused conditional counts on the token array (`size(filter(...))`,
+    * codegen'd, no explode/shuffle), corpus stats (N, avgdl, per-term df)
+    * in ONE tiny aggregate broadcast back as a 1-row join. The per-doc
+    * score is a FIXED-ORDER sum over the term list — deterministic
+    * (engine-portable) where a grouped float sum would not be. */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    // tokenize ONCE behind an alias boundary (CollapseProject won't inline
+    // a non-cheap expr referenced K+1 times — see withMetrics note)
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    def tf(t: String): Column =
+      size(filter(col("__toks"), tok => tok === lit(t))).cast("double")
+    // blank text tokenizes to [""]: doc_len 0, matching tokenCount
+    val docLen = when(size(col("__toks")) === 1 &&
+      element_at(col("__toks"), 1) === "", 0.0)
+      .otherwise(size(col("__toks")).cast("double"))
+    val withTf = toked.select(
+      (col(idCol) +: docLen.as("doc_len") +:
+        terms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }): _*)
+    val statAggs = count(lit(1)).cast("double").as("__n") +:
+      avg(col("doc_len")).as("__avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1.0).otherwise(0.0)).as(s"__df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    // fixed-order fold over terms: idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    val score = terms.indices.map { i =>
+      val idf = log(
+        (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5) + 1.0)
+      val denom = col(s"__tf$i") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("doc_len") / col("__avgdl"))
+      idf * (col(s"__tf$i") * (k1 + 1.0)) / denom
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats)) // 1-row stats: scalar broadcast join
+      .select(col(idCol), col("doc_len").cast("long").as("doc_len"),
+        score.as("score"))
+  }
 }

@@ -86,17 +86,40 @@ object FunctionQueries {
     // bounds flips a 1 to 0 and breaks the hash. Sketches are
     // deterministic given the data, so this is a stable gate, not a coin
     // flip.
-    val exactD = countDistinct($"l_orderkey")
-    val exactMed = expr("percentile(l_extendedprice, 0.5)")
-    Tables.load(s, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(
-        exactD.as("n_orders_exact"),
-        (abs(approx_count_distinct($"l_orderkey", 0.01) - exactD) <=
-          exactD * 0.05).cast("long").as("hll_within_5pct"),
-        (abs(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)) - exactMed) <=
-          exactMed * 0.05).cast("long").as("median_within_5pct"),
-        count(lit(1)).as("n"))
+    // Plan note: NEVER mix countDistinct with typed-imperative sketch
+    // aggregates in one agg. The distinct forces an Expand plan whose
+    // partial phase groups by (flag, orderkey) — and percentile_approx
+    // then builds + serializes a QuantileSummaries buffer PER
+    // (flag,orderkey) GROUP (~600k buffers at sf0.1; measured 57 s for
+    // the single fused agg vs ~2 s split). Sketches and distincts run as
+    // separate 2-phase aggregates and meet in a 5-row join. Exact
+    // percentile is likewise banished (collect-all-values buffers — a
+    // 100 TB killer); the exact median is a distributed SORT + middle-row
+    // average, spillable, same linear-interpolation semantics.
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(s, dir, "lineitem")
+    val sketches = li.groupBy($"l_returnflag").agg(
+      approx_count_distinct($"l_orderkey", 0.01).cast("double").as("__hll"),
+      percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("__amed"),
+      count(lit(1)).as("n"))
+    val distincts = li.groupBy($"l_returnflag").agg(
+      countDistinct($"l_orderkey").as("n_orders_exact"))
+    val sketched = sketches.join(distincts, Seq("l_returnflag"))
+    val ranked = li.select($"l_returnflag", $"l_extendedprice")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy($"l_returnflag")))
+    val med = ranked
+      .filter($"__r" === ($"__n" + 1) / 2 || $"__r" === ($"__n" + 2) / 2)
+      .groupBy($"l_returnflag").agg(avg($"l_extendedprice").as("__emed"))
+    sketched.join(med, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_orders_exact",
+        (abs($"__hll" - $"n_orders_exact") <= $"n_orders_exact" * 0.05)
+          .cast("long").as("hll_within_5pct"),
+        (abs($"__amed" - $"__emed") <= $"__emed" * 0.05)
+          .cast("long").as("median_within_5pct"),
+        $"n")
       .orderBy($"l_returnflag")
   }
 

@@ -324,7 +324,20 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** BM25 lexical ranking of the corpus against a fixed query. e4
+    * quantization AFTER the fixed-order per-term fold keeps the float
+    * math engine-portable (grouped sums would not be). */
+  def q63Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.bm25(Tables.load(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("spark", "query", "fast"))
+      .select($"doc_id", $"doc_len",
+        floor($"score" * 10000.0 + 0.5).as("score_e4"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q63_bm25" -> (q63Bm25 _),
     "q60_decontaminate" -> (q60Decontaminate _),
     "q59_dup_clusters" -> (q59DupClusters _),
     "q53_ann_ivf" -> (q53AnnIvf _),
@@ -692,6 +705,36 @@ object LlmQueries {
          | JOIN sizes s2 ON s2.doc_id = id2
          |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.03
          |ORDER BY id1, id2""".stripMargin,
+    "q63_bm25" -> {
+      val terms = Seq("spark", "query", "fast")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n    ")
+      val dfCols = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(",\n    ")
+      val scoreSql = terms.indices.map { i =>
+        s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
+           | * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"""
+          .stripMargin.replace("\n", "")
+      }.mkString("\n    + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t,
+         |    CAST($nTokSql AS DOUBLE) AS dl
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, dl,
+         |    $tfCols
+         |  FROM toks),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |    $dfCols
+         |  FROM tf)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+         |  CAST(floor(($scoreSql) * 10000.0 + 0.5) AS BIGINT) AS score_e4
+         |FROM tf, stats
+         |ORDER BY doc_id""".stripMargin
+    },
     "q60_decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS t, $normSql AS norm FROM documents),

@@ -44,7 +44,8 @@ object CdcStream {
                          table: SnapshotTable, keyField: String,
                          checkpointDir: String,
                          partitionBy: Seq[String] = Seq("ingestion_cdc_date"),
-                         quarantine: Option[SnapshotTable] = None): Long = {
+                         quarantine: Option[SnapshotTable] = None,
+                         rowSchema: Option[StructType] = None): Long = {
     var batches = 0L
     val q = readJsonlStream(spark, topicDir).writeStream
       .trigger(Trigger.AvailableNow())
@@ -57,7 +58,14 @@ object CdcStream {
           if (!malformed.isEmpty)
             qt.merge(malformed, Seq("raw_message"), Seq(col("raw_message")))
         }
-        val raw = Debezium.rawModel(valid, keyField)
+        // declared row schema → single-parse typed path (~2× on the parse;
+        // note nested_data is then the re-serialization of DECLARED fields,
+        // not the verbatim after-image — same trade as CdcTablePipeline)
+        val raw = rowSchema match {
+          case Some(schema) =>
+            Debezium.rawModelTyped(valid, keyField, schema).drop("after")
+          case None => Debezium.rawModel(valid, keyField)
+        }
         if (!raw.isEmpty) {
           table.merge(raw, Seq(keyField), Seq(col("cdc_ts_ms")), partitionBy)
         }

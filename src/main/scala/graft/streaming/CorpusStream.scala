@@ -24,6 +24,22 @@ import graft.sinks.{AppendOnlyStore, SnapshotTable}
   */
 object CorpusStream {
 
+  /** Streaming-NATIVE dedup for continuous pipelines: fingerprint each doc
+    * and drop duplicates inside the watermark horizon via Spark's
+    * state-store (`dropDuplicatesWithinWatermark`). State is BOUNDED —
+    * fingerprints older than the watermark are evicted — which is the
+    * right trade for "suppress the re-crawl storm" dedup where duplicate
+    * arrivals cluster in time; cross-all-time dedup remains
+    * [[ingestDedupedAvailableNow]]'s append-only store (no horizon, but
+    * external state). The two compose: in-stream suppression first shrinks
+    * every micro-batch before the store join. */
+  def dedupWithinWatermark(docs: DataFrame, textCol: String,
+                           eventTimeCol: String, delay: String): DataFrame =
+    docs.withColumn("fingerprint",
+        graft.ops.TextOps.fingerprint(col(textCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   def ingestDedupedAvailableNow(spark: SparkSession, docsDir: String,
                                 schema: StructType,
                                 corpus: SnapshotTable,

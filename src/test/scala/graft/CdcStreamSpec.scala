@@ -60,4 +60,30 @@ class CdcStreamSpec extends SparkSpec {
     assert(quarantine.read().count() == 1)
     assert(quarantine.read().head().getString(0).startsWith("THIS IS NOT"))
   }
+
+  test("typed single-parse streaming path produces the same raw contract") {
+    val root = tmpDir("stream_typed")
+    val topicDir = s"$root/topic"
+    Files.createDirectories(Paths.get(topicDir))
+    Fixtures.providerCdcJsonl(s"$topicDir/batch1.jsonl", n = 20)
+
+    val untypedT = new SnapshotTable(spark, s"$root/raw_untyped")
+    CdcStream.ingestAvailableNow(spark, topicDir, untypedT, "provider_id",
+      s"$root/ckpt_u")
+    val typedT = new SnapshotTable(spark, s"$root/raw_typed")
+    CdcStream.ingestAvailableNow(spark, topicDir, typedT, "provider_id",
+      s"$root/ckpt_t",
+      rowSchema = Some(graft.ops.ProviderModels.providerSchema))
+
+    assert(typedT.read().columns.sorted.toSeq ==
+      untypedT.read().columns.sorted.toSeq)
+    assert(typedT.read().count() == 20)
+    // both paths shred to identical typed values
+    def shredded(t: SnapshotTable) = graft.sources.Debezium.shred(
+        t.read(), graft.ops.ProviderModels.providerSchema)
+      .select($"provider_id", $"provider_name", $"npi", $"care_site")
+      .orderBy($"provider_id")
+    assert(shredded(typedT).collect().toSeq ==
+      shredded(untypedT).collect().toSeq)
+  }
 }

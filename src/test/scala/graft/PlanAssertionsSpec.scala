@@ -27,7 +27,8 @@ class PlanAssertionsSpec extends SparkSpec {
     // else must plan hash/sort-merge joins
     val intentionallyBruteForce = Set(
       "q29_cosine_topk", "q52_cosine_neardups", "q38_fuzzy_match",
-      "q19_check_metrics" /* 1-row x 1-row metric crossJoin */)
+      "q19_check_metrics" /* 1-row x 1-row metric crossJoin */,
+      "q63_bm25" /* 1-row corpus-stats broadcast join */)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
