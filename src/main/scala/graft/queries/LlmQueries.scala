@@ -336,7 +336,26 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** ANN over the PERSISTED IVF index (the 100 TB shape): build the
+    * cell-partitioned index once into a temp dir, then answer the same
+    * query batch as q53 via a partition-pruned probe — nprobe cell
+    * directories scanned, queries broadcast, zero corpus shuffle. Same
+    * centroids (stride-sampled seeds) as q53, so the q53 oracle applies
+    * verbatim: index build + probe must together reproduce the
+    * recompute-everything pipeline exactly. */
+  def q64AnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val idx = SimilarityOps.buildIvfIndex(emb, root, nlist = 16)
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    SimilarityOps.ivfTopKIndexed(idx, queries, k = 5, nprobe = 4)
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q64_ann_ivf_indexed" -> (q64AnnIvfIndexed _),
     "q63_bm25" -> (q63Bm25 _),
     "q60_decontaminate" -> (q60Decontaminate _),
     "q59_dup_clusters" -> (q59DupClusters _),
@@ -449,6 +468,44 @@ object LlmQueries {
        |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
+  /** The IVF assign→probe→score→rank pipeline as DuckDB SQL — shared by
+    * q53 (recompute path) and q64 (persisted-index path), which must
+    * agree exactly. */
+  private lazy val ivfOracleSql: String =
+    s"""WITH cent AS (
+       |  SELECT CAST((rn - 1) / 7 AS INT) AS cid, embedding AS c
+       |  FROM (SELECT vec_id, embedding,
+       |          row_number() OVER (ORDER BY vec_id) AS rn
+       |        FROM embeddings ORDER BY vec_id LIMIT 112)
+       |  WHERE (rn - 1) % 7 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c")} DESC, c.cid DESC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id < 8),
+       |probes AS (
+       |  SELECT q_id, q_vec, cell FROM (
+       |    SELECT q.q_id, q.q_vec, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q.q_vec", "c.c")} DESC, c.cid DESC) AS rn
+       |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    round(${cosSql("a.embedding", "p.q_vec")}, 4) AS cos
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cos, rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q27_minhash_lsh" ->
       s"""WITH all_docs AS (
@@ -502,40 +559,10 @@ object LlmQueries {
          |FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin
     },
-    "q53_ann_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT CAST((rn - 1) / 7 AS INT) AS cid, embedding AS c
-         |  FROM (SELECT vec_id, embedding,
-         |          row_number() OVER (ORDER BY vec_id) AS rn
-         |        FROM embeddings ORDER BY vec_id LIMIT 112)
-         |  WHERE (rn - 1) % 7 = 0),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.c")} DESC, c.cid DESC) AS rn
-         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-         |q AS (
-         |  SELECT vec_id AS q_id, embedding AS q_vec
-         |  FROM embeddings WHERE vec_id < 8),
-         |probes AS (
-         |  SELECT q_id, q_vec, cell FROM (
-         |    SELECT q.q_id, q.q_vec, c.cid AS cell,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${cosSql("q.q_vec", "c.c")} DESC, c.cid DESC) AS rn
-         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
-         |scored AS (
-         |  SELECT p.q_id, a.vec_id,
-         |    round(${cosSql("a.embedding", "p.q_vec")}, 4) AS cos
-         |  FROM assigned a JOIN probes p ON a.cell = p.cell
-         |  WHERE a.vec_id <> p.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         |  FROM scored)
-         |SELECT q_id, vec_id, cos, rank
-         |FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin,
+    "q53_ann_ivf" -> ivfOracleSql,
+    // identical pipeline contract: the persisted index must reproduce the
+    // recompute-everything IVF result exactly
+    "q64_ann_ivf_indexed" -> ivfOracleSql,
     "q52_cosine_neardups" ->
       """WITH p AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
