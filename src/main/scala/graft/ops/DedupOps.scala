@@ -129,10 +129,21 @@ object DedupOps {
                       threshold: Double, k: Int = 64, bands: Int = 16,
                       shingleLen: Int = 3, seed: Long = 42L): DataFrame = {
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleLen, seed)
+    // the candidate-pair list is referenced three times below (two id
+    // projections + the verification join) — materialize the signature →
+    // band → bucket-join pipeline ONCE; the pair list itself is tiny
     val pairs = lshCandidatePairs(
-      lshBuckets(sigs, idCol, bands, k / bands), idCol)
-    val sets = df.select(col(idCol),
-      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      lshBuckets(sigs, idCol, bands, k / bands), idCol).localCheckpoint()
+    // Verification cost must scale with the CANDIDATE set, not the
+    // corpus: semi-join down to docs that appear in some pair before
+    // shingling for exact Jaccard (naively, the sets subtree shingles the
+    // ENTIRE corpus — and twice, once per join side). localCheckpoint
+    // materializes the now-small sets once for both joins.
+    val candIds = pairs.select(col("id1").as(idCol))
+      .unionByName(pairs.select(col("id2").as(idCol))).distinct()
+    val sets = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .localCheckpoint()
     pairs
       .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))

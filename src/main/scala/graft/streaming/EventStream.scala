@@ -78,6 +78,31 @@ object EventStream {
       }
   }
 
+  /** Stream-stream INTERVAL JOIN: each left event pairs with right events
+    * for the same user whose event time falls in [left.ts, left.ts +
+    * horizon] — the attribution primitive (click → purchase within N
+    * minutes). Both sides carry watermarks and the join condition bounds
+    * event time BOTH ways, which is what lets Spark expire buffered state:
+    * a row older than watermark + horizon can never join again and is
+    * dropped, so state is O(events inside the horizon), not O(stream).
+    * Append-only output; equi-key (user_id) keeps the join
+    * hash-partitioned — never a broadcast-nested-loop. */
+  def intervalJoin(left: DataFrame, right: DataFrame, horizon: String = "15 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"),
+        col("r_ts"), col("r_type"), col("r_value"))
+  }
+
   /** Run a file-sourced event stream through `windowedAgg` into an
     * in-memory table (local smoke path; swap source/sink for Kafka/parquet
     * in production — the transform is identical). Returns the result. */

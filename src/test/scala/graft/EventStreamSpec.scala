@@ -35,6 +35,32 @@ class EventStreamSpec extends SparkSpec {
       closed.agg(sum($"n")).head().getLong(0))
   }
 
+  test("stream-stream interval join pairs events inside the horizon only") {
+    def ev(u: Long, minute: Long, t: String, v: Double) =
+      Event(u, new Timestamp(1700000000000L + minute * 60000L), t, v)
+    // u1: click→purchase@+5min joins; purchase@+20min is past the horizon
+    // u2: click with no purchase; u3: purchase with no click
+    val events = Seq(
+      ev(1, 0, "click", 1.0), ev(1, 5, "purchase", 10.0),
+      ev(1, 20, "purchase", 99.0),
+      ev(2, 0, "click", 2.0), ev(3, 1, "purchase", 30.0))
+    val dir = tmpDir("ssjoin")
+    events.toDF().repartition(1).write.parquet(s"$dir/in")
+    val schema = events.toDF().schema
+    def stream(tpe: String) = spark.readStream.schema(schema)
+      .parquet(s"$dir/in").filter($"event_type" === tpe)
+    val q = EventStream.intervalJoin(stream("click"), stream("purchase"),
+        horizon = "15 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin")
+      .select($"user_id", $"l_value", $"r_value")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(got == Set((1L, 1.0, 10.0)))
+  }
+
   test("stateful sessionizer closes sessions on gap and aggregates values") {
     def ev(u: Long, minute: Long, v: Double) =
       Event(u, new Timestamp(1700000000000L + minute * 60000L), "click", v)
