@@ -39,6 +39,21 @@ object RunStreaming {
     val sessions = spark.table("sessions_cli")
     println(s"[streaming] sessionizer: ${sessions.count()} closed sessions, " +
       s"max events/session=${sessions.agg(max($"n_events")).head().getLong(0)}")
+
+    // stream-stream interval join: purchases attributed to a click within
+    // 15 minutes, per user
+    def typedStream = spark.readStream
+      .schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val j = EventStream.intervalJoin(
+        typedStream.filter($"event_type" === "click"),
+        typedStream.filter($"event_type" === "purchase"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attrib_cli").start()
+    j.processAllAvailable()
+    j.stop()
+    println(s"[streaming] interval join: " +
+      s"${spark.table("attrib_cli").count()} click→purchase attributions")
     spark.stop()
   }
 }

@@ -104,22 +104,24 @@ object DedupOps {
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
   }
 
-  /** Candidate pairs from bucket collisions (id1 < id2, distinct). The
-    * self-join is keyed on (band_idx, band_hash) — hash-partitionable;
-    * giant buckets (degenerate content) are capped to keep worst-case
-    * quadratic blowup bounded. */
+  /** Candidate pairs from bucket collisions (id1 < id2, distinct), via
+    * grouped posting lists: ONE shuffle on (band_idx, band_hash), sort
+    * each bucket's id list, emit ordered pairs with array lambdas. The
+    * bucket-size cap bounds per-bucket work at maxBucketSize² (degenerate
+    * buckets from boilerplate content are dropped, same guard as the
+    * n-gram stop-shingle cap). The windowed-self-join formulation this
+    * replaces evaluated the whole signature pipeline once per join side
+    * and shuffled it three times — posting lists scan it once. */
   def lshCandidatePairs(buckets: DataFrame, idCol: String,
-                        maxBucketSize: Int = 1000): DataFrame = {
-    val sized = buckets
-      .withColumn("__bs", count(lit(1)).over(
-        Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("__bs") <= maxBucketSize).drop("__bs")
-    val l = sized.select(col("band_idx"), col("band_hash"), col(idCol).as("id1"))
-    val r = sized.select(col("band_idx"), col("band_hash"), col(idCol).as("id2"))
-    l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-  }
+                        maxBucketSize: Int = 1000): DataFrame =
+    buckets.groupBy(col("band_idx"), col("band_hash"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS id1, y AS id2))))""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2")).distinct()
 
   /** Full MinHash-LSH near-dup pipeline: signatures → buckets → candidate
     * pairs → exact-Jaccard verification on shingle sets. Returns pairs
@@ -210,6 +212,13 @@ object DedupOps {
             .bitwiseAND((1L << width) - 1).as("chunk_val"))
       }: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.chunk"), col("b.chunk_val"))
+    // Plain equi-self-join on the chunk key: the shuffle under both sides
+    // is identical, so ReusedExchange evaluates the signature pipeline
+    // ONCE and the join streams pairs through codegen. (A grouped
+    // posting-list formulation was tried and measured ~60% SLOWER here —
+    // with wide 2^width buckets its collect_list/array_sort/struct-copy
+    // overhead buys nothing, because unlike lshCandidatePairs there is no
+    // window-cap above the exchange for it to eliminate.) */
     val l = banded.select(col("chunk"), col("chunk_val"),
       col(idCol).as("id1"), col("simhash").as("s1"))
     val r = banded.select(col("chunk"), col("chunk_val"),
@@ -340,7 +349,10 @@ object DedupOps {
     val inv = df.select(col(idCol),
       explode(TextOps.shingles(col(textCol), shingleLen)).as("g"))
     // set sizes derived from the exploded index (shingles are distinct per
-    // doc) — avoids shingling the corpus a second time
+    // doc): the aggregate puts an exchange boundary under the two
+    // verification joins, which ReusedExchange then computes ONCE — a
+    // plain size(shingles) projection (tried, 2-3× slower end-to-end)
+    // re-shingles the corpus once per join side instead
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     // Pair enumeration WITHOUT a self-join: group the inverted index per
     // gram (one shuffle), apply the document-frequency cap on the posting

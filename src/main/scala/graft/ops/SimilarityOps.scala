@@ -299,7 +299,9 @@ object SimilarityOps {
     // in many bands would otherwise shuffle both dim×4-byte vectors once
     // per collision (up to `bands`× redundant vector bytes through the
     // distinct). Vectors join back exactly once per surviving pair, for
-    // the exact-cosine verification.
+    // the exact-cosine verification. The equi-self-join's two sides share
+    // one exchange (ReusedExchange), so the bucket-code projection is
+    // computed once.
     val banded = corpus.select(col(idCol),
       explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.band"), col("b.code"))

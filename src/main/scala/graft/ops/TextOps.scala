@@ -205,6 +205,30 @@ object TextOps {
       phone, "[PHONE]")
   }
 
+  /** Token-stream packing for training batches: concatenate each shard's
+    * documents (ordered by id) into one token stream and cut it at
+    * `capacity`-token boundaries — the standard GPT-style pretraining
+    * packing (documents straddle window boundaries; `straddles` flags
+    * them). Adds shard, start_off, bin, straddles.
+    *
+    * Packing is inherently a prefix-sum; a single global cumsum would
+    * serialize on one partition. Real pipelines pack PER OUTPUT SHARD, so
+    * the window partitions by an arithmetic shard of the id (deterministic
+    * across engines — no hash functions) and each shard's prefix sum runs
+    * in parallel. Pure integer math end to end. */
+  def packStream(docs: DataFrame, idCol: String, lenCol: String,
+                 capacity: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs.withColumn("shard", pmod(col(idCol), lit(shards)))
+      .withColumn("__end", sum(col(lenCol)).over(w))
+      .withColumn("start_off", (col("__end") - col(lenCol)).cast("long"))
+      .withColumn("bin", floor(col("start_off") / capacity))
+      .withColumn("straddles",
+        col(lenCol) > 0 && floor((col("__end") - 1) / capacity) > col("bin"))
+      .drop("__end")
+  }
+
   /** BM25 relevance of every document against a fixed term list (Okapi
     * BM25, the standard k1/b parameterization) — the lexical-ranking
     * primitive for corpus search / quality-by-query filtering.

@@ -354,7 +354,42 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Time-RANGE window frame: per-user rolling 10-minute value sum. RANGE
+    * frames (vs ROWS) are the event-time analytics primitive — the frame
+    * is defined by the ORDER-BY value, so ties share a frame and the
+    * result is order-deterministic. Values quantized to cents BEFORE the
+    * windowed sum: integer sums are exact in any accumulation order. */
+  def q65RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s")
+      .rangeBetween(-600, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id",
+        // integer µs division, not unix_seconds: engines must truncate
+        // sub-second parts identically (same pattern as q44's epoch_us)
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("ts_s"),
+        floor($"value" * 100.0 + 0.5).as("v_cents"))
+      .withColumn("rolling_10m_cents", sum($"v_cents").over(w))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Token-stream packing: shard-parallel prefix sums assign every doc a
+    * byte-exact (shard, start_off, bin, straddles) packing position.
+    * Integer math end to end — the oracle must agree bit for bit. */
+  def q66Pack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", TextOps.tokenCount($"text").as("n_tokens"))
+    TextOps.packStream(docs, "doc_id", "n_tokens", capacity = 512, shards = 8)
+      .select($"doc_id", $"shard".cast("long").as("shard"),
+        $"start_off", $"bin", $"straddles".cast("long").as("straddles"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_pack" -> (q66Pack _),
+    "q65_range_frame" -> (q65RangeFrame _),
     "q64_ann_ivf_indexed" -> (q64AnnIvfIndexed _),
     "q63_bm25" -> (q63Bm25 _),
     "q60_decontaminate" -> (q60Decontaminate _),
@@ -732,6 +767,37 @@ object LlmQueries {
          | JOIN sizes s2 ON s2.doc_id = id2
          |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.03
          |ORDER BY id1, id2""".stripMargin,
+    "q65_range_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+        |  FROM events)
+        |SELECT user_id, event_id, ts_s, v_cents,
+        |  CAST(sum(v_cents) OVER (PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS rolling_10m_cents
+        |FROM e
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q66_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST($nTokSql AS BIGINT) AS n_tokens,
+         |    doc_id % 8 AS shard
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, shard,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |         AS BIGINT) AS end_off,
+         |    n_tokens
+         |  FROM d)
+         |SELECT doc_id, shard,
+         |  end_off - n_tokens AS start_off,
+         |  CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS bin,
+         |  CAST(CASE WHEN n_tokens > 0 AND
+         |    floor((end_off - 1) / 512.0) > floor((end_off - n_tokens) / 512.0)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS straddles
+         |FROM p
+         |ORDER BY doc_id""".stripMargin,
     "q63_bm25" -> {
       val terms = Seq("spark", "query", "fast")
       val tfCols = terms.zipWithIndex.map { case (t, i) =>

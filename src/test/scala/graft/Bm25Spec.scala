@@ -43,4 +43,26 @@ class Bm25Spec extends SparkSpec {
       .orderBy($"score".desc).select($"doc_id").as[Long].collect()
     assert(ranked.head == 1L)
   }
+
+  test("packStream assigns contiguous shard-local offsets, bins, straddle flags") {
+    // one shard (shards=1), capacity 10: lens 4,4,4 → offsets 0,4,8;
+    // doc 3 starts in bin 0 and crosses into bin 1
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val got = TextOps.packStream(docs, "doc_id", "n_tokens",
+        capacity = 10, shards = 1)
+      .select($"doc_id", $"start_off", $"bin", $"straddles")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 0L, false), (2L, 4L, 0L, false),
+      (3L, 8L, 0L, true), // tokens 8..11 straddle the bin 0/1 cut
+      (4L, 12L, 1L, true))) // tokens 12..21 straddle bins 1/2
+    // sharding: prefix sums are independent per shard
+    val sharded = TextOps.packStream(docs, "doc_id", "n_tokens",
+        capacity = 10, shards = 2)
+      .select($"doc_id", $"shard", $"start_off")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sharded == Set((2L, 0L, 0L), (4L, 0L, 4L), // shard 0: ids 2,4
+      (1L, 1L, 0L), (3L, 1L, 4L))) // shard 1: ids 1,3
+  }
 }
