@@ -389,6 +389,58 @@ object RelationalQueries {
       .orderBy($"region", $"nation")
   }
 
+  /** Salted fact↔dim join (SkewOps.saltedBroadcastJoin): the skew-robust
+    * formulation — dimension exploded salts×, fact salted — must produce
+    * EXACTLY the plain join's rows; the oracle is the unsalted SQL join.
+    * Aggregated per nation so the gate is deterministic. */
+  def q67SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_suppkey".as("s_suppkey"), $"l_extendedprice")
+    val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    graft.ops.SkewOps.saltedBroadcastJoin(li, sup, "s_suppkey", salts = 8)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"l_extendedprice" * 100.0 + 0.5)).cast("long").as("rev_cents"))
+      .orderBy($"s_nationkey")
+  }
+
+  /** Two-phase salted aggregation (SkewOps.saltedAgg): hot grouping keys
+    * partial-aggregate across `salts` shards, then a tiny merge — result
+    * must equal the plain GROUP BY (algebraic aggregates re-aggregate
+    * exactly; cents quantized per row first, so integer sums are exact in
+    * any combine order). */
+  def q68SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.SkewOps.saltedAgg(
+        t(s, dir, "lineitem").select($"l_returnflag",
+          floor($"l_extendedprice" * 100.0 + 0.5).as("cents")),
+        keys = Seq("l_returnflag"), salts = 16,
+        partialAggs = Seq(count(lit(1)).as("pn"), sum($"cents").as("ps")),
+        mergeAggs = Seq(sum($"pn").cast("long").as("n"),
+          sum($"ps").cast("long").as("rev_cents")))
+      .orderBy($"l_returnflag")
+  }
+
+  /** LATERAL correlated subquery through the SQL surface: top-2 customers
+    * per nation — the per-row-subquery idiom; Catalyst decorrelates the
+    * ORDER BY+LIMIT lateral into a ranked window join rather than
+    * re-executing per outer row. Oracle runs the identical LATERAL SQL. */
+  def q69Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n.n_name AS nation, t.c_name, t.bal_cents
+        |FROM nation n,
+        | LATERAL (SELECT c_name,
+        |            CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        |          FROM customer
+        |          WHERE c_nationkey = n.n_nationkey
+        |          ORDER BY c_acctbal DESC, c_name
+        |          LIMIT 2) t
+        |ORDER BY nation, bal_cents DESC, c_name""".stripMargin)
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL surface:
     * small-order lineitems per part. Catalyst decorrelates the per-part
     * average into an aggregate + join — verify with explain that no
@@ -548,7 +600,10 @@ object RelationalQueries {
     "q57_disjunctive_predicate" -> (q57DisjunctivePredicate _),
     "q58_multi_distinct" -> (q58MultiDistinct _),
     "q61_pivot" -> (q61Pivot _),
-    "q62_grouping_sets" -> (q62GroupingSets _)
+    "q62_grouping_sets" -> (q62GroupingSets _),
+    "q67_salted_join" -> (q67SaltedJoin _),
+    "q68_salted_agg" -> (q68SaltedAgg _),
+    "q69_lateral" -> (q69Lateral _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -818,6 +873,28 @@ object RelationalQueries {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name), (n_name), ())
-        |ORDER BY region, nation""".stripMargin
+        |ORDER BY region, nation""".stripMargin,
+    "q67_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+    "q68_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q69_lateral" ->
+      """SELECT n.n_name AS nation, t.c_name, t.bal_cents
+        |FROM nation n,
+        | LATERAL (SELECT c_name,
+        |            CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        |          FROM customer
+        |          WHERE c_nationkey = n.n_nationkey
+        |          ORDER BY c_acctbal DESC, c_name
+        |          LIMIT 2) t
+        |ORDER BY nation, bal_cents DESC, c_name""".stripMargin
   )
 }
