@@ -162,14 +162,10 @@ object DedupOps {
     * tokens, sign → bit. One explode + one groupBy (single shuffle on the
     * doc id, partial-aggregated map-side). `tokenHash` produces the
     * per-token hash column; `bitOf(h, j)` extracts bit j as a boolean. */
-  private def simhashGeneric(df: DataFrame, textCol: String, idCol: String,
-                             bits: Int, tokenHash: Column => Column,
-                             bitOf: (Column, Int) => Column): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", tokenHash(col("tok")))
+  private def simhashFromBits(tok: DataFrame, idCol: String, bits: Int,
+                              bitOf: Int => Column): DataFrame = {
     val bitSums = (0 until bits).map { j =>
-      sum(when(bitOf(col("h"), j), 1).otherwise(-1)).as(s"b$j")
+      sum(when(bitOf(j), 1).otherwise(-1)).as(s"b$j")
     }
     val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until bits).map { j =>
@@ -178,21 +174,41 @@ object DedupOps {
     agg.select(col(idCol), sim.as("simhash"))
   }
 
+  private def tokenized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+
   /** 64-bit SimHash on xxhash64 token hashes — the production path (one
     * 64-bit hash per token, no string hashing beyond xxhash64). */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    simhashGeneric(df, textCol, idCol, bits = 64, tokenHash = xxhash64(_),
-      bitOf = (h, j) => shiftright(h, j).bitwiseAND(1) === 1)
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = tokenized(df, textCol, idCol)
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    simhashFromBits(tok, idCol, bits = 64,
+      bitOf = j => shiftright(col("h"), j).bitwiseAND(1) === 1)
+  }
 
-  /** 32-bit PORTABLE SimHash: per-token bits are the high bit of each of
-    * the first 32 hex chars of md5(token). md5 is standardized, so any
-    * engine (the DuckDB oracle included) computes the identical signature —
-    * this is the cross-engine-checkable twin of [[simhash]], sharing the
-    * same aggregation/banding machinery. */
-  def simhashPortable(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    simhashGeneric(df, textCol, idCol, bits = 32, tokenHash = md5(_),
-      bitOf = (h, j) =>
-        substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"))
+  /** 32-bit PORTABLE SimHash: per-token bit j is the high bit of hex char
+    * j of md5(token). md5 is standardized, so any engine (the DuckDB
+    * oracle included) computes the identical signature — this is the
+    * cross-engine-checkable twin of [[simhash]], sharing the same
+    * aggregation/banding machinery.
+    *
+    * The hex digits are materialized as four 32-bit ints via `conv`
+    * (8 hex chars each), so each of the 32 bit tests in the aggregate is
+    * a shift-and-mask on a long — the original per-bit
+    * `substring(md5, j+1, 1).isin("8".."f")` formulation re-sliced the
+    * hex string 32× per token (measured ~2× slower end-to-end). Alias
+    * boundaries (md5 → hx, conv → v0..v3) survive CollapseProject, so
+    * md5 runs once and conv four times per token. */
+  def simhashPortable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = tokenized(df, textCol, idCol)
+      .select(col(idCol), md5(col("tok")).as("hx"))
+      .select(col(idCol) +: (0 until 4).map { c =>
+        conv(substring(col("hx"), c * 8 + 1, 8), 16, 10).cast("long").as(s"v$c")
+      }: _*)
+    // high bit of hex char (8c + p) = bit 4*(7-p)+3 of v_c
+    simhashFromBits(tok, idCol, bits = 32, bitOf = j =>
+      shiftright(col(s"v${j / 8}"), 4 * (7 - j % 8) + 3).bitwiseAND(1) === 1)
+  }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, found by the
     * pigeonhole band join: split the `sigBits`-bit signature into
@@ -205,7 +221,13 @@ object DedupOps {
                       sigBits: Int = 64): DataFrame = {
     val chunks = maxDist + 1
     val width = sigBits / chunks
-    val banded = sims.select(col(idCol), col("simhash"),
+    // The band self-join references the signature pipeline on BOTH sides,
+    // and canonicalization does not line the two subtrees up for
+    // ReusedExchange (measured: the whole tokenize→hash→agg pipeline ran
+    // twice, ~40% of q28's runtime). Signatures are 16 bytes/doc —
+    // materialize them once, explicitly.
+    val sigsOnly = sims.select(col(idCol), col("simhash")).localCheckpoint()
+    val banded = sigsOnly.select(col(idCol), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * width)
@@ -249,9 +271,9 @@ object DedupOps {
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int = 13): DataFrame = {
     val grams = corpus.select(col(idCol),
-      explode(transform(TextOps.shingles(col(textCol), n), xxhash64(_))).as("g"))
+      explode(TextOps.shingleHashesRaw(col(textCol), n)).as("g"))
     val benchGrams = benchmark.select(
-      explode(transform(TextOps.shingles(col(benchTextCol), n), xxhash64(_))).as("g"))
+      explode(TextOps.shingleHashesRaw(col(benchTextCol), n)).as("g"))
       .distinct()
     val contaminated = grams.join(benchGrams, Seq("g"), "left_semi")
       .select(col(idCol)).distinct().withColumn("__c", lit(true))

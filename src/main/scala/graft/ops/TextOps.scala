@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: token counting,
@@ -98,8 +99,32 @@ object TextOps {
   def fingerprint(text: Column): Column = md5(normalize(text))
 
   /** Word k-grams ("shingles") of the normalized text, distinct. The unit
-    * set for Jaccard/MinHash similarity. */
-  def shingles(text: Column, k: Int): Column = {
+    * set for Jaccard/MinHash similarity. Backed by the native
+    * [[graft.functions.Shingles]] expression — the declarative HOF chain
+    * it replaces evaluates interpreted per element and dominated every
+    * dedup query's runtime (see [[shinglesHof]], kept as the parity
+    * twin). */
+  def shingles(text: Column, k: Int): Column =
+    ExpressionUtils.column(
+      graft.functions.Shingles(ExpressionUtils.expression(text), k))
+
+  /** Hash per shingle, mod 2^31-1 — the numeric universe for MinHash
+    * permutations. xxhash64 of the k-gram string; strictly positive.
+    * Native [[graft.functions.ShingleHashes]], one fused loop per row. */
+  def shingleHashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(graft.functions.ShingleHashes(
+      ExpressionUtils.expression(text), k, mod = 2147483647L))
+
+  /** Full-64-bit shingle hashes (no modulus): decontamination gram keys,
+    * where 2^31 birthday collisions would false-flag at corpus scale. */
+  def shingleHashesRaw(text: Column, k: Int): Column =
+    ExpressionUtils.column(graft.functions.ShingleHashes(
+      ExpressionUtils.expression(text), k, mod = 0L))
+
+  /** The declarative formulation [[shingles]] replaced — semantically
+    * identical, ~20× slower (interpreted nested lambdas). Kept ONLY as
+    * the oracle twin for the native-vs-declarative parity spec. */
+  private[graft] def shinglesHof(text: Column, k: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
     when(n < k, array(normalize(text))).otherwise(
@@ -107,18 +132,6 @@ object TextOps {
         sequence(lit(0), n - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
-
-  /** Rolling (polynomial) hash per shingle, mod 2^31-1 — the numeric
-    * universe for MinHash permutations. Computed from xxhash64 of the
-    * k-gram string; strictly positive.
-    *
-    * (An arithmetic per-token-hash formulation — polynomial fold over
-    * token hashes to skip the k-gram string build — was measured 50%
-    * SLOWER: nested higher-order lambdas (aggregate inside transform)
-    * evaluate interpreted per element, costing more than the string
-    * concat + one xxhash64 they avoid. Kept the flat form.) */
-  def shingleHashes(text: Column, k: Int): Column =
-    transform(shingles(text, k), s => pmod(xxhash64(s), lit(2147483647L)))
 
   /** One-pass text metrics: materialize the normalized text and token
     * array ONCE as columns, then derive every metric from them.
