@@ -48,12 +48,16 @@ object ShingleOps {
     collapsed.substring(from, to)
   }
 
-  /** Distinct word k-grams (first-occurrence order), as Java Strings. */
-  private def grams(text: UTF8String, k: Int): java.util.LinkedHashSet[String] = {
+  /** Word k-grams in document order; `distinct` keeps first occurrences
+    * only (as `array_distinct`), non-distinct keeps every occurrence (the
+    * multiset the repetition metrics need). */
+  private def grams(text: UTF8String, k: Int,
+                    distinct: Boolean): java.util.ArrayList[String] = {
     val norm = normalize(text)
     val toks = norm.split(" ", -1)
-    val seen = new java.util.LinkedHashSet[String]
-    if (toks.length < k) { seen.add(norm); return seen }
+    val out = new java.util.ArrayList[String]
+    if (toks.length < k) { out.add(norm); return out }
+    val seen = if (distinct) new java.util.HashSet[String] else null
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i + k <= toks.length) {
@@ -64,31 +68,31 @@ object ShingleOps {
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
+      val g = sb.toString
+      if (seen == null || seen.add(g)) out.add(g)
       i += 1
     }
-    seen
+    out
   }
 
-  def shingleStrings(text: UTF8String, k: Int): ArrayData = {
-    val seen = grams(text, k)
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
+  def shingleStrings(text: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val gs = grams(text, k, distinct)
+    val out = new Array[Any](gs.size)
     var p = 0
-    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    while (p < out.length) { out(p) = UTF8String.fromString(gs.get(p)); p += 1 }
     new GenericArrayData(out)
   }
 
-  /** xxhash64 of each distinct k-gram; `mod > 0` applies
-    * `pmod(hash, mod)` (the MinHash 2^31-1 universe), `mod = 0` keeps the
-    * full 64-bit value (decontamination keys). */
-  def shingleHashes(text: UTF8String, k: Int, mod: Long): ArrayData = {
-    val seen = grams(text, k)
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
+  /** xxhash64 of each k-gram; `mod > 0` applies `pmod(hash, mod)` (the
+    * MinHash 2^31-1 universe), `mod = 0` keeps the full 64-bit value
+    * (decontamination keys). */
+  def shingleHashes(text: UTF8String, k: Int, mod: Long,
+                    distinct: Boolean): ArrayData = {
+    val gs = grams(text, k, distinct)
+    val out = new Array[Long](gs.size)
     var p = 0
-    while (it.hasNext) {
-      val h = XxHash64Function.hash(UTF8String.fromString(it.next()), StringType, 42L)
+    while (p < out.length) {
+      val h = XxHash64Function.hash(UTF8String.fromString(gs.get(p)), StringType, 42L)
       out(p) = if (mod > 0L) ((h % mod) + mod) % mod else h
       p += 1
     }
@@ -107,27 +111,31 @@ private[graft] trait ShingleLike extends UnaryExpression {
     else TypeCheckResult.TypeCheckSuccess
 }
 
-/** Distinct word k-grams of the normalized text, as `array<string>`. */
-case class Shingles(child: Expression, k: Int) extends ShingleLike {
+/** Word k-grams of the normalized text, as `array<string>`. */
+case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
+    extends ShingleLike {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_strings"
   override def nullSafeEval(input: Any): Any =
-    ShingleOps.shingleStrings(input.asInstanceOf[UTF8String], k)
+    ShingleOps.shingleStrings(input.asInstanceOf[UTF8String], k, distinct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shingleStrings($c, $k)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleOps.shingleStrings($c, $k, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
 
-/** xxhash64 per distinct word k-gram, optionally folded into `[0, mod)`
-  * by pmod, as `array<bigint>`. */
-case class ShingleHashes(child: Expression, k: Int, mod: Long) extends ShingleLike {
+/** xxhash64 per word k-gram, optionally folded into `[0, mod)` by pmod,
+  * as `array<bigint>`. */
+case class ShingleHashes(child: Expression, k: Int, mod: Long,
+                         distinct: Boolean = true) extends ShingleLike {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override def nullSafeEval(input: Any): Any =
-    ShingleOps.shingleHashes(input.asInstanceOf[UTF8String], k, mod)
+    ShingleOps.shingleHashes(input.asInstanceOf[UTF8String], k, mod, distinct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shingleHashes($c, $k, ${mod}L)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleOps.shingleHashes($c, $k, ${mod}L, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }

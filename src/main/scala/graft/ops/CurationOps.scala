@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines beyond
+  * cleaning/dedup: repetition-based quality gates, domain mixture
+  * sampling, and reproducible epoch shuffles.
+  *
+  * Everything is deterministic and engine-portable (md5-keyed randomness,
+  * integer counts) so each operator can be gated against a SQL oracle —
+  * and every plan is one or two key-partitioned shuffles, no global
+  * sort, no driver loops.
+  */
+object CurationOps {
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1,
+    * "repetition removal"): for word n-grams of size `n`, emit
+    *  - `total_grams`    — all n-gram occurrences (n_tokens - n + 1),
+    *  - `distinct_grams` — unique n-grams,
+    *  - `top_gram_count` — occurrences of the most frequent n-gram,
+    *  - `dup_gram_frac`  — 1 - distinct/total (0 when total = 0),
+    *  - `top_gram_frac`  — top/total.
+    * Docs with high duplicate-gram fractions are boilerplate/spam; the
+    * published Gopher gates drop e.g. dup 2-gram frac > 0.2.
+    *
+    * Shape at 100 TB: one explode of the non-distinct gram multiset, a
+    * (doc, gram) count with map-side partial aggregation, then a per-doc
+    * roll-up — two shuffles keyed on the document id, no self-joins. The
+    * fractions are derived from exact integer counts, so the oracle
+    * comparison is exact (`*_frac` stays engine-side only). */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String,
+                        n: Int): DataFrame = {
+    val perGram = df
+      .select(col(idCol), explode(TextOps.shinglesAll(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    perGram.groupBy(col(idCol))
+      .agg(sum(col("c")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max(col("c")).as("top_gram_count"))
+      .withColumn("dup_gram_frac",
+        when(col("total_grams") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("distinct_grams").cast("double")
+            / col("total_grams")))
+      .withColumn("top_gram_frac",
+        when(col("total_grams") === 0, lit(0.0))
+          .otherwise(col("top_gram_count").cast("double") / col("total_grams")))
+  }
+
+  /** Uniform-in-[0,1) driven by the first 8 hex chars of
+    * `md5(seed:id)` — deterministic, reproducible, and engine-portable
+    * (md5 is bit-identical everywhere; the comparison happens in
+    * fixed-width hex-string space so no engine-specific hex→int cast is
+    * needed). Rows keep when their hex key sorts below the threshold. */
+  private def md5Keep(idCol: Column, seed: String, rate: Column): Column = {
+    val key = substring(md5(concat_ws(":", lit(seed), idCol.cast("string"))), 1, 8)
+    // floor(rate * 2^32) in 8-digit zero-padded lowercase hex. rate >= 1
+    // must short-circuit: its threshold needs 9 hex digits, which lpad
+    // would TRUNCATE to a ~1/16 keep-rate instead of keep-all.
+    val threshold = lpad(lower(hex(floor(rate * 4294967296.0).cast("long"))), 8, "0")
+    rate >= 1.0 || key < threshold
+  }
+
+  /** Temperature-based domain mixture sampling (the multinomial
+    * `p_d^alpha` re-weighting used to balance source domains when
+    * assembling a training mix; alpha < 1 up-samples small domains,
+    * alpha = 1 is proportional). Keeps each row of domain d with rate
+    * `min(1, targetN * w_d / (sum_w * n_d))` where `w_d = n_d^alpha`, so
+    * the expected kept-total is ~`targetFraction * N` with the domain
+    * shares tempered.
+    *
+    * Shape at 100 TB: the per-domain histogram is a tiny aggregate
+    * (|domains| rows) that broadcast-joins back onto the corpus — the
+    * corpus itself never shuffles; sampling is a deterministic md5 filter
+    * in the scan projection.
+    *
+    * NB for oracle parity use alpha = 0.5: the rate arithmetic is then
+    * sqrt/mul/div only — IEEE-exact and bit-identical across engines —
+    * whereas pow() may differ by 1 ulp between libm implementations. */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+                        alpha: Double, targetFraction: Double,
+                        seed: String = "mix"): DataFrame = {
+    val w = if (alpha == 0.5) sqrt(col("n_d").cast("double"))
+            else pow(col("n_d").cast("double"), lit(alpha))
+    val hist = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_d"))
+      .withColumn("w_d", w)
+    val totals = hist.agg(sum(col("n_d")).as("n_total"),
+      sum(col("w_d")).as("w_total"))
+    val rates = hist.crossJoin(broadcast(totals))
+      .withColumn("keep_rate", least(lit(1.0),
+        lit(targetFraction) * col("n_total").cast("double") * col("w_d")
+          / (col("w_total") * col("n_d").cast("double"))))
+      .select(col(domainCol), col("keep_rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(md5Keep(col(idCol), seed, col("keep_rate")))
+  }
+
+  /** Reproducible epoch shuffle: a deterministic pseudo-random total
+    * order keyed by `md5(epoch:id)`, laid out as `numShards` balanced
+    * hash shards each sorted by the shuffle key. Same epoch → identical
+    * layout on every run (resumable training); next epoch → an
+    * independent permutation. No global sort: shard assignment is a
+    * hash pmod, ordering is sortWithinPartitions. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   numShards: Int): DataFrame = {
+    val withKey = df.withColumn("shuffle_key",
+      md5(concat_ws(":", lit(epoch.toString), col(idCol).cast("string"))))
+    withKey
+      .withColumn("shard",
+        pmod(xxhash64(col("shuffle_key")), lit(numShards)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shuffle_key"))
+  }
+}

@@ -121,6 +121,12 @@ object TextOps {
     ExpressionUtils.column(graft.functions.ShingleHashes(
       ExpressionUtils.expression(text), k, mod = 0L))
 
+  /** NON-distinct word k-grams (every occurrence, document order): the
+    * multiset the repetition metrics count duplicates over. */
+  def shinglesAll(text: Column, k: Int): Column =
+    ExpressionUtils.column(graft.functions.Shingles(
+      ExpressionUtils.expression(text), k, distinct = false))
+
   /** The declarative formulation [[shingles]] replaced — semantically
     * identical, ~20× slower (interpreted nested lambdas). Kept ONLY as
     * the oracle twin for the native-vs-declarative parity spec. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.sources.Tables
 
 /** Driver-visible LLM-pipeline operator coverage on the `documents` and
@@ -387,7 +387,44 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style repetition metrics (duplicate/top 2-gram counts) per
+    * document. Integer counts only — exact across engines; the derived
+    * fractions stay engine-side (float division has no exact oracle). */
+  def q70Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CurationOps.repetitionMetrics(
+        Tables.load(s, dir, "documents"), "text", "doc_id", n = 2)
+      .select($"doc_id", $"total_grams", $"distinct_grams", $"top_gram_count")
+      .orderBy($"doc_id")
+  }
+
+  /** Temperature-tempered domain mixture sample (alpha = 0.5, target 50%):
+    * the md5-keyed keep decision and the sqrt-only rate arithmetic are
+    * engine-portable, so DuckDB reproduces the exact kept set. */
+  def q71TemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CurationOps.temperatureSample(Tables.load(s, dir, "documents"),
+        domainCol = "source", idCol = "doc_id",
+        alpha = 0.5, targetFraction = 0.5)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Epoch-7 reproducible shuffle: gates the md5 shuffle-key computation
+    * and exactly-once row preservation (the physical shard/sort layout is
+    * asserted in CurationOpsSpec — a SQL result can't express it). */
+  def q72EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CurationOps.epochShuffle(Tables.load(s, dir, "documents"),
+        "doc_id", epoch = 7, numShards = 8)
+      .select($"doc_id", $"shuffle_key")
+      .orderBy($"shuffle_key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_repetition" -> (q70Repetition _),
+    "q71_temperature_sample" -> (q71TemperatureSample _),
+    "q72_epoch_shuffle" -> (q72EpochShuffle _),
     "q66_pack" -> (q66Pack _),
     "q65_range_frame" -> (q65RangeFrame _),
     "q64_ann_ivf_indexed" -> (q64AnnIvfIndexed _),
@@ -542,6 +579,41 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q70_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(TOKS) < 2 THEN [NORM]
+        |         ELSE list_transform(range(0, len(TOKS) - 1),
+        |                i -> concat_ws(' ', TOKS[i+1], TOKS[i+2]))
+        |    END) AS g
+        |  FROM documents),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_grams,
+        |  count(*) AS distinct_grams, CAST(max(c) AS BIGINT) AS top_gram_count
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replace("NORM", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+        .replace("TOKS", "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"),
+    "q71_temperature_sample" ->
+      """WITH hist AS (
+        |  SELECT source, count(*) AS n_d FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_d) AS DOUBLE) AS n_total,
+        |         sum(sqrt(CAST(n_d AS DOUBLE))) AS w_total FROM hist),
+        |rates AS (
+        |  SELECT source,
+        |    least(1.0, 0.5 * n_total * sqrt(CAST(n_d AS DOUBLE))
+        |      / (w_total * CAST(n_d AS DOUBLE))) AS keep_rate
+        |  FROM hist, tot)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE r.keep_rate >= 1.0
+        |   OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < lpad(lower(hex(CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT))), 8, '0')
+        |ORDER BY doc_id""".stripMargin,
+    "q72_epoch_shuffle" ->
+      """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key""".stripMargin,
     "q27_minhash_lsh" ->
       s"""WITH all_docs AS (
          |  $plantedSql),

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CurationOps
+
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition metrics count duplicate and top grams exactly") {
+    val docs = Seq(
+      (1L, "a b a b a"),           // 2-grams: ab ba ab ba -> total 4, distinct 2, top 2
+      (2L, "x y z"),               // xy yz -> total 2, distinct 2, top 1
+      (3L, "w"),                   // < k tokens -> the single normalized text
+      (4L, "")                     // empty -> one empty gram
+    ).toDF("doc_id", "text")
+    val m = CurationOps.repetitionMetrics(docs, "text", "doc_id", n = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"total_grams", $"distinct_grams", $"top_gram_count",
+        round($"dup_gram_frac", 4).as("df"), round($"top_gram_frac", 4).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(m(0) === ((1L, 4L, 2L, 2L, 0.5, 0.5)))
+    assert(m(1) === ((2L, 2L, 2L, 1L, 0.0, 0.5)))
+    assert(m(2) === ((3L, 1L, 1L, 1L, 0.0, 1.0)))
+    assert(m(3) === ((4L, 1L, 1L, 1L, 0.0, 1.0)))
+  }
+
+  /** 3 domains with very skewed sizes; alpha=0.5 should temper shares. */
+  lazy val skewedCorpus = {
+    val rows = (1 to 9000).map(i => (i.toLong, "big")) ++
+      (9001 to 9900).map(i => (i.toLong, "mid")) ++
+      (9901 to 10000).map(i => (i.toLong, "small"))
+    rows.toDF("doc_id", "domain")
+  }
+
+  test("temperature sample is deterministic and hits the target rate") {
+    val s1 = CurationOps.temperatureSample(skewedCorpus, "domain", "doc_id",
+      alpha = 0.5, targetFraction = 0.3)
+    val s2 = CurationOps.temperatureSample(skewedCorpus, "domain", "doc_id",
+      alpha = 0.5, targetFraction = 0.3)
+    val ids1 = s1.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = s2.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // expected total ~3000; md5 uniformity gives a tight band at n=10000
+    assert(math.abs(ids1.size - 3000) < 300, s"kept ${ids1.size}")
+  }
+
+  test("alpha=0.5 up-samples small domains vs proportional") {
+    val kept = CurationOps.temperatureSample(skewedCorpus, "domain", "doc_id",
+        alpha = 0.5, targetFraction = 0.3)
+      .groupBy($"domain").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // proportional would keep ~30 of 'small'; tempering must beat that by a lot
+    assert(kept("small") > 60, s"small kept ${kept("small")}")
+    // and the big domain must be down-sampled below its proportional share
+    assert(kept("big") < 9000 * 0.3, s"big kept ${kept("big")}")
+    // rate is capped at 1: no domain exceeds its size
+    assert(kept.values.sum < 10000)
+  }
+
+  test("alpha=1 is proportional sampling (same rate every domain)") {
+    val kept = CurationOps.temperatureSample(skewedCorpus, "domain", "doc_id",
+        alpha = 1.0, targetFraction = 0.5)
+      .groupBy($"domain").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("big") / 9000.0 - 0.5) < 0.05)
+    assert(math.abs(kept("mid") / 900.0 - 0.5) < 0.1)
+  }
+
+  test("epoch shuffle preserves rows, sorts within shards, varies by epoch") {
+    val docs = (1L to 2000L).toDF("doc_id")
+    val e7 = CurationOps.epochShuffle(docs, "doc_id", epoch = 7, numShards = 8)
+
+    // exactly-once row preservation
+    assert(e7.select($"doc_id").distinct().count() === 2000L)
+
+    // within every partition rows are sorted by shuffle_key, and each
+    // partition holds whole shards only
+    val parts = e7.select($"shard", $"shuffle_key")
+      .rdd.mapPartitions { it =>
+        val rows = it.toVector
+        val keys = rows.map(_.getString(1))
+        Iterator.single((keys == keys.sorted, rows.map(_.getInt(0)).toSet.size))
+      }.collect()
+    assert(parts.forall(_._1), "some partition not sorted by shuffle_key")
+
+    // shards are roughly balanced (md5-keyed hash: tight at n=2000)
+    val sizes = e7.groupBy($"shard").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 8 && sizes.forall(n => n > 150 && n < 350),
+      s"unbalanced shards: ${sizes.mkString(",")}")
+
+    // same epoch reproduces the identical order; another epoch permutes
+    def order(epoch: Int): Seq[Long] =
+      CurationOps.epochShuffle(docs, "doc_id", epoch, numShards = 8)
+        .orderBy($"shuffle_key").select($"doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    val o7 = order(7)
+    assert(o7 === order(7))
+    assert(o7 !== order(8))
+    assert(o7.sorted === (1L to 2000L))
+  }
+}
