@@ -289,6 +289,42 @@ object DedupOps {
     contaminationFlags(corpus, textCol, idCol, benchmark, benchTextCol, n)
       .filter(!col("is_contaminated")).drop("is_contaminated")
 
+  // ------------------------------------------------- repeated substrings
+
+  /** Cross-document repeated-substring spans — the exact-substring dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), which found verbatim repeats that
+    * document-level near-dedup misses. A token window of length `n` is
+    * "repeated" when its content occurs in >= `minDocs` distinct docs;
+    * adjacent repeated windows merge into maximal spans, so each output
+    * row is one contiguous repeated region `[span_start, span_end)` in
+    * token offsets (the removal unit for substring-level dedup).
+    *
+    * Shape at 100 TB (same as decontamination, vs. the paper's in-memory
+    * suffix array which cannot shard): windows become 8-byte xxhash64
+    * keys with positions; the doc-frequency filter is a (gram, doc)
+    * distinct + count — two hash shuffles on the gram key; survivors
+    * semi-join back (AQE broadcasts when the repeated set is small), and
+    * span merging is a per-doc gaps-and-islands window, partitioned by
+    * doc id — no global sort, no self-join on text. */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                    n: Int = 32, minDocs: Int = 2): DataFrame = {
+    val pos = df.select(col(idCol),
+      posexplode(TextOps.shingleHashesRawAll(col(textCol), n)).as(Seq("pos", "g")))
+    val repeated = pos.select(col("g"), col(idCol)).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("g"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    pos.join(repeated, Seq("g"), "left_semi")
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__island")
+  }
+
   // ------------------------------------------------- duplicate clustering
 
   /** Connected components over a near-dup pair list — the stage that turns

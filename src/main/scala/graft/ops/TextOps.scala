@@ -127,6 +127,13 @@ object TextOps {
     ExpressionUtils.column(graft.functions.Shingles(
       ExpressionUtils.expression(text), k, distinct = false))
 
+  /** NON-distinct full-64-bit gram hashes in document order: position j
+    * of the array is the window starting at token j (posexplode pairs
+    * each window hash with its token offset — the repeated-span index). */
+  def shingleHashesRawAll(text: Column, k: Int): Column =
+    ExpressionUtils.column(graft.functions.ShingleHashes(
+      ExpressionUtils.expression(text), k, mod = 0L, distinct = false))
+
   /** The declarative formulation [[shingles]] replaced — semantically
     * identical, ~20× slower (interpreted nested lambdas). Kept ONLY as
     * the oracle twin for the native-vs-declarative parity spec. */

@@ -421,7 +421,31 @@ object LlmQueries {
       .orderBy($"shuffle_key")
   }
 
+  /** Cross-document repeated 8-token spans (exact-substring dedup
+    * signal). Integer token offsets and counts — exact oracle. */
+  def q73RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.repeatedSpans(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 8, minDocs = 2)
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  /** First BPE training iteration: freq-weighted adjacent character-pair
+    * counts over the corpus vocabulary, top-50. Integer counts with a
+    * total tie order — exact oracle; later iterations (multi-char
+    * symbols) are gated by BpeSpec's hand-computed merge sequence. */
+  def q74BpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = graft.ops.BpeOps.wordFreqs(Tables.load(s, dir, "documents"), "text")
+    graft.ops.BpeOps.pairCounts(graft.ops.BpeOps.initSymbols(wf))
+      .select(concat($"l", $"r").as("pair"), $"cnt")
+      .orderBy($"cnt".desc, $"pair".asc)
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q74_bpe_pairs" -> (q74BpePairs _),
+    "q73_repeated_spans" -> (q73RepeatedSpans _),
     "q70_repetition" -> (q70Repetition _),
     "q71_temperature_sample" -> (q71TemperatureSample _),
     "q72_epoch_shuffle" -> (q72EpochShuffle _),
@@ -579,6 +603,39 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q74_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(TOKS) AS word FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM w
+        |       WHERE length(word) >= 2 GROUP BY word),
+        |p AS (SELECT unnest(list_transform(range(1, length(word)),
+        |        i -> substr(word, CAST(i AS INTEGER), 2))) AS pair, freq
+        |      FROM wf)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
+        .replace("TOKS", "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"),
+    "q73_repeated_spans" -> {
+      val gram8 = (1 to 8).map(j => s"TOKS[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+      s"""WITH gl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(TOKS) < 8 THEN [NORM]
+         |         ELSE list_transform(range(0, len(TOKS) - 7), i -> $gram8)
+         |    END AS grams
+         |  FROM documents),
+         |gx AS (SELECT doc_id, unnest(grams) AS g,
+         |         unnest(range(0, len(grams))) AS pos FROM gl),
+         |rep AS (SELECT g FROM (
+         |  SELECT g, count(DISTINCT doc_id) AS d FROM gx GROUP BY g) WHERE d >= 2),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |        FROM gx WHERE g IN (SELECT g FROM rep))
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 8 AS BIGINT) AS span_end, count(*) AS n_windows
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin
+        .replace("NORM", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+        .replace("TOKS", "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')")
+    },
     "q70_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(

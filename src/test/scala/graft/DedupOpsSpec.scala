@@ -138,4 +138,25 @@ class DedupOpsSpec extends SparkSpec {
       sets(0).union(sets(1)).size
     assert(math.abs(pairs((0L, 1000L)) - expected) < 1e-3)
   }
+
+  test("repeated spans merge adjacent cross-doc windows, ignore unique text") {
+    val docs = Seq(
+      (1L, "a b c d e x y z"),   // shares "a b c d e" with doc 2
+      (2L, "q w a b c d e k"),
+      (3L, "m n o p q r s t")    // fully unique
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.repeatedSpans(docs, "text", "doc_id", n = 3, minDocs = 2)
+      .orderBy($"doc_id", $"span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // windows "a b c","b c d","c d e" repeat: doc1 @0-2 -> [0,5), doc2 @2-4 -> [2,7)
+    assert(spans.toSeq === Seq((1L, 0L, 5L, 3L), (2L, 2L, 7L, 3L)))
+  }
+
+  test("whole short docs repeat as single-window spans") {
+    val docs = Seq((1L, "tiny"), (2L, "tiny"), (3L, "other")).toDF("doc_id", "text")
+    val spans = DedupOps.repeatedSpans(docs, "text", "doc_id", n = 3, minDocs = 2)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(spans.toSeq === Seq((1L, 0L, 1L), (2L, 0L, 1L)))
+  }
 }
