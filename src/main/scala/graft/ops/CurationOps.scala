@@ -80,16 +80,19 @@ object CurationOps {
   def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
                         alpha: Double, targetFraction: Double,
                         seed: String = "mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = if (alpha == 0.5) sqrt(col("n_d").cast("double"))
             else pow(col("n_d").cast("double"), lit(alpha))
-    val hist = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_d"))
+    // totals via an unpartitioned window over the |domains|-row histogram:
+    // one evaluation of the histogram subtree (an agg + crossJoin scans
+    // the corpus twice — the plan gate caught exactly that), and a
+    // single-partition window over a bounded-cardinality table is free
+    val all = Window.partitionBy()
+    val rates = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_d"))
       .withColumn("w_d", w)
-    val totals = hist.agg(sum(col("n_d")).as("n_total"),
-      sum(col("w_d")).as("w_total"))
-    val rates = hist.crossJoin(broadcast(totals))
       .withColumn("keep_rate", least(lit(1.0),
-        lit(targetFraction) * col("n_total").cast("double") * col("w_d")
-          / (col("w_total") * col("n_d").cast("double"))))
+        lit(targetFraction) * sum(col("n_d")).over(all).cast("double")
+          * col("w_d") / (sum(col("w_d")).over(all) * col("n_d").cast("double"))))
       .select(col(domainCol), col("keep_rate"))
     df.join(broadcast(rates), Seq(domainCol))
       .filter(md5Keep(col(idCol), seed, col("keep_rate")))

@@ -28,9 +28,7 @@ class PlanAssertionsSpec extends SparkSpec {
     val intentionallyBruteForce = Set(
       "q29_cosine_topk", "q52_cosine_neardups", "q38_fuzzy_match",
       "q19_check_metrics" /* 1-row x 1-row metric crossJoin */,
-      "q63_bm25" /* 1-row corpus-stats broadcast join */,
-      "q71_temperature_sample" /* |domains|-row hist x 1-row totals; the
-        corpus itself joins the rate table broadcast-hash */)
+      "q63_bm25" /* 1-row corpus-stats broadcast join */)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
@@ -107,5 +105,54 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("LeftSemi"), "gram membership must be a semi-join")
+  }
+
+  test("shingle extraction is a native codegen'd expression, not interpreted HOFs") {
+    val df = graft.sources.Tables.load(spark, dir, "documents")
+      .select(graft.ops.TextOps.shingleHashes(
+        org.apache.spark.sql.functions.col("text"), 3))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("shingle_hashes"), "native expression missing from plan")
+    assert(!p.contains("transform(") && !p.contains("lambdafunction"),
+      "interpreted higher-order lambda crept back into the shingle path")
+    // `*(n)` is executedPlan.toString's whole-stage-codegen marker
+    assert(p.contains("*(1) Project"), "shingle projection left codegen")
+  }
+
+  test("repetition metrics: two doc-keyed shuffles, both partial-aggregated") {
+    val df = graft.ops.CurationOps.repetitionMetrics(
+      graft.sources.Tables.load(spark, dir, "documents"), "text", "doc_id", 2)
+    val p = plan(df)
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Window"), "must be aggregate-based")
+    assert(shuffles(df) == 2, s"(doc,gram) + doc rollup = 2 shuffles, got ${shuffles(df)}")
+  }
+
+  test("temperature sampling never shuffles the corpus") {
+    val df = LlmQueries.q71TemperatureSample(spark, dir)
+    val ex = df.queryExecution.executedPlan.toString
+    // the corpus side must reach the rate join via broadcast; the only
+    // hash exchanges belong to the |domains|-row histogram + output sort
+    assert(ex.contains("BroadcastHashJoin") || ex.contains("BroadcastExchange"),
+      "rate table must broadcast onto the corpus")
+    val corpusScans = "FileScan parquet".r.findAllIn(ex).length
+    assert(corpusScans <= 2, s"corpus scanned $corpusScans times (hist + filter)")
+  }
+
+  test("repeated spans: hash semi-join + per-doc window, no nested loop") {
+    val df = LlmQueries.q73RepeatedSpans(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi"), "repeated-gram membership must be a semi-join")
+    assert(p.contains("Window"), "span merge must be the gaps-and-islands window")
+  }
+
+  test("bpe pair counts: vocab-sized aggregates only, fully partial-agg'd") {
+    val df = LlmQueries.q74BpePairs(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be TakeOrdered, not a global sort")
   }
 }
