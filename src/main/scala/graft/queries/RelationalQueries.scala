@@ -441,6 +441,21 @@ object RelationalQueries {
         |ORDER BY nation, bal_cents DESC, c_name""".stripMargin)
   }
 
+  /** Per-key top-k via the bounded-heap aggregate (RankOps.topKPerKey):
+    * top-3 orders per customer by price with an orderkey tie-break. The
+    * oracle is the window row_number() formulation — results must match
+    * exactly while the engine plan contains NO sort and NO window
+    * (gated in RankOpsSpec): partial heaps shuffle O(k) rows per key. */
+  def q75TopKPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_custkey",
+      floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("price_cents"),
+      $"o_orderkey")
+    graft.ops.RankOps.topKPerKey(o, Seq("o_custkey"),
+        Seq($"price_cents", $"o_orderkey"), k = 3, largest = true)
+      .orderBy($"o_custkey", $"rank")
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL surface:
     * small-order lineitems per part. Catalyst decorrelates the per-part
     * average into an aggregate + join — verify with explain that no
@@ -603,7 +618,8 @@ object RelationalQueries {
     "q62_grouping_sets" -> (q62GroupingSets _),
     "q67_salted_join" -> (q67SaltedJoin _),
     "q68_salted_agg" -> (q68SaltedAgg _),
-    "q69_lateral" -> (q69Lateral _)
+    "q69_lateral" -> (q69Lateral _),
+    "q75_topk_per_key" -> (q75TopKPerKey _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -895,6 +911,17 @@ object RelationalQueries {
         |          WHERE c_nationkey = n.n_nationkey
         |          ORDER BY c_acctbal DESC, c_name
         |          LIMIT 2) t
-        |ORDER BY nation, bal_cents DESC, c_name""".stripMargin
+        |ORDER BY nation, bal_cents DESC, c_name""".stripMargin,
+    "q75_topk_per_key" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rank, price_cents, o_orderkey
+        |FROM (SELECT o_custkey,
+        |        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+        |        o_orderkey,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY floor(o_totalprice * 100.0 + 0.5) DESC,
+        |                   o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rank""".stripMargin
   )
 }
