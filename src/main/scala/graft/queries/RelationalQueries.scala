@@ -456,6 +456,27 @@ object RelationalQueries {
       .orderBy($"o_custkey", $"rank")
   }
 
+  /** Bloom-pruned fact×selective-dimension join (BloomOps.prunedEquiJoin):
+    * lineitem rows are rejected by a codegen'd `might_contain` over the
+    * hot-order keys BEFORE the join exchange, so at scale the fact-side
+    * shuffle carries only ~selectivity of the table; the exact join then
+    * kills bloom false positives, making the result — and the oracle —
+    * identical to the plain join. Plan-gated in BloomOpsSpec. */
+  def q76BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val hot = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey", $"o_orderpriority")
+    graft.ops.BloomOps.prunedEquiJoin(li, hot, $"l_orderkey", $"o_orderkey",
+        expectedItems = 200000L)
+      .groupBy($"o_orderpriority")
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000.0 + 0.5))
+          .cast("long").as("rev_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL surface:
     * small-order lineitems per part. Catalyst decorrelates the per-part
     * average into an aggregate + join — verify with explain that no
@@ -619,7 +640,8 @@ object RelationalQueries {
     "q67_salted_join" -> (q67SaltedJoin _),
     "q68_salted_agg" -> (q68SaltedAgg _),
     "q69_lateral" -> (q69Lateral _),
-    "q75_topk_per_key" -> (q75TopKPerKey _)
+    "q75_topk_per_key" -> (q75TopKPerKey _),
+    "q76_bloom_prune" -> (q76BloomPrune _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -922,6 +944,15 @@ object RelationalQueries {
         |                   o_orderkey DESC) AS rn
         |      FROM orders)
         |WHERE rn <= 3
-        |ORDER BY o_custkey, rank""".stripMargin
+        |ORDER BY o_custkey, rank""".stripMargin,
+    "q76_bloom_prune" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5))
+        |      AS BIGINT) AS rev_e4,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }
