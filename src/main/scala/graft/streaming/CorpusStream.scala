@@ -63,4 +63,35 @@ object CorpusStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Near-dup twin of [[ingestDedupedAvailableNow]]: each micro-batch is
+    * admitted iff it is not a MinHash-LSH near-duplicate of anything
+    * already ingested ([[DedupOps.incrementalMinhashDedup]] — bucket-key
+    * store, append-only, store scanned but never shuffled or rewritten).
+    * Replay-idempotent for the same reason the exact path is: a replayed
+    * doc's buckets are already in the store, so it is rejected, and the
+    * corpus merge is keyed on the id. */
+  def ingestNearDedupedAvailableNow(spark: SparkSession, docsDir: String,
+                                    schema: StructType,
+                                    corpus: SnapshotTable,
+                                    buckets: AppendOnlyStore,
+                                    checkpointDir: String,
+                                    textCol: String = "text",
+                                    idCol: String = "doc_id",
+                                    bands: Int = 16, k: Int = 64): Unit = {
+    val q = spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val admitted = DedupOps.incrementalMinhashDedup(
+          batch, textCol, idCol, buckets, k = k, bands = bands)
+        if (!admitted.isEmpty) {
+          corpus.merge(admitted, Seq(idCol), Seq(col(idCol)))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }
