@@ -166,3 +166,72 @@ object DotProductF {
 
   def apply(a: Column, b: Column): Column = call_function(fnName, a, b)
 }
+
+/** Fused Σ aᵢ·bᵢ over two `array<tinyint>` columns, accumulated in a
+  * LONG — the scoring kernel for int8-quantized embeddings. All-integer
+  * arithmetic: the result is exact, engine-independent, and 4× less
+  * memory traffic than the float vectors it stands in for, which is the
+  * whole point of scalar quantization at corpus scale (the coarse ANN
+  * pass is memory-bandwidth-bound). NULL on null inputs or length
+  * mismatch. */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<tinyint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product_i8"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    java.lang.Long.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI8 =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductI8 {
+  val fnName = "dot_product_i8"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fnName, exprs => DotProductI8(exprs(0), exprs(1)), "scala_udf")
+
+  def apply(a: Column, b: Column): Column = call_function(fnName, a, b)
+}

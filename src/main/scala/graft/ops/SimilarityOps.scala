@@ -319,4 +319,72 @@ object SimilarityOps {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  // --------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 scalar quantization: qᵢ = round(127·xᵢ / max|x|),
+    * stored as `array<tinyint>` + the per-vector `scale` = max|x|/127
+    * that de-quantizes it. 4× smaller than float32 at rest AND in
+    * flight — the coarse ANN scan is memory-bandwidth-bound, so byte
+    * vectors are the difference between scanning 100 TB and 25 TB per
+    * query batch. All arithmetic is double-precision then rounded
+    * half-away-from-zero, expressible identically in any engine. A
+    * zero vector quantizes to zeros with scale 0. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
+                   qCol: String = "qvec", scaleCol: String = "scale"): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.withColumn("__ma", maxAbs)
+      .withColumn(qCol,
+        when(col("__ma") === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col(vecCol),
+          x => round(x.cast("double") * 127.0 / col("__ma")).cast("tinyint"))))
+      .withColumn(scaleCol, col("__ma") / 127.0)
+      .drop("__ma")
+  }
+
+  /** ANN top-k via int8 coarse scoring + exact float re-rank.
+    *
+    * Stage 1 streams the QUANTIZED corpus against the broadcast query
+    * set: the approximate score `dot_i8(qv_c, qv_q) · scale_c · scale_q`
+    * ranks candidates, and [[graft.ops.RankOps.topKPerKey]] keeps
+    * `k·overfetch` per query with a bounded heap — no sort, no shuffle of
+    * any vector, and the integer dot is exact so the candidate cut is
+    * engine-reproducible (the oracle recomputes it bit-for-bit). Stage 2
+    * joins ONLY the candidates back to their float vectors for exact
+    * cosine, keeping the true top-k among them. Recall loss is confined
+    * to true neighbors ejected from the int8 top-`k·overfetch` — raise
+    * `overfetch` to trade coarse-scan margin for re-rank cost. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               overfetch: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    graft.functions.DotProductI8.register(corpus.sparkSession)
+    fused(corpus)
+    val qc = quantizeInt8(corpus, vecCol)
+    val qq = quantizeInt8(queries, qVecCol, qCol = "q_qvec", scaleCol = "q_scale")
+      .select(col(qIdCol), col(qVecCol), col("q_qvec"), col("q_scale"))
+    val coarse = qc.select(col(idCol), col("qvec"), col("scale"))
+      .crossJoin(broadcast(qq))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("approx",
+        graft.functions.DotProductI8(col("qvec"), col("q_qvec"))
+          .cast("double") * col("scale") * col("q_scale"))
+    val cands = RankOps.topKPerKey(coarse.select(col(qIdCol), col("approx"),
+        negate(col(idCol)).as("__negid"), col(idCol)),
+        Seq(qIdCol), Seq(col("approx"), col("__negid")), k * overfetch,
+        largest = true, payload = Seq(idCol))
+      .select(col(qIdCol), col(idCol))
+    // candidate-sized joins back to the float vectors, then exact top-k
+    val rescored = cands
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .withColumn("cos", round(
+        graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
+    RankOps.topKPerKey(rescored.select(col(qIdCol), col("cos"),
+        negate(col(idCol)).as("__negid"), col(idCol)),
+        Seq(qIdCol), Seq(col("cos"), col("__negid")), k,
+        largest = true, payload = Seq(idCol))
+      .select(col(qIdCol), col(idCol), col("cos"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -135,6 +135,21 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Int8-quantized ANN with exact re-rank (q78): coarse candidates come
+    * from the EXACT integer dot over symmetric int8 quantization (×
+    * per-vector scales), so the candidate cut is engine-reproducible; the
+    * oracle replays quantize → integer coarse top-20 → exact-cosine top-5
+    * bit-for-bit. Covers SimilarityOps.quantizeInt8 + int8TopK end to
+    * end through the driver gate. */
+  def q78AnnInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    SimilarityOps.int8TopK(emb, queries, k = 5, overfetch = 4)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Multimodal: synthesize REAL media containers (ImageIO-encoded
     * PNG/JPEG/GIF, canonical WAV, stub video bytes), then run the
     * partition-batched extractor whose dims/format come from a REAL
@@ -476,6 +491,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q78_ann_int8" -> (q78AnnInt8 _),
     "q77_incremental_neardup" -> (q77IncrementalNearDedup _),
     "q74_bpe_pairs" -> (q74BpePairs _),
     "q73_repeated_spans" -> (q73RepeatedSpans _),
@@ -636,6 +652,51 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q78_ann_int8" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN ma = 0
+         |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |      ELSE list_transform(embedding,
+         |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT))
+         |    END AS qv,
+         |    ma / 127.0 AS scale
+         |  FROM qz),
+         |qs AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, qv AS q_qv,
+         |    scale AS q_scale
+         |  FROM q8 WHERE vec_id < 8),
+         |coarse AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    CAST(list_sum(list_transform(list_zip(c.qv, q.q_qv),
+         |      p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS DOUBLE)
+         |      * c.scale * q.q_scale AS approx
+         |  FROM q8 c JOIN qs q ON c.vec_id <> q.q_id),
+         |cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY approx DESC, vec_id ASC) AS rn
+         |    FROM coarse) WHERE rn <= 20),
+         |rescored AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |    round(${cosSql("e.embedding", "q.q_vec")}, 4) AS cos
+         |  FROM cand
+         |    JOIN embeddings e ON cand.vec_id = e.vec_id
+         |    JOIN qs q ON cand.q_id = q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT)
+         |      AS rank
+         |  FROM rescored)
+         |SELECT q_id, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "q77_incremental_neardup" ->
       s"""WITH all_docs AS (
          |  $plantedSql),
