@@ -387,4 +387,130 @@ object SimilarityOps {
         largest = true, payload = Seq(idCol))
       .select(col(qIdCol), col(idCol), col("cos"), col("rank").cast("long").as("rank"))
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Per-subspace codebooks: `codewords(j)` lists subspace j's `ksub`
+    * codewords (cid → dsub floats), cid-ordered 0..ksub-1. */
+  final case class PqCodebooks(m: Int, ksub: Int, dsub: Int,
+      codewords: IndexedSeq[IndexedSeq[(Int, Seq[Float])]])
+
+  /** Deterministic PQ codebook seeding: the same every-7th-by-id vectors
+    * as [[seedCentroids]], sliced per subspace — SQL-replayable, so the
+    * full encode→ADC pipeline is oracle-checkable without replaying
+    * k-means (Lloyd refinement is [[trainPqCodebooks]], gated in
+    * ScalaTest like IVF's). */
+  def seedPqCodebooks(corpus: DataFrame, m: Int, ksub: Int = 16,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): PqCodebooks = {
+    val seeds = seedCentroids(corpus, ksub, idCol, vecCol)
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    PqCodebooks(m, ksub, dsub,
+      (0 until m).map(j => seeds.map { case (cid, v) =>
+        (cid, v.slice(j * dsub, (j + 1) * dsub))
+      }))
+  }
+
+  private def litVec(v: Seq[Float]): Column =
+    array(v.map(lit): _*).cast("array<float>")
+
+  /** Nearest codeword id in subspace `j` for subvector `sv` (squared-L2,
+    * ties to the smallest cid — `array_min` struct order). */
+  private def nearestCode(cw: IndexedSeq[(Int, Seq[Float])])(sv: Column): Column =
+    array_min(array(cw.map { case (cid, c) =>
+      struct(graft.functions.SqDistF(sv, litVec(c)).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Lloyd refinement of all `m` sub-codebooks at once: each iteration is
+    * ONE distributed pass (explode subspaces → per-(subspace, codeword,
+    * dim) mean); only m·ksub·dsub floats reach the driver. Empty cells
+    * keep their previous codeword. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int = 16,
+                       iters: Int = 2, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): PqCodebooks = {
+    graft.functions.SqDistF.register(corpus.sparkSession)
+    var cb = seedPqCodebooks(corpus, m, ksub, idCol, vecCol)
+    (1 to iters).foreach { _ =>
+      val subCols = (0 until m).map { j =>
+        val sv = slice(col(vecCol), j * cb.dsub + 1, cb.dsub)
+        struct(lit(j).as("j"), nearestCode(cb.codewords(j))(sv).as("cid"),
+          sv.as("sv"))
+      }
+      val means = corpus.select(explode(array(subCols: _*)).as("s"))
+        .select(col("s.j"), col("s.cid"), posexplode(col("s.sv")).as(Seq("dim", "x")))
+        .groupBy(col("j"), col("cid"), col("dim")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("j"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          e => e.getField("mu").cast("float")).as("cw"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+      cb = cb.copy(codewords = cb.codewords.zipWithIndex.map { case (cws, j) =>
+        cws.map { case (cid, old) => cid -> means.getOrElse((j, cid), old) }
+      })
+    }
+    cb
+  }
+
+  /** Encode vectors to `m` sub-codeword ids (`array<tinyint>` — m bytes
+    * per vector instead of dim×4: 32× at dim 64 / m 8). One corpus pass,
+    * all codegen'd [[graft.functions.SqDistF]] kernels. */
+  def pqEncode(df: DataFrame, cb: PqCodebooks,
+               vecCol: String = "embedding",
+               codesCol: String = "pq_codes"): DataFrame = {
+    graft.functions.SqDistF.register(df.sparkSession)
+    df.withColumn(codesCol, array((0 until cb.m).map { j =>
+      nearestCode(cb.codewords(j))(
+        slice(col(vecCol), j * cb.dsub + 1, cb.dsub)).cast("tinyint")
+    }: _*))
+  }
+
+  /** The per-query ADC lookup table: flat `m·ksub` doubles, entry
+    * `j·ksub + cid` = dot(query subvector j, codeword cid). Computed on
+    * the (small, broadcast) query side only. */
+  def pqAdcTable(qVec: Column, cb: PqCodebooks): Column =
+    array((for (j <- 0 until cb.m; (_, c) <- cb.codewords(j)) yield
+      graft.functions.DotProductF(slice(qVec, j * cb.dsub + 1, cb.dsub), litVec(c))
+    ): _*)
+
+  /** ANN top-k via PQ asymmetric distance + exact re-rank: the coarse
+    * pass reads m BYTES per corpus vector (codes only — the float
+    * vectors never enter the scan), scores with
+    * [[graft.functions.PqAdcScore]] table lookups, keeps `k·overfetch`
+    * per query with the bounded heap, then re-ranks only candidates with
+    * exact cosine. Same two-stage contract as [[int8TopK]] at 8× its
+    * compression. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, overfetch: Int = 4,
+             trained: Option[PqCodebooks] = None,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    fused(corpus)
+    graft.functions.SqDistF.register(corpus.sparkSession)
+    val cb = trained.getOrElse(seedPqCodebooks(corpus, m, ksub, idCol, vecCol))
+    val encoded = pqEncode(corpus, cb, vecCol).select(col(idCol), col("pq_codes"))
+    val qt = queries
+      .withColumn("__table", pqAdcTable(col(qVecCol), cb))
+      .select(col(qIdCol), col("__table"))
+    val coarse = encoded.crossJoin(broadcast(qt))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("approx",
+        graft.functions.PqAdcScore(col("pq_codes"), col("__table"), cb.ksub))
+    val cands = RankOps.topKPerKey(coarse.select(col(qIdCol), col("approx"),
+        negate(col(idCol)).as("__negid"), col(idCol)),
+        Seq(qIdCol), Seq(col("approx"), col("__negid")), k * overfetch,
+        largest = true, payload = Seq(idCol))
+      .select(col(qIdCol), col(idCol))
+    val rescored = cands
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .withColumn("cos", round(
+        graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
+    RankOps.topKPerKey(rescored.select(col(qIdCol), col("cos"),
+        negate(col(idCol)).as("__negid"), col(idCol)),
+        Seq(qIdCol), Seq(col("cos"), col("__negid")), k,
+        largest = true, payload = Seq(idCol))
+      .select(col(qIdCol), col(idCol), col("cos"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -150,6 +150,22 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Product-quantized ANN (q79): vectors encode to m=8 sub-codeword
+    * bytes (32× compression at dim 64), the coarse pass scores via
+    * per-query ADC table lookups, exact cosine re-ranks the top-20. The
+    * codebooks are the deterministic every-7th-vector seeds (same
+    * convention as the IVF oracle), so DuckDB replays seed → encode →
+    * ADC → re-rank bit-for-bit; Lloyd-refined codebooks are gated in
+    * PqSpec. */
+  def q79AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    SimilarityOps.pqTopK(emb, queries, k = 5, m = 8, ksub = 16, overfetch = 4)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Multimodal: synthesize REAL media containers (ImageIO-encoded
     * PNG/JPEG/GIF, canonical WAV, stub video bytes), then run the
     * partition-batched extractor whose dims/format come from a REAL
@@ -491,6 +507,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q79_ann_pq" -> (q79AnnPq _),
     "q78_ann_int8" -> (q78AnnInt8 _),
     "q77_incremental_neardup" -> (q77IncrementalNearDedup _),
     "q74_bpe_pairs" -> (q74BpePairs _),
@@ -652,6 +669,62 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q79_ann_pq" ->
+      s"""WITH seeds AS (
+         |  SELECT CAST((rn - 1) / 7 AS INT) AS cid, embedding AS c
+         |  FROM (SELECT vec_id, embedding,
+         |          row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM embeddings ORDER BY vec_id LIMIT 112)
+         |  WHERE (rn - 1) % 7 = 0),
+         |cw AS (
+         |  SELECT j, cid, list_slice(c, j * 8 + 1, j * 8 + 8) AS sub
+         |  FROM seeds, (SELECT unnest(range(0, 8)) AS j)),
+         |codes AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT e.vec_id, w.j, w.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id, w.j
+         |        ORDER BY list_sum(list_transform(
+         |          list_zip(list_slice(e.embedding, w.j * 8 + 1, w.j * 8 + 8),
+         |                   w.sub),
+         |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) ASC,
+         |        w.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cw w) WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 8),
+         |tab AS (
+         |  SELECT q.q_id, w.j, w.cid,
+         |    list_sum(list_transform(
+         |      list_zip(list_slice(q.q_vec, w.j * 8 + 1, w.j * 8 + 8), w.sub),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dp
+         |  FROM q CROSS JOIN cw w),
+         |coarse AS (
+         |  SELECT t.q_id, c.vec_id,
+         |    list_sum(list(t.dp ORDER BY t.j)) AS approx
+         |  FROM codes c JOIN tab t ON c.j = t.j AND c.cid = t.cid
+         |  WHERE c.vec_id <> t.q_id
+         |  GROUP BY t.q_id, c.vec_id),
+         |cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY approx DESC, vec_id ASC) AS rn
+         |    FROM coarse) WHERE rn <= 20),
+         |rescored AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |    round(${cosSql("e.embedding", "q.q_vec")}, 4) AS cos
+         |  FROM cand
+         |    JOIN embeddings e ON cand.vec_id = e.vec_id
+         |    JOIN q ON cand.q_id = q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT)
+         |      AS rank
+         |  FROM rescored)
+         |SELECT q_id, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "q78_ann_int8" ->
       s"""WITH qz AS (
          |  SELECT vec_id, embedding,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 240 vectors in 12 tight clusters (16-dim): PQ codes capture cluster
+    * structure, so ADC candidates contain the true neighbors. */
+  lazy val corpus = {
+    val rnd = new scala.util.Random(11L)
+    (0 until 240).map { i =>
+      val c = i % 12
+      val center = Array.tabulate(16)(j =>
+        math.sin((c * 16 + j).toDouble).toFloat * 3f)
+      (i.toLong, center.map(x => x + rnd.nextGaussian().toFloat * 0.15f).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("codes are within [0, ksub) and deterministic") {
+    val cb = SimilarityOps.seedPqCodebooks(corpus, m = 4, ksub = 16)
+    assert(cb.dsub == 4 && cb.codewords.size == 4 &&
+      cb.codewords.forall(_.size == 16))
+    val codes = SimilarityOps.pqEncode(corpus, cb)
+      .select("pq_codes").collect().map(_.getSeq[Byte](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(b => b >= 0 && b < 16)))
+    val codes2 = SimilarityOps.pqEncode(corpus, cb)
+      .select("pq_codes").collect().map(_.getSeq[Byte](0))
+    assert(codes.map(_.toList).toSeq == codes2.map(_.toList).toSeq)
+  }
+
+  test("ADC score equals the manual table-sum") {
+    val cb = SimilarityOps.seedPqCodebooks(corpus, m = 4, ksub = 16)
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val qv = q.select("q_vec").head().getSeq[Float](0)
+    val got = SimilarityOps.pqEncode(corpus.filter($"vec_id" === 7L), cb)
+      .crossJoin(q.withColumn("__table", SimilarityOps.pqAdcTable($"q_vec", cb)))
+      .select(graft.functions.PqAdcScore($"pq_codes", $"__table", cb.ksub))
+      .head().getDouble(0)
+    val codes = SimilarityOps.pqEncode(corpus.filter($"vec_id" === 7L), cb)
+      .select("pq_codes").head().getSeq[Byte](0)
+    val want = (0 until cb.m).map { j =>
+      val cw = cb.codewords(j)(codes(j).toInt)._2
+      val qs = qv.slice(j * cb.dsub, (j + 1) * cb.dsub)
+      qs.zip(cw).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    }.sum
+    assert(math.abs(got - want) < 1e-9, s"$got vs $want")
+  }
+
+  test("trained PQ top-k recall vs brute force is high on clustered data") {
+    val queries = corpus.filter($"vec_id" < 6)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val cb = SimilarityOps.trainPqCodebooks(corpus, m = 4, ksub = 16, iters = 2)
+    val exact = SimilarityOps.bruteForceTopK(corpus, queries, k = 5)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilarityOps.pqTopK(corpus, queries, k = 5, m = 4,
+        ksub = 16, overfetch = 6, trained = Some(cb))
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("plan gate: coarse scan reads codes only — no vectors, no sort") {
+    val queries = corpus.filter($"vec_id" < 6)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val df = SimilarityOps.pqTopK(corpus, queries, k = 5, m = 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pq_adc_score"), s"ADC kernel expected in: $p")
+    assert(p.contains("collect_top_k"), "bounded-heap top-k expected")
+    assert(!p.contains("Window"), "no window sort in either stage")
+  }
+}
