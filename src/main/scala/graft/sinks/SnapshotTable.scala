@@ -168,13 +168,27 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * the small-files remedy for streaming/merge-heavy tables (a 100 TB
     * table fed by micro-batches degrades into millions of tiny parquet
     * files; scan cost is per-file). Writes a new snapshot, preserving
-    * history. */
+    * history.
+    *
+    * `clusterBy` additionally range-partitions and sorts the rewrite on
+    * the given columns (the OPTIMIZE ... ZORDER analog for the
+    * single-key case): each output file then covers a narrow, mostly
+    * non-overlapping key range, so parquet footer min/max statistics let
+    * a selective scan skip whole files/row-groups — the layout
+    * investment that turns "scan 100 TB" into "scan the 3 files that
+    * can contain the key". Non-overlap is asserted in
+    * SnapshotTableSpec. */
   def compact(targetRowsPerFile: Long = 1000000L,
-              partitionBy: Seq[String] = Nil): Long = {
+              partitionBy: Seq[String] = Nil,
+              clusterBy: Seq[Column] = Nil): Long = {
     val df = read()
     val rows = df.count()
     val files = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-    val n = stage(df.repartition(files), partitionBy)
+    val laid =
+      if (clusterBy.isEmpty) df.repartition(files)
+      else df.repartitionByRange(files, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
+    val n = stage(laid, partitionBy)
     publish(n)
     n
   }

@@ -32,6 +32,33 @@ class SnapshotEvolutionSpec extends SparkSpec {
     assert(t.readVersion(1).count() == 10000) // history intact
   }
 
+  test("compact with clusterBy yields non-overlapping per-file key ranges") {
+    val t = new SnapshotTable(spark, tmpDir("cluster") + "/t")
+    // shuffled ids so the pre-compact layout has full-range files
+    t.overwrite(spark.range(10000).toDF("id")
+      .orderBy(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("id")))
+      .repartition(8))
+    t.compact(targetRowsPerFile = 2500,
+      clusterBy = Seq(org.apache.spark.sql.functions.col("id")))
+    val files = t.read().inputFiles
+    assert(files.length >= 3, s"expected several clustered files, got ${files.length}")
+    // every file must cover a narrow, pairwise non-overlapping id range —
+    // that is the property parquet min/max skipping feeds on
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: $hi1 >= $lo2")
+      case _ =>
+    }
+    assert(t.read().count() == 10000)
+  }
+
   test("expireSnapshots keeps newest N, never the published one") {
     val t = new SnapshotTable(spark, tmpDir("expire") + "/t")
     (1 to 4).foreach(i => t.overwrite(Seq(i).toDF("x")))
