@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProductF}
+import graft.functions.{CosineSimilarity, DotProductF, DotProductI8, SqDistF}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * every session built with them exposes `cosine_similarity` /
-  * `dot_product_f` in SQL and via `call_function` — no per-session
-  * `register` call needed. Activate with
+  * `dot_product_f` / `dot_product_i8` / `sq_dist_f` in SQL and via
+  * `call_function` — no per-session `register` call needed. Activate with
   * `.withExtensions(new GraftExtensions)` (done by [[GraftSession]]) or
   * `spark.sql.extensions=graft.GraftExtensions` on any stock session.
   */
@@ -23,5 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotProductF.fnName),
       new ExpressionInfo(classOf[DotProductF].getName, DotProductF.fnName),
       exprs => DotProductF(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(DotProductI8.fnName),
+      new ExpressionInfo(classOf[DotProductI8].getName, DotProductI8.fnName),
+      exprs => DotProductI8(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(SqDistF.fnName),
+      new ExpressionInfo(classOf[SqDistF].getName, SqDistF.fnName),
+      exprs => SqDistF(exprs(0), exprs(1))))
   }
 }

@@ -298,4 +298,51 @@ object TextOps {
       .select(col(idCol), col("doc_len").cast("long").as("doc_len"),
         score.as("score"))
   }
+
+  /** Corpus quality scoring with a self-trained bigram language model —
+    * the distributed analog of CCNet's "perplexity under a reference LM"
+    * filter, with the corpus itself as the reference: documents whose
+    * token transitions are atypical for the corpus (boilerplate, garbled
+    * text, wrong language) score low and can be gated on `avg_logp`.
+    *
+    * Model: add-one-smoothed bigram MLE over the corpus token stream,
+    * p(w₂|w₁) = (c₂(w₁,w₂)+1)/(c₁(w₁)+V), restricted to documents with
+    * ≥ 2 tokens (the scoring population). Per-doc score = mean ln p over
+    * the doc's bigrams.
+    *
+    * Scale shape: two count aggregations (bigram, unigram — each one
+    * shuffle with map-side combine), a 1-row vocab scalar (broadcast), and
+    * instance→count joins keyed on the bigram/unigram — everything linear
+    * in corpus size, counts never collected. The per-doc sum folds the
+    * pos-sorted term list SEQUENTIALLY (not a float `sum()`), so the
+    * result is independent of partitioning and row order — what makes the
+    * op oracle-checkable at 4 decimals. */
+  def bigramLmScores(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val stream = toks.select(col(idCol), explode(col("toks")).as("w"))
+    val uni = stream.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = stream.agg(countDistinct(col("w")).as("v"))
+    val bg = toks.select(col(idCol), posexplode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |         slice(toks, 2, size(toks) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin))
+        .as(Seq("pos", "p")))
+      .select(col(idCol), col("pos"), col("p.w1").as("w1"),
+        // unit-separator-joined key: unambiguous ("ab"+"c" vs "a"+"bc")
+        concat_ws("\u001f", col("p.w1"), col("p.w2")).as("bigram"))
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val terms = bg.join(c2, Seq("bigram"))
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("pos"),
+        log((col("c2").cast("double") + 1.0) /
+            (col("c1").cast("double") + col("v").cast("double"))).as("term"))
+    terms.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+              e => e.getField("term")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1)), 4).as("avg_logp"))
+  }
 }

@@ -166,6 +166,17 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Bigram-LM quality scoring (q80): every doc scored by mean ln p of
+    * its token transitions under the corpus's own add-one bigram model
+    * (the CCNet-perplexity-filter shape). The per-doc sum folds the
+    * pos-ordered term list sequentially, so 4-decimal rounding is
+    * engine-stable and DuckDB replays counts → smoothing → fold exactly. */
+  def q80LmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.bigramLmScores(Tables.load(s, dir, "documents"), "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** Multimodal: synthesize REAL media containers (ImageIO-encoded
     * PNG/JPEG/GIF, canonical WAV, stub video bytes), then run the
     * partition-batched extractor whose dims/format come from a REAL
@@ -507,6 +518,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q80_lm_score" -> (q80LmScore _),
     "q79_ann_pq" -> (q79AnnPq _),
     "q78_ann_int8" -> (q78AnnInt8 _),
     "q77_incremental_neardup" -> (q77IncrementalNearDedup _),
@@ -669,6 +681,32 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q80_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, TOKS AS toks FROM documents WHERE len(TOKS) >= 2),
+        |stream AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS c1 FROM stream GROUP BY w),
+        |v AS (SELECT count(DISTINCT w) AS vv FROM stream),
+        |bg AS (
+        |  SELECT doc_id, pos, toks[pos + 1] AS w1,
+        |    toks[pos + 1] || chr(31) || toks[pos + 2] AS bigram
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, len(toks) - 1)) AS pos FROM t)),
+        |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+        |terms AS (
+        |  SELECT b.doc_id, b.pos,
+        |    ln((CAST(c2.c2 AS DOUBLE) + 1.0) /
+        |       (CAST(u.c1 AS DOUBLE) + CAST(v.vv AS DOUBLE))) AS term
+        |  FROM bg b
+        |    JOIN c2 ON b.bigram = c2.bigram
+        |    JOIN uni u ON b.w1 = u.w
+        |    CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(list_sum(list(term ORDER BY pos)) / count(*), 4) AS avg_logp
+        |FROM terms GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+        .replace("TOKS",
+          "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"),
     "q79_ann_pq" ->
       s"""WITH seeds AS (
          |  SELECT CAST((rn - 1) / 7 AS INT) AS cid, embedding AS c
