@@ -320,6 +320,43 @@ object SimilarityOps {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  // ----------------------------------------------------------- sem-dedup
+
+  /** SemDeDup: semantic (embedding-space) deduplication. Vectors are
+    * assigned to coarse cells (nearest centroid — the IVF quantizer),
+    * pairwise exact cosine runs ONLY within a cell, and every pair at or
+    * above `threshold` marks the larger id a duplicate of the smaller.
+    * Returns (idCol, cell, keep, dup_of) for every vector; `dup_of` is
+    * the smallest same-cell neighbor above threshold (null when kept).
+    *
+    * The cell partition bounds the quadratic stage: cost is
+    * Σ_cell |cell|² instead of n² — the SemDeDup paper's exact design,
+    * where candidate loss at cell borders is the accepted approximation.
+    * One shuffle keys vectors by cell; the per-cell self-join is
+    * co-partitioned. Centroids default to the deterministic every-7th
+    * seeds (SQL-replayable, q81's oracle); pass Lloyd-trained ones for
+    * production quality. */
+  def semDedup(corpus: DataFrame, threshold: Double, nlist: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               trained: Option[IndexedSeq[(Int, Seq[Float])]] = None): DataFrame = {
+    fused(corpus)
+    val centroids = trained.getOrElse(seedCentroids(corpus, nlist, idCol, vecCol))
+    val assigned = assignCells(corpus, centroids, vecCol)
+      .select(col(idCol), col("cell"), col(vecCol))
+    val l = assigned.select(col("cell"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = assigned.select(col("cell"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    val dups = l.join(r, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(graft.functions.CosineSimilarity(col("v1"), col("v2")), 4)
+        >= threshold)
+      .groupBy(col("id2")).agg(min(col("id1")).as("dup_of"))
+      .withColumnRenamed("id2", idCol)
+    assigned.select(col(idCol), col("cell"))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cell").cast("long").as("cell"),
+        col("dup_of").isNull.cast("long").as("keep"), col("dup_of"))
+  }
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric int8 scalar quantization: qᵢ = round(127·xᵢ / max|x|),

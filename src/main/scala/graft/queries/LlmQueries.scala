@@ -166,6 +166,18 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** SemDeDup over the embeddings table (q81): coarse cells via the
+    * deterministic seed centroids, exact cosine only within a cell, and
+    * a vector is kept iff no smaller-id same-cell neighbor has cosine ≥
+    * threshold. The whole decision — assignment tie-breaks included — is
+    * replayed by the oracle. */
+  def q81SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SimilarityOps.semDedup(Tables.load(s, dir, "embeddings"),
+        threshold = 0.9, nlist = 16)
+      .orderBy($"vec_id")
+  }
+
   /** Bigram-LM quality scoring (q80): every doc scored by mean ln p of
     * its token transitions under the corpus's own add-one bigram model
     * (the CCNet-perplexity-filter shape). The per-doc sum folds the
@@ -518,6 +530,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q81_semdedup" -> (q81SemDedup _),
     "q80_lm_score" -> (q80LmScore _),
     "q79_ann_pq" -> (q79AnnPq _),
     "q78_ann_int8" -> (q78AnnInt8 _),
@@ -681,6 +694,31 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q81_semdedup" ->
+      s"""WITH cent AS (
+         |  SELECT CAST((rn - 1) / 7 AS INT) AS cid, embedding AS c
+         |  FROM (SELECT vec_id, embedding,
+         |          row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM embeddings ORDER BY vec_id LIMIT 112)
+         |  WHERE (rn - 1) % 7 = 0),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c")} DESC, c.cid DESC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |dups AS (
+         |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.9
+         |  GROUP BY a.vec_id)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS keep,
+         |  d.dup_of
+         |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "q80_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, TOKS AS toks FROM documents WHERE len(TOKS) >= 2),
