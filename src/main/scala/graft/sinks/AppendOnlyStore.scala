@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Append-only, hash-prefix-partitioned parquet store — the scale-correct
-  * home for cross-batch dedup state (corpus fingerprints, seen-ID sets).
+  * home for cross-batch dedup state (corpus fingerprints, LSH bucket
+  * keys, seen-ID sets).
   *
   * The contract a 100 TB incremental pipeline needs and a snapshot table
   * cannot give it: per-batch write IO proportional to the BATCH, not the
@@ -15,39 +16,92 @@ import org.apache.spark.sql.functions._
   * at 10⁹ accumulated fingerprints that is a ~40 GB read+write per
   * micro-batch, growing forever (the round-1 scale blocker).
   *
-  * Layout: `<root>/data/prefix=XX/part-*.parquet`, where `prefix` is the
-  * first `prefixChars` hex chars of the key (default 2 → 256 stable
-  * partitions, sized for stores in the 10⁹-row class; use 1 → 16 for
-  * small/medium stores where per-file constant costs dominate), so
-  * `compact()` can rewrite one prefix at a time and a future per-prefix
-  * merge/prune never shuffles the whole store.
+  * Layout:
+  * {{{
+  *   <root>/data.G/prefix=XX/part-*.parquet   generation G's files
+  *   <root>/_GEN.<seq>                        pointer files: max seq wins
+  * }}}
+  * `prefix` is the first `prefixChars` hex chars of the key (default 2 →
+  * 256 stable partitions, sized for stores in the 10⁹-row class; use 1 →
+  * 16 for small/medium stores where per-file constant costs dominate), so
+  * compaction can rewrite one prefix at a time and reads could prune.
+  *
+  * Compaction swaps GENERATIONS behind the same pointer protocol
+  * SnapshotTable's publish uses: the compacted rewrite lands in a fresh
+  * `data.(G+1)` directory, a new pointer file makes it current, and
+  * generation G's files are retained until the NEXT compaction — so a
+  * reader pinned to a pre-compaction listing keeps streaming files that
+  * still exist (the round-1 formulation renamed-and-deleted the live
+  * directory under such readers). Appends are single-writer by contract
+  * (one ingesting pipeline per store), matching every incremental-dedup
+  * call site; concurrent READERS are safe at any point.
   *
   * Crash semantics: an interrupted append can leave a batch's files
   * partially committed. For dedup state this is benign — duplicate
   * fingerprint rows only over-suppress nothing (anti-join semantics are
   * set semantics), and a replayed batch re-appends rows that are
-  * duplicates in the store, not in the corpus.
+  * duplicates in the store, not in the corpus. An interrupted compact
+  * leaves an unpublished `data.G+1`, which the next compact overwrites.
   */
 class AppendOnlyStore(spark: SparkSession, root: String,
                       prefixCol: String = "fingerprint",
                       prefixChars: Int = 2) {
 
-  private val dataDir = new Path(root, "data")
+  private val rootPath = new Path(root)
   private def fs: FileSystem =
-    dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = fs.exists(dataDir) && dataFiles().nonEmpty
+  // legacy un-generationed layout (round-1 stores): honored as generation 0
+  private val legacyDir = new Path(rootPath, "data")
 
-  /** Full store scan (anti-join side of incremental dedup). Read-only:
-    * the per-batch cost is one scan of ~fixed-width rows, never a write.
+  private def pointerSeqs(): Seq[(Long, Path)] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq.map(_.getPath).flatMap { p =>
+      val name = p.getName
+      if (name.startsWith("_GEN.") && !name.contains("tmp"))
+        name.stripPrefix("_GEN.").toLongOption.map(_ -> p)
+      else None
+    }
+
+  private def readPointer(p: Path): Long = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+    finally in.close()
+  }
+
+  private def currentGen: Long = {
+    val seqs = pointerSeqs()
+    if (seqs.nonEmpty) readPointer(seqs.maxBy(_._1)._2) else 0L
+  }
+
+  private def genDir(g: Long): Path =
+    if (g == 0L && fs.exists(legacyDir)) legacyDir
+    else new Path(rootPath, s"data.$g")
+
+  private def publishGen(g: Long): Unit = {
+    val next = (pointerSeqs().map(_._1) :+ 0L).max + 1
+    val tmp = new Path(rootPath, s"_GEN_tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(rootPath, s"_GEN.$next")))
+      throw new IllegalStateException(s"generation pointer swap failed at $root")
+  }
+
+  def exists: Boolean = dataFiles().nonEmpty
+
+  /** Full store scan (anti-join / probe side of incremental dedup).
+    * Read-only: the per-batch cost is one scan of ~fixed-width rows,
+    * never a write.
     *
     * Snapshot-isolated: pinned to the file listing at call time, so a
     * lazy plan built over this frame is unaffected by files appended
     * later — in particular, a batch's anti-join never sees the batch's
-    * OWN fingerprints when the plan re-evaluates after `append`. */
+    * OWN fingerprints when the plan re-evaluates after `append` — and
+    * survives one concurrent compaction (the superseded generation's
+    * files are retained until the following one). */
   def read(): DataFrame = {
-    val files = dataFiles()
-    spark.read.option("basePath", dataDir.toString).parquet(files: _*)
+    val dir = genDir(currentGen)
+    spark.read.option("basePath", dir.toString).parquet(dataFiles(): _*)
   }
 
   /** Append a batch: writes ONLY the batch's own files. The batch is
@@ -59,29 +113,30 @@ class AppendOnlyStore(spark: SparkSession, root: String,
   def append(df: DataFrame): Unit =
     df.withColumn("prefix", substring(col(prefixCol), 1, prefixChars))
       .repartition(col("prefix"))
-      .write.mode("append").partitionBy("prefix").parquet(dataDir.toString)
+      .write.mode("append").partitionBy("prefix").parquet(genDir(currentGen).toString)
 
-  /** Per-partition file compaction (the small-files remedy for
-    * micro-batch appends): rewrites each prefix partition into ~1 file.
-    * Also drops duplicate rows a crash-replay may have appended. Bounded
-    * work per call — one prefix's data in flight at a time, never the
-    * whole store in one job's shuffle. */
+  /** Compact the store into ~1 file per prefix partition (the small-files
+    * remedy for micro-batch appends), also dropping duplicate rows a
+    * crash-replay may have appended. Writes a NEW generation and retires
+    * the one before the previous — readers pinned to the outgoing
+    * generation keep their files until the next compact. */
   def compact(): Unit = {
-    val tmp = new Path(root, s"compact_tmp${System.nanoTime()}")
+    val cur = currentGen
+    val next = cur + 1
     read().dropDuplicates(prefixCol)
       .withColumn("prefix", substring(col(prefixCol), 1, prefixChars))
       .repartition(col("prefix"))
-      .write.partitionBy("prefix").parquet(tmp.toString)
-    val old = new Path(root, s"data_old${System.nanoTime()}")
-    fs.rename(dataDir, old)
-    fs.rename(tmp, dataDir)
-    fs.delete(old, true)
+      .write.mode("overwrite").partitionBy("prefix").parquet(genDir(next).toString)
+    publishGen(next)
+    val stale = genDir(cur - 1) // resolves to the legacy dir for gen 0
+    if (cur > 0 && fs.exists(stale)) fs.delete(stale, true)
   }
 
-  /** Data files currently in the store (for append-only assertions). */
+  /** Data files in the CURRENT generation (for append-only assertions). */
   def dataFiles(): Seq[String] = {
-    if (!fs.exists(dataDir)) return Nil
-    val it = fs.listFiles(dataDir, true)
+    val dir = genDir(currentGen)
+    if (!fs.exists(dir)) return Nil
+    val it = fs.listFiles(dir, true)
     val buf = scala.collection.mutable.ArrayBuffer[String]()
     while (it.hasNext) {
       val f = it.next()

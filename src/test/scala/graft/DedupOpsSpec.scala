@@ -76,6 +76,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(store.dataFiles().size <= filesAfterB2.size)
   }
 
+  test("a reader pinned before compaction survives one generation swap") {
+    val store = new graft.sinks.AppendOnlyStore(spark,
+      tmpDir("gen") + "/store")
+    (1 to 3).foreach { b =>
+      store.append((1 to 50).map(i =>
+          (f"${b * 1000 + i}%032x", (b * 1000 + i).toLong))
+        .toDF("fingerprint", "doc_id"))
+    }
+    val pinned = store.read() // file listing captured now
+    store.compact()           // new generation published
+    // the pinned plan still streams the superseded generation's files
+    assert(pinned.count() == 150)
+    assert(store.read().count() == 150)
+    // a second compaction retires that generation
+    store.compact()
+    assert(store.read().count() == 150)
+  }
+
   test("minhash LSH finds all planted near-dups with no false negatives") {
     val pairs = DedupOps.minhashNearDups(corpus, "text", "doc_id",
       threshold = 0.5).collect()
