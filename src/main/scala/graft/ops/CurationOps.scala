@@ -61,6 +61,24 @@ object CurationOps {
     rate >= 1.0 || key < threshold
   }
 
+  /** Deterministic Bernoulli sample at `rate`, keyed on `md5(seed:id)` —
+    * the engine-portable sampling primitive behind [[temperatureSample]],
+    * exposed for approximate query processing: the kept set is a pure
+    * function of (seed, id), so it is identical on every engine,
+    * partitioning, and run — a sampled ESTIMATE can be hash-compared
+    * against an oracle, not just bounded. Sampling is a filter in the
+    * scan projection: no shuffle, no state, trivially 100 TB-safe. */
+  def seededSample(df: DataFrame, idCol: String, rate: Double,
+                   seed: String = "sample"): DataFrame =
+    df.filter(md5Keep(col(idCol), seed, lit(rate)))
+
+  /** Exact inverse inclusion probability of [[seededSample]]'s md5
+    * threshold (the Horvitz-Thompson expansion factor): the keep test is
+    * `key < floor(rate·2³²)/2³²`, so the unbiased scale-up is
+    * 2³²/floor(rate·2³²), not 1/rate. */
+  def inverseRate(rate: Double): Double =
+    4294967296.0 / math.floor(rate * 4294967296.0)
+
   /** Temperature-based domain mixture sampling (the multinomial
     * `p_d^alpha` re-weighting used to balance source domains when
     * assembling a training mix; alpha < 1 up-samples small domains,

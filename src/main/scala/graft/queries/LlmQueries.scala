@@ -166,6 +166,30 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Approximate query processing via deterministic sampling (q82):
+    * revenue per return flag estimated from a seeded 10% Bernoulli
+    * sample with the exact Horvitz-Thompson expansion. Because the
+    * sample is a pure function of (seed, row key), the ESTIMATE itself
+    * is hash-exact against the oracle — the sampled-aggregation pipeline
+    * is gated end to end, not just "within error bounds". */
+  def q82SampledAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .withColumn("rowkey",
+        concat_ws("-", $"l_orderkey".cast("string"),
+          $"l_linenumber".cast("string")))
+      .withColumn("e4",
+        floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000.0 + 0.5)
+          .cast("long"))
+    CurationOps.seededSample(li, "rowkey", rate = 0.1, seed = "q82")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"), sum($"e4").as("sum_e4"))
+      .select($"l_returnflag", $"n_sampled", $"sum_e4",
+        round($"sum_e4".cast("double") * lit(CurationOps.inverseRate(0.1)))
+          .cast("long").as("est_e4"))
+      .orderBy($"l_returnflag")
+  }
+
   /** SemDeDup over the embeddings table (q81): coarse cells via the
     * deterministic seed centroids, exact cosine only within a cell, and
     * a vector is kept iff no smaller-id same-cell neighbor has cosine ≥
@@ -530,6 +554,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
     "q80_lm_score" -> (q80LmScore _),
     "q79_ann_pq" -> (q79AnnPq _),
@@ -694,6 +719,22 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q82_sampled_agg" ->
+      s"""WITH s AS (
+         |  SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)
+         |         AS BIGINT) AS e4
+         |  FROM lineitem
+         |  WHERE substr(md5('q82:' || (CAST(l_orderkey AS VARCHAR) || '-' ||
+         |                              CAST(l_linenumber AS VARCHAR))), 1, 8)
+         |    < lpad(lower(hex(CAST(floor(0.1 * 4294967296.0) AS BIGINT))),
+         |           8, '0'))
+         |SELECT l_returnflag, count(*) AS n_sampled,
+         |  CAST(sum(e4) AS BIGINT) AS sum_e4,
+         |  CAST(round(CAST(sum(e4) AS DOUBLE)
+         |             * ${CurationOps.inverseRate(0.1)}) AS BIGINT) AS est_e4
+         |FROM s GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "q81_semdedup" ->
       s"""WITH cent AS (
          |  SELECT CAST((rn - 1) / 7 AS INT) AS cid, embedding AS c

@@ -101,4 +101,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(o7 !== order(8))
     assert(o7.sorted === (1L to 2000L))
   }
+
+  test("seededSample: deterministic, partitioning-invariant, near-rate") {
+    val docs = (1L to 5000L).toDF("id")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      CurationOps.seededSample(df, "id", rate = 0.2, seed = "s")
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(docs.repartition(1))
+    val b = ids(docs.repartition(17))
+    assert(a === b)
+    assert(a.size > 800 && a.size < 1200, s"rate off: ${a.size}/5000")
+    // a different seed draws a different (deterministic) sample
+    val c = CurationOps.seededSample(docs, "id", 0.2, seed = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(c !== a)
+    // HT expansion uses the exact threshold probability
+    assert(math.abs(CurationOps.inverseRate(0.5) - 2.0) < 1e-9)
+  }
 }
