@@ -59,6 +59,53 @@ object Connectors {
       .mode(mode)
       .save()
 
+  /** Idempotent keyed upsert into a JDBC table: the batch bulk-loads into
+    * a unique staging table ([[writeJdbc]] — parallel batched inserts),
+    * then ONE server-side `MERGE INTO` applies it to the target keyed on
+    * `keys`, and the staging table is dropped. This is the
+    * `foreachBatch` JDBC sink pattern for exactly-once-ish CDC egress:
+    * a checkpoint-replayed micro-batch re-merges the same rows into the
+    * same keys, so replays cannot duplicate. The target table (with its
+    * key constraint) must already exist — DDL is the operator's domain,
+    * as with the reference's managed sink tables.
+    *
+    * Scale posture: data moves executor→DB in parallel batched inserts
+    * (never through the driver); the driver issues only the constant-size
+    * MERGE/DROP statements. */
+  def upsertJdbc(df: DataFrame, cfg: JdbcConfig, table: String,
+                 keys: Seq[String], batchSize: Int = 10000,
+                 maxConnections: Int = 8): Unit = {
+    require(keys.nonEmpty, "upsertJdbc needs at least one key column")
+    val staging = s"${table}_stg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    writeJdbc(df, cfg, staging, mode = "overwrite", batchSize, maxConnections)
+    val cols = df.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    // Spark's JDBC writer CREATEs the staging table with QUOTED column
+    // names (case-preserved); the target's come from operator DDL and
+    // fold to the database's default case — so staging references are
+    // quoted verbatim, target references unquoted.
+    def sq(c: String) = "s.\"" + c + "\""
+    val on = keys.map(k => s"t.$k = ${sq(k)}").mkString(" AND ")
+    val setClause = nonKeys.map(c => s"t.$c = ${sq(c)}").mkString(", ")
+    val insertCols = cols.mkString(", ")
+    val insertVals = cols.map(sq).mkString(", ")
+    val matched =
+      if (nonKeys.isEmpty) "" else s"WHEN MATCHED THEN UPDATE SET $setClause "
+    val mergeSql =
+      s"MERGE INTO $table t USING $staging s ON ($on) " + matched +
+        s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(mergeSql)
+      } finally {
+        try st.executeUpdate(s"DROP TABLE $staging")
+        finally st.close()
+      }
+    } finally conn.close()
+  }
+
   /** Kafka batch-scan config (reference kafka connector, S1). Produces the
     * (value, timestamp, key) column contract that [[Debezium.rawModel]]
     * and the key-scan (S5) consume. */
