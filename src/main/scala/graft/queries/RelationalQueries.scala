@@ -477,6 +477,46 @@ object RelationalQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** Cohort retention matrix over the event stream: users grouped by
+    * first-seen day, distinct-user counts per (cohort, day-offset) cell.
+    * Two aggregations + one join, all keyed on user_id/cohort — the
+    * standard product-analytics query at any scale (the first-seen
+    * aggregate is |users| rows; the activity set shuffles once). */
+  def q83CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id", to_date($"ts").as("d"))
+    val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_d"))
+    ev.distinct()
+      .join(first, Seq("user_id"))
+      .groupBy(date_format($"cohort_d", "yyyy-MM-dd").as("cohort_day"),
+        datediff($"d", $"cohort_d").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  /** Ordered funnel (signup → view → purchase, strictly later steps):
+    * stage k's timestamp is the first qualifying event AFTER stage k-1.
+    * Three user-keyed aggregates chained by broadcast-small joins — per
+    * stage one pass over the (pruned) event scan, no window over the
+    * full stream. */
+  def q84Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id", $"ts", $"event_type")
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "view")
+      .join(s1, Seq("user_id")).filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, Seq("user_id")).filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val rows = Seq(
+      ("1_signup", s1), ("2_view_after_signup", s2), ("3_purchase_after_view", s3))
+    rows.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), $"n_users")
+    }.reduce(_.unionByName(_)).orderBy($"stage")
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL surface:
     * small-order lineitems per part. Catalyst decorrelates the per-part
     * average into an aggregate + join — verify with explain that no
@@ -641,7 +681,9 @@ object RelationalQueries {
     "q68_salted_agg" -> (q68SaltedAgg _),
     "q69_lateral" -> (q69Lateral _),
     "q75_topk_per_key" -> (q75TopKPerKey _),
-    "q76_bloom_prune" -> (q76BloomPrune _)
+    "q76_bloom_prune" -> (q76BloomPrune _),
+    "q83_cohort_retention" -> (q83CohortRetention _),
+    "q84_funnel" -> (q84Funnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -953,6 +995,36 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q83_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_day,
+        |  CAST(act.d - f.cohort_d AS BIGINT) AS day_offset,
+        |  count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN f ON act.user_id = f.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q84_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT '2_view_after_signup', count(*) FROM s2
+        |UNION ALL
+        |SELECT '3_purchase_after_view', count(*) FROM s3
+        |ORDER BY stage""".stripMargin
   )
 }
