@@ -26,7 +26,10 @@ object CorpusPipeline {
       lakeRoot: String,
       minQuality: Double = 0.3,
       minTokens: Long = 10,
-      nearDupThreshold: Double = 0.5)
+      nearDupThreshold: Double = 0.5,
+      /** Drop the lowest-scoring fraction of docs by bigram-LM avg_logp
+        * (0.0 = annotate only — every doc still gains the score column). */
+      lmDropFraction: Double = 0.0)
 
   def build(spark: SparkSession, cfg: Config): Pipeline = {
     val cleanTable = new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/clean")
@@ -54,11 +57,33 @@ object CorpusPipeline {
             col("n_tokens") >= cfg.minTokens),
         checks = Seq(RowCountBetween(min = 1))),
       Stage(
-        name = "corpus_exact_dedup",
+        // CCNet-style LM filter: score every doc's token transitions
+        // under the corpus's own bigram model; drop the configured
+        // bottom fraction (exact quantile — one driver scalar). Docs too
+        // short to score (< 2 tokens) carry a null score and are kept.
+        name = "corpus_lm_gate",
         deps = Seq("corpus_quality_gate"),
+        tags = Set("corpus", "filter"),
+        build = (_, ctx) => {
+          val docs = ctx("corpus_quality_gate")
+          val scores = TextOps.bigramLmScores(docs, "text", "doc_id")
+            .select(col("doc_id"), col("avg_logp"))
+          val annotated = docs.join(scores, Seq("doc_id"), "left")
+          if (cfg.lmDropFraction <= 0.0) annotated
+          else {
+            val cut = annotated.filter(col("avg_logp").isNotNull)
+              .stat.approxQuantile("avg_logp",
+                Array(cfg.lmDropFraction), 0.0)(0)
+            annotated.filter(col("avg_logp").isNull || col("avg_logp") >= cut)
+          }
+        },
+        checks = Seq(RowCountBetween(min = 1))),
+      Stage(
+        name = "corpus_exact_dedup",
+        deps = Seq("corpus_lm_gate"),
         tags = Set("corpus", "dedup"),
         build = (_, ctx) => DedupOps.exactDedup(
-          ctx("corpus_quality_gate"), "text", "doc_id"),
+          ctx("corpus_lm_gate"), "text", "doc_id"),
         checks = Seq(Unique(Seq("fingerprint")))),
       Stage(
         name = "corpus_near_dedup",

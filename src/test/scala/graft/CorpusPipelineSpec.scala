@@ -46,5 +46,28 @@ class CorpusPipelineSpec extends SparkSpec {
     val stats = new graft.sinks.SnapshotTable(spark, s"$root/lake/corpus/stats").read().head()
     assert(stats.getAs[Long]("n_docs") == deduped.count())
     assert(stats.getAs[Long]("n_chunks") == chunks.count())
+    // the LM gate annotated every surviving doc (default: drop none)
+    assert(deduped.columns.contains("avg_logp"))
+  }
+
+  test("lm gate drops the lowest-scoring fraction when enabled") {
+    val root = tmpDir("corpus-lm")
+    val docs = ((1 to 30).map(i =>
+        (i.toLong, s"the cat sat on the mat and the dog sat on the rug $i",
+          "en", "good", 50L)) :+
+      (500L, "rug zz mat qq dog vv the on cat ww sat xx mat yy dog uu cat",
+        "en", "garbled", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$root/sf/documents.parquet")
+
+    val cfg = CorpusPipeline.Config(s"$root/sf", s"$root/lake",
+      minQuality = 0.0, minTokens = 2, nearDupThreshold = 0.99,
+      lmDropFraction = 0.04) // bottom ~4% of 31 docs = the worst one
+    val result = CorpusPipeline.build(spark, cfg).run(spark, _ => ())
+    assert(result.ok, result.stages.map(s => s"${s.name}:${s.error}").mkString(";"))
+    val ids = new graft.sinks.SnapshotTable(spark, s"$root/lake/corpus/deduped")
+      .read().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(500L), "garbled doc must fail the LM gate")
+    assert((1L to 30L).forall(ids.contains), s"over-dropped: $ids")
   }
 }
