@@ -48,8 +48,30 @@ object CdcQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** SCD Type-2 dimension build: compress each user's event stream into
+    * event_type validity intervals (§2.9 ST4's merge keeps only the latest
+    * image; this is the full-history companion). One shuffle on user_id;
+    * lag-detect + lead-close share the exchange (`ScdOps.scd2`). */
+  def q85Scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val intervals = graft.ops.ScdOps.scd2(
+      Tables.load(s, dir, "events").withColumn("ts_us", unix_micros($"ts")),
+      keyCols = Seq("user_id"),
+      orderCols = Seq($"ts", $"event_id"),
+      attrCols = Seq("event_type"),
+      validFrom = $"ts_us")
+    intervals.select(
+        $"user_id", $"event_type",
+        $"valid_from".as("valid_from_us"),
+        $"valid_to".as("valid_to_us"),
+        $"is_current",
+        $"event_id".as("change_event_id"))
+      .orderBy($"user_id", $"valid_from_us", $"change_event_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q21_cdc_roundtrip" -> (q21CdcRoundtrip _)
+    "q21_cdc_roundtrip" -> (q21CdcRoundtrip _),
+    "q85_scd2" -> (q85Scd2 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -58,6 +80,25 @@ object CdcQueries {
         | CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
         |FROM orders
         |WHERE o_orderkey % 97 <> 0
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q85_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, ts_us FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_type,
+        |  ts_us AS valid_from_us,
+        |  lead(ts_us) OVER w AS valid_to_us,
+        |  (lead(ts_us) OVER w IS NULL) AS is_current,
+        |  event_id AS change_event_id
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, valid_from_us, change_event_id""".stripMargin
   )
 }
