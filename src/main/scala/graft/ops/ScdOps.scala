@@ -55,4 +55,40 @@ object ScdOps {
       .withColumn("is_current", lead(col("_vf"), 1).over(w).isNull)
       .drop("_vf")
   }
+
+  /** Change-data-feed between two images of the same table (the Iceberg
+    * `changelog` / Delta CDF analog): emits one row per key that was
+    * inserted, deleted, or updated between `oldDf` and `newDf`, carrying
+    * the surviving image's values (new image; old image for deletes).
+    * Unchanged keys are dropped.
+    *
+    * Scale shape: ONE full-outer equi-join on the key (sort-merge at
+    * scale; both sides shuffle once on the same key, AQE handles skew).
+    * Attribute comparison is a null-safe struct equality inside the join
+    * projection — no second pass, no window, nothing collected.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val attrCols = newDf.columns.filterNot(keyCols.contains).toSeq
+    require(attrCols.forall(oldDf.columns.contains),
+      s"old image missing columns: ${attrCols.filterNot(oldDf.columns.contains)}")
+    val o = oldDf.select((keyCols ++ attrCols).map(col): _*)
+      .withColumn("_old", struct(attrCols.map(col): _*))
+      .select(keyCols.map(col) :+ col("_old"): _*)
+    val n = newDf
+      .withColumn("_new", struct(attrCols.map(col): _*))
+      .select(keyCols.map(col) :+ col("_new"): _*)
+    // using-columns full outer join coalesces the key columns for us
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .when(!(col("_old") <=> col("_new")), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .withColumn("_img", coalesce(col("_new"), col("_old")))
+      .select(keyCols.map(col) ++ Seq(col("change_type")) ++
+        attrCols.map(c => col(s"_img.$c").as(c)): _*)
+  }
 }

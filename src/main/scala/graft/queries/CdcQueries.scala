@@ -69,9 +69,28 @@ object CdcQueries {
       .orderBy($"user_id", $"valid_from_us", $"change_event_id")
   }
 
+  /** Change-data-feed between two simulated snapshots of orders: v2 drops
+    * keys ≡0 (mod 17), adds keys ≡0 (mod 13) missing from v1, and bumps
+    * price for keys ≡0 (mod 5). `ScdOps.snapshotDiff` must emit exactly
+    * the insert/update/delete rows — one full-outer join, integer-cents
+    * arithmetic so the update detection is exact on both engines. */
+  def q86SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders").select(
+      $"o_orderkey", $"o_orderstatus",
+      floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("price_cents"))
+    val v1 = base.filter($"o_orderkey" % 13 =!= 0)
+    val v2 = base.filter($"o_orderkey" % 17 =!= 0)
+      .withColumn("price_cents",
+        $"price_cents" + when($"o_orderkey" % 5 === 0, 100L).otherwise(0L))
+    graft.ops.ScdOps.snapshotDiff(v1, v2, Seq("o_orderkey"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_cdc_roundtrip" -> (q21CdcRoundtrip _),
-    "q85_scd2" -> (q85Scd2 _)
+    "q85_scd2" -> (q85Scd2 _),
+    "q86_snapshot_diff" -> (q86SnapshotDiff _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -99,6 +118,30 @@ object CdcQueries {
         |  event_id AS change_event_id
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |ORDER BY user_id, valid_from_us, change_event_id""".stripMargin
+        |ORDER BY user_id, valid_from_us, change_event_id""".stripMargin,
+    "q86_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), v1 AS (
+        |  SELECT * FROM base WHERE o_orderkey % 13 <> 0
+        |), v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    price_cents + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+        |      AS price_cents
+        |  FROM base WHERE o_orderkey % 17 <> 0
+        |)
+        |SELECT coalesce(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+        |  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+        |       WHEN v2.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  coalesce(v2.o_orderstatus, v1.o_orderstatus) AS o_orderstatus,
+        |  coalesce(v2.price_cents, v1.price_cents) AS price_cents
+        |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+        |   OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+        |   OR v1.price_cents IS DISTINCT FROM v2.price_cents
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -88,6 +88,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def readVersion(n: Long): DataFrame =
     spark.read.parquet(snapDir(n).toString)
 
+  /** Change-data-feed between two published snapshots (Iceberg changelog /
+    * Delta CDF analog): keyed insert/update/delete rows, computed from the
+    * immutable snapshot dirs via [[graft.ops.ScdOps.snapshotDiff]]. */
+  def diffVersions(from: Long, to: Long, keyCols: Seq[String]): DataFrame =
+    graft.ops.ScdOps.snapshotDiff(readVersion(from), readVersion(to), keyCols)
+
   /** Write a new immutable snapshot without publishing (the W of WAP). */
   def stage(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
     val next = latestVersion.getOrElse(0L) + 1

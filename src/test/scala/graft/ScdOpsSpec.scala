@@ -64,6 +64,42 @@ class ScdOpsSpec extends SparkSpec {
     assert(out === Seq((Some("a"), 1L), (None, 2L), (Some("a"), 4L)))
   }
 
+  test("snapshotDiff classifies insert/update/delete and drops unchanged keys") {
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "status", "cents")
+    val v2 = Seq((2L, "b", 20L), (3L, "c", 99L), (4L, "D", 40L), (5L, "e", 50L))
+      .toDF("k", "status", "cents")
+    val out = ScdOps.snapshotDiff(v1, v2, Seq("k"))
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out === Seq(
+      (1L, "delete", "a", 10L),   // old image carried for deletes
+      (3L, "update", "c", 99L),   // new image for updates
+      (4L, "update", "D", 40L),
+      (5L, "insert", "e", 50L)))  // k=2 unchanged → dropped
+  }
+
+  test("snapshotDiff compares attribute nulls null-safely") {
+    val v1 = Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("c")))
+      .toDF("k", "v")
+    val v2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Option("c")))
+      .toDF("k", "v")
+    val out = ScdOps.snapshotDiff(v1, v2, Seq("k")).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "update"))) // null==null unchanged; "a"→null is an update
+  }
+
+  test("diffVersions reads two published snapshots and feeds the same diff") {
+    val root = tmpDir("scd-diff")
+    val tbl = new graft.sinks.SnapshotTable(spark, s"$root/t")
+    tbl.publish(tbl.stage(Seq((1L, "x"), (2L, "y")).toDF("k", "v")))
+    tbl.publish(tbl.stage(Seq((1L, "x"), (2L, "z"), (3L, "w")).toDF("k", "v")))
+    val out = tbl.diffVersions(1L, 2L, Seq("k"))
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out === Seq((2L, "update", "z"), (3L, "insert", "w")))
+  }
+
   test("plan: one exchange, one sort for the whole lag+filter+lead chain") {
     val plan = build(Seq((1L, 1L, "a"), (1L, 2L, "b")))
       .queryExecution.executedPlan.toString
