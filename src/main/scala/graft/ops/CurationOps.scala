@@ -72,6 +72,41 @@ object CurationOps {
                    seed: String = "sample"): DataFrame =
     df.filter(md5Keep(col(idCol), seed, lit(rate)))
 
+  /** Cumulative-rate split boundaries in the same 8-hex-digit key space as
+    * [[seededSample]]: boundary i = `floor(cum_i · 2³²)` zero-padded hex.
+    * Public so oracles/tests can embed the identical literals. */
+  def splitThresholdsHex(splits: Seq[(String, Double)]): Seq[String] = {
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    cums.init.map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
+  }
+
+  /** Deterministic named-split assignment (train/val/test) keyed on
+    * `md5(seed:id)` — the standard reproducible corpus split. Every row
+    * lands in exactly one split, the assignment is a pure function of
+    * (seed, id) — stable across runs, engines, partitionings, and corpus
+    * growth (a doc's split never changes when other docs are added).
+    * Pure scan-projection arithmetic: no shuffle, no state, 100 TB-safe.
+    *
+    * @param splits ordered (name, fraction) pairs; fractions must sum to 1.
+    *               The last split absorbs the final key range exactly.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)],
+                seed: String = "split",
+                splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0.0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val key = substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8)
+    val thresholds = splitThresholdsHex(splits)
+    val first = when(key < lit(thresholds.head), lit(splits.head._1))
+    val chained = splits.tail.init.zip(thresholds.tail).foldLeft(first) {
+      case (acc, ((name, _), t)) => acc.when(key < lit(t), lit(name))
+    }
+    df.withColumn(splitCol, chained.otherwise(lit(splits.last._1)))
+  }
+
   /** Exact inverse inclusion probability of [[seededSample]]'s md5
     * threshold (the Horvitz-Thompson expansion factor): the keep test is
     * `key < floor(rate·2³²)/2³²`, so the unbiased scale-up is

@@ -190,6 +190,22 @@ object LlmQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Reproducible train/val/test corpus split (q87): every document is
+    * deterministically assigned by md5(seed:doc_id) against cumulative
+    * 80/10/10 boundaries, then per-split counts and char volumes are
+    * aggregated. The assignment is a pure scan-projection function —
+    * hash-exact on every engine, stable under corpus growth — so the
+    * oracle replays it literally (same hex thresholds). */
+  def q87HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CurationOps.hashSplit(
+        Tables.load(s, dir, "documents"),
+        "doc_id", LlmQueries.q87Splits, seed = "q87")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"split")
+  }
+
   /** SemDeDup over the embeddings table (q81): coarse cells via the
     * deterministic seed centroids, exact cosine only within a cell, and
     * a vector is kept iff no smaller-id same-cell neighbor has cosine ≥
@@ -553,7 +569,12 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** q87's split spec; thresholds shared verbatim with the oracle. */
+  private[graft] val q87Splits =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   val queries: Map[String, Q] = Map(
+    "q87_hash_split" -> (q87HashSplit _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
     "q80_lm_score" -> (q80LmScore _),
@@ -719,6 +740,20 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q87_hash_split" -> {
+      val Seq(t1, t2) = CurationOps.splitThresholdsHex(q87Splits)
+      s"""SELECT
+         |  CASE WHEN substr(md5('q87:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |         < '$t1' THEN 'train'
+         |       WHEN substr(md5('q87:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |         < '$t2' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
+    },
     "q82_sampled_agg" ->
       s"""WITH s AS (
          |  SELECT l_returnflag,

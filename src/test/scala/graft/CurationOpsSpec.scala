@@ -118,4 +118,42 @@ class CurationOpsSpec extends SparkSpec {
     // HT expansion uses the exact threshold probability
     assert(math.abs(CurationOps.inverseRate(0.5) - 2.0) < 1e-9)
   }
+
+  test("hashSplit: exhaustive, near-fraction, stable under corpus growth") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 2000L).toDF("id")
+    val out = CurationOps.hashSplit(small, "id", splits, seed = "s")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row in exactly one split
+    assert(out.values.sum == 2000L)
+    assert(math.abs(out("train") / 2000.0 - 0.8) < 0.03)
+    assert(math.abs(out("val") / 2000.0 - 0.1) < 0.02)
+    assert(math.abs(out("test") / 2000.0 - 0.1) < 0.02)
+    // growth stability: the same ids keep their split when the corpus grows
+    val grown = CurationOps.hashSplit((1L to 4000L).toDF("id"), "id", splits, seed = "s")
+    val before = CurationOps.hashSplit(small, "id", splits, seed = "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    grown.filter($"id" <= 2000L).collect()
+      .foreach(r => assert(before(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("hashSplit: thresholds are cumulative and validation rejects bad specs") {
+    assert(CurationOps.splitThresholdsHex(
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)) ==
+      Seq("80000000", "c0000000"))
+    intercept[IllegalArgumentException] {
+      CurationOps.hashSplit(Seq(1L).toDF("id"), "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      CurationOps.hashSplit(Seq(1L).toDF("id"), "id", Seq("a" -> 1.0))
+    }
+  }
+
+  test("hashSplit: two-way split and no shuffle in the plan") {
+    val df = CurationOps.hashSplit(
+      (1L to 100L).toDF("id"), "id", Seq("train" -> 0.9, "test" -> 0.1))
+    assert(!df.queryExecution.executedPlan.toString.toLowerCase.contains("exchange"))
+    assert(df.groupBy("split").count().count() == 2)
+  }
 }
