@@ -550,4 +550,63 @@ object SimilarityOps {
         largest = true, payload = Seq(idCol))
       .select(col(qIdCol), col(idCol), col("cos"), col("rank").cast("long").as("rank"))
   }
+
+  /** IVF-PQ composed ANN (the FAISS `IVFx,PQy` shape — the standard
+    * billion-vector index): the coarse quantizer restricts each query to
+    * its `nprobe` nearest cells, PQ ADC table lookups score only the
+    * codes inside those cells, and exact cosine re-ranks the survivors.
+    *
+    * vs [[pqTopK]]: the coarse pass touches `nprobe/nlist` of the code
+    * table instead of all of it (a cell-keyed broadcast-hash join rather
+    * than a crossJoin). vs [[ivfTopK]]: cell members are scored from
+    * m-byte codes, not dim×4-byte floats. Only candidate ids reach the
+    * exact re-rank, which joins the float vectors back once. At 100 TB,
+    * persist the cell-assigned encoded corpus partitioned by `cell`
+    * ([[buildIvfIndex]] layout + [[pqEncode]]) so the coarse pass is
+    * also a partition-pruned SCAN; the in-flight shape here is identical
+    * from the join onward.
+    *
+    * Each corpus vector lives in exactly one cell and (query, cell)
+    * probes are distinct, so no candidate pair is scored twice — no
+    * distinct needed anywhere. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, overfetch: Int = 4,
+                trainedCentroids: Option[IndexedSeq[(Int, Seq[Float])]] = None,
+                trainedCb: Option[PqCodebooks] = None,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    fused(corpus)
+    graft.functions.SqDistF.register(corpus.sparkSession)
+    val centroids = trainedCentroids.getOrElse(seedCentroids(corpus, nlist, idCol, vecCol))
+    val cb = trainedCb.getOrElse(seedPqCodebooks(corpus, m, ksub, idCol, vecCol))
+    val encoded = pqEncode(assignCells(corpus, centroids, vecCol), cb, vecCol)
+      .select(col(idCol), col("cell"), col("pq_codes"))
+    val probed = queries
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(
+          cellScoresFor(centroids)(col(qVecCol)))), 1, nprobe)))
+      .withColumn("cell", col("probe.cid"))
+      .withColumn("__table", pqAdcTable(col(qVecCol), cb))
+      .select(col(qIdCol), col("cell"), col("__table"))
+    val coarse = encoded.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("approx",
+        graft.functions.PqAdcScore(col("pq_codes"), col("__table"), cb.ksub))
+    val cands = RankOps.topKPerKey(coarse.select(col(qIdCol), col("approx"),
+        negate(col(idCol)).as("__negid"), col(idCol)),
+        Seq(qIdCol), Seq(col("approx"), col("__negid")), k * overfetch,
+        largest = true, payload = Seq(idCol))
+      .select(col(qIdCol), col(idCol))
+    val rescored = cands
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .withColumn("cos", round(
+        graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
+    RankOps.topKPerKey(rescored.select(col(qIdCol), col("cos"),
+        negate(col(idCol)).as("__negid"), col(idCol)),
+        Seq(qIdCol), Seq(col("cos"), col("__negid")), k,
+        largest = true, payload = Seq(idCol))
+      .select(col(qIdCol), col(idCol), col("cos"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -166,6 +166,22 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** IVF-PQ composed ANN (q88): the coarse quantizer restricts each
+    * query to its 4 nearest of 16 cells, PQ ADC lookups score only the
+    * m=8-byte codes inside those cells, exact cosine re-ranks the
+    * top-20. Centroids AND codebooks are the deterministic every-7th
+    * seeds, so DuckDB replays cell-assign → encode → probe → ADC →
+    * re-rank bit-for-bit. */
+  def q88AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    SimilarityOps.ivfPqTopK(emb, queries, k = 5,
+        nlist = 16, nprobe = 4, m = 8, ksub = 16, overfetch = 4)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Approximate query processing via deterministic sampling (q82):
     * revenue per return flag estimated from a seeded 10% Bernoulli
     * sample with the exact Horvitz-Thompson expansion. Because the
@@ -574,6 +590,7 @@ object LlmQueries {
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   val queries: Map[String, Q] = Map(
+    "q88_ann_ivfpq" -> (q88AnnIvfPq _),
     "q87_hash_split" -> (q87HashSplit _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -740,6 +757,80 @@ object LlmQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q88_ann_ivfpq" ->
+      s"""WITH seeds AS (
+         |  SELECT CAST((rn - 1) / 7 AS INT) AS cid, embedding AS c
+         |  FROM (SELECT vec_id, embedding,
+         |          row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM embeddings ORDER BY vec_id LIMIT 112)
+         |  WHERE (rn - 1) % 7 = 0),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, s.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "s.c")} DESC, s.cid DESC)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+         |cw AS (
+         |  SELECT j, cid, list_slice(c, j * 8 + 1, j * 8 + 8) AS sub
+         |  FROM seeds, (SELECT unnest(range(0, 8)) AS j)),
+         |codes AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT e.vec_id, w.j, w.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id, w.j
+         |        ORDER BY list_sum(list_transform(
+         |          list_zip(list_slice(e.embedding, w.j * 8 + 1, w.j * 8 + 8),
+         |                   w.sub),
+         |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) ASC,
+         |        w.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cw w) WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, s.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("q.q_vec", "s.c")} DESC, s.cid DESC) AS rn
+         |    FROM q CROSS JOIN seeds s) WHERE rn <= 4),
+         |tab AS (
+         |  SELECT q.q_id, w.j, w.cid,
+         |    list_sum(list_transform(
+         |      list_zip(list_slice(q.q_vec, w.j * 8 + 1, w.j * 8 + 8), w.sub),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dp
+         |  FROM q CROSS JOIN cw w),
+         |cellmatch AS (
+         |  SELECT p.q_id, a.vec_id
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |coarse AS (
+         |  SELECT cm.q_id, cm.vec_id,
+         |    list_sum(list(t.dp ORDER BY t.j)) AS approx
+         |  FROM cellmatch cm
+         |    JOIN codes c ON c.vec_id = cm.vec_id
+         |    JOIN tab t ON t.q_id = cm.q_id AND t.j = c.j AND t.cid = c.cid
+         |  GROUP BY cm.q_id, cm.vec_id),
+         |cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY approx DESC, vec_id ASC) AS rn
+         |    FROM coarse) WHERE rn <= 20),
+         |rescored AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |    round(${cosSql("e.embedding", "q.q_vec")}, 4) AS cos
+         |  FROM cand
+         |    JOIN embeddings e ON cand.vec_id = e.vec_id
+         |    JOIN q ON cand.q_id = q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT)
+         |      AS rank
+         |  FROM rescored)
+         |SELECT q_id, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "q87_hash_split" -> {
       val Seq(t1, t2) = CurationOps.splitThresholdsHex(q87Splits)
       s"""SELECT

@@ -75,4 +75,29 @@ class PqSpec extends SparkSpec {
     assert(p.contains("collect_top_k"), "bounded-heap top-k expected")
     assert(!p.contains("Window"), "no window sort in either stage")
   }
+
+  test("IVF-PQ recall vs brute force is high on clustered data") {
+    val queries = corpus.filter($"vec_id" < 12)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = SimilarityOps.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilarityOps.ivfPqTopK(corpus, queries, k = 5,
+        nlist = 12, nprobe = 4, m = 4, ksub = 16, overfetch = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.85, s"IVF-PQ recall $recall too low")
+  }
+
+  test("IVF-PQ plan gate: cell-keyed join, ADC kernel, no corpus crossJoin") {
+    val queries = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val df = SimilarityOps.ivfPqTopK(corpus, queries, k = 5,
+      nlist = 12, nprobe = 4, m = 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pq_adc_score"), s"ADC kernel expected in: $p")
+    assert(p.contains("collect_top_k"), "bounded-heap top-k expected")
+    // the coarse stage must be the cell equi-join, not a nested-loop scan
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"crossJoin leaked into: $p")
+    assert(!p.contains("Window"), "no window sort in either stage")
+  }
 }
