@@ -517,6 +517,26 @@ object RelationalQueries {
     }.reduce(_.unionByName(_)).orderBy($"stage")
   }
 
+  /** Iterative graph analytics (q89): 3-iteration PageRank over the
+    * symmetrized customer↔supplier trade graph (an edge per distinct
+    * (customer, supplier) pair that ever traded; node ids disambiguated
+    * by parity). Integer nano-rank arithmetic makes every per-node sum
+    * order-independent, so the distributed result hash-matches the
+    * oracle's sequential replay exactly — see
+    * [[graft.ops.GraphOps.pageRankQuantized]]. Top-100 hubs returned. */
+  def q89PageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val bi = edges.unionByName(
+      edges.select($"dst".as("src"), $"src".as("dst")))
+    graft.ops.GraphOps.pageRankQuantized(bi, iters = 3)
+      .orderBy($"r".desc, $"node")
+      .limit(100)
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL surface:
     * small-order lineitems per part. Catalyst decorrelates the per-part
     * average into an aggregate + join — verify with explain that no
@@ -683,7 +703,8 @@ object RelationalQueries {
     "q75_topk_per_key" -> (q75TopKPerKey _),
     "q76_bloom_prune" -> (q76BloomPrune _),
     "q83_cohort_retention" -> (q83CohortRetention _),
-    "q84_funnel" -> (q84Funnel _)
+    "q84_funnel" -> (q84Funnel _),
+    "q89_pagerank" -> (q89PageRank _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1025,6 +1046,46 @@ object RelationalQueries {
         |SELECT '2_view_after_signup', count(*) FROM s2
         |UNION ALL
         |SELECT '3_purchase_after_view', count(*) FROM s3
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+    "q89_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |bi AS (
+        |  SELECT src, dst FROM e
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM bi UNION ALL SELECT dst FROM bi)),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT b.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |  FROM bi b JOIN r0 r ON b.src = r.node JOIN deg d ON b.src = d.src
+        |  GROUP BY b.dst),
+        |r1 AS (
+        |  SELECT n.node,
+        |    CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (
+        |  SELECT b.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |  FROM bi b JOIN r1 r ON b.src = r.node JOIN deg d ON b.src = d.src
+        |  GROUP BY b.dst),
+        |r2 AS (
+        |  SELECT n.node,
+        |    CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (
+        |  SELECT b.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |  FROM bi b JOIN r2 r ON b.src = r.node JOIN deg d ON b.src = d.src
+        |  GROUP BY b.dst),
+        |r3 AS (
+        |  SELECT n.node,
+        |    CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, r FROM r3
+        |ORDER BY r DESC, node
+        |LIMIT 100""".stripMargin
   )
 }
