@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.AppendOnlyStore
+
+/** Incremental materialized-aggregate maintenance (IVM for the
+  * distributive aggregates): keep per-key `count` + `sum`s current across
+  * an unbounded batch stream without ever re-reading the raw data.
+  *
+  * Each batch folds to per-key PARTIAL rows (one shuffle of the batch,
+  * map-side combined) which are APPENDED to an [[AppendOnlyStore]] —
+  * per-batch IO is proportional to the batch's key count, never to
+  * history (same contract as incremental dedup, and the same reason a
+  * snapshot-table `overwrite(read ∪ new)` is banned at 100 TB). Reading
+  * the current aggregate re-folds the partials: `sum(count)`, `sum(sum)`
+  * — exact because count/sum are distributive; avg derives as sum/count.
+  * Periodic [[compact]] collapses a key's accumulated partials to one row
+  * (bounding read amplification by compaction cadence) via the store's
+  * generation swap, so pinned readers are never disturbed.
+  *
+  * Non-distributive aggregates (distinct counts, quantiles) need sketch
+  * state instead — see the HLL/quantile posture in q51; this module is
+  * deliberately exact-only.
+  */
+object IncrementalAgg {
+
+  /** @param keyCols grouping key columns (null key values allowed — the
+    *                internal hash key is null-safe via a JSON struct)
+    * @param sumCols numeric columns to maintain sums for; each batch
+    *                partial stores them as `__sum_<col>` */
+  final case class Spec(keyCols: Seq[String], sumCols: Seq[String])
+
+  /** Null-safe stable hash of the key tuple — the store's prefix column. */
+  private def aggKey(spec: Spec) =
+    md5(to_json(struct(spec.keyCols.map(col): _*)))
+
+  /** Fold one batch to per-key partial rows (count + per-column sums). */
+  def partials(batch: DataFrame, spec: Spec): DataFrame =
+    batch.groupBy(spec.keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        spec.sumCols.map(c => sum(col(c)).as(s"__sum_$c")): _*)
+      .withColumn("__agg_key", aggKey(spec))
+
+  /** Maintain the aggregate with one batch: batch-sized shuffle + append. */
+  def appendBatch(store: AppendOnlyStore, batch: DataFrame, spec: Spec): Unit =
+    store.append(partials(batch, spec))
+
+  /** The current aggregate: re-fold all stored partials. Output columns:
+    * keys ++ `n_rows` ++ `sum_<col>`... */
+  def current(store: AppendOnlyStore, spec: Spec): DataFrame =
+    store.read()
+      .groupBy(spec.keyCols.map(col): _*)
+      .agg(sum(col("__cnt")).as("n_rows"),
+        spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
+
+  /** Collapse each key's partials to a single row (generation-swapped;
+    * see [[AppendOnlyStore.compactWith]]). Result-invariant: [[current]]
+    * returns the same rows before and after. */
+  def compact(store: AppendOnlyStore, spec: Spec): Unit =
+    store.compactWith { df =>
+      df.groupBy(spec.keyCols.map(col): _*)
+        .agg(sum(col("__cnt")).as("__cnt"),
+          spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")): _*)
+        .withColumn("__agg_key", aggKey(spec))
+    }
+}

@@ -153,7 +153,33 @@ object FunctionQueries {
       .orderBy($"c_custkey")
   }
 
+  /** Incremental materialized-aggregate maintenance (q90): lineitem
+    * arrives as three disjoint batches; each folds to per-key partials
+    * appended to an [[graft.sinks.AppendOnlyStore]], with a compaction
+    * mid-stream (result-invariant by contract). The final re-fold must
+    * equal the oracle's one-shot GROUP BY over the whole table — the
+    * IVM loop is gated end to end, never re-reading raw history. */
+  def q90IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalAgg
+    val li = Tables.load(s, dir, "lineitem").select(
+      $"l_returnflag", $"l_orderkey",
+      floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val spec = IncrementalAgg.Spec(Seq("l_returnflag"), Seq("cents"))
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q90agg").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    (0L to 2L).foreach { i =>
+      IncrementalAgg.appendBatch(store, li.filter($"l_orderkey" % 3 === i), spec)
+      if (i == 1L) IncrementalAgg.compact(store, spec)
+    }
+    IncrementalAgg.current(store, spec)
+      .select($"l_returnflag", $"n_rows", $"sum_cents")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q54_unpivot" -> (q54Unpivot _),
     "q55_rank_funcs" -> (q55RankFuncs _),
     "q47_setops" -> (q47SetOps _),
@@ -164,6 +190,13 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q90_incremental_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q51_approx_stats" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_orderkey) AS n_orders_exact,

@@ -120,10 +120,19 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     * crash-replay may have appended. Writes a NEW generation and retires
     * the one before the previous — readers pinned to the outgoing
     * generation keep their files until the next compact. */
-  def compact(): Unit = {
+  def compact(): Unit = compactWith(_.dropDuplicates(prefixCol))
+
+  /** [[compact]] with a caller-supplied fold applied to the full store
+    * contents before the rewrite — e.g. re-aggregating partial-aggregate
+    * rows down to one per key ([[graft.ops.IncrementalAgg]]) instead of
+    * the dedup-state default `dropDuplicates`. The fold must preserve the
+    * `prefixCol` column and the store's row semantics (folding rows of a
+    * key into fewer rows of the same key is fine; moving rows across
+    * `prefixCol` values is not). */
+  def compactWith(fold: DataFrame => DataFrame): Unit = {
     val cur = currentGen
     val next = cur + 1
-    read().dropDuplicates(prefixCol)
+    fold(read())
       .withColumn("prefix", substring(col(prefixCol), 1, prefixChars))
       .repartition(col("prefix"))
       .write.mode("overwrite").partitionBy("prefix").parquet(genDir(next).toString)
