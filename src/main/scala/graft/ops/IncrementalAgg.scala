@@ -36,33 +36,54 @@ object IncrementalAgg {
   private def aggKey(spec: Spec) =
     md5(to_json(struct(spec.keyCols.map(col): _*)))
 
-  /** Fold one batch to per-key partial rows (count + per-column sums). */
-  def partials(batch: DataFrame, spec: Spec): DataFrame =
+  /** The batch id [[compact]] stamps on folded rows — below any real
+    * batch id, so a fold is never mistaken for a replayed append. */
+  private val CompactedBatchId = Long.MinValue
+
+  /** Fold one batch to per-key partial rows (count + per-column sums),
+    * stamped with the batch's id. */
+  def partials(batch: DataFrame, spec: Spec, batchId: Long): DataFrame =
     batch.groupBy(spec.keyCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
         spec.sumCols.map(c => sum(col(c)).as(s"__sum_$c")): _*)
       .withColumn("__agg_key", aggKey(spec))
+      .withColumn("__batch_id", lit(batchId))
 
-  /** Maintain the aggregate with one batch: batch-sized shuffle + append. */
-  def appendBatch(store: AppendOnlyStore, batch: DataFrame, spec: Spec): Unit =
-    store.append(partials(batch, spec))
+  /** Maintain the aggregate with one batch: batch-sized shuffle + append.
+    *
+    * `batchId` must be unique per LOGICAL batch (a streaming foreachBatch
+    * id, an ingest sequence number). Replaying a batch with the same id
+    * re-appends identical partial rows, which [[current]] and [[compact]]
+    * dedupe away — the exactly-once contract under crash-replay, without
+    * ever rewriting the store. */
+  def appendBatch(store: AppendOnlyStore, batch: DataFrame, spec: Spec,
+                  batchId: Long): Unit =
+    store.append(partials(batch, spec, batchId))
+
+  /** All stored partials with crash-replay duplicates removed. */
+  private def dedupedPartials(store: AppendOnlyStore, spec: Spec): DataFrame =
+    store.read().dropDuplicates(spec.keyCols :+ "__batch_id")
 
   /** The current aggregate: re-fold all stored partials. Output columns:
     * keys ++ `n_rows` ++ `sum_<col>`... */
   def current(store: AppendOnlyStore, spec: Spec): DataFrame =
-    store.read()
+    dedupedPartials(store, spec)
       .groupBy(spec.keyCols.map(col): _*)
       .agg(sum(col("__cnt")).as("n_rows"),
         spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
 
   /** Collapse each key's partials to a single row (generation-swapped;
     * see [[AppendOnlyStore.compactWith]]). Result-invariant: [[current]]
-    * returns the same rows before and after. */
+    * returns the same rows before and after. Single-writer contract: run
+    * at ingest quiescence (no batch in flight), like every store
+    * compaction. */
   def compact(store: AppendOnlyStore, spec: Spec): Unit =
     store.compactWith { df =>
-      df.groupBy(spec.keyCols.map(col): _*)
+      df.dropDuplicates(spec.keyCols :+ "__batch_id")
+        .groupBy(spec.keyCols.map(col): _*)
         .agg(sum(col("__cnt")).as("__cnt"),
           spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")): _*)
         .withColumn("__agg_key", aggKey(spec))
+        .withColumn("__batch_id", lit(CompactedBatchId))
     }
 }

@@ -170,7 +170,8 @@ object FunctionQueries {
       java.nio.file.Files.createTempDirectory("q90agg").toString,
       prefixCol = "__agg_key", prefixChars = 1)
     (0L to 2L).foreach { i =>
-      IncrementalAgg.appendBatch(store, li.filter($"l_orderkey" % 3 === i), spec)
+      IncrementalAgg.appendBatch(store, li.filter($"l_orderkey" % 3 === i),
+        spec, batchId = i)
       if (i == 1L) IncrementalAgg.compact(store, spec)
     }
     IncrementalAgg.current(store, spec)

@@ -123,4 +123,28 @@ object EventStream {
     q.stop()
     spark.table(queryName)
   }
+
+  /** Streaming incremental-aggregate maintenance: fold each micro-batch
+    * into an [[graft.ops.IncrementalAgg]] store (AvailableNow + checkpoint
+    * = each file batch processed once; the foreachBatch id makes a
+    * crash-replayed batch dedupe away inside the store — see
+    * `IncrementalAgg.appendBatch`). The stream-side work per batch is one
+    * batch-sized partial aggregation and an append; the accumulated
+    * aggregate is never read, let alone rewritten, on the hot path. */
+  def maintainAggAvailableNow(spark: SparkSession, parquetDir: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              store: graft.sinks.AppendOnlyStore,
+                              spec: graft.ops.IncrementalAgg.Spec,
+                              checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(parquetDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.IncrementalAgg.appendBatch(store, batch, spec, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }
