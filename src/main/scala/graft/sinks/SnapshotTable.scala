@@ -186,12 +186,24 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * SnapshotTableSpec. */
   def compact(targetRowsPerFile: Long = 1000000L,
               partitionBy: Seq[String] = Nil,
-              clusterBy: Seq[Column] = Nil): Long = {
+              clusterBy: Seq[Column] = Nil,
+              zorderBy: Seq[String] = Nil,
+              zorderBits: Int = 6): Long = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are mutually exclusive layouts")
     val df = read()
     val rows = df.count()
     val files = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
     val laid =
-      if (clusterBy.isEmpty) df.repartition(files)
+      if (zorderBy.nonEmpty) {
+        // multi-column skipping: files cover hyper-rectangles, not ranges
+        val bounds = zorderBy.map(c => ZOrder.boundsFor(df, c, zorderBits))
+        val z = ZOrder.zvalue(zorderBy.map(col).zip(bounds), zorderBits)
+        df.withColumn("__z", z)
+          .repartitionByRange(files, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      } else if (clusterBy.isEmpty) df.repartition(files)
       else df.repartitionByRange(files, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*)
     val n = stage(laid, partitionBy)
