@@ -537,6 +537,39 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** Correlated-aggregate equality subquery (TPC-H Q2 shape, q91): the
+    * cheapest supplier per part — rows surviving only when their cost
+    * EQUALS their group's minimum. Planned as one partial-agg'd min per
+    * partkey joined back (no decorrelation blowup, no window over the
+    * whole join); ties keep all witnesses, so no arbitrary row pick. */
+  def q91CorrelatedMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cost_cents"))
+    val minCost = li.groupBy($"l_partkey")
+      .agg(min($"cost_cents").as("min_cost_cents"))
+    li.join(minCost, Seq("l_partkey"))
+      .filter($"cost_cents" === $"min_cost_cents")
+      .select($"l_partkey", $"l_suppkey", $"cost_cents")
+      .orderBy($"l_partkey", $"l_suppkey")
+  }
+
+  /** Deterministic grouped string aggregation (q92 — LISTAGG/STRING_AGG):
+    * the classic reporting op made engine-portable by sorting the
+    * distinct elements BEFORE joining (an unordered string_agg is
+    * nondeterministic under parallelism — banned). collect_set shuffles
+    * each distinct element once; the sort is per-group over tiny sets. */
+  def q92StringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_mktsegment")
+      .agg(array_join(array_sort(collect_set($"n_name")), ",").as("nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL surface:
     * small-order lineitems per part. Catalyst decorrelates the per-part
     * average into an aggregate + join — verify with explain that no
@@ -704,7 +737,9 @@ object RelationalQueries {
     "q76_bloom_prune" -> (q76BloomPrune _),
     "q83_cohort_retention" -> (q83CohortRetention _),
     "q84_funnel" -> (q84Funnel _),
-    "q89_pagerank" -> (q89PageRank _)
+    "q89_pagerank" -> (q89PageRank _),
+    "q91_correlated_min" -> (q91CorrelatedMin _),
+    "q92_string_agg" -> (q92StringAgg _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1086,6 +1121,24 @@ object RelationalQueries {
         |  FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node, r FROM r3
         |ORDER BY r DESC, node
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+    "q91_correlated_min" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cost_cents
+        |  FROM lineitem)
+        |SELECT l_partkey, l_suppkey, cost_cents
+        |FROM li a
+        |WHERE cost_cents = (SELECT min(cost_cents) FROM li b
+        |                    WHERE b.l_partkey = a.l_partkey)
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q92_string_agg" ->
+      """SELECT c_mktsegment,
+        |  list_aggregate(list_sort(list_distinct(list(n_name))), 'string_agg', ',')
+        |    AS nations,
+        |  count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }
