@@ -179,7 +179,33 @@ object FunctionQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Count-Min sketch frequency service (q93): one distributed pass
+    * builds the fixed-size linear sketch (map-side merged matrices — no
+    * token shuffle), then every supplier's frequency is answered FROM THE
+    * SKETCH alone. At depth 5 × width 8192 over ~10² distinct keys the
+    * collision-free regime makes estimates exact (deterministic given
+    * data + murmur3 seeds), so the oracle's exact per-supplier counts
+    * gate the whole build→merge→query path bit-for-bit; the
+    * forced-collision approximate regime (overestimate-only, ε·N bound)
+    * is gated in CountMinSpec. */
+  def q93CountMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (depth, width) = (5, 8192)
+    val sketch = Tables.load(s, dir, "lineitem")
+      .select($"l_suppkey".cast("string").as("v")).as[String]
+      .select(graft.functions.CountMin.sketch(depth, width))
+      .head()
+    // suppliers are the enumerable dimension (|S| rows); the sketch is a
+    // driver-scale summary (depth·width longs) by design, like centroids
+    val rows = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey").collect().map(_.getLong(0)).toSeq
+      .map(k => (k, graft.functions.CountMin.estimate(sketch, depth, width,
+        k.toString)))
+    rows.toDF("s_suppkey", "est_count").orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q93_count_min" -> (q93CountMin _),
     "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q54_unpivot" -> (q54Unpivot _),
     "q55_rank_funcs" -> (q55RankFuncs _),
@@ -191,6 +217,13 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q93_count_min" ->
+      """SELECT s_suppkey, CAST(COALESCE(cnt, 0) AS BIGINT) AS est_count
+        |FROM supplier
+        |LEFT JOIN (SELECT l_suppkey, count(*) AS cnt
+        |           FROM lineitem GROUP BY l_suppkey) c
+        |  ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
     "q90_incremental_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
