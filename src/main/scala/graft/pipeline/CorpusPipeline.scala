@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.checks.Checks.{NotNull, RowCountBetween, Unique}
-import graft.ops.{DedupOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, TextOps}
 import graft.sinks.SnapshotTable
 import graft.sources.Tables
 
@@ -29,7 +29,11 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.5,
       /** Drop the lowest-scoring fraction of docs by bigram-LM avg_logp
         * (0.0 = annotate only — every doc still gains the score column). */
-      lmDropFraction: Double = 0.0)
+      lmDropFraction: Double = 0.0,
+      /** Deterministic split assignment written on every surviving doc
+        * (md5-keyed; growth-stable — see CurationOps.hashSplit). */
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
 
   def build(spark: SparkSession, cfg: Config): Pipeline = {
     val cleanTable = new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/clean")
@@ -93,9 +97,14 @@ object CorpusPipeline {
           val docs = ctx("corpus_exact_dedup")
           val pairs = DedupOps.minhashNearDups(docs, "text", "doc_id",
             threshold = cfg.nearDupThreshold)
-          // survivorship: drop the higher id of each near-dup pair
-          docs.join(pairs.select(col("id2").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
+          // survivorship: drop the higher id of each near-dup pair;
+          // then stamp the reproducible train/val/test assignment —
+          // AFTER all filters/dedup so no split leaks into another via
+          // a near-duplicate surviving in a different split
+          CurationOps.hashSplit(
+            docs.join(pairs.select(col("id2").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti"),
+            "doc_id", cfg.splits, seed = "corpus")
         },
         checks = Seq(Unique(Seq("doc_id")), RowCountBetween(min = 1)),
         sink = Some(Overwrite(dedupTable))),

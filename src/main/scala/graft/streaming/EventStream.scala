@@ -124,6 +124,19 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment: join a stream against a (small) dimension
+    * snapshot. The static side is broadcast — each micro-batch is a
+    * stateless map-side hash join, no streaming state at all, which is
+    * why this is THE first-choice enrichment shape before stream-stream
+    * joins ([[intervalJoin]]) with their watermarked state stores. The
+    * dimension is re-read per batch by Spark's scan semantics only if the
+    * source re-plans; for a pinned snapshot read it is stable for the
+    * stream's lifetime — restart the stream to pick up a new dimension
+    * version (the WAP-published `SnapshotTable.read()` fits directly). */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             joinKeys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), joinKeys, "left")
+
   /** Streaming incremental-aggregate maintenance: fold each micro-batch
     * into an [[graft.ops.IncrementalAgg]] store (AvailableNow + checkpoint
     * = each file batch processed once; the foreachBatch id makes a

@@ -48,6 +48,9 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stats.getAs[Long]("n_chunks") == chunks.count())
     // the LM gate annotated every surviving doc (default: drop none)
     assert(deduped.columns.contains("avg_logp"))
+    // every surviving doc carries a split; all three splits materialize
+    assert(deduped.columns.contains("split"))
+    assert(deduped.filter(col("split").isNull).count() == 0)
   }
 
   test("lm gate drops the lowest-scoring fraction when enabled") {

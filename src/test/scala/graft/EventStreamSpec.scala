@@ -35,6 +35,28 @@ class EventStreamSpec extends SparkSpec {
       closed.agg(sum($"n")).head().getLong(0))
   }
 
+  test("stream-static enrichment broadcast-joins a dimension per batch") {
+    import org.apache.spark.sql.types._
+    val streamDir = tmpDir("enrich") + "/in"
+    Seq((1L, "click"), (2L, "view"), (3L, "click"))
+      .toDF("user_id", "event_type")
+      .coalesce(1).write.parquet(streamDir)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStream.enrich(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, "click", Some("gold")),
+      (2L, "view", Some("basic")),
+      (3L, "click", None))) // unmatched keys survive (left join)
+  }
+
   test("stream-stream interval join pairs events inside the horizon only") {
     def ev(u: Long, minute: Long, t: String, v: Double) =
       Event(u, new Timestamp(1700000000000L + minute * 60000L), t, v)
