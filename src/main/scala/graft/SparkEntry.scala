@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries, FunctionQueries, LlmQueries, RelationalQueries}
+import graft.queries.{AnalyticsQueries, CdcQueries, FunctionQueries, LlmQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,11 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CdcQueries.queries ++ LlmQueries.queries ++
-      FunctionQueries.queries
+      FunctionQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CdcQueries.oracles ++ LlmQueries.oracles ++
-      FunctionQueries.oracles
+      FunctionQueries.oracles ++ AnalyticsQueries.oracles
 }

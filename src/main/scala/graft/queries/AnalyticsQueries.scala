@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sequence / interval / distribution analytics over the `events` stream
+  * table and the TPC-H-ish dimensions — the event-analytics breadth a
+  * warehouse user expects beyond plain aggregation (reference scope:
+  * SURVEY §2.5/§2.6; these are absent-but-free additions in the same
+  * spirit as q83/q84).
+  *
+  * Every query here keeps the 100 TB shape rules the rest of the repo
+  * follows: windows are always partitioned by a high-cardinality key
+  * (never a global ORDER BY over the full relation), distribution
+  * summaries reduce to driver-scale scalars/arrays before any join-back
+  * (broadcast), and doubles are stabilized (cents / round(4)) so the
+  * DuckDB oracle hash-matches bit-for-bit.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Event-type transition matrix (Markov bigrams): lead() within each
+    * user's time-ordered stream, then a global (from,to) count. One
+    * user-keyed exchange for the window + one partial-agg'd shuffle of
+    * |types|² rows — the canonical path-analysis plan. Ordering matches
+    * q32's proven (ts_us, event_id) total order. */
+  def q94Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type".as("from_type"),
+        unix_micros($"ts").as("ts_us"))
+      .withColumn("to_type", lead($"from_type", 1).over(w))
+      .where($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** Longest consecutive-day activity streak per user — gaps-and-islands
+    * via (day_number − row_number): consecutive days share an island id.
+    * Both windows and both aggregations are keyed by user_id, so the
+    * whole query is ONE exchange of the distinct (user, day) pairs. */
+  def q95Streaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val days = t(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+      .withColumn("day_num",
+        datediff($"d", lit("1995-01-01").cast("date")).cast("long"))
+      .withColumn("island", $"day_num" - row_number().over(w))
+    days.groupBy($"user_id", $"island").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"), max($"len").as("max_streak"),
+        sum($"len").as("n_active_days"))
+      .orderBy($"user_id")
+  }
+
+  /** Merged-interval coverage per user: each event spans
+    * [ts, ts + f(value)]; overlapping spans are coalesced with the
+    * running-max-end island technique (start > max(end) over preceding
+    * rows ⇒ new island), then summed. The only exchange is the
+    * user-keyed window sort; island reduction is a partial-agg'd
+    * groupBy on (user, island). The classic alternative — a self
+    * range-join — is O(n²) per user; this is O(n log n) and
+    * partition-parallel. */
+  def q96IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spans = t(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("start_us"),
+        (unix_micros($"ts") +
+          (floor(abs($"value") * 60000000.0 + 0.5) + 1.0).cast("long"))
+          .as("end_us"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"start_us", $"end_us", $"event_id")
+    val prevMax = max($"end_us")
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("new_island",
+        when(prevMax.isNull.or($"start_us" > prevMax), 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("n_spans"), min($"start_us").as("s0"),
+        max($"end_us").as("e1"))
+    islands.groupBy($"user_id")
+      .agg(sum($"n_spans").as("n_intervals"), count(lit(1)).as("n_islands"),
+        sum($"e1" - $"s0").as("covered_us"))
+      .orderBy($"user_id")
+  }
+
+  /** Schema-evolution union: two generations of the orders extract with
+    * different column sets, combined with unionByName(allowMissing) —
+    * missing columns null-fill exactly like DuckDB's UNION ALL BY NAME.
+    * This is the multi-source ingestion shape (old + new feed versions)
+    * and is a pure scan-side concat: no shuffle at all until the
+    * consumer asks for one. */
+  def q97SchemaUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val v1 = o.where($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_custkey",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("total_cents"),
+        lit("v1").as("src"))
+    val v2 = o.where($"o_orderstatus" === "O")
+      .select($"o_orderkey", $"o_orderpriority", lit("v2").as("src"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy($"o_orderkey", $"src")
+  }
+
+  /** Deterministic mode per group (most frequent brand per part type):
+    * count first (partial-agg'd — the base table never reaches a
+    * window), then row_number ONLY over the aggregated |types|×|brands|
+    * relation with an explicit (count desc, brand) tie-break. The window
+    * input is dimension-bounded, not data-bounded — the 100 TB-safe way
+    * to compute grouped modes. */
+  def q98ModePerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "part")
+      .groupBy($"p_type", $"p_brand").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"p_type").orderBy($"n".desc, $"p_brand")
+    counts.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"p_type", $"p_brand".as("mode_brand"), $"n".as("n_parts"))
+      .orderBy($"p_type")
+  }
+
+  /** Equi-depth (decile) histogram WITHOUT a global sort: one aggregate
+    * computes the 9 exact interior percentile boundaries (driver-scale:
+    * 9 doubles), which broadcast back onto a fully parallel scan that
+    * buckets each row by counting boundaries below it. The naive
+    * ntile(10) OVER (ORDER BY …) formulation funnels the entire table
+    * through ONE partition — this plan keeps the scan parallel and
+    * shuffles only 10 partial-agg rows. percentile↔quantile_cont
+    * interpolation is bit-identical on integer cents (proven by q36). */
+  def q99EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = t(s, dir, "lineitem")
+      .select(floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("c"))
+    val bounds = cents.agg(expr(
+      "percentile(c, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+    cents.join(broadcast(bounds))
+      .withColumn("bucket",
+        (lit(1) + size(filter($"bs", x => x < $"c".cast("double"))))
+          .cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"c").as("min_cents"),
+        max($"c").as("max_cents"))
+      .orderBy($"bucket")
+  }
+
+  /** Date-spine gap fill + carry-forward: per-user daily totals joined
+    * against a generated per-user date spine (sequence/explode — spine
+    * rows are created distributed, sized by each user's own span), then
+    * last-non-null carry-forward in a user-keyed window. The spine join
+    * is keyed (user, day) so it co-partitions with the daily aggregate.
+    * Restricted to user_id < 50 to bound oracle output, not for engine
+    * reasons. */
+  def q100GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events").where($"user_id" < 50)
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      // per-row cents quantization BEFORE the sum: float-sum order
+      // differs across engines/partitionings and flips round() edges
+      .agg(sum(floor($"value" * 100.0 + 0.5)).cast("long").as("day_cents"))
+    val spine = daily.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"user_id",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("carried", last($"day_cents", ignoreNulls = true).over(w))
+      .withColumn("is_active", $"day_cents".isNotNull)
+      .orderBy($"user_id", $"d")
+      // ISO string day: parquet date32 vs oracle timestamp dtypes would
+      // otherwise diverge at the compare layer even with equal values
+      .withColumn("d", date_format($"d", "yyyy-MM-dd"))
+  }
+
+  /** Deterministic per-key reservoir sample (k=3 events per user) —
+    * uniform-without-replacement via the md5 order trick: ranking by a
+    * seeded content hash is a random permutation, and taking the k
+    * smallest is a reservoir sample that is REPRODUCIBLE across engines,
+    * runs, and partitionings (no rand() in the plan). Ranking uses
+    * [[graft.ops.RankOps.topKPerKey]]'s bounded heap: the shuffle
+    * carries ≤k rows per user, never the user's full history — the
+    * sampling plan that survives 100 TB. */
+  def q101ReservoirSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        md5(concat_ws(":", $"user_id", $"event_id")).as("h"))
+    graft.ops.RankOps.topKPerKey(hashed, Seq("user_id"),
+        Seq($"h", $"event_id"), k = 3, largest = false,
+        payload = Seq("event_type"))
+      .select($"user_id", $"rank", $"event_id", $"event_type")
+      .orderBy($"user_id", $"rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q94_transitions" -> (q94Transitions _),
+    "q95_streaks" -> (q95Streaks _),
+    "q96_interval_coverage" -> (q96IntervalCoverage _),
+    "q97_schema_union" -> (q97SchemaUnion _),
+    "q98_mode_per_group" -> (q98ModePerGroup _),
+    "q99_equidepth_hist" -> (q99EquidepthHist _),
+    "q100_gap_fill" -> (q100GapFill _),
+    "q101_reservoir_sample" -> (q101ReservoirSample _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q94_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type,
+        |  count(*) AS n_transitions,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q95_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |num AS (
+        |  SELECT user_id, d,
+        |    date_diff('day', DATE '1995-01-01', d)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        |  FROM days),
+        |st AS (SELECT user_id, island, count(*) AS len FROM num GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q96_interval_coverage" ->
+      """WITH spans AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(floor(abs(value) * 60000000.0 + 0.5) + 1.0 AS BIGINT)
+        |      AS end_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *,
+        |    CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY start_us, end_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start_us > max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY start_us, end_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM spans),
+        |islanded AS (
+        |  SELECT *, CAST(sum(new_island) OVER (PARTITION BY user_id
+        |    ORDER BY start_us, end_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM flagged),
+        |isl AS (
+        |  SELECT user_id, island, count(*) AS n_spans,
+        |    min(start_us) AS s0, max(end_us) AS e1
+        |  FROM islanded GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(n_spans) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands, CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q97_schema_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+        |    'v1' AS src
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderpriority, 'v2' AS src
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY o_orderkey, src""".stripMargin,
+    "q98_mode_per_group" ->
+      """WITH counts AS (
+        |  SELECT p_type, p_brand, count(*) AS n
+        |  FROM part GROUP BY p_type, p_brand),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_type
+        |    ORDER BY n DESC, p_brand) AS rn
+        |  FROM counts)
+        |SELECT p_type, p_brand AS mode_brand, n AS n_parts
+        |FROM ranked WHERE rn = 1 ORDER BY p_type""".stripMargin,
+    "q99_equidepth_hist" ->
+      """WITH cents AS (
+        |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT quantile_cont(c,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM cents)
+        |SELECT bucket, count(*) AS n, min(c) AS min_cents, max(c) AS max_cents
+        |FROM (
+        |  SELECT c, CAST(1 + length(list_filter(bs,
+        |    x -> x < CAST(c AS DOUBLE))) AS BIGINT) AS bucket
+        |  FROM cents CROSS JOIN b)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q100_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS day_cents
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spans),
+        |filled AS (
+        |  SELECT s.user_id, s.d, daily.day_cents
+        |  FROM spine s LEFT JOIN daily
+        |    ON s.user_id = daily.user_id AND s.d = daily.d)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS d, day_cents,
+        |  last_value(day_cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY d ROWS UNBOUNDED PRECEDING) AS carried,
+        |  day_cents IS NOT NULL AS is_active
+        |FROM filled ORDER BY user_id, d""".stripMargin,
+    "q101_reservoir_sample" ->
+      """WITH hashed AS (
+        |  SELECT user_id, event_id, event_type,
+        |    md5(CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR))
+        |      AS h
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY h, event_id)
+        |      AS INT) AS rank
+        |  FROM hashed)
+        |SELECT user_id, rank, event_id, event_type
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY user_id, rank""".stripMargin
+  )
+}

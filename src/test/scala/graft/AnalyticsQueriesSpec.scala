@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.AnalyticsQueries
+
+/** Semantic invariants for the q94–q101 analytics batch, beyond the
+  * driver's DuckDB hash gate: each query's defining algebraic property
+  * is asserted on sf0.001 so a future refactor that keeps the plan
+  * running but breaks the semantics fails here first.
+  */
+class AnalyticsQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q94: per-user transitions sum to (events - users)") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val total = events.count()
+    val users = events.select($"user_id").distinct().count()
+    val transitions = AnalyticsQueries.q94Transitions(spark, dir)
+      .agg(sum($"n_transitions")).head().getLong(0)
+    // each user's n-event chain contributes exactly n-1 bigrams
+    assert(transitions == total - users)
+  }
+
+  test("q95: streak lengths partition the active days") {
+    val df = AnalyticsQueries.q95Streaks(spark, dir)
+    assert(df.where($"max_streak" < 1 || $"max_streak" > $"n_active_days")
+      .count() == 0)
+    // sum over users of active days = number of distinct (user, day) pairs
+    // (Tables.load converts the nanos-long ts; a raw parquet read would not)
+    val distinctDays = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", to_date($"ts")).distinct().count()
+    assert(df.agg(sum($"n_active_days")).head().getLong(0) == distinctDays)
+  }
+
+  test("q96: merged islands never exceed their intervals; coverage positive") {
+    val df = AnalyticsQueries.q96IntervalCoverage(spark, dir)
+    assert(df.where($"n_islands" > $"n_intervals" || $"covered_us" <= 0)
+      .count() == 0)
+  }
+
+  test("q97: schema union keeps every order exactly once, null-filled") {
+    val df = AnalyticsQueries.q97SchemaUnion(spark, dir)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val expected = orders
+      .where($"o_orderstatus".isin("F", "O")).count()
+    assert(df.count() == expected)
+    // v2 rows carry no total_cents; v1 rows carry no priority
+    assert(df.where($"src" === "v2" && $"total_cents".isNotNull).count() == 0)
+    assert(df.where($"src" === "v1" && $"o_orderpriority".isNotNull)
+      .count() == 0)
+  }
+
+  test("q98: mode count is the max count within each group") {
+    val modes = AnalyticsQueries.q98ModePerGroup(spark, dir)
+    val maxes = spark.read.parquet(s"$dir/part.parquet")
+      .groupBy($"p_type", $"p_brand").agg(count(lit(1)).as("n"))
+      .groupBy($"p_type").agg(max($"n").as("max_n"))
+    val bad = modes.join(maxes, "p_type")
+      .where($"n_parts" =!= $"max_n").count()
+    assert(bad == 0)
+  }
+
+  test("q99: decile counts cover all rows and are balanced within 10%") {
+    val df = AnalyticsQueries.q99EquidepthHist(spark, dir).collect()
+    val total = df.map(_.getAs[Long]("n")).sum
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(total == li)
+    assert(df.length == 10)
+    // equi-depth: every bucket within 10% of the ideal tenth (duplicate
+    // boundary values can skew counts slightly; sf0.001 cents are ~unique)
+    val ideal = li / 10.0
+    assert(df.forall(r => math.abs(r.getAs[Long]("n") - ideal) < ideal * 0.1))
+    // buckets tile the value range in order
+    val sorted = df.sortBy(_.getAs[Long]("bucket"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_cents") <= b.getAs[Long]("min_cents"))
+    }
+  }
+
+  test("q100: spine has no day gaps and carry-forward is never null after " +
+    "first activity") {
+    val df = AnalyticsQueries.q100GapFill(spark, dir)
+    // first row of every user is active by construction (spine starts at
+    // min active day), so carried is non-null everywhere
+    assert(df.where($"carried".isNull).count() == 0)
+    // per user: spine length == datediff(max, min) + 1 (no gaps)
+    val spineLen = df.groupBy($"user_id").agg(count(lit(1)).as("n"),
+      min($"d").as("d0"), max($"d").as("d1"))
+    assert(spineLen.where($"n" =!=
+      datediff($"d1".cast("date"), $"d0".cast("date")) + 1).count() == 0)
+  }
+
+  test("q101: exactly min(3, |events|) rows per user, stable across runs") {
+    val a = AnalyticsQueries.q101ReservoirSample(spark, dir)
+    val perUser = a.groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(perUser.where($"n" > 3).count() == 0)
+    val b = AnalyticsQueries.q101ReservoirSample(spark, dir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
