@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact interpolated quantiles (percentile_cont semantics) of an
+  * integer-valued column via distributed selection — the scale-safe
+  * replacement for Catalyst's `Percentile` aggregate.
+  *
+  * `percentile(c, ps)` builds a value→count OpenHashMap per partition and
+  * merges ALL of them on a single final reducer: with mostly-unique
+  * values the merge is O(distinct) on one thread (measured 4–6 s over
+  * 583k distinct cents at sf0.1 — and it only grows with data). This
+  * operator never funnels the distribution through one point:
+  *
+  *  1. `groupBy(value)` → (value, count) summary (one partial-agg'd
+  *     shuffle, the only full-data pass);
+  *  2. range-repartition + local sort of the SUMMARY (distinct values,
+  *     not rows) so partition i holds a contiguous value range;
+  *  3. per-partition count totals → driver (P longs), prefix-summed to
+  *     global offsets;
+  *  4. one summary scan emits just the values whose cumulative-count
+  *     span covers a needed rank (≤ 2·|probs| rows reach the driver);
+  *  5. driver interpolates `(⌈h⌉−h)·lower + (h−⌊h⌋)·higher` at
+  *     `h = (n−1)·p` — Catalyst `Percentile`'s exact weighted form
+  *     (NOT the algebraically-equal `lo + (hi−lo)·frac`, which differs
+  *     in the last ulp), so results are bit-identical to the builtin.
+  *
+  * The two RDD passes are the sanctioned use: genuine per-partition
+  * cumulative state that no declarative operator expresses without a
+  * global sort.
+  */
+object ExactQuantiles {
+
+  /** Exact quantiles of `valueCol` (cast to long) at `probs`.
+    * Returns one interpolated double per prob. */
+  def quantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+                partitions: Int = 64): Array[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val freq = df.select(col(valueCol).cast("long").as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("f"))
+      .repartitionByRange(partitions, $"v")
+      .sortWithinPartitions($"v")
+      .as[(Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = freq.rdd
+        .mapPartitions(it => Iterator.single(it.map(_._2).sum), true)
+        .collect()
+      val n = partTotals.sum
+      if (n == 0) return probs.map(_ => Double.NaN).toArray
+      val hs = probs.map(p => (n - 1) * p)
+      val needed = hs.flatMap(h =>
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct.sorted
+      val offsets = partTotals.scanLeft(0L)(_ + _)
+      val bNeeded = spark.sparkContext.broadcast(needed.toArray)
+      val found: Map[Long, Long] = freq.rdd.mapPartitionsWithIndex {
+        (pid, it) =>
+          var cum = offsets(pid)
+          val want = bNeeded.value
+          it.flatMap { case (v, f) =>
+            val lo = cum
+            cum += f
+            want.iterator.filter(pos => pos >= lo && pos < lo + f)
+              .map(pos => (pos, v))
+          }
+      }.collect().toMap
+      hs.map { h =>
+        val lo = math.floor(h)
+        val hi = math.ceil(h)
+        val lv = found(lo.toLong).toDouble
+        val hv = found(hi.toLong).toDouble
+        if (lo == hi) lv else (hi - h) * lv + (h - lo) * hv
+      }.toArray
+    } finally { freq.unpersist(); () }
+  }
+}

@@ -132,24 +132,26 @@ object AnalyticsQueries {
       .orderBy($"p_type")
   }
 
-  /** Equi-depth (decile) histogram WITHOUT a global sort: one aggregate
-    * computes the 9 exact interior percentile boundaries (driver-scale:
-    * 9 doubles), which broadcast back onto a fully parallel scan that
-    * buckets each row by counting boundaries below it. The naive
+  /** Equi-depth (decile) histogram WITHOUT a global sort: the 9 exact
+    * interior percentile boundaries come from
+    * [[graft.ops.ExactQuantiles]]'s distributed selection (range-
+    * partitioned value summary — never Catalyst `Percentile`'s
+    * single-reducer count-map merge, which measured 4–6 s alone at
+    * sf0.1), then a fully parallel scan buckets each row against the 9
+    * literal boundaries and shuffles only 10 partial-agg rows. The naive
     * ntile(10) OVER (ORDER BY …) formulation funnels the entire table
-    * through ONE partition — this plan keeps the scan parallel and
-    * shuffles only 10 partial-agg rows. percentile↔quantile_cont
-    * interpolation is bit-identical on integer cents (proven by q36). */
+    * through ONE partition. Interpolation is bit-identical to DuckDB
+    * quantile_cont (same h=(n−1)p, same lerp — proven by q36 +
+    * ExactQuantilesSpec). */
   def q99EquidepthHist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = t(s, dir, "lineitem")
       .select(floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("c"))
-    val bounds = cents.agg(expr(
-      "percentile(c, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
-    cents.join(broadcast(bounds))
-      .withColumn("bucket",
-        (lit(1) + size(filter($"bs", x => x < $"c".cast("double"))))
-          .cast("long"))
+    val bs = graft.ops.ExactQuantiles.quantiles(cents, "c",
+      (1 to 9).map(_ / 10.0), partitions = 32)
+    val below = bs.map(b => when($"c".cast("double") > lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    cents.withColumn("bucket", (lit(1) + below).cast("long"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"), min($"c").as("min_cents"),
         max($"c").as("max_cents"))

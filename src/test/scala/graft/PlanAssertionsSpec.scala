@@ -31,8 +31,7 @@ class PlanAssertionsSpec extends SparkSpec {
       "q63_bm25" /* 1-row corpus-stats broadcast join */,
       "q78_ann_int8" /* int8 coarse scan broadcasts the query batch */,
       "q79_ann_pq" /* PQ ADC coarse scan broadcasts the query tables */,
-      "q80_lm_score" /* 1-row vocab scalar broadcast join */,
-      "q99_equidepth_hist" /* 1-row percentile-bounds broadcast join */)
+      "q80_lm_score" /* 1-row vocab scalar broadcast join */)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
