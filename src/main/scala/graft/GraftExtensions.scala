@@ -6,15 +6,18 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{CosineSimilarity, DotProductF, DotProductI8, SqDistF}
 
-/** Session extensions registering graft's native Catalyst expressions so
-  * every session built with them exposes `cosine_similarity` /
-  * `dot_product_f` / `dot_product_i8` / `sq_dist_f` in SQL and via
-  * `call_function` — no per-session `register` call needed. Activate with
-  * `.withExtensions(new GraftExtensions)` (done by [[GraftSession]]) or
+/** Session extensions registering graft's native Catalyst expressions
+  * (`cosine_similarity` / `dot_product_f` / `dot_product_i8` /
+  * `sq_dist_f` in SQL and via `call_function`) plus the
+  * [[graft.plans.TopKRewrite]] optimizer rule that turns naive
+  * `row_number() <= k` window top-k queries into bounded-heap
+  * aggregates. Activate with `.withExtensions(new GraftExtensions)`
+  * (done by [[GraftSession]]) or
   * `spark.sql.extensions=graft.GraftExtensions` on any stock session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     e.injectFunction((
       FunctionIdentifier(CosineSimilarity.fnName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.fnName),

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The TopKRewrite optimizer rule: naive `row_number() <= k` window
+  * queries must plan as bounded-heap aggregates (no Window, no full
+  * sort), produce results identical to the un-rewritten plan, and leave
+  * every ineligible shape untouched.
+  */
+class TopKRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // unique order key (v) → total order → results comparable row-for-row
+  lazy val data = (1 to 5000).map { i =>
+    (i % 40L, (i * 2654435761L) % 1000003L, s"p$i")
+  }.toDF("key", "v", "payload")
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def naiveTopK(desc: Boolean, k: Int): DataFrame = {
+    val ord = if (desc) $"v".desc else $"v".asc
+    data.withColumn("rn",
+        row_number().over(Window.partitionBy($"key").orderBy(ord)))
+      .filter($"rn" <= k)
+  }
+
+  private def withRuleDisabled[T](f: => T): T = {
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.TopKRewrite")
+    try f finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  private def collectSet(df: DataFrame): Set[(Long, Long, String, Int)] =
+    df.select($"key", $"v", $"payload", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSet
+
+  test("descending top-k rewrites to a heap aggregate, results identical") {
+    val df = naiveTopK(desc = true, k = 3)
+    val p = physical(df)
+    assert(!p.contains("Window"), s"window survived:\n$p")
+    assert(p.contains("collect_top_k"), s"no heap aggregate:\n$p")
+    val want = withRuleDisabled(collectSet(naiveTopK(desc = true, k = 3)))
+    assert(collectSet(df) == want)
+  }
+
+  test("ascending top-k rewrites and matches") {
+    val df = naiveTopK(desc = false, k = 5)
+    assert(!physical(df).contains("Window"))
+    val want = withRuleDisabled(collectSet(naiveTopK(desc = false, k = 5)))
+    assert(collectSet(df) == want)
+  }
+
+  test("rn = 1 (argmax per key) rewrites") {
+    val df = data.withColumn("rn",
+        row_number().over(Window.partitionBy($"key").orderBy($"v".desc)))
+      .filter($"rn" === 1)
+    assert(!physical(df).contains("Window"))
+    assert(df.count() == 40)
+    // one row per key, and it carries the key's max v
+    val maxes = data.groupBy($"key").agg(max($"v").as("mv"))
+    assert(df.join(maxes, "key").where($"v" =!= $"mv").count() == 0)
+  }
+
+  test("residual conjuncts survive above the rewrite") {
+    val df = data.withColumn("rn",
+        row_number().over(Window.partitionBy($"key").orderBy($"v".desc)))
+      .filter($"rn" <= 4 && $"v" % 2 === 0)
+    assert(!physical(df).contains("Window"))
+    val want = withRuleDisabled {
+      data.withColumn("rn",
+          row_number().over(Window.partitionBy($"key").orderBy($"v".desc)))
+        .filter($"rn" <= 4 && $"v" % 2 === 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .toSet
+    }
+    assert(collectSet(df) == want)
+  }
+
+  test("SQL-text row_number top-k is rewritten too") {
+    data.createOrReplaceTempView("topk_input")
+    val df = spark.sql(
+      """SELECT * FROM (
+        |  SELECT key, v, payload,
+        |    row_number() OVER (PARTITION BY key ORDER BY v DESC) AS rn
+        |  FROM topk_input) WHERE rn <= 2""".stripMargin)
+    assert(!physical(df).contains("Window"))
+    val want = withRuleDisabled(collectSet(
+      naiveTopK(desc = true, k = 2)))
+    assert(collectSet(df) == want)
+  }
+
+  test("rank() is NOT rewritten (ties semantics differ)") {
+    val df = data.withColumn("rn",
+        rank().over(Window.partitionBy($"key").orderBy($"v".desc)))
+      .filter($"rn" <= 3)
+    assert(physical(df).contains("Window"))
+  }
+
+  test("mixed sort directions are NOT rewritten") {
+    val df = data.withColumn("rn", row_number().over(
+        Window.partitionBy($"key").orderBy($"v".desc, $"payload".asc)))
+      .filter($"rn" <= 3)
+    assert(physical(df).contains("Window"))
+  }
+
+  test("unbounded rank filter (rn >= k) is NOT rewritten") {
+    val df = data.withColumn("rn",
+        row_number().over(Window.partitionBy($"key").orderBy($"v".desc)))
+      .filter($"rn" > 3)
+    assert(physical(df).contains("Window"))
+  }
+
+  test("the rewritten plan has no sort below the aggregate") {
+    val df = naiveTopK(desc = true, k = 3)
+    // the only acceptable Sort is none at all: heap aggregation replaces
+    // both the partial sort and the final sort
+    assert(!physical(df).contains("Sort "), physical(df))
+  }
+}
