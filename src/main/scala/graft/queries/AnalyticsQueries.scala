@@ -207,7 +207,94 @@ object AnalyticsQueries {
       .orderBy($"user_id", $"rank")
   }
 
+  /** Distributed OLS regression (price on quantity per return flag) from
+    * EXACT integer moments: one partial-agg'd pass accumulates n, Σx,
+    * Σy, Σxy, Σx² as BIGINTs (order-independent — the float-sum
+    * nondeterminism that plagues naive regr_slope is gone), then slope/
+    * intercept come from one fixed double formula per group. This is the
+    * map-reduce regression shape: no window, no second pass, 5 longs per
+    * group shuffled. */
+  def q102Regression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val moments = t(s, dir, "lineitem")
+      .select($"l_returnflag",
+        floor($"l_quantity" + 0.5).cast("long").as("x"),
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    // identical double-arithmetic order on both engines: exact BIGINT
+    // moments → one deterministic expression
+    val nd = $"n".cast("double")
+    val slope = (nd * $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy".cast("double")) /
+      (nd * $"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double"))
+    val intercept = ($"sy".cast("double") - slope * $"sx".cast("double")) / nd
+    moments.select($"l_returnflag", $"n",
+        floor(slope * 1000000.0 + 0.5).cast("long").as("slope_e6"),
+        floor(intercept * 1000000.0 + 0.5).cast("long").as("intercept_e6"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Language-distribution entropy per source: counts → per-category
+    * −p·ln(p) terms quantized to e6 BEFORE the final sum (integer sum =
+    * order-independent; a float term sum would be partitioning-
+    * dependent). The window computing each source's total runs over the
+    * |sources|×|langs| aggregate, never the base table. */
+  def q103Entropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "documents")
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"source")
+    counts
+      .withColumn("total", sum($"cnt").over(w))
+      .withColumn("p", $"cnt".cast("double") / $"total".cast("double"))
+      .withColumn("term_e6",
+        floor(-$"p" * log($"p") * 1000000.0 + 0.5).cast("long"))
+      .groupBy($"source")
+      .agg(max($"total").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum($"term_e6").as("entropy_e6"))
+      .orderBy($"source")
+  }
+
+  /** k-anonymity audit over quasi-identifiers (mktsegment, nationkey):
+    * emit every equivalence class smaller than k=5 — the rows a privacy
+    * reviewer must generalize or suppress before release. One partial-
+    * agg'd groupBy; the audit output is bounded by the class count, not
+    * the data. */
+  def q104KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("class_size"))
+      .where($"class_size" < 5)
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** Debounce: drop consecutive same-type repeats per user (keep the
+    * first event of each run) — the standard stream-cleaning step before
+    * transition/funnel analysis. One user-keyed window exchange, output
+    * summarized per user so the result scales with users, not events. */
+  def q105Debounce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .where($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_kept"), min($"event_id").as("first_event"),
+        max($"event_id").as("last_event"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q102_regression" -> (q102Regression _),
+    "q103_entropy" -> (q103Entropy _),
+    "q104_k_anonymity" -> (q104KAnonymity _),
+    "q105_debounce" -> (q105Debounce _),
     "q94_transitions" -> (q94Transitions _),
     "q95_streaks" -> (q95Streaks _),
     "q96_interval_coverage" -> (q96IntervalCoverage _),
@@ -219,6 +306,66 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q102_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sx,
+        |    sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sy,
+        |    sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+        |      * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sxy,
+        |    sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+        |      * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(floor(
+        |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS slope_e6,
+        |  CAST(floor(
+        |    ((CAST(sy AS DOUBLE)
+        |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS intercept_e6
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q103_entropy" ->
+      """WITH counts AS (
+        |  SELECT source, lang, count(*) AS cnt
+        |  FROM documents GROUP BY source, lang),
+        |dist AS (
+        |  SELECT source, cnt,
+        |    sum(cnt) OVER (PARTITION BY source) AS total
+        |  FROM counts),
+        |terms AS (
+        |  SELECT source, total,
+        |    CAST(floor(-(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |      * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+        |  FROM dist)
+        |SELECT source, CAST(max(total) AS BIGINT) AS n_docs,
+        |  count(*) AS n_langs, CAST(sum(term_e6) AS BIGINT) AS entropy_e6
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "q104_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+        |FROM customer
+        |GROUP BY c_mktsegment, c_nationkey
+        |HAVING count(*) < 5
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q105_debounce" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_kept,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM seq
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q94_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS from_type,

@@ -93,6 +93,48 @@ class AnalyticsQueriesSpec extends SparkSpec {
       datediff($"d1".cast("date"), $"d0".cast("date")) + 1).count() == 0)
   }
 
+  test("q102: moments cover every row; line passes through the centroid") {
+    val df = AnalyticsQueries.q102Regression(spark, dir)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(df.agg(sum($"n")).head().getLong(0) == li.count())
+    // OLS invariant: intercept + slope·x̄ = ȳ for every group
+    val centroids = li
+      .select($"l_returnflag", floor($"l_quantity" + 0.5).as("x"),
+        floor($"l_extendedprice" * 100.0 + 0.5).as("y"))
+      .groupBy($"l_returnflag").agg(avg($"x").as("mx"), avg($"y").as("my"))
+    df.join(centroids, "l_returnflag").collect().foreach { r =>
+      val yHat = (r.getAs[Long]("intercept_e6") +
+        r.getAs[Long]("slope_e6") * r.getAs[Double]("mx")) / 1e6
+      val my = r.getAs[Double]("my")
+      assert(math.abs(yHat - my) <= math.abs(my) * 1e-4 + 0.01,
+        s"${r.getAs[String]("l_returnflag")}: $yHat vs $my")
+    }
+  }
+
+  test("q103: entropy bounded by ln(n_langs), zero only for single-lang") {
+    val rows = AnalyticsQueries.q103Entropy(spark, dir).collect()
+    rows.foreach { r =>
+      val e6 = r.getAs[Long]("entropy_e6")
+      val langs = r.getAs[Long]("n_langs")
+      val bound = math.ceil(math.log(langs.toDouble) * 1e6).toLong + langs
+      assert(e6 >= 0 && e6 <= bound, s"entropy $e6 outside [0, $bound]")
+      if (langs == 1) assert(e6 == 0)
+    }
+  }
+
+  test("q104: every reported class is a genuine <k group") {
+    val df = AnalyticsQueries.q104KAnonymity(spark, dir)
+    assert(df.where($"class_size" >= 5 || $"class_size" < 1).count() == 0)
+  }
+
+  test("q105: debounce keeps at least one and at most all events per user") {
+    val df = AnalyticsQueries.q105Debounce(spark, dir)
+    val perUser = graft.sources.Tables.load(spark, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    assert(df.join(perUser, "user_id")
+      .where($"n_kept" < 1 || $"n_kept" > $"n_events").count() == 0)
+  }
+
   test("q101: exactly min(3, |events|) rows per user, stable across runs") {
     val a = AnalyticsQueries.q101ReservoirSample(spark, dir)
     val perUser = a.groupBy($"user_id").agg(count(lit(1)).as("n"))
