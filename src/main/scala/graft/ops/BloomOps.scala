@@ -32,15 +32,28 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomOps {
 
+  /** The bloom aggregate as a composable Column (usable per-group, e.g.
+    * one sketch per file in [[graft.sinks.FileBloomIndex]]); hashes with
+    * the same xxhash64 seed the probe side uses. */
+  def bloomAgg(key: Column, expectedItems: Long,
+               fpp: Double = 0.01): Column = {
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    ColumnBridge.column(new BloomFilterAggregate(
+      XxHash64(Seq(ColumnBridge.expression(key)), 42L),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Driver-side hash of one lookup value — the exact xxhash64(seed 42)
+    * the sketches were built over. */
+  def hashLookupValue(value: Any): Long =
+    XxHash64(Seq(Literal(value)), 42L).eval().asInstanceOf[Long]
+
   /** Distributed build: serialized bloom of `key` over `build`, sized
     * for `expectedItems` at `fpp`. Runs a Spark job (eager). */
   def buildBloom(build: DataFrame, key: Column, expectedItems: Long,
                  fpp: Double = 0.01): Array[Byte] = {
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val agg = new BloomFilterAggregate(
-      XxHash64(Seq(ColumnBridge.expression(key)), 42L),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val row = build.select(ColumnBridge.column(agg).as("bloom")).head()
+    val row = build.select(bloomAgg(key, expectedItems, fpp).as("bloom"))
+      .head()
     if (row.isNullAt(0)) { // empty build side → an empty (all-reject) sketch
       val out = new java.io.ByteArrayOutputStream()
       BloomFilter.create(1, fpp).writeTo(out)

@@ -1,0 +1,79 @@
+package graft.sinks
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.ops.BloomOps
+
+/** File-level bloom-filter index — point-lookup data skipping for
+  * columns that clustering can't serve.
+  *
+  * Z-order/cluster-by compaction gives min/max file skipping on the
+  * layout keys, but a point lookup on any OTHER high-cardinality column
+  * (a doc_id, a user key, a fingerprint) still scans every file. This
+  * index stores one bloom sketch of `keyCol` PER DATA FILE; a lookup
+  * consults the index first and reads only the files whose sketch
+  * admits the key — at a 10k-file table that is 1–2 file reads instead
+  * of 10k (bounded below by the fpp). The same idea ships as Delta's
+  * bloom-filter index and ORC's bloom stream; this is the engine-level
+  * form over plain parquet.
+  *
+  * Scale shape: the index build is one distributed pass grouped by
+  * `_metadata.file_path` (no driver materialization — sketches are
+  * OR-merged map-side); a lookup scans the INDEX distributed, and only
+  * the few admitted file paths (strings) reach the driver. Sketch size
+  * is `expectedPerFile`-tuned: 100k keys at 1% fpp ≈ 120 KB per file —
+  * index bytes are ~0.1% of data bytes.
+  */
+object FileBloomIndex {
+
+  /** One pass over `dataDir`: per-file (path, row count, bloom sketch)
+    * written to `indexDir`. Returns the number of indexed files. */
+  def build(spark: SparkSession, dataDir: String, keyCol: String,
+            indexDir: String, expectedPerFile: Long = 100000L,
+            fpp: Double = 0.01): Long = {
+    val perFile = spark.read.parquet(dataDir)
+      .select(col(keyCol), col("_metadata.file_path").as("file_path"))
+      .groupBy(col("file_path"))
+      .agg(count(lit(1)).as("n_rows"),
+        BloomOps.bloomAgg(col(keyCol), expectedPerFile, fpp).as("bloom"))
+    perFile.write.mode("overwrite").parquet(indexDir)
+    spark.read.parquet(indexDir).count()
+  }
+
+  /** Files whose sketch admits `value` — the skip decision, exposed for
+    * tests and for composing with other pruning. Distributed index scan;
+    * only admitted paths are collected. */
+  def candidateFiles(spark: SparkSession, indexDir: String,
+                     value: Any): Seq[String] = {
+    import spark.implicits._
+    val hashed = BloomOps.hashLookupValue(value)
+    spark.read.parquet(indexDir)
+      .select($"file_path", $"bloom").as[(String, Array[Byte])]
+      .mapPartitions(_.collect {
+        case (path, bloom)
+          if BloomFilter.readFrom(new ByteArrayInputStream(bloom))
+            .mightContainLong(hashed) => path
+      })
+      .collect().toSeq.sorted
+  }
+
+  /** Point lookup: read ONLY the admitted files, then apply the exact
+    * predicate (killing bloom false positives). Result is identical to
+    * `spark.read.parquet(dataDir).filter(keyCol === value)`. */
+  def lookup(spark: SparkSession, dataDir: String, indexDir: String,
+             keyCol: String, value: Any): DataFrame = {
+    val files = candidateFiles(spark, indexDir, value)
+    if (files.isEmpty) {
+      spark.read.parquet(dataDir).filter(lit(false))
+    } else {
+      spark.read
+        .schema(spark.read.parquet(dataDir).schema)
+        .parquet(files: _*)
+        .filter(col(keyCol) === lit(value))
+    }
+  }
+}

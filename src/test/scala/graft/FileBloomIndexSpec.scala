@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.FileBloomIndex
+
+/** The file-level bloom index must (a) index every data file, (b) admit
+  * only a small fraction of files for a point lookup, (c) return results
+  * identical to the full scan, and (d) reject absent keys with (almost
+  * always) zero file reads.
+  */
+class FileBloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nFiles = 16
+
+  // hash-partitioned on id: each id lives in exactly one of 16 files,
+  // and NO min/max layout could skip for it (ids interleave ranges)
+  private lazy val (dataDir, indexDir) = {
+    val d = tmpDir("bloomidx-data")
+    val i = tmpDir("bloomidx-index")
+    (1 to 40000).map(n => (n.toLong, s"payload-$n"))
+      .toDF("id", "payload")
+      .repartition(nFiles, $"id")
+      .write.mode("overwrite").parquet(d)
+    val indexed = FileBloomIndex.build(spark, d, "id", i,
+      expectedPerFile = 5000L)
+    assert(indexed == nFiles)
+    (d, i)
+  }
+
+  test("point lookup admits few files and matches the full scan") {
+    val present = Seq(17L, 4242L, 39999L)
+    present.foreach { id =>
+      val cand = FileBloomIndex.candidateFiles(spark, indexDir, id)
+      assert(cand.nonEmpty && cand.size <= 3,
+        s"id=$id admitted ${cand.size} of $nFiles files")
+      val got = FileBloomIndex.lookup(spark, dataDir, indexDir, "id", id)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = spark.read.parquet(dataDir).where($"id" === id)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want && got.size == 1)
+    }
+  }
+
+  test("absent keys are rejected by the index alone") {
+    // 100 absent keys: expect ~fpp·nFiles·100 ≈ 16 false admissions max;
+    // every lookup result must still be empty
+    val absent = (1000001L to 1000100L)
+    val admitted = absent.map(id =>
+      FileBloomIndex.candidateFiles(spark, indexDir, id).size).sum
+    assert(admitted <= 32, s"$admitted false admissions across 100 keys")
+    assert(FileBloomIndex.lookup(spark, dataDir, indexDir, "id", 1000001L)
+      .count() == 0)
+  }
+
+  test("index rows carry true per-file row counts") {
+    val total = spark.read.parquet(indexDir)
+      .agg(sum($"n_rows")).head().getLong(0)
+    assert(total == 40000L)
+  }
+}
