@@ -290,7 +290,58 @@ object AnalyticsQueries {
       .orderBy($"user_id")
   }
 
+  /** Bloom-index point lookups: the documents table is laid out hash-
+    * partitioned (no min/max layout can serve doc_id), a per-file bloom
+    * index is built in one pass, and each probe reads ONLY the admitted
+    * files — 1–2 of 8 here, 1–2 of 10k at warehouse scale. The absent
+    * probe (doc_id 999999) exercises the reject path: zero or fp-only
+    * file reads, zero rows. Exact predicate kills false positives, so
+    * the result equals the plain WHERE — which is the oracle. */
+  def q106BloomLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("q106data").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("q106idx").toString
+    t(s, dir, "documents").repartition(8, $"doc_id")
+      .write.mode("overwrite").parquet(dataDir)
+    graft.sinks.FileBloomIndex.build(s, dataDir, "doc_id", idxDir,
+      expectedPerFile = 10000L)
+    val probes = Seq(1L, 7L, 23L, 42L, 999999L)
+    probes.map(id =>
+        graft.sinks.FileBloomIndex.lookup(s, dataDir, idxDir, "doc_id", id)
+          .select($"doc_id", $"lang", $"source", $"n_chars"))
+      .reduce(_ unionByName _)
+      .orderBy($"doc_id")
+  }
+
+  /** Winsorized robust statistics: global p01/p99 bounds from
+    * [[graft.ops.ExactQuantiles]] (distributed selection — no
+    * single-reducer percentile), quantized to integer cents so the
+    * clamped sum stays an exact BIGINT. Clamping outliers to the
+    * boundary is the standard robust-mean step before per-group
+    * comparisons; the whole query is the quantile pass + ONE partial-
+    * agg'd groupBy. */
+  def q107Winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("c"))
+    val bounds = graft.ops.ExactQuantiles.quantiles(li, "c",
+      Seq(0.01, 0.99), partitions = 32)
+    val loC = math.ceil(bounds(0)).toLong
+    val hiC = math.floor(bounds(1)).toLong
+    li.withColumn("w", least(greatest($"c", lit(loC)), lit(hiC)))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"c" < loC, 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when($"c" > hiC, 1L).otherwise(0L)).as("n_clamped_high"),
+        sum($"w").as("sum_w_cents"),
+        min($"w").as("min_w_cents"), max($"w").as("max_w_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q106_bloom_lookup" -> (q106BloomLookup _),
+    "q107_winsorize" -> (q107Winsorize _),
     "q102_regression" -> (q102Regression _),
     "q103_entropy" -> (q103Entropy _),
     "q104_k_anonymity" -> (q104KAnonymity _),
@@ -306,6 +357,30 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q106_bloom_lookup" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id IN (1, 7, 23, 42, 999999)
+        |ORDER BY doc_id""".stripMargin,
+    "q107_winsorize" ->
+      """WITH cents AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(ceil(quantile_cont(c, 0.01)) AS BIGINT) AS lo,
+        |    CAST(floor(quantile_cont(c, 0.99)) AS BIGINT) AS hi
+        |  FROM cents)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_low,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_high,
+        |  CAST(sum(LEAST(GREATEST(c, lo), hi)) AS BIGINT) AS sum_w_cents,
+        |  min(LEAST(GREATEST(c, lo), hi)) AS min_w_cents,
+        |  max(LEAST(GREATEST(c, lo), hi)) AS max_w_cents
+        |FROM cents CROSS JOIN b
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q102_regression" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -135,6 +135,24 @@ class AnalyticsQueriesSpec extends SparkSpec {
       .where($"n_kept" < 1 || $"n_kept" > $"n_events").count() == 0)
   }
 
+  test("q106: every present probe returns exactly one doc; absent returns " +
+    "none") {
+    val rows = AnalyticsQueries.q106BloomLookup(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq.sorted == Seq(1L, 7L, 23L, 42L))
+  }
+
+  test("q107: clamped bounds hold and clamp counts stay near 1% tails") {
+    val rows = AnalyticsQueries.q107Winsorize(spark, dir).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val low = rows.map(_.getAs[Long]("n_clamped_low")).sum
+    val high = rows.map(_.getAs[Long]("n_clamped_high")).sum
+    // global 1% tails: each side clamps ≤ ~1% of all rows (+slack)
+    assert(low <= n / 50 && high <= n / 50, s"low=$low high=$high n=$n")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_w_cents") <= r.getAs[Long]("max_w_cents"))
+    }
+  }
+
   test("q101: exactly min(3, |events|) rows per user, stable across runs") {
     val a = AnalyticsQueries.q101ReservoirSample(spark, dir)
     val perUser = a.groupBy($"user_id").agg(count(lit(1)).as("n"))
