@@ -179,6 +179,37 @@ object FunctionQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Incremental DISTINCT-count maintenance (q108): daily-unique-user
+    * sketches maintained across three simulated ingest batches via
+    * [[graft.ops.SketchAgg]] — per-batch IO is one HLL sketch per day,
+    * and both the per-day uniques and the global uniques are answered
+    * from stored sketches alone (a mid-stream compact proves fold
+    * invariance). At ≤150 distinct users the Datasketches sparse regime
+    * is EXACT, so the DuckDB count(DISTINCT) oracle gates the whole
+    * sketch→append→union→estimate path bit-for-bit; the dense-regime
+    * error bound is gated in SketchAggSpec. */
+  def q108SketchIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SketchAgg
+    val events = Tables.load(s, dir, "events").select($"user_id",
+      $"event_id", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+    val spec = SketchAgg.Spec(Seq("day"), "user_id")
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q108sketch").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    (0L to 2L).foreach { i =>
+      SketchAgg.appendBatch(store, events.filter(pmod($"event_id", lit(3)) === i),
+        spec, batchId = i)
+      if (i == 1L) SketchAgg.compact(store, spec)
+    }
+    val perDay = SketchAgg.current(store, spec)
+      .select($"day", $"n_distinct", $"n_rows")
+    val totals = perDay.agg(sum($"n_rows")).head().getLong(0)
+    val global = Seq(("ALL", SketchAgg.globalDistinct(store, spec), totals))
+      .toDF("day", "n_distinct", "n_rows")
+    perDay.unionByName(global).orderBy($"day")
+  }
+
   /** Count-Min sketch frequency service (q93): one distributed pass
     * builds the fixed-size linear sketch (map-side merged matrices — no
     * token shuffle), then every supplier's frequency is answered FROM THE
@@ -205,6 +236,7 @@ object FunctionQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q108_sketch_ivm" -> (q108SketchIvm _),
     "q93_count_min" -> (q93CountMin _),
     "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q54_unpivot" -> (q54Unpivot _),
@@ -217,6 +249,14 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q108_sketch_ivm" ->
+      """SELECT day, n_distinct, n_rows FROM (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    count(DISTINCT user_id) AS n_distinct, count(*) AS n_rows
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', count(DISTINCT user_id), count(*) FROM events)
+        |ORDER BY day""".stripMargin,
     "q93_count_min" ->
       """SELECT s_suppkey, CAST(COALESCE(cnt, 0) AS BIGINT) AS est_count
         |FROM supplier
