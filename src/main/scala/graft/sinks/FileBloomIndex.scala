@@ -44,6 +44,32 @@ object FileBloomIndex {
     spark.read.parquet(indexDir).count()
   }
 
+  /** Incremental maintenance: index ONLY the data files not yet present
+    * in the index and append their sketch rows — per-refresh IO is
+    * proportional to the new files, never the table (the same
+    * append-only contract as the fingerprint and sketch stores).
+    * Returns the number of newly indexed files. */
+  def refresh(spark: SparkSession, dataDir: String, keyCol: String,
+              indexDir: String, expectedPerFile: Long = 100000L,
+              fpp: Double = 0.01): Long = {
+    import spark.implicits._
+    val known = spark.read.parquet(indexDir).select($"file_path")
+    val fresh = spark.read.parquet(dataDir)
+      .select(col(keyCol), col("_metadata.file_path").as("file_path"))
+      .join(broadcast(known), Seq("file_path"), "left_anti")
+    val newRows = fresh
+      .groupBy($"file_path")
+      .agg(count(lit(1)).as("n_rows"),
+        BloomOps.bloomAgg(col(keyCol), expectedPerFile, fpp).as("bloom"))
+    val n = newRows.count()
+    if (n > 0) {
+      // align column order with the existing index before appending
+      val cols = spark.read.parquet(indexDir).columns.map(col).toSeq
+      newRows.select(cols: _*).write.mode("append").parquet(indexDir)
+    }
+    n
+  }
+
   /** Files whose sketch admits `value` — the skip decision, exposed for
     * tests and for composing with other pruning. Distributed index scan;
     * only admitted paths are collected. */

@@ -54,6 +54,27 @@ class FileBloomIndexSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("refresh indexes only new files and keeps lookups exact") {
+    val d = tmpDir("bloomidx-grow-data")
+    val i = tmpDir("bloomidx-grow-index")
+    (1 to 8000).map(n => (n.toLong, s"p$n")).toDF("id", "payload")
+      .repartition(4, $"id").write.mode("overwrite").parquet(d)
+    assert(FileBloomIndex.build(spark, d, "id", i, 5000L) == 4)
+    // a second ingest batch lands as new files with NEW keys
+    (100001 to 108000).map(n => (n.toLong, s"p$n")).toDF("id", "payload")
+      .repartition(4, $"id").write.mode("append").parquet(d)
+    assert(FileBloomIndex.refresh(spark, d, "id", i, 5000L) == 4)
+    assert(FileBloomIndex.refresh(spark, d, "id", i, 5000L) == 0) // idempotent
+    assert(spark.read.parquet(i).count() == 8)
+    // keys from both generations resolve; old files are not re-read for
+    // new-generation keys
+    Seq(42L, 100042L).foreach { id =>
+      val got = FileBloomIndex.lookup(spark, d, i, "id", id).count()
+      assert(got == 1, s"id=$id")
+      assert(FileBloomIndex.candidateFiles(spark, i, id).size <= 2)
+    }
+  }
+
   test("index rows carry true per-file row counts") {
     val total = spark.read.parquet(indexDir)
       .agg(sum($"n_rows")).head().getLong(0)
