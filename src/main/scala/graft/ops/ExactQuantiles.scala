@@ -77,4 +77,80 @@ object ExactQuantiles {
       }.toArray
     } finally { freq.unpersist(); () }
   }
+
+  /** Per-group exact quantiles — the grouped form of [[quantiles]], for
+    * the FEW-groups × huge-values regime where Catalyst's per-group
+    * `Percentile` maps are still distinct-sized and each group's merge
+    * lands on one reducer. The value summary is range-partitioned on
+    * (group, value) so a huge group spans partitions; the driver sees
+    * per-(partition, group) subtotal longs and the rank-straddling
+    * values — O(P·|groups|) scalars, never the distribution. Group keys
+    * are compared as strings (cast internally); interpolation is the
+    * same bit-exact Catalyst formula. */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                       probs: Seq[Double], partitions: Int = 64)
+      : Map[String, Array[Double]] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val freq = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("f"))
+      .repartitionByRange(partitions, $"g", $"v")
+      .sortWithinPartitions($"g", $"v")
+      .as[(String, Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subtotals: Array[((Int, String), Long)] = freq.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val acc = scala.collection.mutable.LinkedHashMap[String, Long]()
+          it.foreach { case (g, _, f) =>
+            acc.update(g, acc.getOrElse(g, 0L) + f)
+          }
+          acc.iterator.map { case (g, t) => ((pid, g), t) }
+        }.collect()
+      val nByGroup = subtotals.groupBy(_._1._2)
+        .map { case (g, ts) => g -> ts.map(_._2).sum }
+      // rows of group g before partition pid
+      val offsets: Map[(Int, String), Long] = subtotals
+        .groupBy(_._1._2).flatMap { case (g, ts) =>
+          val sorted = ts.sortBy(_._1._1)
+          sorted.zip(sorted.scanLeft(0L)(_ + _._2))
+            .map { case (((pid, _), _), off) => (pid, g) -> off }
+        }
+      val hsByGroup = nByGroup.map { case (g, n) =>
+        g -> probs.map(p => (n - 1) * p).toArray
+      }
+      val neededByGroup: Map[String, Array[Long]] = hsByGroup.map {
+        case (g, hs) => g -> hs.flatMap(h =>
+          Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct.sorted
+      }
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val bNeeded = spark.sparkContext.broadcast(neededByGroup)
+      val found: Map[(String, Long), Long] = freq.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val offs = bOffsets.value
+          val need = bNeeded.value
+          var curG: String = null
+          var cum = 0L
+          it.flatMap { case (g, v, f) =>
+            if (g != curG) { curG = g; cum = offs.getOrElse((pid, g), 0L) }
+            val lo = cum
+            cum += f
+            need.getOrElse(g, Array.empty[Long]).iterator
+              .filter(pos => pos >= lo && pos < lo + f)
+              .map(pos => ((g, pos), v))
+          }
+        }.collect().toMap
+      hsByGroup.map { case (g, hs) =>
+        g -> hs.map { h =>
+          val lo = math.floor(h)
+          val hi = math.ceil(h)
+          val lv = found((g, lo.toLong)).toDouble
+          val hv = found((g, hi.toLong)).toDouble
+          if (lo == hi) lv else (hi - h) * lv + (h - lo) * hv
+        }
+      }
+    } finally { freq.unpersist(); () }
+  }
 }

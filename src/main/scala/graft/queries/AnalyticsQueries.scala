@@ -339,7 +339,37 @@ object AnalyticsQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Median absolute deviation per group — the robust dispersion
+    * statistic, composed from TWO grouped exact-quantile passes
+    * ([[graft.ops.ExactQuantiles.quantilesByGroup]]): per-group medians,
+    * then medians of |deviation|. Doubling keeps everything integral
+    * (a median of integers is k or k+½, so 2·median and |2c − 2·median|
+    * are exact longs) — no float sums anywhere. Driver traffic is the
+    * per-group scalars only; both passes are range-partitioned scans. */
+  def q109Mad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("c"))
+    val med2 = graft.ops.ExactQuantiles
+      .quantilesByGroup(li, "l_returnflag", "c", Seq(0.5), partitions = 32)
+      .map { case (g, qs) => g -> math.round(qs(0) * 2) }
+    val medDf = med2.toSeq.toDF("l_returnflag", "m2")
+    val dev = li.join(broadcast(medDf), "l_returnflag")
+      .withColumn("d2", abs(lit(2L) * $"c" - $"m2"))
+    val mad2 = graft.ops.ExactQuantiles
+      .quantilesByGroup(dev, "l_returnflag", "d2", Seq(0.5), partitions = 32)
+    val counts = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    med2.toSeq.map { case (g, m2) =>
+      (g, counts(g), math.floor(m2.toDouble / 2 * 10 + 0.5).toLong,
+        math.floor(mad2(g)(0) * 5 + 0.5).toLong)
+    }.toDF("l_returnflag", "n", "median_e1", "mad_e1")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q109_mad" -> (q109Mad _),
     "q106_bloom_lookup" -> (q106BloomLookup _),
     "q107_winsorize" -> (q107Winsorize _),
     "q102_regression" -> (q102Regression _),
@@ -357,6 +387,28 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q109_mad" ->
+      """WITH cents AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(quantile_cont(c, 0.5) * 2) AS BIGINT) AS m2,
+        |    count(*) AS n
+        |  FROM cents GROUP BY 1),
+        |dev AS (
+        |  SELECT cents.l_returnflag, abs(2 * c - m2) AS d2
+        |  FROM cents JOIN med USING (l_returnflag)),
+        |mad AS (
+        |  SELECT l_returnflag, quantile_cont(d2, 0.5) AS mad2
+        |  FROM dev GROUP BY 1)
+        |SELECT med.l_returnflag, n,
+        |  CAST(floor(CAST(m2 AS DOUBLE) / 2 * 10 + 0.5) AS BIGINT)
+        |    AS median_e1,
+        |  CAST(floor(mad2 * 5 + 0.5) AS BIGINT) AS mad_e1
+        |FROM med JOIN mad USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q106_bloom_lookup" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents

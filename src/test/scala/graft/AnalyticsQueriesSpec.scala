@@ -153,6 +153,19 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q109: MAD is non-negative and bounded by half the group range") {
+    val rows = AnalyticsQueries.q109Mad(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mad = r.getAs[Long]("mad_e1")
+      val med = r.getAs[Long]("median_e1")
+      assert(mad >= 0 && med > 0)
+      // MAD can never exceed the median distance to the farthest point;
+      // with positive prices that is < median + max/2 — loose sanity only
+      assert(mad < med * 100, s"mad $mad implausibly large vs median $med")
+    }
+  }
+
   test("q101: exactly min(3, |events|) rows per user, stable across runs") {
     val a = AnalyticsQueries.q101ReservoirSample(spark, dir)
     val perUser = a.groupBy($"user_id").agg(count(lit(1)).as("n"))

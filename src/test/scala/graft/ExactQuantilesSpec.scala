@@ -56,4 +56,28 @@ class ExactQuantilesSpec extends SparkSpec {
   test("more partitions than distinct values") {
     check(Seq(1L, 2L, 3L), parts = 16)
   }
+
+  test("grouped quantiles match per-group Catalyst percentile") {
+    val df = (1 to 6000).map { i =>
+      (s"g${i % 4}", (i * 2654435761L) % 9973L)
+    }.toDF("grp", "v")
+    val got = ExactQuantiles.quantilesByGroup(df, "grp", "v", probs, 5)
+    val want = df.groupBy($"grp")
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, qs) =>
+      assert(qs.toSeq == want(g), s"group $g: ${qs.toSeq} vs ${want(g)}")
+    }
+  }
+
+  test("grouped quantiles: single-row and duplicate-heavy groups") {
+    val df = (Seq(("solo", 7L)) ++ (1 to 500).map(i => ("dups", (i % 3).toLong)))
+      .toDF("grp", "v")
+    val got = ExactQuantiles.quantilesByGroup(df, "grp", "v", probs, 4)
+    val want = df.groupBy($"grp")
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    got.foreach { case (g, qs) => assert(qs.toSeq == want(g), s"group $g") }
+  }
 }
