@@ -368,7 +368,32 @@ object AnalyticsQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Vocabulary coverage: build the corpus's top-100 token vocabulary
+    * (count desc + lexicographic tie-break = total order, deterministic
+    * cut) and report each source's out-of-vocabulary token rate — the
+    * standard tokenizer-fit / domain-shift signal before training. The
+    * vocab is aggregated first (token-cardinality relation, partial-
+    * agg'd) and broadcast back; the rate is integer DIV e6 so no float
+    * division order can flip a digit. */
+  def q110VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"source",
+        explode(graft.ops.TextOps.tokens($"text")).as("tok"))
+      .where($"tok" =!= "")
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(100)
+      .select($"tok", lit(1).as("__v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"__v".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_e6", expr("n_oov * 1000000 DIV n_tokens"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q110_vocab_coverage" -> (q110VocabCoverage _),
     "q109_mad" -> (q109Mad _),
     "q106_bloom_lookup" -> (q106BloomLookup _),
     "q107_winsorize" -> (q107Winsorize _),
@@ -387,6 +412,26 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q110_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        |      AS tok
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE tok <> ''),
+        |vocab AS (
+        |  SELECT tok, 1 AS __v FROM (
+        |    SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok
+        |    ORDER BY cnt DESC, tok LIMIT 100)),
+        |joined AS (
+        |  SELECT t2.source, v.__v FROM t2 LEFT JOIN vocab v USING (tok))
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN __v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST((sum(CASE WHEN __v IS NULL THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS oov_e6
+        |FROM joined GROUP BY source ORDER BY source""".stripMargin,
     "q109_mad" ->
       """WITH cents AS (
         |  SELECT l_returnflag,

@@ -166,6 +166,17 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q110: oov rates are true integer-div rates within [0, 1e6]") {
+    val rows = AnalyticsQueries.q110VocabCoverage(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov, e6) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("oov_e6"))
+      assert(oov >= 0 && oov <= n)
+      assert(e6 == oov * 1000000L / n)
+    }
+  }
+
   test("q101: exactly min(3, |events|) rows per user, stable across runs") {
     val a = AnalyticsQueries.q101ReservoirSample(spark, dir)
     val perUser = a.groupBy($"user_id").agg(count(lit(1)).as("n"))
