@@ -114,6 +114,34 @@ class TopKRewriteSpec extends SparkSpec {
     assert(physical(df).contains("Window"))
   }
 
+  test("property: rewrite equals no-rewrite over randomized shapes") {
+    // deterministic pseudo-random sweep: sizes, key counts, k, direction,
+    // multi-column partition keys, k larger than every group
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 8).foreach { trial =>
+      val n = 500 + rnd.nextInt(3000)
+      val keys = 1 + rnd.nextInt(30)
+      val k = 1 + rnd.nextInt(12)
+      val desc = rnd.nextBoolean()
+      val df = (1 to n).map { i =>
+        (i % keys.toLong, (i % 7).toLong,
+          (i * 2654435761L + trial) % 999983L, s"p$i")
+      }.toDF("k1", "k2", "v", "payload")
+      val ord = if (desc) $"v".desc else $"v".asc
+      def run() = df.withColumn("rn", row_number().over(
+          Window.partitionBy($"k1", $"k2").orderBy(ord)))
+        .filter($"rn" <= k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getInt(4))).toSet
+      val rewritten = run()
+      val baseline = withRuleDisabled(run())
+      assert(rewritten == baseline,
+        s"trial $trial (n=$n keys=$keys k=$k desc=$desc): " +
+          s"${(rewritten diff baseline).take(3)} vs ${(baseline diff rewritten).take(3)}")
+    }
+  }
+
   test("the rewritten plan has no sort below the aggregate") {
     val df = naiveTopK(desc = true, k = 3)
     // the only acceptable Sort is none at all: heap aggregation replaces
