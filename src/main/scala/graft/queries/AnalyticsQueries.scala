@@ -392,7 +392,51 @@ object AnalyticsQueries {
       .orderBy($"source")
   }
 
+  /** Inter-event-time distribution per event type: per-user lag deltas
+    * (one user-keyed window exchange) bucketed into power-of-4 μs bands
+    * — log-scale latency histograms without floats (band = width of the
+    * gap's bit length ÷ 2, pure integer math both engines). The classic
+    * telemetry shape: |types|×|bands| output rows from any event
+    * volume. */
+  def q111InterEventTimes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"))
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+      .where($"gap_us".isNotNull)
+      // band k holds gaps in [4^k, 4^(k+1)): 4^k has bit length 2k+1, so
+      // k = (bitlen-1) div 2 — pure integer math (a float log4 would
+      // mis-band exact powers on rounding), gap 0 lands in band 0
+      .withColumn("band", expr("(length(bin(gap_us)) - 1) DIV 2"))
+      .groupBy($"event_type", $"band")
+      .agg(count(lit(1)).as("n"), min($"gap_us").as("min_gap_us"),
+        max($"gap_us").as("max_gap_us"))
+      .orderBy($"event_type", $"band")
+  }
+
+  /** Event-type co-occurrence (basket analysis): which type pairs the
+    * same user performs. Distinct (user, type) first — the base stream
+    * collapses to ≤|users|·|types| rows — then pairs come from a
+    * per-user sorted-array self-product bounded by |types|², never a
+    * row-level self-join. Support = users doing both. */
+  def q112Cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events").select($"user_id", $"event_type").distinct()
+      .groupBy($"user_id")
+      .agg(sort_array(collect_set($"event_type")).as("types"))
+      .select($"user_id", explode($"types").as("a"),
+        col("types"))
+      .select($"user_id", $"a", explode($"types").as("b"))
+      .where($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_users"))
+      .orderBy($"a", $"b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q111_inter_event_times" -> (q111InterEventTimes _),
+    "q112_cooccurrence" -> (q112Cooccurrence _),
     "q110_vocab_coverage" -> (q110VocabCoverage _),
     "q109_mad" -> (q109Mad _),
     "q106_bloom_lookup" -> (q106BloomLookup _),
@@ -412,6 +456,30 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q111_inter_event_times" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |          PARTITION BY user_id
+        |          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |      AS gap_us
+        |  FROM events)
+        |SELECT event_type, (length(bin(gap_us)) - 1) // 2 AS band,
+        |  count(*) AS n, min(gap_us) AS min_gap_us,
+        |  max(gap_us) AS max_gap_us
+        |FROM seq WHERE gap_us IS NOT NULL
+        |GROUP BY event_type, band
+        |ORDER BY event_type, band""".stripMargin,
+    "q112_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS a, b.event_type AS b,
+        |  count(*) AS n_users
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q110_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT source,

@@ -177,6 +177,35 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q111: bands tile [4^k, 4^(k+1)) and gaps cover (events - users)") {
+    val rows = AnalyticsQueries.q111InterEventTimes(spark, dir).collect()
+    rows.foreach { r =>
+      val band = r.getAs[Long]("band")
+      val lo = r.getAs[Long]("min_gap_us")
+      val hi = r.getAs[Long]("max_gap_us")
+      val bandLo = if (band == 0) 0L else math.pow(4, band.toDouble).toLong
+      val bandHi = math.pow(4, band.toDouble + 1).toLong
+      assert(lo >= bandLo && hi < bandHi && lo <= hi,
+        s"band $band: [$lo,$hi] outside [$bandLo,$bandHi)")
+    }
+    val events = graft.sources.Tables.load(spark, dir, "events")
+    val expected = events.count() -
+      events.select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("q112: pair support never exceeds either type's user count") {
+    val ut = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type").distinct()
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    AnalyticsQueries.q112Cooccurrence(spark, dir).collect().foreach { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_users"))
+      assert(a < b && n >= 1 && n <= math.min(ut(a), ut(b)))
+    }
+  }
+
   test("q101: exactly min(3, |events|) rows per user, stable across runs") {
     val a = AnalyticsQueries.q101ReservoirSample(spark, dir)
     val perUser = a.groupBy($"user_id").agg(count(lit(1)).as("n"))
