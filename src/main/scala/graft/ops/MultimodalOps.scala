@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -212,6 +212,22 @@ object MultimodalOps {
     media.join(resized, Seq("media_id"))
       .withColumn("payload", col("payload_resized")).drop("payload_resized")
   }
+
+  /** Real object-store media ingestion: Spark's `binaryFile` source over
+    * a directory of image/audio files — path, size, mtime, and the raw
+    * bytes as a binary column, ready for [[extractFeatures]]. The source
+    * pushes path-glob and length/mtime predicates into the listing (no
+    * payload is read for filtered-out files), and payloads stay columnar
+    * binary exactly like the synthesized tables — one ingestion contract
+    * for both test media and a production `s3a://bucket/images/`. */
+  def readBinaryDir(spark: SparkSession, dir: String,
+                    glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"),
+        col("modificationTime").as("modified_at"),
+        col("content").as("payload"))
 
   /** Build a synthetic-but-REAL media table from any text corpus:
     * payloads are genuine PNG/JPEG/GIF/WAV containers (dims and sample

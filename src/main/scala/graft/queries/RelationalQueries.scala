@@ -389,6 +389,23 @@ object RelationalQueries {
       .orderBy($"region", $"nation")
   }
 
+  /** Full CUBE over (status, priority): all four grouping combinations
+    * in ONE expand + one partial-agg'd shuffle (completing the
+    * grouping-set family next to q33 ROLLUP and q62 GROUPING SETS). NULL
+    * slots labeled 'ALL' for oracle parity. */
+  def q113Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"o_totalprice" * 100.0 + 0.5)).cast("long")
+          .as("total_cents"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total_cents")
+      .orderBy($"status", $"priority")
+  }
+
   /** Salted fact↔dim join (SkewOps.saltedBroadcastJoin): the skew-robust
     * formulation — dimension exploded salts×, fact salted — must produce
     * EXACTLY the plain join's rows; the oracle is the unsalted SQL join.
@@ -730,6 +747,7 @@ object RelationalQueries {
     "q58_multi_distinct" -> (q58MultiDistinct _),
     "q61_pivot" -> (q61Pivot _),
     "q62_grouping_sets" -> (q62GroupingSets _),
+    "q113_cube" -> (q113Cube _),
     "q67_salted_join" -> (q67SaltedJoin _),
     "q68_salted_agg" -> (q68SaltedAgg _),
     "q69_lateral" -> (q69Lateral _),
@@ -1010,6 +1028,14 @@ object RelationalQueries {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name), (n_name), ())
         |ORDER BY region, nation""".stripMargin,
+    "q113_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q67_salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
         | CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS rev_cents

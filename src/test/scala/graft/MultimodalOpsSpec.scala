@@ -81,4 +81,24 @@ class MultimodalOpsSpec extends SparkSpec {
       .head().getAs[Array[Byte]]("payload")
     assert(untouched.toSeq == MultimodalOps.encodeImage(8, 8, 1L, "png").toSeq)
   }
+
+  test("binaryFile ingestion round-trips real media files with glob pruning") {
+    val dir = tmpDir("binmedia")
+    // drop real container files on disk, as an object store would hold them
+    Seq(("a.png", MultimodalOps.encodeImage(12, 9, 3L, "png")),
+      ("b.jpeg", MultimodalOps.encodeImage(20, 15, 4L, "jpeg")),
+      ("c.wav", MultimodalOps.encodeWav(16000, 64)),
+      ("skip.txt", "not media".getBytes("UTF-8"))).foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val all = MultimodalOps.readBinaryDir(spark, dir)
+    assert(all.count() == 4)
+    // glob pushdown: filtered-out files never load their payloads
+    val images = MultimodalOps.readBinaryDir(spark, dir, glob = "*.{png,jpeg}")
+      .collect().map(r => (new java.io.File(r.getString(0)).getName,
+        r.getAs[Array[Byte]]("payload"))).toMap
+    assert(images.keySet == Set("a.png", "b.jpeg"))
+    assert(MultimodalOps.decodeHeader(images("a.png")) == ((12, 9, "png")))
+    assert(MultimodalOps.decodeHeader(images("b.jpeg")) == ((20, 15, "jpeg")))
+  }
 }
