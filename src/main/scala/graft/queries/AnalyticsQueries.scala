@@ -434,7 +434,52 @@ object AnalyticsQueries {
       .orderBy($"a", $"b")
   }
 
+  /** Contribution analysis: each nation's share of total revenue, as
+    * integer-DIV e6 of exact cents sums (float division of partial sums
+    * is partitioning-dependent; integer cents are not). The share window
+    * runs over the |nations|-row aggregate, never the fact table. */
+  def q114PercentOfTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(floor($"l_extendedprice" * 100.0 + 0.5)).cast("long")
+        .as("rev_cents"))
+    val w = Window.orderBy($"rev_cents".desc, $"n_name")
+    rev
+      .withColumn("total_cents", sum($"rev_cents").over(
+        Window.partitionBy()))
+      .withColumn("share_e6", expr("rev_cents * 1000000 DIV total_cents"))
+      .withColumn("rnk", row_number().over(w))
+      .select($"n_name", $"rev_cents", $"share_e6", $"rnk")
+      .orderBy($"rnk")
+  }
+
+  /** Year-over-year revenue: lag window over the |years|-row aggregate;
+    * growth as integer-DIV e4 of exact cents (NULL for the first year,
+    * exactly as the SQL lag does). The canonical warehouse trend query
+    * with the window on the summary, not the 100 TB facts. */
+  def q115YearOverYear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yearly = t(s, dir, "orders")
+      .groupBy(year($"o_orderdate").cast("long").as("y"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100.0 + 0.5)).cast("long")
+          .as("rev_cents"))
+    val w = Window.orderBy($"y")
+    yearly
+      .withColumn("prev_cents", lag($"rev_cents", 1).over(w))
+      .withColumn("delta_cents", $"rev_cents" - $"prev_cents")
+      .withColumn("growth_e4",
+        expr("(rev_cents - prev_cents) * 10000 DIV prev_cents"))
+      .select($"y", $"n_orders", $"rev_cents", $"delta_cents", $"growth_e4")
+      .orderBy($"y")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q114_percent_of_total" -> (q114PercentOfTotal _),
+    "q115_year_over_year" -> (q115YearOverYear _),
     "q111_inter_event_times" -> (q111InterEventTimes _),
     "q112_cooccurrence" -> (q112Cooccurrence _),
     "q110_vocab_coverage" -> (q110VocabCoverage _),
@@ -456,6 +501,33 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_percent_of_total" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |    CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, rev_cents,
+        |  CAST((rev_cents * 1000000) // sum(rev_cents) OVER () AS BIGINT)
+        |    AS share_e6,
+        |  CAST(row_number() OVER (ORDER BY rev_cents DESC, n_name) AS INT)
+        |    AS rnk
+        |FROM rev ORDER BY rnk""".stripMargin,
+    "q115_year_over_year" ->
+      """WITH yearly AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    count(*) AS n_orders,
+        |    CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT y, n_orders, rev_cents,
+        |  rev_cents - lag(rev_cents) OVER (ORDER BY y) AS delta_cents,
+        |  CAST(((rev_cents - lag(rev_cents) OVER (ORDER BY y)) * 10000)
+        |    // lag(rev_cents) OVER (ORDER BY y) AS BIGINT) AS growth_e4
+        |FROM yearly ORDER BY y""".stripMargin,
     "q111_inter_event_times" ->
       """WITH seq AS (
         |  SELECT user_id, event_id, event_type,

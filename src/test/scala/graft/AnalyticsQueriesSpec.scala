@@ -206,6 +206,29 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q114: shares are true integer-div fractions summing below 1e6") {
+    val rows = AnalyticsQueries.q114PercentOfTotal(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("rev_cents")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_e6") ==
+        r.getAs[Long]("rev_cents") * 1000000L / total)
+    }
+    // floor rounding: share sum within |rows| of exactly 1e6
+    val shareSum = rows.map(_.getAs[Long]("share_e6")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rows.length))
+  }
+
+  test("q115: deltas telescope back to the yearly series") {
+    val rows = AnalyticsQueries.q115YearOverYear(spark, dir).collect()
+      .sortBy(_.getAs[Long]("y"))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("delta_cents")))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("delta_cents") ==
+        b.getAs[Long]("rev_cents") - a.getAs[Long]("rev_cents"))
+    }
+  }
+
   test("q101: exactly min(3, |events|) rows per user, stable across runs") {
     val a = AnalyticsQueries.q101ReservoirSample(spark, dir)
     val perUser = a.groupBy($"user_id").agg(count(lit(1)).as("n"))
