@@ -89,10 +89,20 @@ object FileBloomIndex {
 
   /** Point lookup: read ONLY the admitted files, then apply the exact
     * predicate (killing bloom false positives). Result is identical to
-    * `spark.read.parquet(dataDir).filter(keyCol === value)`. */
+    * `spark.read.parquet(dataDir).filter(keyCol === value)` as long as
+    * the index is current ([[refresh]] after ingest; [[build]] after a
+    * compaction that REWRITES files). Stale rows for deleted files are
+    * tolerated: admitted paths are existence-checked (a few driver-side
+    * stats on an already-small list) rather than crashing the scan —
+    * but rows moved into NOT-yet-indexed files are invisible until the
+    * next refresh, the standard secondary-index contract. */
   def lookup(spark: SparkSession, dataDir: String, indexDir: String,
              keyCol: String, value: Any): DataFrame = {
-    val files = candidateFiles(spark, indexDir, value)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = candidateFiles(spark, indexDir, value).filter { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hconf).exists(path)
+    }
     if (files.isEmpty) {
       spark.read.parquet(dataDir).filter(lit(false))
     } else {

@@ -75,6 +75,27 @@ class FileBloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("stale index rows for deleted files do not break lookups") {
+    val d = tmpDir("bloomidx-stale-data")
+    val i = tmpDir("bloomidx-stale-index")
+    (1 to 4000).map(n => (n.toLong, s"p$n")).toDF("id", "payload")
+      .repartition(4, $"id").write.mode("overwrite").parquet(d)
+    FileBloomIndex.build(spark, d, "id", i, 5000L)
+    // simulate a retention/compaction pass deleting one data file
+    val victim = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val survivors = spark.read.parquet(d)
+      .where(not(col("_metadata.file_path").contains(victim.getName)))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(victim.delete())
+    // a key in a surviving file still resolves; a key that lived only in
+    // the deleted file returns empty instead of throwing
+    val present = survivors.head
+    assert(FileBloomIndex.lookup(spark, d, i, "id", present).count() == 1)
+    val gone = (1L to 4000L).find(!survivors.contains(_)).get
+    assert(FileBloomIndex.lookup(spark, d, i, "id", gone).count() == 0)
+  }
+
   test("index rows carry true per-file row counts") {
     val total = spark.read.parquet(indexDir)
       .agg(sum($"n_rows")).head().getLong(0)
