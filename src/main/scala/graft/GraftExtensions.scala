@@ -18,6 +18,7 @@ import graft.functions.{CosineSimilarity, DotProductF, DotProductI8, SqDistF}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MaterializedAggRewrite)
     e.injectFunction((
       FunctionIdentifier(CosineSimilarity.fnName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.fnName),
