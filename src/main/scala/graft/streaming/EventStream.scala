@@ -160,4 +160,26 @@ object EventStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming distinct-count maintenance — the [[maintainAggAvailableNow]]
+    * twin for [[graft.ops.SketchAgg]]: each micro-batch folds to one HLL
+    * sketch per key and appends; replay dedupes on the foreachBatch id.
+    * Per-batch work is batch-sized; the union-on-read estimate never
+    * touches this hot path. */
+  def maintainDistinctAvailableNow(spark: SparkSession, parquetDir: String,
+                                   schema: org.apache.spark.sql.types.StructType,
+                                   store: graft.sinks.AppendOnlyStore,
+                                   spec: graft.ops.SketchAgg.Spec,
+                                   checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(parquetDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.SketchAgg.appendBatch(store, batch, spec, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -58,6 +58,33 @@ class SketchAggSpec extends SparkSpec {
     assert(store.dataFiles().size <= filesBefore)
   }
 
+  test("streaming twin: AvailableNow maintenance matches batch exactness") {
+    val root = tmpDir("sketch-stream")
+    val dataDir = s"$root/in"
+    val df1 = (1 to 1500).map(i => (i % 5, i % 300)).toDF("g", "u")
+    df1.coalesce(1).write.mode("append").parquet(dataDir)
+    val schema = df1.schema
+    val store = newStore("sketch-stream-store")
+    graft.streaming.EventStream.maintainDistinctAvailableNow(
+      spark, dataDir, schema, store, spec, s"$root/ckpt")
+    def got() = SketchAgg.current(store, spec)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    def want(df: org.apache.spark.sql.DataFrame) = df.groupBy($"g")
+      .agg(countDistinct($"u"), count(lit(1)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got().toSeq == want(df1).toSeq)
+    // re-run with no new files: checkpoint makes it a no-op
+    graft.streaming.EventStream.maintainDistinctAvailableNow(
+      spark, dataDir, schema, store, spec, s"$root/ckpt")
+    assert(got().toSeq == want(df1).toSeq)
+    // a new file folds in incrementally
+    val df2 = (1501 to 2500).map(i => (i % 5, i % 300)).toDF("g", "u")
+    df2.coalesce(1).write.mode("append").parquet(dataDir)
+    graft.streaming.EventStream.maintainDistinctAvailableNow(
+      spark, dataDir, schema, store, spec, s"$root/ckpt")
+    assert(got().toSeq == want(df1.unionByName(df2)).toSeq)
+  }
+
   test("dense regime: error within published bound at 50k distinct") {
     val store = newStore("sketch-dense")
     val big = (0 until 200000).map(i => (0, i % 50000)).toDF("g", "u")
