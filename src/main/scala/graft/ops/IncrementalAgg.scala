@@ -29,8 +29,14 @@ object IncrementalAgg {
   /** @param keyCols grouping key columns (null key values allowed — the
     *                internal hash key is null-safe via a JSON struct)
     * @param sumCols numeric columns to maintain sums for; each batch
-    *                partial stores them as `__sum_<col>` */
-  final case class Spec(keyCols: Seq[String], sumCols: Seq[String])
+    *                partial stores them as `__sum_<col>`
+    * @param minCols columns to maintain minimums for (`__min_<col>`)
+    * @param maxCols columns to maintain maximums for (`__max_<col>`) —
+    *                with sum/count these complete the distributive
+    *                aggregates (per-key watermarks, freshness, bounds) */
+  final case class Spec(keyCols: Seq[String], sumCols: Seq[String],
+                        minCols: Seq[String] = Nil,
+                        maxCols: Seq[String] = Nil)
 
   /** Null-safe stable hash of the key tuple — the store's prefix column. */
   private def aggKey(spec: Spec) =
@@ -40,12 +46,16 @@ object IncrementalAgg {
     * batch id, so a fold is never mistaken for a replayed append. */
   private val CompactedBatchId = Long.MinValue
 
-  /** Fold one batch to per-key partial rows (count + per-column sums),
-    * stamped with the batch's id. */
+  private def partialAggs(spec: Spec) =
+    spec.sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
+      spec.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
+      spec.maxCols.map(c => max(col(c)).as(s"__max_$c"))
+
+  /** Fold one batch to per-key partial rows (count + per-column
+    * sums/mins/maxes), stamped with the batch's id. */
   def partials(batch: DataFrame, spec: Spec, batchId: Long): DataFrame =
     batch.groupBy(spec.keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__cnt"),
-        spec.sumCols.map(c => sum(col(c)).as(s"__sum_$c")): _*)
+      .agg(count(lit(1)).as("__cnt"), partialAggs(spec): _*)
       .withColumn("__agg_key", aggKey(spec))
       .withColumn("__batch_id", lit(batchId))
 
@@ -64,13 +74,17 @@ object IncrementalAgg {
   private def dedupedPartials(store: AppendOnlyStore, spec: Spec): DataFrame =
     store.read().dropDuplicates(spec.keyCols :+ "__batch_id")
 
+  private def refoldAggs(spec: Spec) =
+    spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")) ++
+      spec.minCols.map(c => min(col(s"__min_$c")).as(s"min_$c")) ++
+      spec.maxCols.map(c => max(col(s"__max_$c")).as(s"max_$c"))
+
   /** The current aggregate: re-fold all stored partials. Output columns:
-    * keys ++ `n_rows` ++ `sum_<col>`... */
+    * keys ++ `n_rows` ++ `sum_<col>` ++ `min_<col>` ++ `max_<col>`. */
   def current(store: AppendOnlyStore, spec: Spec): DataFrame =
     dedupedPartials(store, spec)
       .groupBy(spec.keyCols.map(col): _*)
-      .agg(sum(col("__cnt")).as("n_rows"),
-        spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
+      .agg(sum(col("__cnt")).as("n_rows"), refoldAggs(spec): _*)
 
   /** Collapse each key's partials to a single row (generation-swapped;
     * see [[AppendOnlyStore.compactWith]]). Result-invariant: [[current]]
@@ -79,10 +93,13 @@ object IncrementalAgg {
     * compaction. */
   def compact(store: AppendOnlyStore, spec: Spec): Unit =
     store.compactWith { df =>
+      val folded =
+        spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")) ++
+          spec.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
+          spec.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c"))
       df.dropDuplicates(spec.keyCols :+ "__batch_id")
         .groupBy(spec.keyCols.map(col): _*)
-        .agg(sum(col("__cnt")).as("__cnt"),
-          spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")): _*)
+        .agg(sum(col("__cnt")).as("__cnt"), folded: _*)
         .withColumn("__agg_key", aggKey(spec))
         .withColumn("__batch_id", lit(CompactedBatchId))
     }

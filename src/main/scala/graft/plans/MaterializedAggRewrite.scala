@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -35,11 +35,15 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
 
   /** @param keyCols   maintained grouping keys (must match exactly)
     * @param sumCols   maintained sum columns
+    * @param minCols   maintained min columns
+    * @param maxCols   maintained max columns
     * @param current   builds the re-fold DataFrame (columns: keys ++
-    *                  `n_rows` ++ `sum_<col>`) — normally
+    *                  `n_rows` ++ `sum/min/max_<col>`) — normally
     *                  `() => IncrementalAgg.current(store, spec)` */
   final case class MvDef(keyCols: Seq[String], sumCols: Seq[String],
-                         current: () => DataFrame)
+                         current: () => DataFrame,
+                         minCols: Seq[String] = Nil,
+                         maxCols: Seq[String] = Nil)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
   // re-entrancy guard: building the replacement DataFrame analyzes a new
@@ -106,6 +110,12 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), _)
         if mv.sumCols.contains(a.name) =>
         Some((al, s"sum_${a.name}"))
+      case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), _)
+        if mv.minCols.contains(a.name) =>
+        Some((al, s"min_${a.name}"))
+      case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), _)
+        if mv.maxCols.contains(a.name) =>
+        Some((al, s"max_${a.name}"))
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) return None

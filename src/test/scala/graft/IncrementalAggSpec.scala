@@ -97,6 +97,28 @@ class IncrementalAggSpec extends SparkSpec {
       .sorted.toSeq == want2.toSeq)
   }
 
+  test("min/max columns maintain per-key bounds across batches + compact") {
+    val mmSpec = IncrementalAgg.Spec(Seq("k"), Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"))
+    val store = newStore("ivm-minmax")
+    val all = (1 to 4000).map(i => (s"k${i % 6}", (i * 37L) % 1009L))
+      .toDF("k", "v")
+    (0L to 3L).foreach { b =>
+      IncrementalAgg.appendBatch(store,
+        all.filter($"v" % 4 === b), mmSpec, b)
+      if (b == 2L) IncrementalAgg.compact(store, mmSpec)
+    }
+    val got = IncrementalAgg.current(store, mmSpec)
+      .select($"k", $"n_rows", $"sum_v", $"min_v", $"max_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val want = all.groupBy($"k").agg(count(lit(1)), sum($"v"), min($"v"),
+        max($"v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+  }
+
   test("null grouping keys survive the hash key and the re-fold") {
     val df = Seq((Some("a"), 1L), (None, 2L), (None, 3L), (Some("a"), 4L))
       .toDF("k", "v")

@@ -106,6 +106,39 @@ class MaterializedAggRewriteSpec extends SparkSpec {
     }
   }
 
+  test("min/max aggregates rewrite when maintained") {
+    val srcDir = tmpDir("mv-minmax-src")
+    (1 to 6000).map(i => (s"k${i % 5}", i.toDouble % 97, i.toLong))
+      .toDF("k", "v", "id")
+      .write.mode("overwrite").parquet(srcDir)
+    val mmSpec = IncrementalAgg.Spec(Seq("k"), Nil,
+      minCols = Seq("v"), maxCols = Seq("v", "id"))
+    val store = new AppendOnlyStore(spark, tmpDir("mv-minmax-store"),
+      prefixCol = "__agg_key", prefixChars = 1)
+    val src = spark.read.parquet(srcDir)
+    (0L to 1L).foreach(b => IncrementalAgg.appendBatch(store,
+      src.filter($"id" % 2 === b), mmSpec, b))
+    IncrementalAgg.compact(store, mmSpec)
+    MaterializedAggRewrite.register(srcDir, MaterializedAggRewrite.MvDef(
+      mmSpec.keyCols, mmSpec.sumCols,
+      () => IncrementalAgg.current(store, mmSpec),
+      minCols = mmSpec.minCols, maxCols = mmSpec.maxCols))
+    try {
+      def query() = spark.read.parquet(srcDir).groupBy($"k")
+        .agg(min($"v").as("lo"), max($"v").as("hi"), max($"id").as("last"))
+      val df = query()
+      assert(df.queryExecution.optimizedPlan.toString.contains("__min_v"))
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      MaterializedAggRewrite.clear()
+      val want = query().collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(got == want) // min/max are exact — no float re-association
+    } finally MaterializedAggRewrite.clear()
+  }
+
   test("rewrite stays correct after more batches and compaction") {
     val (srcDir, store) = fixture()
     // late-arriving batch lands in BOTH the raw table and the store
