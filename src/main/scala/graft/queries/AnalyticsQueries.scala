@@ -477,7 +477,33 @@ object AnalyticsQueries {
       .orderBy($"y")
   }
 
+  /** Zone-map range scan: orders laid out range-clustered on date (the
+    * natural shape of time-ordered ingest), per-file min/max lifted into
+    * a [[graft.sinks.FileZoneMap]], and a one-month range query reads
+    * ONLY the files whose interval overlaps — 1–2 of 8 here, O(matching)
+    * of 10k at warehouse scale, with no parquet footer round-trips. The
+    * exact predicate on top makes the result equal the plain BETWEEN,
+    * which is the oracle. */
+  def q116ZoneRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("q116data").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("q116idx").toString
+    t(s, dir, "orders")
+      .withColumn("o_orderdate", $"o_orderdate".cast("date"))
+      .repartitionByRange(8, $"o_orderdate")
+      .write.mode("overwrite").parquet(dataDir)
+    graft.sinks.FileZoneMap.build(s, dataDir, Seq("o_orderdate"), idxDir)
+    graft.sinks.FileZoneMap.rangeLookup(s, dataDir, idxDir, "o_orderdate",
+        java.sql.Date.valueOf("1996-03-01"), java.sql.Date.valueOf("1996-03-31"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"o_totalprice" * 100.0 + 0.5)).cast("long")
+          .as("total_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q116_zone_range" -> (q116ZoneRange _),
     "q114_percent_of_total" -> (q114PercentOfTotal _),
     "q115_year_over_year" -> (q115YearOverYear _),
     "q111_inter_event_times" -> (q111InterEventTimes _),
@@ -501,6 +527,15 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_zone_range" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-03-01'
+        |  AND DATE '1996-03-31'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q114_percent_of_total" ->
       """WITH rev AS (
         |  SELECT n_name,
