@@ -502,7 +502,44 @@ object AnalyticsQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** Materialized-view hit, live in the driver gate: the lineitem
+    * projection is written as a registered source table, its per-flag
+    * count/sum is maintained across three batches in an
+    * [[graft.ops.IncrementalAgg]] store, and the query is the ORDINARY
+    * `groupBy().agg()` over the raw path — the injected
+    * [[graft.plans.MaterializedAggRewrite]] answers it from the store
+    * (scan of per-key partials, never the fact rows). The oracle is the
+    * plain GROUP BY, which is exactly the rewrite's correctness
+    * contract. Quantities are integral doubles, so the refold sum is
+    * float-exact. */
+  def q117MvHit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("q117src").toString
+    t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_orderkey")
+      .write.mode("overwrite").parquet(srcDir)
+    val spec = graft.ops.IncrementalAgg.Spec(Seq("l_returnflag"),
+      Seq("l_quantity"))
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q117store").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    val src = s.read.parquet(srcDir)
+    (0L to 2L).foreach(b => graft.ops.IncrementalAgg.appendBatch(store,
+      src.filter($"l_orderkey" % 3 === b), spec, b))
+    graft.plans.MaterializedAggRewrite.register(srcDir,
+      graft.plans.MaterializedAggRewrite.MvDef(spec.keyCols, spec.sumCols,
+        () => graft.ops.IncrementalAgg.current(store, spec)))
+    // left registered: the rewrite fires when the driver materializes
+    // this plan (unique temp path — no effect on any other query)
+    s.read.parquet(srcDir).groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("qty_d"))
+      .select($"l_returnflag", $"n_rows",
+        floor($"qty_d" + 0.5).cast("long").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q117_mv_hit" -> (q117MvHit _),
     "q116_zone_range" -> (q116ZoneRange _),
     "q114_percent_of_total" -> (q114PercentOfTotal _),
     "q115_year_over_year" -> (q115YearOverYear _),
@@ -527,6 +564,12 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q117_mv_hit" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q116_zone_range" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
