@@ -538,7 +538,30 @@ object AnalyticsQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Rolling 7-day active users per day (WAU): each distinct (user, day)
+    * pair CONTRIBUTES to the 7 days it covers (explode of a 7-element
+    * date sequence — bounded fan-out of the deduplicated pairs, not the
+    * event stream), then one distinct-count per day. The naive range
+    * join `spine.d BETWEEN a.d-6 AND a.d` plans a nested-loop at any
+    * scale; the contribution form is an equi-join against the ~|days|
+    * spine and stays partial-agg'd. */
+  def q118RollingWau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = t(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val spine = days.select($"d".as("day")).distinct()
+    val contrib = days.select($"user_id",
+      explode(expr("sequence(d, date_add(d, 6), interval 1 day)"))
+        .as("day"))
+    contrib.join(broadcast(spine), Seq("day"))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+      .withColumn("day", date_format($"day", "yyyy-MM-dd"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q118_rolling_wau" -> (q118RollingWau _),
     "q117_mv_hit" -> (q117MvHit _),
     "q116_zone_range" -> (q116ZoneRange _),
     "q114_percent_of_total" -> (q114PercentOfTotal _),
@@ -564,6 +587,19 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_rolling_wau" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |spine AS (SELECT DISTINCT d AS day FROM days),
+        |contrib AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM days)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS wau
+        |FROM contrib JOIN spine USING (day)
+        |GROUP BY day ORDER BY day""".stripMargin,
     "q117_mv_hit" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty

@@ -229,6 +229,21 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q118: WAU dominates DAU and never exceeds the 7-day union") {
+    val events = graft.sources.Tables.load(spark, dir, "events")
+    val dau = events.select($"user_id", to_date($"ts").as("d")).distinct()
+      .groupBy($"d").agg(countDistinct($"user_id").as("dau"))
+      .withColumn("day", date_format($"d", "yyyy-MM-dd"))
+    val rows = AnalyticsQueries.q118RollingWau(spark, dir)
+      .join(dau, "day").collect()
+    val total = events.select($"user_id").distinct().count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wau, d) = (r.getAs[Long]("wau"), r.getAs[Long]("dau"))
+      assert(wau >= d && wau <= total, s"${r.getAs[String]("day")}: $wau")
+    }
+  }
+
   test("q101: exactly min(3, |events|) rows per user, stable across runs") {
     val a = AnalyticsQueries.q101ReservoirSample(spark, dir)
     val perUser = a.groupBy($"user_id").agg(count(lit(1)).as("n"))
