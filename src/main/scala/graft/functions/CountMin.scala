@@ -1,7 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.{Column, Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-Min sketch as a typed Spark `Aggregator`: fixed-size frequency
   * summaries with one-sided error (Cormode & Muthukrishnan, "An improved
@@ -72,4 +78,77 @@ object CountMin {
   /** The sketch as a `TypedColumn` for `Dataset[String].select`. */
   def sketch(depth: Int, width: Int): TypedColumn[String, Array[Long]] =
     aggregator(depth, width).toColumn
+
+  /** [[estimate]] over Catalyst's `ArrayData` — the shared kernel for
+    * [[CountMinEstimate]]'s interpreted and generated paths. */
+  def estimateAd(counters: ArrayData, depth: Int, width: Int,
+                 item: UTF8String): Long = {
+    val s = item.toString
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = counters.getLong(i * width + bucket(s, i, width))
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+}
+
+/** Point-query a finished Count-Min matrix as a native codegen'd
+  * expression: `cms_estimate(counters, item)` with plan-time
+  * (depth, width). The matrix column arrives via a 1-row broadcast join
+  * (the sketch is `depth·width` longs — driver/broadcast-scale by
+  * design), so every probe row is scored executor-side: the enumerable
+  * dimension is never collected to the driver. NULL on null inputs or a
+  * matrix smaller than `depth·width`. */
+case class CountMinEstimate(left: Expression, right: Expression,
+                            depth: Int, width: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, string), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cms_estimate"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val counters = l.asInstanceOf[ArrayData]
+    if (counters.numElements() < depth * width) null
+    else java.lang.Long.valueOf(CountMin.estimateAd(
+      counters, depth, width, r.asInstanceOf[UTF8String]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (counters, item) => {
+      val mod = "graft.functions.CountMin$.MODULE$"
+      s"""
+         |if ($counters.numElements() < ${depth * width}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $mod.estimateAd($counters, $depth, $width, $item);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountMinEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+object CountMinEstimate {
+  /** Column API via the expression bridge (depth/width are plan-time
+    * constants, same pattern as [[PqAdcScore]]). */
+  def apply(counters: Column, item: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CountMinEstimate(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(counters),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(item),
+        depth, width))
 }

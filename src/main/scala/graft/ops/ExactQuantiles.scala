@@ -34,13 +34,15 @@ import org.apache.spark.storage.StorageLevel
 object ExactQuantiles {
 
   /** Exact quantiles of `valueCol` (cast to long) at `probs`.
-    * Returns one interpolated double per prob. */
+    * Returns one interpolated double per prob. Nulls in `valueCol` are
+    * ignored, matching Catalyst `Percentile` (null-tolerant agg input). */
   def quantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
                 partitions: Int = 64): Array[Double] = {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
     val spark = df.sparkSession
     import spark.implicits._
     val freq = df.select(col(valueCol).cast("long").as("v"))
+      .where($"v".isNotNull)
       .groupBy($"v").agg(count(lit(1)).as("f"))
       .repartitionByRange(partitions, $"v")
       .sortWithinPartitions($"v")
@@ -86,7 +88,8 @@ object ExactQuantiles {
     * per-(partition, group) subtotal longs and the rank-straddling
     * values — O(P·|groups|) scalars, never the distribution. Group keys
     * are compared as strings (cast internally); interpolation is the
-    * same bit-exact Catalyst formula. */
+    * same bit-exact Catalyst formula. Null values are ignored
+    * (`Percentile` semantics); a null group KEY is a legitimate group. */
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
                        probs: Seq[Double], partitions: Int = 64)
       : Map[String, Array[Double]] = {
@@ -95,6 +98,7 @@ object ExactQuantiles {
     import spark.implicits._
     val freq = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
+      .where($"v".isNotNull)
       .groupBy($"g", $"v").agg(count(lit(1)).as("f"))
       .repartitionByRange(partitions, $"g", $"v")
       .sortWithinPartitions($"g", $"v")
@@ -131,10 +135,17 @@ object ExactQuantiles {
         .mapPartitionsWithIndex { (pid, it) =>
           val offs = bOffsets.value
           val need = bNeeded.value
+          // `started` (not a null sentinel) marks the first row: a
+          // legitimate null group key (null groupCol casts to null
+          // string) must still load its partition offset.
+          var started = false
           var curG: String = null
           var cum = 0L
           it.flatMap { case (g, v, f) =>
-            if (g != curG) { curG = g; cum = offs.getOrElse((pid, g), 0L) }
+            if (!started || g != curG) {
+              started = true; curG = g
+              cum = offs.getOrElse((pid, g), 0L)
+            }
             val lo = cum
             cum += f
             need.getOrElse(g, Array.empty[Long]).iterator

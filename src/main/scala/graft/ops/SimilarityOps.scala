@@ -261,13 +261,19 @@ object SimilarityOps {
   }
 
   /** Exact embedding-cosine near-dup pairs by brute force — O(n²) scored
-    * with the fused native expression; the recall oracle for the banded
-    * variant and the right tool up to ~10⁵ vectors per comparable group.
-    * At corpus scale, partition first (by language/source/cluster) or use
-    * [[cosineNearDups]]. */
+    * with the fused native expression. This is the RECALL ORACLE for
+    * [[cosineNearDups]], not a corpus-scale operator: the guard refuses
+    * more than `maxVectors` rows (one count pass — negligible next to the
+    * n² it bounds), forcing callers at scale to partition first (by
+    * language/source/cluster) or use the banded variant. */
   def bruteForceNearDups(corpus: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         maxVectors: Long = 100000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxVectors,
+      s"bruteForceNearDups is O(n²) and guarded at $maxVectors vectors " +
+        s"(got $n): partition the corpus or use cosineNearDups")
     fused(corpus)
     val l = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val r = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))

@@ -94,9 +94,14 @@ object FunctionQueries {
     // the single fused agg vs ~2 s split). Sketches and distincts run as
     // separate 2-phase aggregates and meet in a 5-row join. Exact
     // percentile is likewise banished (collect-all-values buffers — a
-    // 100 TB killer); the exact median is a distributed SORT + middle-row
-    // average, spillable, same linear-interpolation semantics.
-    import org.apache.spark.sql.expressions.Window
+    // 100 TB killer). The exact median comes from
+    // [[graft.ops.ExactQuantiles.quantilesByGroup]] — distributed
+    // selection over the (group, value) frequency summary. The previous
+    // Window form (row_number over 3-value l_returnflag) sorted the whole
+    // table in 3 tasks: a straggler at scale and a measured 3.46×
+    // regression at sf0.1. Prices are exact 2-decimal values, so the
+    // cents-quantized median /100 is the same number the row-level
+    // median would produce.
     val li = Tables.load(s, dir, "lineitem")
     val sketches = li.groupBy($"l_returnflag").agg(
       approx_count_distinct($"l_orderkey", 0.01).cast("double").as("__hll"),
@@ -105,14 +110,12 @@ object FunctionQueries {
     val distincts = li.groupBy($"l_returnflag").agg(
       countDistinct($"l_orderkey").as("n_orders_exact"))
     val sketched = sketches.join(distincts, Seq("l_returnflag"))
-    val ranked = li.select($"l_returnflag", $"l_extendedprice")
-      .withColumn("__r", row_number().over(
-        Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy($"l_returnflag")))
-    val med = ranked
-      .filter($"__r" === ($"__n" + 1) / 2 || $"__r" === ($"__n" + 2) / 2)
-      .groupBy($"l_returnflag").agg(avg($"l_extendedprice").as("__emed"))
+    val medMap = graft.ops.ExactQuantiles.quantilesByGroup(
+      li.select($"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).as("__cents")),
+      "l_returnflag", "__cents", Seq(0.5), partitions = 32)
+    val med = medMap.toSeq.map { case (g, qs) => (g, qs(0) / 100.0) }
+      .toDF("l_returnflag", "__emed")
     sketched.join(med, Seq("l_returnflag"))
       .select($"l_returnflag", $"n_orders_exact",
         (abs($"__hll" - $"n_orders_exact") <= $"n_orders_exact" * 0.05)
@@ -222,17 +225,22 @@ object FunctionQueries {
   def q93CountMin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (depth, width) = (5, 8192)
+    // the sketch is a 1-row depth·width matrix (linear, map-side merged);
+    // it broadcasts onto the supplier dimension and every probe is scored
+    // executor-side by the codegen'd cms_estimate — no key ever reaches
+    // the driver, so the probe side scales with the cluster, not the
+    // driver heap
     val sketch = Tables.load(s, dir, "lineitem")
       .select($"l_suppkey".cast("string").as("v")).as[String]
-      .select(graft.functions.CountMin.sketch(depth, width))
-      .head()
-    // suppliers are the enumerable dimension (|S| rows); the sketch is a
-    // driver-scale summary (depth·width longs) by design, like centroids
-    val rows = Tables.load(s, dir, "supplier")
-      .select($"s_suppkey").collect().map(_.getLong(0)).toSeq
-      .map(k => (k, graft.functions.CountMin.estimate(sketch, depth, width,
-        k.toString)))
-    rows.toDF("s_suppkey", "est_count").orderBy($"s_suppkey")
+      .select(graft.functions.CountMin.sketch(depth, width).name("__cms"))
+    Tables.load(s, dir, "supplier")
+      .select($"s_suppkey")
+      .crossJoin(broadcast(sketch))
+      .select($"s_suppkey",
+        graft.functions.CountMinEstimate(
+          $"__cms", $"s_suppkey".cast("string"), depth, width)
+          .as("est_count"))
+      .orderBy($"s_suppkey")
   }
 
   val queries: Map[String, Q] = Map(

@@ -379,11 +379,33 @@ object LlmQueries {
 
   /** Embedding-cosine near-dup pairs, exact (brute force with the fused
     * native expression) — oracle-checked; the banded-LSH variant with the
-    * same output contract is recall-gated in SimilarityOpsSpec. */
+    * same output contract is recall-gated in SimilarityOpsSpec and
+    * driver-gated in its guaranteed-recall regime by [[q119BandedNearDups]]. */
   def q52CosineNearDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     SimilarityOps.bruteForceNearDups(
         Tables.load(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy($"id1", $"id2")
+  }
+
+  /** The SCALE-PATH near-dup pipeline (banded sign-LSH candidates →
+    * exact-cosine verification), driver-gated in a GUARANTEED-recall
+    * regime: exact duplicate vectors are planted (vec_id+1e6 copies of
+    * the first 50), and at threshold 0.9 the only qualifying pairs are
+    * those identical copies — measured max natural pairwise cosine is
+    * 0.51 at sf0.01 / 0.60 at sf0.1, a ≥0.3 margin. Identical vectors
+    * produce identical hyperplane signs in EVERY band, so banding can
+    * never miss them; the DuckDB all-pairs oracle therefore gates the
+    * full hash→band→join→verify pipeline exactly, while q52 stays the
+    * recall oracle for the probabilistic regime. No CartesianProduct:
+    * candidates come from band-code equi-joins (the global plan gate
+    * covers this query). */
+  def q119BandedNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    SimilarityOps.cosineNearDups(emb.unionByName(planted), threshold = 0.9)
       .orderBy($"id1", $"id2")
   }
 
@@ -611,6 +633,7 @@ object LlmQueries {
     "q59_dup_clusters" -> (q59DupClusters _),
     "q53_ann_ivf" -> (q53AnnIvf _),
     "q52_cosine_neardups" -> (q52CosineNearDups _),
+    "q119_banded_neardup" -> (q119BandedNearDups _),
     "q44_asof_join" -> (q44AsofJoin _),
     "q45_range_join" -> (q45RangeJoin _),
     "q46_heavy_hitters" -> (q46HeavyHitters _),
@@ -1149,6 +1172,25 @@ object LlmQueries {
     // identical pipeline contract: the persisted index must reproduce the
     // recompute-everything IVF result exactly
     "q64_ann_ivf_indexed" -> ivfOracleSql,
+    "q119_banded_neardup" ->
+      """WITH all_vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 50),
+        |p AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cos FROM p
+        |WHERE cos >= 0.9
+        |ORDER BY id1, id2""".stripMargin,
     "q52_cosine_neardups" ->
       """WITH p AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -31,7 +31,8 @@ class PlanAssertionsSpec extends SparkSpec {
       "q63_bm25" /* 1-row corpus-stats broadcast join */,
       "q78_ann_int8" /* int8 coarse scan broadcasts the query batch */,
       "q79_ann_pq" /* PQ ADC coarse scan broadcasts the query tables */,
-      "q80_lm_score" /* 1-row vocab scalar broadcast join */)
+      "q80_lm_score" /* 1-row vocab scalar broadcast join */,
+      "q93_count_min" /* 1-row sketch matrix broadcast join */)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
@@ -148,6 +149,25 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("LeftSemi"), "repeated-gram membership must be a semi-join")
     assert(p.contains("Window"), "span merge must be the gaps-and-islands window")
+  }
+
+  test("q51 exact median: distributed selection, no whole-table window sort") {
+    // the former row_number() form sorted lineitem in 3 l_returnflag
+    // tasks — a straggler at 100×; the plan must carry no Window node
+    val df = graft.queries.FunctionQueries.q51ApproxStats(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      "q51 median regressed to a per-flag window sort")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q93 count-min probe: sketch broadcasts, probes scored executor-side") {
+    val df = graft.queries.FunctionQueries.q93CountMin(spark, dir)
+    val p = plan(df)
+    assert(p.contains("cms_estimate"),
+      "probe must go through the native cms_estimate expression")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row sketch must broadcast onto the supplier dimension")
   }
 
   test("bpe pair counts: vocab-sized aggregates only, fully partial-agg'd") {
