@@ -1,10 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, DataType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter join pruning — the explicit form of Spark's runtime
@@ -44,9 +44,18 @@ object BloomOps {
   }
 
   /** Driver-side hash of one lookup value — the exact xxhash64(seed 42)
-    * the sketches were built over. */
-  def hashLookupValue(value: Any): Long =
-    XxHash64(Seq(Literal(value)), 42L).eval().asInstanceOf[Long]
+    * the sketches were built over. xxhash64 hashes the Spark TYPE's bit
+    * pattern, so an Int probe against a LONG-indexed column would hash
+    * differently and silently admit zero files; pass the indexed column's
+    * `keyType` to cast the probe first, exactly as the plain filter's
+    * implicit cast would. */
+  def hashLookupValue(value: Any, keyType: Option[DataType] = None): Long = {
+    val probe = Literal(value)
+    val cast: org.apache.spark.sql.catalyst.expressions.Expression =
+      keyType.filter(_ != probe.dataType)
+        .map(dt => Cast(probe, dt, Some("UTC"))).getOrElse(probe)
+    XxHash64(Seq(cast), 42L).eval().asInstanceOf[Long]
+  }
 
   /** Distributed build: serialized bloom of `key` over `build`, sized
     * for `expectedItems` at `fpp`. Runs a Spark job (eager). */

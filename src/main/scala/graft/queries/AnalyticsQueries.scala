@@ -258,18 +258,24 @@ object AnalyticsQueries {
       .orderBy($"source")
   }
 
-  /** k-anonymity audit over quasi-identifiers (mktsegment, nationkey):
-    * emit every equivalence class smaller than k=5 — the rows a privacy
-    * reviewer must generalize or suppress before release. One partial-
-    * agg'd groupBy; the audit output is bounded by the class count, not
-    * the data. */
+  /** k-anonymity audit over quasi-identifiers (mktsegment, nationkey,
+    * binned account balance): emit every equivalence class smaller than
+    * k=5 — the rows a privacy reviewer must generalize or suppress
+    * before release. The binned numeric QI makes the gate non-vacuous at
+    * test scale (578 small classes at sf0.01; the coarse 2-QI version
+    * returned zero rows everywhere, never exercising the HAVING). One
+    * partial-agg'd groupBy; the audit output is bounded by the class
+    * count, not the data. The bucket is floor(x/2000) on the shared
+    * parquet doubles — identical IEEE ops both engines, no boundary
+    * drift. */
   def q104KAnonymity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "customer")
-      .groupBy($"c_mktsegment", $"c_nationkey")
+      .groupBy($"c_mktsegment", $"c_nationkey",
+        floor($"c_acctbal" / 2000.0).cast("long").as("bal_bucket"))
       .agg(count(lit(1)).as("class_size"))
       .where($"class_size" < 5)
-      .orderBy($"c_mktsegment", $"c_nationkey")
+      .orderBy($"c_mktsegment", $"c_nationkey", $"bal_bucket")
   }
 
   /** Debounce: drop consecutive same-type repeats per user (keep the
@@ -776,11 +782,13 @@ object AnalyticsQueries {
         |  count(*) AS n_langs, CAST(sum(term_e6) AS BIGINT) AS entropy_e6
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "q104_k_anonymity" ->
-      """SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket,
+        |  count(*) AS class_size
         |FROM customer
-        |GROUP BY c_mktsegment, c_nationkey
+        |GROUP BY c_mktsegment, c_nationkey, floor(c_acctbal / 2000.0)
         |HAVING count(*) < 5
-        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+        |ORDER BY c_mktsegment, c_nationkey, bal_bucket""".stripMargin,
     "q105_debounce" ->
       """WITH seq AS (
         |  SELECT user_id, event_id, event_type,

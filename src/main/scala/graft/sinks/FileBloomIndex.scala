@@ -72,11 +72,16 @@ object FileBloomIndex {
 
   /** Files whose sketch admits `value` — the skip decision, exposed for
     * tests and for composing with other pruning. Distributed index scan;
-    * only admitted paths are collected. */
+    * only admitted paths are collected. Pass `keyType` (the indexed
+    * column's Spark type) when the probe's Scala type may differ — the
+    * probe is cast before hashing, matching the plain filter's implicit
+    * cast ([[lookup]] resolves it from the data schema automatically). */
   def candidateFiles(spark: SparkSession, indexDir: String,
-                     value: Any): Seq[String] = {
+                     value: Any,
+                     keyType: Option[org.apache.spark.sql.types.DataType] = None)
+      : Seq[String] = {
     import spark.implicits._
-    val hashed = BloomOps.hashLookupValue(value)
+    val hashed = BloomOps.hashLookupValue(value, keyType)
     spark.read.parquet(indexDir)
       .select($"file_path", $"bloom").as[(String, Array[Byte])]
       .mapPartitions(_.collect {
@@ -99,15 +104,20 @@ object FileBloomIndex {
   def lookup(spark: SparkSession, dataDir: String, indexDir: String,
              keyCol: String, value: Any): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val files = candidateFiles(spark, indexDir, value).filter { p =>
+    val dataSchema = spark.read.parquet(dataDir).schema
+    val keyType = dataSchema.fields.find(_.name == keyCol).map(_.dataType)
+    val files = candidateFiles(spark, indexDir, value, keyType).filter { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(hconf).exists(path)
     }
     if (files.isEmpty) {
       spark.read.parquet(dataDir).filter(lit(false))
     } else {
+      // basePath keeps hive-partition columns resolvable when the table
+      // is partition-laid-out (without it their values come back null)
       spark.read
-        .schema(spark.read.parquet(dataDir).schema)
+        .schema(dataSchema)
+        .option("basePath", dataDir)
         .parquet(files: _*)
         .filter(col(keyCol) === lit(value))
     }

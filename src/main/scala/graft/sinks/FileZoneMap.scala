@@ -84,6 +84,9 @@ object FileZoneMap {
     if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
     else spark.read
       .schema(spark.read.parquet(dataDir).schema)
+      // basePath keeps hive-partition columns resolvable when the table
+      // is partition-laid-out (without it their values come back null)
+      .option("basePath", dataDir)
       .parquet(files: _*)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }

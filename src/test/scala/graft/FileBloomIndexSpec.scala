@@ -43,6 +43,28 @@ class FileBloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("probe type widening: Int probe on a LONG-indexed column still hits") {
+    // the id column is LONG; an Int-typed probe must hash identically to
+    // the plain filter's implicit cast, not silently admit zero files
+    val cand = FileBloomIndex.lookup(spark, dataDir, indexDir, "id", 4242)
+      .collect()
+    assert(cand.length == 1 && cand.head.getLong(0) == 4242L)
+  }
+
+  test("hive-partitioned layout: partition column survives the pruned read") {
+    val d = tmpDir("bloomidx-part-data")
+    val i = tmpDir("bloomidx-part-index")
+    (1 to 4000).map(n => (n.toLong, s"pl-$n", n % 4))
+      .toDF("id", "payload", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(d)
+    FileBloomIndex.build(spark, d, "id", i, expectedPerFile = 2000L)
+    val got = FileBloomIndex.lookup(spark, d, i, "id", 1234L)
+      .select($"id", $"payload", $"bucket").collect()
+    assert(got.length == 1, "exactly one row for the key")
+    assert(!got.head.isNullAt(2) && got.head.getInt(2) == (1234 % 4),
+      "partition-column value must survive the admitted-files read")
+  }
+
   test("absent keys are rejected by the index alone") {
     // 100 absent keys: expect ~fpp·nFiles·100 ≈ 16 false admissions max;
     // every lookup result must still be empty

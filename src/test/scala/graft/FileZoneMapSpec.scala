@@ -45,6 +45,21 @@ class FileZoneMapSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hive-partitioned layout: partition column survives the pruned read") {
+    val d = tmpDir("zonemap-part-data")
+    val i = tmpDir("zonemap-part-index")
+    (1 to 4000).map(n => (n.toLong, n % 4)).toDF("v", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(d)
+    FileZoneMap.build(spark, d, Seq("v"), i)
+    val got = FileZoneMap.rangeLookup(spark, d, i, "v", 100L, 110L)
+      .select($"v", $"bucket").collect()
+    assert(got.length == 11)
+    assert(got.forall(r => !r.isNullAt(1)),
+      "partition-column values must survive the admitted-files read")
+    assert(got.map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      (100L to 110L).map(v => (v, (v % 4).toInt)).toSet)
+  }
+
   test("out-of-domain range admits zero files") {
     assert(FileZoneMap.candidateFiles(spark, indexDir, "v",
       900000L, 900010L).isEmpty)
