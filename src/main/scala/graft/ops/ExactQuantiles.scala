@@ -93,13 +93,25 @@ object ExactQuantiles {
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
                        probs: Seq[Double], partitions: Int = 64)
       : Map[String, Array[Double]] = {
-    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
     val spark = df.sparkSession
     import spark.implicits._
-    val freq = df.select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("long").as("v"))
-      .where($"v".isNotNull)
-      .groupBy($"g", $"v").agg(count(lit(1)).as("f"))
+    rangeFromSummary(
+      df.select(col(groupCol).cast("string").as("g"),
+          col(valueCol).cast("long").as("v"))
+        .where($"v".isNotNull)
+        .groupBy($"g", $"v").agg(count(lit(1)).as("f")),
+      probs, partitions)
+  }
+
+  /** The range-partitioned selection over a prebuilt `(g, v, f)`
+    * summary — shared by [[quantilesByGroup]] and the auto path. */
+  private def rangeFromSummary(summary: DataFrame, probs: Seq[Double],
+                               partitions: Int)
+      : Map[String, Array[Double]] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = summary.sparkSession
+    import spark.implicits._
+    val freq = summary
       .repartitionByRange(partitions, $"g", $"v")
       .sortWithinPartitions($"g", $"v")
       .as[(String, Long, Long)]
@@ -163,5 +175,114 @@ object ExactQuantiles {
         }
       }
     } finally { freq.unpersist(); () }
+  }
+
+  /** Per-group exact quantiles for the MANY-groups regime, as a
+    * DataFrame `(g string, qs array<double>)`. The (group, value)
+    * frequency summary hash-partitions on GROUP, a within-partition sort
+    * makes each group's summary contiguous, and one streaming pass per
+    * partition computes the interpolated quantiles locally — no global
+    * coordination, no driver state, output rows scale with |groups|.
+    * The held state per task is ONE group's distinct-value summary plus
+    * that partition's result rows. Interpolation is the identical
+    * bit-exact Catalyst `Percentile` formula. Complements
+    * [[quantilesByGroup]], whose per-(partition,group) driver scalars
+    * are O(P·|groups|) — the wrong shape past a few hundred groups;
+    * here a single skewed-huge group is the (documented) straggler
+    * instead. [[quantilesByGroupAuto]] picks by measured group count. */
+  def quantilesByGroupHashed(df: DataFrame, groupCol: String,
+                             valueCol: String, probs: Seq[Double],
+                             partitions: Int = 64): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val summary = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where($"v".isNotNull)
+      .groupBy($"g", $"v").agg(count(lit(1)).as("f"))
+    hashedFromSummary(summary, probs, partitions)
+  }
+
+  private def hashedFromSummary(summary: DataFrame, probs: Seq[Double],
+                                partitions: Int): DataFrame = {
+    val spark = summary.sparkSession
+    import spark.implicits._
+    val ps = probs.toArray
+    summary
+      .repartition(partitions, $"g")
+      .sortWithinPartitions($"g", $"v")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val out = scala.collection.mutable.ArrayBuffer[(String, Array[Double])]()
+        var curG: String = null
+        var started = false
+        def emit(g: String): Unit = {
+          var n = 0L
+          buf.foreach { case (_, f) => n += f }
+          val hs = ps.map(p => (n - 1) * p)
+          val needed = hs.flatMap(h =>
+            Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct.sorted
+          val found = scala.collection.mutable.LongMap[Long]()
+          var cum = 0L
+          buf.foreach { case (v, f) =>
+            var i = 0
+            while (i < needed.length) {
+              val pos = needed(i)
+              if (pos >= cum && pos < cum + f) found(pos) = v
+              i += 1
+            }
+            cum += f
+          }
+          out += ((g, hs.map { h =>
+            val lo = math.floor(h)
+            val hi = math.ceil(h)
+            val lv = found(lo.toLong).toDouble
+            val hv = found(hi.toLong).toDouble
+            if (lo == hi) lv else (hi - h) * lv + (h - lo) * hv
+          }))
+        }
+        it.foreach { case (g, v, f) =>
+          if (!started) { started = true; curG = g }
+          else if (g != curG) { emit(curG); buf.clear(); curG = g }
+          buf += ((v, f))
+        }
+        if (started) emit(curG)
+        out.iterator
+      }
+      .toDF("g", "qs")
+  }
+
+  /** Auto-selecting grouped quantiles: ONE full-data pass builds the
+    * (group, value) frequency summary; the measured group count then
+    * routes the summary to the range-partitioned selection path (few
+    * groups — a huge group may span partitions) or the hash-partitioned
+    * streaming path (many groups — no driver state). Output in both
+    * regimes: `(g string, qs array<double>)`, bit-identical to Catalyst
+    * `Percentile`. */
+  def quantilesByGroupAuto(df: DataFrame, groupCol: String,
+                           valueCol: String, probs: Seq[Double],
+                           partitions: Int = 64,
+                           fewGroupsMax: Int = 64): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val summary = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where($"v".isNotNull)
+      .groupBy($"g", $"v").agg(count(lit(1)).as("f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nGroups = summary.select($"g").distinct().count()
+      if (nGroups <= fewGroupsMax) {
+        rangeFromSummary(summary, probs, partitions).toSeq.toDF("g", "qs")
+      } else {
+        // eagerly materialize (result is |groups| rows) so the summary
+        // cache can be released before returning the lazy frame
+        val res = hashedFromSummary(summary, probs, partitions)
+          .localCheckpoint(true)
+        res
+      }
+    } finally { summary.unpersist(); () }
   }
 }

@@ -48,6 +48,9 @@ object IncrementalAgg {
 
   private def partialAggs(spec: Spec) =
     spec.sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
+      // per-column NON-NULL counts: what avg divides by (count(*) would
+      // silently shift averages of nullable columns)
+      spec.sumCols.map(c => count(col(c)).as(s"__cnt_$c")) ++
       spec.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
       spec.maxCols.map(c => max(col(c)).as(s"__max_$c"))
 
@@ -76,11 +79,13 @@ object IncrementalAgg {
 
   private def refoldAggs(spec: Spec) =
     spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")) ++
+      spec.sumCols.map(c => sum(col(s"__cnt_$c")).as(s"cnt_$c")) ++
       spec.minCols.map(c => min(col(s"__min_$c")).as(s"min_$c")) ++
       spec.maxCols.map(c => max(col(s"__max_$c")).as(s"max_$c"))
 
   /** The current aggregate: re-fold all stored partials. Output columns:
-    * keys ++ `n_rows` ++ `sum_<col>` ++ `min_<col>` ++ `max_<col>`. */
+    * keys ++ `n_rows` ++ `sum_<col>` ++ `cnt_<col>` (non-null count —
+    * avg's denominator) ++ `min_<col>` ++ `max_<col>`. */
   def current(store: AppendOnlyStore, spec: Spec): DataFrame =
     dedupedPartials(store, spec)
       .groupBy(spec.keyCols.map(col): _*)
@@ -95,6 +100,7 @@ object IncrementalAgg {
     store.compactWith { df =>
       val folded =
         spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")) ++
+          spec.sumCols.map(c => sum(col(s"__cnt_$c")).as(s"__cnt_$c")) ++
           spec.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
           spec.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c"))
       df.dropDuplicates(spec.keyCols :+ "__batch_id")

@@ -5,10 +5,11 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.DoubleType
 
 /** Materialized-aggregate rewrite: a grouped aggregate over a REGISTERED
   * source table is answered from its incrementally-maintained
@@ -34,16 +35,39 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 object MaterializedAggRewrite extends Rule[LogicalPlan] {
 
   /** @param keyCols   maintained grouping keys (must match exactly)
-    * @param sumCols   maintained sum columns
+    * @param sumCols   maintained sum columns — each also serves `avg`
+    *                  (answered as `sum_c / cnt_c`; the store's
+    *                  `cnt_<col>` is the NON-NULL count, so null
+    *                  semantics match Catalyst `Average`)
     * @param minCols   maintained min columns
     * @param maxCols   maintained max columns
     * @param current   builds the re-fold DataFrame (columns: keys ++
-    *                  `n_rows` ++ `sum/min/max_<col>`) — normally
-    *                  `() => IncrementalAgg.current(store, spec)` */
+    *                  `n_rows` ++ `sum/cnt/min/max_<col>`) — normally
+    *                  `() => IncrementalAgg.current(store, spec)`
+    * @param distinctCurrent per-column distinct-count providers (columns:
+    *                  keys ++ `n_distinct`) — normally a
+    *                  [[graft.ops.SketchAgg]] store. `approx_count_distinct`
+    *                  over a provided column is answered from it: both
+    *                  sides are approximate by contract, though the
+    *                  estimators differ (HLL++ vs the store's sketch)
+    * @param serveExactDistinct registrant's assertion that the distinct
+    *                  stores are in their EXACT regime (e.g. the
+    *                  documented sparse-mode bound), allowing plain
+    *                  `count(DISTINCT col)` to be answered from them;
+    *                  leave false unless that bound is guaranteed */
   final case class MvDef(keyCols: Seq[String], sumCols: Seq[String],
                          current: () => DataFrame,
                          minCols: Seq[String] = Nil,
-                         maxCols: Seq[String] = Nil)
+                         maxCols: Seq[String] = Nil,
+                         distinctCurrent: Map[String, () => DataFrame] =
+                           Map.empty,
+                         serveExactDistinct: Boolean = false)
+
+  /** How one output column maps onto the store. */
+  private sealed trait StoreRef
+  private final case class Plain(name: String) extends StoreRef
+  private final case class AvgOf(c: String) extends StoreRef
+  private final case class DistinctOf(c: String) extends StoreRef
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
   // re-entrancy guard: building the replacement DataFrame analyzes a new
@@ -100,41 +124,70 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     if (groupAttrs.size != groups.size) return None
     if (groupAttrs.map(_.name).toSet != mv.keyCols.toSet) return None
 
-    // map every output column onto a store column name, or bail
-    val mapped: Seq[Option[(NamedExpression, String)]] = aggExprs.map {
+    // map every output column onto a store reference, or bail
+    val mapped: Seq[Option[(NamedExpression, StoreRef)]] = aggExprs.map {
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
-        Some((a, a.name))
+        Some((a, Plain(a.name)))
       case al @ Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
         if l.value != null =>
-        Some((al, "n_rows"))
+        Some((al, Plain("n_rows")))
       case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), _)
         if mv.sumCols.contains(a.name) =>
-        Some((al, s"sum_${a.name}"))
+        Some((al, Plain(s"sum_${a.name}")))
       case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), _)
         if mv.minCols.contains(a.name) =>
-        Some((al, s"min_${a.name}"))
+        Some((al, Plain(s"min_${a.name}")))
       case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), _)
         if mv.maxCols.contains(a.name) =>
-        Some((al, s"max_${a.name}"))
+        Some((al, Plain(s"max_${a.name}")))
+      case al @ Alias(AggregateExpression(Average(a: AttributeReference, _), _, false, None, _), _)
+        if mv.sumCols.contains(a.name) && al.dataType == DoubleType =>
+        Some((al, AvgOf(a.name)))
+      case al @ Alias(AggregateExpression(HyperLogLogPlusPlus(a: AttributeReference, _, _, _), _, false, None, _), _)
+        if mv.distinctCurrent.contains(a.name) =>
+        Some((al, DistinctOf(a.name)))
+      case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _), _)
+        if mv.serveExactDistinct && mv.distinctCurrent.contains(a.name) =>
+        Some((al, DistinctOf(a.name)))
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) return None
+    val refs = mapped.flatten
 
     rewriting.set(true)
     try {
       // splice the OPTIMIZED refold subtree: operator-replacement batches
       // (e.g. Deduplicate→Aggregate) have already run on the outer tree,
       // so an analyzed subtree would keep un-lowerable operators
-      val refold = mv.current().queryExecution.optimizedPlan
+      val needDistinct = refs.collect { case (_, DistinctOf(c)) => c }.distinct
+      val refoldDf = needDistinct.foldLeft(mv.current()) { (acc, c) =>
+        acc.join(
+          mv.distinctCurrent(c)().withColumnRenamed("n_distinct",
+            s"n_distinct_$c"),
+          mv.keyCols)
+      }
+      val refold = refoldDf.queryExecution.optimizedPlan
       val byName = refold.output.map(a => a.name -> a).toMap
-      if (!mapped.flatten.forall { case (_, n) => byName.contains(n) })
-        return None
-      val projected = mapped.flatten.map { case (orig, storeName) =>
-        val src = byName(storeName)
-        val expr: Expression =
-          if (src.dataType == orig.dataType) src
-          else Cast(src, orig.dataType)
-        Alias(expr, orig.name)(exprId = orig.exprId)
+      val neededNames: Seq[String] = refs.flatMap {
+        case (_, Plain(n)) => Seq(n)
+        case (_, AvgOf(c)) => Seq(s"sum_$c", s"cnt_$c")
+        case (_, DistinctOf(c)) => Seq(s"n_distinct_$c")
+      }
+      if (!neededNames.forall(byName.contains)) return None
+      val projected = refs.map { case (orig, ref) =>
+        val expr: Expression = ref match {
+          case Plain(n) => byName(n)
+          case AvgOf(c) =>
+            // Catalyst Average's evaluate form: sum/ count over doubles,
+            // null when the non-null count is zero (sum is null then)
+            Divide(Cast(byName(s"sum_$c"), DoubleType),
+              Cast(byName(s"cnt_$c"), DoubleType))
+          case DistinctOf(c) => byName(s"n_distinct_$c")
+        }
+        val castExpr =
+          if (expr.dataType == orig.dataType) expr
+          else Cast(expr, orig.dataType)
+        Alias(castExpr, orig.name)(exprId = orig.exprId)
       }
       Some(Project(projected, refold))
     } finally rewriting.set(false)

@@ -536,11 +536,16 @@ object AnalyticsQueries {
       graft.plans.MaterializedAggRewrite.MvDef(spec.keyCols, spec.sumCols,
         () => graft.ops.IncrementalAgg.current(store, spec)))
     // left registered: the rewrite fires when the driver materializes
-    // this plan (unique temp path — no effect on any other query)
+    // this plan (unique temp path — no effect on any other query).
+    // avg answers from the store's sum/cnt partials (round-3 extension);
+    // quantities are integral doubles so sum, count and the division are
+    // all float-exact — the e4 quantization cannot straddle a boundary
     s.read.parquet(srcDir).groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("qty_d"))
+      .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("qty_d"),
+        avg($"l_quantity").as("avg_d"))
       .select($"l_returnflag", $"n_rows",
-        floor($"qty_d" + 0.5).cast("long").as("sum_qty"))
+        floor($"qty_d" + 0.5).cast("long").as("sum_qty"),
+        floor($"avg_d" * 10000.0 + 0.5).cast("long").as("avg_qty_e4"))
       .orderBy($"l_returnflag")
   }
 
@@ -608,7 +613,9 @@ object AnalyticsQueries {
         |GROUP BY day ORDER BY day""".stripMargin,
     "q117_mv_hit" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-        |  CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty
+        |  CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty,
+        |  CAST(floor(avg(l_quantity) * 10000.0 + 0.5) AS BIGINT)
+        |    AS avg_qty_e4
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

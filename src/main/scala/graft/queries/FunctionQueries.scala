@@ -156,6 +156,27 @@ object FunctionQueries {
       .orderBy($"c_custkey")
   }
 
+  /** Naive `rank() <= k` window filter, live in the driver gate: the
+    * injected [[graft.plans.TopKRewrite]] rewrites it to the tie-aware
+    * `collect_top_rank` heap (no Window, no full-partition sort — gated
+    * in PlanAssertionsSpec). The order key is the COARSE thousand-dollar
+    * balance bucket, so rank boundaries fall inside tie groups and the
+    * kept-rows-per-segment exceeds k — the exact semantics the rewrite
+    * must preserve, which the DuckDB window oracle checks row-for-row. */
+  def q120RankTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(s, dir, "customer")
+      .select($"c_mktsegment", $"c_custkey",
+        floor($"c_acctbal" / 1000.0).cast("long").as("bal_k"))
+      .withColumn("rnk", rank().over(
+        Window.partitionBy($"c_mktsegment").orderBy($"bal_k".desc)))
+      .filter($"rnk" <= 3)
+      .select($"c_mktsegment", $"c_custkey", $"bal_k",
+        $"rnk".cast("long").as("rnk"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
   /** Incremental materialized-aggregate maintenance (q90): lineitem
     * arrives as three disjoint batches; each folds to per-key partials
     * appended to an [[graft.sinks.AppendOnlyStore]], with a compaction
@@ -249,6 +270,7 @@ object FunctionQueries {
     "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q54_unpivot" -> (q54Unpivot _),
     "q55_rank_funcs" -> (q55RankFuncs _),
+    "q120_rank_topk" -> (q120RankTopK _),
     "q47_setops" -> (q47SetOps _),
     "q48_date_arith" -> (q48DateArith _),
     "q49_array_ops" -> (q49ArrayOps _),
@@ -296,6 +318,15 @@ object FunctionQueries {
         |  UNION ALL
         |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
         |ORDER BY p_partkey, attr""".stripMargin,
+    "q120_rank_topk" ->
+      """SELECT c_mktsegment, c_custkey, bal_k, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+        |    CAST(rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY floor(c_acctbal / 1000.0) DESC) AS BIGINT) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 3
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q55_rank_funcs" ->
       """SELECT c_custkey, c_mktsegment,
         | rank() OVER w AS rnk,

@@ -80,4 +80,63 @@ class ExactQuantilesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     got.foreach { case (g, qs) => assert(qs.toSeq == want(g), s"group $g") }
   }
+
+  private def catalystByGroup(df: org.apache.spark.sql.DataFrame)
+      : Map[String, Seq[Double]] =
+    df.groupBy($"grp")
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+
+  test("hashed many-group path is bit-identical to Catalyst per group") {
+    // 1000 groups of varied size/shape, incl. duplicates and singletons
+    val df = (1 to 40000).map { i =>
+      (s"g${i % 1000}", (i * 2654435761L) % (1 + i % 37) )
+    }.toDF("grp", "v")
+    val got = ExactQuantiles
+      .quantilesByGroupHashed(df, "grp", "v", probs, partitions = 11)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val want = catalystByGroup(df)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, qs) =>
+      assert(qs == want(g), s"group $g: $qs vs ${want(g)}")
+    }
+  }
+
+  test("auto path: few groups route to range selection, results identical") {
+    val df = (1 to 3000).map { i =>
+      (s"g${i % 3}", (i * 48271L) % 7919L)
+    }.toDF("grp", "v")
+    val got = ExactQuantiles
+      .quantilesByGroupAuto(df, "grp", "v", probs, partitions = 5,
+        fewGroupsMax = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val want = catalystByGroup(df)
+    assert(got == want)
+  }
+
+  test("auto path: many groups route to the hashed path, results identical") {
+    val df = (1 to 9000).map { i =>
+      (s"g${i % 300}", (i * 48271L) % 101L)
+    }.toDF("grp", "v")
+    val got = ExactQuantiles
+      .quantilesByGroupAuto(df, "grp", "v", probs, partitions = 7,
+        fewGroupsMax = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val want = catalystByGroup(df)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, qs) => assert(qs == want(g), s"group $g") }
+  }
+
+  test("hashed path ignores nulls like Percentile") {
+    val rows: Seq[(String, java.lang.Long)] =
+      (1 to 200).map(i => (s"g${i % 5}",
+        if (i % 7 == 0) null else java.lang.Long.valueOf(i % 11))) ++
+        Seq(("gnull", null: java.lang.Long))
+    val df = rows.toDF("grp", "v")
+    val got = ExactQuantiles
+      .quantilesByGroupHashed(df, "grp", "v", probs, partitions = 3)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val want = catalystByGroup(df.filter($"v".isNotNull))
+    assert(got == want, "all-null group must vanish, nulls must not count")
+  }
 }

@@ -139,6 +139,137 @@ class MaterializedAggRewriteSpec extends SparkSpec {
     } finally MaterializedAggRewrite.clear()
   }
 
+  test("avg answers from sum/cnt partials, null semantics exact") {
+    val srcDir = tmpDir("mv-avg-src")
+    // every 11th v is NULL: avg must divide by the NON-null count, so a
+    // store keeping only count(*) would be wrong — this is the gate
+    (1 to 9000).map { i =>
+      (s"k${i % 7}",
+        if (i % 11 == 0) null else java.lang.Double.valueOf(i % 101),
+        i.toLong)
+    }.toDF("k", "v", "id").write.mode("overwrite").parquet(srcDir)
+    val store = new AppendOnlyStore(spark, tmpDir("mv-avg-store"),
+      prefixCol = "__agg_key", prefixChars = 1)
+    val src = spark.read.parquet(srcDir)
+    (0L to 2L).foreach(b => IncrementalAgg.appendBatch(store,
+      src.filter($"id" % 3 === b), spec, b))
+    def query() = spark.read.parquet(srcDir).groupBy($"k")
+      .agg(avg($"v").as("a"), count(lit(1)).as("n"))
+    val want = query().collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    registered(srcDir, store) {
+      val df = query()
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__cnt"), s"avg hit did not fire:\n$plan")
+      val got = df.collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, (a, n)) =>
+        val (wa, wn) = want(k)
+        assert(n == wn && math.abs(a - wa) <= math.abs(wa) * 1e-12,
+          s"$k avg $a !~ $wa (n=$n/$wn)")
+      }
+    }
+  }
+
+  test("approx_count_distinct answers from the sketch store; exact regime equal") {
+    import graft.ops.SketchAgg
+    val srcDir = tmpDir("mv-dist-src")
+    // 50 distinct ids per key — inside the sketch's exact (sparse) regime
+    (1 to 9000).map(i => (s"k${i % 7}", i.toDouble % 101, (i % 50).toLong))
+      .toDF("k", "v", "id").write.mode("overwrite").parquet(srcDir)
+    val aggStore = new AppendOnlyStore(spark, tmpDir("mv-dist-agg"),
+      prefixCol = "__agg_key", prefixChars = 1)
+    val dStore = new AppendOnlyStore(spark, tmpDir("mv-dist-sketch"),
+      prefixCol = "__agg_key", prefixChars = 1)
+    val dSpec = SketchAgg.Spec(Seq("k"), "id")
+    val src = spark.read.parquet(srcDir)
+    (0L to 2L).foreach { b =>
+      IncrementalAgg.appendBatch(aggStore, src.filter($"v" % 3 === b), spec, b)
+      SketchAgg.appendBatch(dStore, src.filter($"v" % 3 === b), dSpec, b)
+    }
+    MaterializedAggRewrite.register(srcDir, MaterializedAggRewrite.MvDef(
+      spec.keyCols, spec.sumCols,
+      () => IncrementalAgg.current(aggStore, spec),
+      distinctCurrent = Map("id" -> (() =>
+        SketchAgg.current(dStore, dSpec).select($"k", $"n_distinct"))),
+      serveExactDistinct = true))
+    try {
+      def query() = spark.read.parquet(srcDir).groupBy($"k")
+        .agg(approx_count_distinct($"id").as("d"), count(lit(1)).as("n"))
+      val df = query()
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("n_distinct"), s"distinct hit did not fire:\n$plan")
+      val got = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // sparse regime: the stored sketch is exact, so compare to EXACT
+      val want = spark.read.parquet(srcDir).groupBy($"k")
+        .agg(countDistinct($"id").as("d"), count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want)
+      // exact count(DISTINCT) is served ONLY under the registrant's flag
+      val exact = spark.read.parquet(srcDir).groupBy($"k")
+        .agg(countDistinct($"id").as("d"))
+      assert(exact.queryExecution.optimizedPlan.toString
+        .contains("n_distinct"), "serveExactDistinct=true must serve it")
+      val gotExact = exact.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotExact == want.map { case (k, (d, _)) => k -> d })
+    } finally MaterializedAggRewrite.clear()
+
+    // without the flag, count(DISTINCT) keeps its plan (approximate
+    // stores must not silently answer an exact aggregate)
+    MaterializedAggRewrite.register(srcDir, MaterializedAggRewrite.MvDef(
+      spec.keyCols, spec.sumCols,
+      () => IncrementalAgg.current(aggStore, spec),
+      distinctCurrent = Map("id" -> (() =>
+        SketchAgg.current(dStore, dSpec).select($"k", $"n_distinct")))))
+    try {
+      val exact = spark.read.parquet(srcDir).groupBy($"k")
+        .agg(countDistinct($"id").as("d"))
+      assert(!exact.queryExecution.optimizedPlan.toString
+        .contains("n_distinct"))
+    } finally MaterializedAggRewrite.clear()
+  }
+
+  test("distinct store staleness: maintenance restores equality") {
+    import graft.ops.SketchAgg
+    val srcDir = tmpDir("mv-stale-src")
+    (1 to 4000).map(i => (s"k${i % 5}", i.toDouble, (i % 30).toLong))
+      .toDF("k", "v", "id").write.mode("overwrite").parquet(srcDir)
+    val aggStore = new AppendOnlyStore(spark, tmpDir("mv-stale-agg"),
+      prefixCol = "__agg_key", prefixChars = 1)
+    val dStore = new AppendOnlyStore(spark, tmpDir("mv-stale-sketch"),
+      prefixCol = "__agg_key", prefixChars = 1)
+    val dSpec = SketchAgg.Spec(Seq("k"), "id")
+    val src0 = spark.read.parquet(srcDir)
+    IncrementalAgg.appendBatch(aggStore, src0, spec, 0L)
+    SketchAgg.appendBatch(dStore, src0, dSpec, 0L)
+    // new ids arrive in BOTH raw table and stores (registrant's contract)
+    val late = (4001 to 5000).map(i => (s"k${i % 5}", i.toDouble,
+      (30 + i % 20).toLong)).toDF("k", "v", "id")
+    late.write.mode("append").parquet(srcDir)
+    IncrementalAgg.appendBatch(aggStore, late, spec, 1L)
+    SketchAgg.appendBatch(dStore, late, dSpec, 1L)
+    SketchAgg.compact(dStore, dSpec)
+    MaterializedAggRewrite.register(srcDir, MaterializedAggRewrite.MvDef(
+      spec.keyCols, spec.sumCols,
+      () => IncrementalAgg.current(aggStore, spec),
+      distinctCurrent = Map("id" -> (() =>
+        SketchAgg.current(dStore, dSpec).select($"k", $"n_distinct"))),
+      serveExactDistinct = true))
+    try {
+      val got = spark.read.parquet(srcDir).groupBy($"k")
+        .agg(countDistinct($"id").as("d")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      MaterializedAggRewrite.clear()
+      val want = spark.read.parquet(srcDir).groupBy($"k")
+        .agg(countDistinct($"id").as("d")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, "post-maintenance store must match the raw scan")
+    } finally MaterializedAggRewrite.clear()
+  }
+
   test("rewrite stays correct after more batches and compaction") {
     val (srcDir, store) = fixture()
     // late-arriving batch lands in BOTH the raw table and the store

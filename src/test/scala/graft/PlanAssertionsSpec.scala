@@ -161,6 +161,13 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q120 rank top-k: tie-aware heap aggregate, no Window, no sort below") {
+    val df = graft.queries.FunctionQueries.q120RankTopK(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("collect_top_rank"), s"rank rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), "rank window survived the rewrite")
+  }
+
   test("q93 count-min probe: sketch broadcasts, probes scored executor-side") {
     val df = graft.queries.FunctionQueries.q93CountMin(spark, dir)
     val p = plan(df)

@@ -93,11 +93,92 @@ class TopKRewriteSpec extends SparkSpec {
     assert(collectSet(df) == want)
   }
 
-  test("rank() is NOT rewritten (ties semantics differ)") {
-    val df = data.withColumn("rn",
-        rank().over(Window.partitionBy($"key").orderBy($"v".desc)))
-      .filter($"rn" <= 3)
+  // tie-heavy data: ~8 rows per (key, v) pair so rank boundaries always
+  // split inside a tie group somewhere
+  lazy val tied = (1 to 5000).map { i =>
+    (i % 40L, (i % 17).toLong, s"p$i")
+  }.toDF("key", "v", "payload")
+
+  private def naiveRank(dense: Boolean, desc: Boolean, k: Int): DataFrame = {
+    val ord = if (desc) $"v".desc else $"v".asc
+    val fn = if (dense) dense_rank() else rank()
+    tied.withColumn("rn", fn.over(Window.partitionBy($"key").orderBy(ord)))
+      .filter($"rn" <= k)
+  }
+
+  test("rank() <= k rewrites tie-aware: boundary ties kept, results identical") {
+    val df = naiveRank(dense = false, desc = true, k = 3)
+    val p = physical(df)
+    assert(!p.contains("Window"), s"window survived:\n$p")
+    assert(p.contains("collect_top_rank"), s"no tie-aware heap:\n$p")
+    val want = withRuleDisabled(collectSet(naiveRank(dense = false, desc = true, k = 3)))
+    assert(collectSet(df) == want)
+    // rank<=3 over 17-value ties keeps MORE than 3 rows per key
+    assert(df.groupBy($"key").count().where($"count" > 3).count() == 40)
+  }
+
+  test("dense_rank() <= k rewrites: first k distinct order values kept") {
+    val df = naiveRank(dense = true, desc = false, k = 4)
+    val p = physical(df)
+    assert(!p.contains("Window") && p.contains("collect_top_rank"))
+    val want = withRuleDisabled(collectSet(naiveRank(dense = true, desc = false, k = 4)))
+    assert(collectSet(df) == want)
+    // exactly the 4 smallest distinct v per key survive
+    assert(df.select($"key", $"v").distinct().count() == 40 * 4)
+  }
+
+  test("rank family SQL text rewrites too, rank values correct under ties") {
+    tied.createOrReplaceTempView("rank_input")
+    val df = spark.sql(
+      """SELECT * FROM (
+        |  SELECT key, v, payload,
+        |    rank() OVER (PARTITION BY key ORDER BY v) AS rn
+        |  FROM rank_input) WHERE rn = 1""".stripMargin)
+    assert(!physical(df).contains("Window"))
+    val want = withRuleDisabled(spark.sql(
+      """SELECT * FROM (
+        |  SELECT key, v, payload,
+        |    rank() OVER (PARTITION BY key ORDER BY v) AS rn
+        |  FROM rank_input) WHERE rn = 1""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet)
+    assert(collectSet(df) == want)
+  }
+
+  test("property: rank/dense_rank rewrite equals no-rewrite over tie-ful shapes") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 6).foreach { trial =>
+      val n = 500 + rnd.nextInt(2000)
+      val keys = 1 + rnd.nextInt(20)
+      val vals = 2 + rnd.nextInt(10) // few distinct order values → dense ties
+      val k = 1 + rnd.nextInt(6)
+      val desc = rnd.nextBoolean()
+      val dense = rnd.nextBoolean()
+      val df = (1 to n).map { i =>
+        (i % keys.toLong, ((i * 31 + trial) % vals).toLong, s"p$i")
+      }.toDF("key", "v", "payload")
+      val ord = if (desc) $"v".desc else $"v".asc
+      val fn = if (dense) dense_rank() else rank()
+      def run() = df.withColumn("rn",
+          fn.over(Window.partitionBy($"key").orderBy(ord)))
+        .filter($"rn" <= k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .toSet
+      val rewritten = run()
+      val baseline = withRuleDisabled(run())
+      assert(rewritten == baseline,
+        s"trial $trial (n=$n keys=$keys vals=$vals k=$k desc=$desc dense=$dense)")
+    }
+  }
+
+  test("percent_rank / ntile are NOT rewritten") {
+    val df = tied.withColumn("pr",
+        percent_rank().over(Window.partitionBy($"key").orderBy($"v")))
+      .filter($"pr" <= 0.5)
     assert(physical(df).contains("Window"))
+    val df2 = tied.withColumn("q",
+        ntile(4).over(Window.partitionBy($"key").orderBy($"v")))
+      .filter($"q" <= 2)
+    assert(physical(df2).contains("Window"))
   }
 
   test("mixed sort directions are NOT rewritten") {
