@@ -39,13 +39,19 @@ object Bench {
     // reference-scale CDC pipeline: 2M change events → curated. Envelopes
     // are materialized to parquet OUTSIDE the timed window so the metric
     // measures the engine's parse/merge/join path, not the JSON generator.
+    // The figure is the MEDIAN of 3 timed runs after one untimed warm-up:
+    // round-2 sweeps showed 10-19 s run-to-run variance dominated by cold
+    // page cache + shuffle-scratch IO, which a single sample can't
+    // average away (documented in the README).
     val cdcDir = java.nio.file.Files.createTempDirectory("cdc-bench").toString
     graft.queries.CdcBench.envelopes(spark, 2000000L)
       .write.mode("overwrite").parquet(cdcDir)
-    results("cdc_pipeline_2m") = time {
+    def cdcRun(): Unit =
       materialize(graft.queries.CdcBench.curatedFromEnvelopes(
         spark.read.parquet(cdcDir)))
-    }
+    cdcRun() // warm-up: page cache + codegen, untimed
+    val cdcTimes = (1 to 3).map(_ => time(cdcRun())).sorted
+    results("cdc_pipeline_2m") = cdcTimes(1)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

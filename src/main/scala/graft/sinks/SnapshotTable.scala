@@ -94,9 +94,18 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def diffVersions(from: Long, to: Long, keyCols: Seq[String]): DataFrame =
     graft.ops.ScdOps.snapshotDiff(readVersion(from), readVersion(to), keyCols)
 
-  /** Write a new immutable snapshot without publishing (the W of WAP). */
+  /** Write a new immutable snapshot without publishing (the W of WAP).
+    * Version allocation skips past STAGED-but-unpublished snapshots too
+    * (not just the published pointer), so consecutive stages — e.g. a
+    * [[TableSetRef]] catalog promoting several generations before any
+    * commit — never clobber each other's immutable dirs. */
   def stage(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
-    val next = latestVersion.getOrElse(0L) + 1
+    val staged =
+      if (!fs.exists(rootPath)) Nil
+      else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("snapshot="))
+        .flatMap(_.stripPrefix("snapshot=").toLongOption)
+    val next = (staged ++ latestVersion.toSeq :+ 0L).max + 1
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(snapDir(next).toString)

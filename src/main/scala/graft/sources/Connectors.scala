@@ -106,6 +106,43 @@ object Connectors {
     } finally conn.close()
   }
 
+  /** COPY-speed bulk load (reference `datagen.py:192-203` seeds 2M rows
+    * via `COPY FROM STDIN`, not INSERTs): the batch lands as CSV part
+    * files, and the DATABASE's own bulk-import path loads each in ONE
+    * server-side call — no per-row statement/latch overhead, the same
+    * bargain COPY offers. The `importSql` template adapts per engine:
+    *
+    *  - Derby (spec'd live):
+    *    `CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, 'T', '<file>', NULL, NULL, NULL, 0)`
+    *  - Postgres: `COPY t FROM '<file>' WITH (FORMAT csv)`
+    *
+    * Spark CSV defaults (comma delimiter, double-quote character) match
+    * both engines' import defaults. The CSV detour costs one
+    * materialization but moves row encoding OFF the database connection;
+    * for fixture-loader volumes (the reference's role for COPY) that is
+    * the right trade. Returns the number of files imported. */
+  def bulkLoadJdbc(df: DataFrame, cfg: JdbcConfig,
+                   importSql: String => String, workDir: String): Long = {
+    df.write.mode("overwrite")
+      .option("header", "false")
+      .option("emptyValue", "")
+      // standard-CSV doubled quotes ("") — Spark's default backslash
+      // escape is a dialect neither COPY nor SYSCS_IMPORT accepts
+      .option("escape", "\"")
+      .csv(workDir)
+    val files = new java.io.File(workDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .map(_.getAbsolutePath).sorted
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user,
+      cfg.password)
+    try {
+      val st = conn.createStatement()
+      try files.foreach(f => st.execute(importSql(f)))
+      finally st.close()
+    } finally conn.close()
+    files.length.toLong
+  }
+
   /** Kafka batch-scan config (reference kafka connector, S1). Produces the
     * (value, timestamp, key) column contract that [[Debezium.rawModel]]
     * and the key-scan (S5) consume. */

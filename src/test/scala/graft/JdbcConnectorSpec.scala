@@ -134,4 +134,30 @@ class JdbcConnectorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 2L), (2L, 1L)))
   }
+
+  test("K4: COPY-speed bulk load via the database's server-side import") {
+    withStatement { st =>
+      st.executeUpdate(
+        """CREATE TABLE bulk_target (
+          |  id BIGINT NOT NULL,
+          |  label VARCHAR(50),
+          |  score DOUBLE)""".stripMargin)
+    }
+    val n = 50000
+    val df = (1 to n).map(i =>
+      (i.toLong, s"label,with \"quotes\" $i", i * 0.5)).toDF(
+      "id", "label", "score")
+    val work = tmpDir("bulkload-csv")
+    val files = Connectors.bulkLoadJdbc(df, cfg,
+      f => s"CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, 'BULK_TARGET', " +
+        s"'$f', NULL, NULL, NULL, 0)",
+      work)
+    assert(files >= 1)
+    val back = Connectors.readJdbc(spark, cfg, "bulk_target")
+    assert(back.count() == n)
+    val row = back.filter($"ID" === 42L).collect().head
+    assert(row.getString(1) == "label,with \"quotes\" 42" &&
+      row.getDouble(2) == 21.0,
+      "CSV quoting must survive the server-side import")
+  }
 }
