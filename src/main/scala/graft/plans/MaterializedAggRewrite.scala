@@ -20,12 +20,16 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Strictly opt-in and conservative: nothing changes unless the scan's
   * root path was registered via [[register]], the grouping keys are
-  * exactly the maintained key set, every aggregate is `count(literal)`
-  * or a non-distinct `sum` of a maintained column, and no filter sits
-  * between the aggregate and the scan. Everything else keeps its
-  * original plan. Freshness is the registrant's contract, as with any
-  * MV: register the store only while its maintenance loop is wired to
-  * the same ingest that feeds the raw table.
+  * exactly the maintained key set, and every aggregate maps onto
+  * maintained state (`count(literal)`, non-distinct `sum`/`min`/`max`/
+  * `avg` of a maintained column, registered distinct counts). A filter
+  * between the aggregate and the scan is tolerated ONLY when it touches
+  * grouping keys alone — such a predicate commutes with the per-key
+  * aggregate and re-applies over the (key-carrying) store re-fold.
+  * Everything else keeps its original plan. Freshness is the
+  * registrant's contract, as with any MV: register the store only while
+  * its maintenance loop is wired to the same ingest that feeds the raw
+  * table.
   *
   * At 100 TB the rewrite turns a full fact-table scan + shuffle into a
   * read of per-key partial rows (store size ~ keys × batches, collapsed
@@ -93,33 +97,42 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     if (registry.isEmpty || rewriting.get()) plan
     else plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
-        sourceOf(child).flatMap { case (_, mv) =>
-          rewrite(agg, groups, aggExprs, mv)
+        sourceOf(child).flatMap { case (_, mv, preds) =>
+          rewrite(agg, groups, aggExprs, mv, preds)
         }.getOrElse(agg)
     }
   }
 
   /** The registered source under the aggregate, tolerating the
-    * column-pruning Project; anything else (filters, joins) → no match. */
-  private def sourceOf(p: LogicalPlan): Option[(LogicalRelation, MvDef)] =
+    * column-pruning Project and KEY-ONLY filters (collected and re-applied
+    * over the store re-fold — a predicate on grouping keys commutes with
+    * the per-key aggregate). A filter touching any non-key column, a
+    * join, or any other operator → no match. */
+  private def sourceOf(p: LogicalPlan)
+      : Option[(LogicalRelation, MvDef, Seq[Expression])] =
     p match {
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             fs.location.rootPaths.iterator
               .map(rp => registry.get(canon(rp.toString)))
-              .collectFirst { case mv if mv != null => (lr, mv) }
+              .collectFirst { case mv if mv != null => (lr, mv, Nil) }
           case _ => None
         }
       case Project(projList, child)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
         sourceOf(child)
+      case Filter(pred, child) if pred.deterministic =>
+        sourceOf(child).filter { case (_, mv, _) =>
+          pred.references.forall(a => mv.keyCols.contains(a.name))
+        }.map { case (lr, mv, preds) => (lr, mv, pred +: preds) }
       case _ => None
     }
 
   private def rewrite(agg: Aggregate, groups: Seq[Expression],
                       aggExprs: Seq[NamedExpression],
-                      mv: MvDef): Option[LogicalPlan] = {
+                      mv: MvDef,
+                      keyPreds: Seq[Expression]): Option[LogicalPlan] = {
     val groupAttrs = groups.collect { case a: AttributeReference => a }
     if (groupAttrs.size != groups.size) return None
     if (groupAttrs.map(_.name).toSet != mv.keyCols.toSet) return None
@@ -172,7 +185,7 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
         case (_, Plain(n)) => Seq(n)
         case (_, AvgOf(c)) => Seq(s"sum_$c", s"cnt_$c")
         case (_, DistinctOf(c)) => Seq(s"n_distinct_$c")
-      }
+      } ++ keyPreds.flatMap(_.references.map(_.name))
       if (!neededNames.forall(byName.contains)) return None
       val projected = refs.map { case (orig, ref) =>
         val expr: Expression = ref match {
@@ -189,7 +202,15 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
           else Cast(expr, orig.dataType)
         Alias(castExpr, orig.name)(exprId = orig.exprId)
       }
-      Some(Project(projected, refold))
+      // key-only filters re-apply over the refold (store key columns have
+      // fresh exprIds — remap the predicate's attributes by name)
+      val filtered = keyPreds.foldLeft(refold: LogicalPlan) { (p, pred) =>
+        val remapped = pred.transform {
+          case a: AttributeReference => byName(a.name)
+        }
+        Filter(remapped, p)
+      }
+      Some(Project(projected, filtered))
     } finally rewriting.set(false)
   }
 }

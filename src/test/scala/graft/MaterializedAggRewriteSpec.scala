@@ -85,7 +85,7 @@ class MaterializedAggRewriteSpec extends SparkSpec {
     val (srcDir, store) = fixture()
     registered(srcDir, store) {
       val raw = spark.read.parquet(srcDir)
-      // filter between aggregate and scan
+      // filter on a NON-key column between aggregate and scan
       val filtered = raw.where($"v" > 50).groupBy($"k")
         .agg(count(lit(1)).as("n"))
       assert(!filtered.queryExecution.optimizedPlan.toString.contains("__cnt"))
@@ -137,6 +137,25 @@ class MaterializedAggRewriteSpec extends SparkSpec {
           r.getLong(3))).toSet
       assert(got == want) // min/max are exact — no float re-association
     } finally MaterializedAggRewrite.clear()
+  }
+
+  test("key-only filters commute: filtered aggregate answers from the store") {
+    val (srcDir, store) = fixture()
+    def query() = spark.read.parquet(srcDir)
+      .where($"k".isin("k1", "k3", "k5") && $"k" =!= "k3")
+      .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    val want = query().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    registered(srcDir, store) {
+      val df = query()
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__cnt"), s"key-filtered hit did not fire:\n$plan")
+      assert(!plan.contains(",id#"), s"still scanning raw table:\n$plan")
+      val got = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.keySet == Set("k1", "k5"))
+      assertClose(got, want)
+    }
   }
 
   test("avg answers from sum/cnt partials, null semantics exact") {
