@@ -98,6 +98,59 @@ object SimilarityOps {
       .select(col(qIdCol), col(idCol), col("cos"), col("rank"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007's flip-the-uncertain-bits
+    * idea): each query probes its OWN bucket plus the buckets reached by
+    * flipping its `probes` least-confident bits — the planes where the
+    * query's projection margin |dot(q, r_j)| is smallest, i.e. where a
+    * true neighbor most plausibly landed on the other side. Recall rises
+    * toward (probes+1)× the single-probe candidate exposure at the cost
+    * of probing that many buckets, WITHOUT growing the corpus index —
+    * the standard trade when re-hashing the corpus (more tables) is too
+    * expensive at 100 TB.
+    *
+    * Plan shape: the query batch (broadcast-small by contract) explodes
+    * ×(probes+1); the corpus stays bucketed ONCE and is joined on the
+    * bucket equi-key exactly as [[lshTopK]] — no new shuffle of the
+    * corpus, no nested loop. */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                        bits: Int = 8, probes: Int = 4,
+                        dim: Int = 64, seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    require(probes >= 0 && probes <= bits, s"probes must be in [0, $bits]")
+    fused(corpus)
+    val planes = hyperplanes(bits, dim, seed)
+    val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
+    // per-plane projection margins: (|dot|, plane index), ascending sort
+    // puts the least-confident planes first
+    val margins = array(planes.zipWithIndex.map { case (p, j) =>
+      val planeArr = array(p.map(x => lit(x.toFloat)): _*)
+      struct(abs(graft.functions.DotProductF(col(qVecCol), planeArr)).as("m"),
+        lit(j).as("j"))
+    }: _*)
+    val qProbed = queries
+      .withColumn("bucket0", lshBucket(col(qVecCol), planes))
+      .withColumn("__flips", slice(array_sort(margins), 1, probes))
+      .withColumn("bucket", explode(array_union(
+        array(col("bucket0")),
+        transform(col("__flips"), f =>
+          col("bucket0").bitwiseXOR(
+            org.apache.spark.sql.functions.call_function("shiftleft",
+              lit(1L), f.getField("j")))))))
+      .drop("bucket0", "__flips")
+    val scored = bucketed.join(broadcast(qProbed), Seq("bucket"))
+      .filter(col(idCol) =!= col(qIdCol))
+      // a candidate can arrive via several probed buckets → dedup pairs
+      .select(col(qIdCol), col(idCol), col(vecCol), col(qVecCol))
+      .dropDuplicates(qIdCol, idCol)
+      .withColumn("cos", round(
+        graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cos"), col("rank"))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
     * nearest coarse centroid; each query scores only the vectors in its
     * `nprobe` closest cells — cost/query ≈ corpus · nprobe/nlist.

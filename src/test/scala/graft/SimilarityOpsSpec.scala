@@ -53,6 +53,33 @@ class SimilarityOpsSpec extends SparkSpec {
     approx.foreach { case (q, hit) => assert(hit % 10 == q % 10) }
   }
 
+  test("multi-probe LSH: strictly higher recall than single-probe, no extra index") {
+    val queries = corpus.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = SimilarityOps.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(got: Set[(Long, Long)]) =
+      exact.intersect(got).size.toDouble / exact.size
+    val single = recallOf(SimilarityOps.lshTopK(corpus, queries, k = 5,
+      bits = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val multi4 = SimilarityOps.lshTopKMultiProbe(corpus, queries, k = 5,
+      bits = 8, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rMulti = recallOf(multi4)
+    info(f"single-probe recall=$single%.3f multi-probe(4) recall=$rMulti%.3f")
+    assert(rMulti >= single,
+      s"multi-probe must never lose recall ($rMulti < $single)")
+    assert(rMulti >= 0.8, s"multi-probe recall=$rMulti")
+    multi4.foreach { case (q, hit) => assert(hit % 10 == q % 10) }
+    // probes=0 degenerates to exactly the single-probe candidate set
+    val zero = SimilarityOps.lshTopKMultiProbe(corpus, queries, k = 5,
+      bits = 8, probes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singleSet = SimilarityOps.lshTopK(corpus, queries, k = 5, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zero == singleSet)
+  }
+
   test("cosineNearDups finds intra-cluster pairs only") {
     val pairs = SimilarityOps.cosineNearDups(corpus.limit(50), threshold = 0.9)
     val rows = pairs.collect()
