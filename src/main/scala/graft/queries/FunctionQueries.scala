@@ -234,6 +234,38 @@ object FunctionQueries {
     perDay.unionByName(global).orderBy($"day")
   }
 
+  /** Incremental QUANTILE maintenance (q122): per-nation account-balance
+    * quantiles maintained across three simulated ingest batches via
+    * [[graft.ops.QuantileSketchAgg]] — per-batch IO is one KLL sketch
+    * per key, and the current p50/p90 are answered from stored sketches
+    * alone (a mid-stream compact proves merge invariance). At ≤40
+    * suppliers per nation the k=400 sketch retains EVERY value, so
+    * quantiles are exact under the Datasketches INCLUSIVE rank
+    * definition — which is SQL's `min(v) where cume_dist ≥ p`, and that
+    * is the DuckDB oracle, gating the whole sketch→append→merge→query
+    * path bit-for-bit. The beyond-capacity rank-error bound is gated in
+    * QuantileSketchAggSpec. */
+  def q122QuantileIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.QuantileSketchAgg
+    val sup = Tables.load(s, dir, "supplier").select($"s_nationkey",
+      floor($"s_acctbal" * 100.0 + 0.5).cast("long").as("cents"),
+      $"s_suppkey")
+    val spec = QuantileSketchAgg.Spec(Seq("s_nationkey"), "cents", k = 400)
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q122kll").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    (0L to 2L).foreach { b =>
+      QuantileSketchAgg.appendBatch(store,
+        sup.filter($"s_suppkey" % 3 === b), spec, batchId = b)
+      if (b == 1L) QuantileSketchAgg.compact(store, spec)
+    }
+    QuantileSketchAgg.current(store, spec, Seq(0.5, 0.9))
+      .select($"s_nationkey", $"n_rows",
+        $"q50".as("q50_cents"), $"q90".as("q90_cents"))
+      .orderBy($"s_nationkey")
+  }
+
   /** Count-Min sketch frequency service (q93): one distributed pass
     * builds the fixed-size linear sketch (map-side merged matrices — no
     * token shuffle), then every supplier's frequency is answered FROM THE
@@ -266,6 +298,7 @@ object FunctionQueries {
 
   val queries: Map[String, Q] = Map(
     "q108_sketch_ivm" -> (q108SketchIvm _),
+    "q122_quantile_ivm" -> (q122QuantileIvm _),
     "q93_count_min" -> (q93CountMin _),
     "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q54_unpivot" -> (q54Unpivot _),
@@ -287,6 +320,21 @@ object FunctionQueries {
         |  UNION ALL
         |  SELECT 'ALL', count(DISTINCT user_id), count(*) FROM events)
         |ORDER BY day""".stripMargin,
+    "q122_quantile_ivm" ->
+      """WITH c AS (
+        |  SELECT s_nationkey,
+        |    CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM supplier),
+        |d AS (
+        |  SELECT s_nationkey, cents,
+        |    cume_dist() OVER (PARTITION BY s_nationkey ORDER BY cents) AS cd
+        |  FROM c)
+        |SELECT s_nationkey, count(*) AS n_rows,
+        |  min(CASE WHEN cd >= 0.5 THEN cents END) AS q50_cents,
+        |  min(CASE WHEN cd >= 0.9 THEN cents END) AS q90_cents
+        |FROM d
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "q93_count_min" ->
       """SELECT s_suppkey, CAST(COALESCE(cnt, 0) AS BIGINT) AS est_count
         |FROM supplier
