@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -58,20 +58,31 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     *                  stores are in their EXACT regime (e.g. the
     *                  documented sparse-mode bound), allowing plain
     *                  `count(DISTINCT col)` to be answered from them;
-    *                  leave false unless that bound is guaranteed */
+    *                  leave false unless that bound is guaranteed
+    * @param quantileCurrent per-column quantile providers: given the
+    *                  requested probabilities, build a DataFrame of
+    *                  keys ++ `q<pct>` columns — normally
+    *                  `ps => QuantileSketchAgg.current(store, spec, ps)`.
+    *                  `percentile_approx(col, p)` with a literal scalar
+    *                  `p` is answered from it; both sides are
+    *                  approximate by contract, though the estimators
+    *                  differ (Spark's GK summaries vs the store's KLL) */
   final case class MvDef(keyCols: Seq[String], sumCols: Seq[String],
                          current: () => DataFrame,
                          minCols: Seq[String] = Nil,
                          maxCols: Seq[String] = Nil,
                          distinctCurrent: Map[String, () => DataFrame] =
                            Map.empty,
-                         serveExactDistinct: Boolean = false)
+                         serveExactDistinct: Boolean = false,
+                         quantileCurrent: Map[String, Seq[Double] => DataFrame] =
+                           Map.empty)
 
   /** How one output column maps onto the store. */
   private sealed trait StoreRef
   private final case class Plain(name: String) extends StoreRef
   private final case class AvgOf(c: String) extends StoreRef
   private final case class DistinctOf(c: String) extends StoreRef
+  private final case class QuantileOf(c: String, p: Double) extends StoreRef
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
   // re-entrancy guard: building the replacement DataFrame analyzes a new
@@ -162,6 +173,14 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _), _)
         if mv.serveExactDistinct && mv.distinctCurrent.contains(a.name) =>
         Some((al, DistinctOf(a.name)))
+      case al @ Alias(AggregateExpression(
+          ap: ApproximatePercentile, _, false, None, _), _) =>
+        (ap.children, mv) match {
+          case (Seq(a: AttributeReference, Literal(p: Double, DoubleType), _), m)
+            if m.quantileCurrent.contains(a.name) && p >= 0.0 && p <= 1.0 =>
+            Some((al, QuantileOf(a.name, p)))
+          case _ => None
+        }
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) return None
@@ -173,11 +192,23 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
       // (e.g. Deduplicate→Aggregate) have already run on the outer tree,
       // so an analyzed subtree would keep un-lowerable operators
       val needDistinct = refs.collect { case (_, DistinctOf(c)) => c }.distinct
-      val refoldDf = needDistinct.foldLeft(mv.current()) { (acc, c) =>
+      val needQuantile = refs.collect { case (_, QuantileOf(c, p)) => (c, p) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val withDistinct = needDistinct.foldLeft(mv.current()) { (acc, c) =>
         acc.join(
           mv.distinctCurrent(c)().withColumnRenamed("n_distinct",
             s"n_distinct_$c"),
           mv.keyCols)
+      }
+      val refoldDf = needQuantile.foldLeft(withDistinct) {
+        case (acc, (c, ps)) =>
+          // q<pct> columns come back prefixed per source column so two
+          // quantile-served columns cannot collide
+          val qdf = ps.foldLeft(mv.quantileCurrent(c)(ps)) { (d, p) =>
+            d.withColumnRenamed(s"q${math.round(p * 100)}",
+              s"__q_${c}_${math.round(p * 100)}")
+          }
+          acc.join(qdf.drop("n_rows"), mv.keyCols)
       }
       val refold = refoldDf.queryExecution.optimizedPlan
       val byName = refold.output.map(a => a.name -> a).toMap
@@ -185,6 +216,7 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
         case (_, Plain(n)) => Seq(n)
         case (_, AvgOf(c)) => Seq(s"sum_$c", s"cnt_$c")
         case (_, DistinctOf(c)) => Seq(s"n_distinct_$c")
+        case (_, QuantileOf(c, p)) => Seq(s"__q_${c}_${math.round(p * 100)}")
       } ++ keyPreds.flatMap(_.references.map(_.name))
       if (!neededNames.forall(byName.contains)) return None
       val projected = refs.map { case (orig, ref) =>
@@ -196,6 +228,8 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
             Divide(Cast(byName(s"sum_$c"), DoubleType),
               Cast(byName(s"cnt_$c"), DoubleType))
           case DistinctOf(c) => byName(s"n_distinct_$c")
+          case QuantileOf(c, p) =>
+            byName(s"__q_${c}_${math.round(p * 100)}")
         }
         val castExpr =
           if (expr.dataType == orig.dataType) expr

@@ -251,6 +251,54 @@ class MaterializedAggRewriteSpec extends SparkSpec {
     } finally MaterializedAggRewrite.clear()
   }
 
+  test("percentile_approx answers from the KLL store; exact regime equal") {
+    import graft.ops.QuantileSketchAgg
+    val srcDir = tmpDir("mv-q-src")
+    // ≤ 60 values per key: inside KLL capacity → stored quantiles exact
+    (1 to 300).map(i => (s"k${i % 5}", (i * 31L) % 211L, i.toLong))
+      .toDF("k", "q", "id").write.mode("overwrite").parquet(srcDir)
+    val aggStore = new AppendOnlyStore(spark, tmpDir("mv-q-agg"),
+      prefixCol = "__agg_key", prefixChars = 1)
+    val kllStore = new AppendOnlyStore(spark, tmpDir("mv-q-kll"),
+      prefixCol = "__agg_key", prefixChars = 1)
+    val aggSpec = IncrementalAgg.Spec(Seq("k"), Nil)
+    val kllSpec = QuantileSketchAgg.Spec(Seq("k"), "q", k = 200)
+    val src = spark.read.parquet(srcDir)
+    (0L to 1L).foreach { b =>
+      IncrementalAgg.appendBatch(aggStore, src.filter($"id" % 2 === b),
+        aggSpec, b)
+      QuantileSketchAgg.appendBatch(kllStore, src.filter($"id" % 2 === b),
+        kllSpec, b)
+    }
+    MaterializedAggRewrite.register(srcDir, MaterializedAggRewrite.MvDef(
+      aggSpec.keyCols, aggSpec.sumCols,
+      () => IncrementalAgg.current(aggStore, aggSpec),
+      quantileCurrent = Map("q" -> (ps =>
+        QuantileSketchAgg.current(kllStore, kllSpec, ps)))))
+    try {
+      def query() = spark.read.parquet(srcDir).groupBy($"k")
+        .agg(percentile_approx($"q", lit(0.5), lit(10000)).as("med"),
+          count(lit(1)).as("n"))
+      val df = query()
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__q_q_50"), s"quantile hit did not fire:\n$plan")
+      val got = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // exact regime: KLL inclusive-rank median == the reference median
+      val want = src.collect().groupBy(_.getString(0)).map { case (k, rows) =>
+        val vs = rows.map(_.getLong(1)).sorted
+        val med = vs.find(v =>
+          vs.count(_ <= v).toDouble / vs.length >= 0.5).get
+        k -> (med, rows.length.toLong)
+      }
+      assert(got == want)
+      // guard: a non-registered column keeps its plan
+      val other = spark.read.parquet(srcDir).groupBy($"k")
+        .agg(percentile_approx($"id", lit(0.5), lit(10000)).as("m"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("__q_"))
+    } finally MaterializedAggRewrite.clear()
+  }
+
   test("distinct store staleness: maintenance restores equality") {
     import graft.ops.SketchAgg
     val srcDir = tmpDir("mv-stale-src")
