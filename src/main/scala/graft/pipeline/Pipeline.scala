@@ -122,13 +122,23 @@ final case class PipelineResult(stages: Seq[StageResult]) {
 
 class Pipeline(val stages: Seq[Stage],
                metrics: Option[graft.checks.MetricsStore] = None,
-               runId: String = java.util.UUID.randomUUID().toString.take(8)) {
+               runId: String = java.util.UUID.randomUUID().toString.take(8),
+               alerts: Option[graft.checks.Alerts.AlertManager] = None) {
   private val byName = stages.map(s => s.name -> s).toMap
 
   /** Attach a metrics store: every materialized stage records its volume
     * row after a successful run (the Elementary history feed, T4). */
   def withMetrics(store: graft.checks.MetricsStore, runId: String): Pipeline =
-    new Pipeline(stages, Some(store), runId)
+    new Pipeline(stages, Some(store), runId, alerts)
+
+  /** Attach an alert manager: every stage's check results route through
+    * it (subjects scoped `stage:column` so identical column names in
+    * different stages alert independently) — the reference's
+    * Elementary→Slack hook, edge-triggered with suppression
+    * ([[graft.checks.Alerts.AlertManager]]). Reuse ONE manager across
+    * scheduled runs so a persistently failing check pages once. */
+  def withAlerts(mgr: graft.checks.Alerts.AlertManager): Pipeline =
+    new Pipeline(stages, metrics, runId, Some(mgr))
   require(byName.size == stages.size, "duplicate stage names")
   stages.foreach(s => s.deps.foreach(d =>
     require(byName.contains(d), s"stage ${s.name} depends on unknown $d")))
@@ -279,6 +289,12 @@ class Pipeline(val stages: Seq[Stage],
       // metrics table append is read-union-overwrite
       if (ok) metrics.foreach(m =>
         this.synchronized { m.record(runId, st.name, materialized) })
+      // alert routing sees EVERY result (pass results re-arm recovery);
+      // synchronized for the same runParallel reason
+      alerts.foreach(a => this.synchronized {
+        a.process(checkResults.map(r =>
+          r.copy(column = s"${st.name}:${r.column}")))
+      })
       val ms = (System.nanoTime() - t0) / 1000000
       checkResults.foreach(r => log(
         s"stage ${st.name} check ${r.check}(${r.column}): " +

@@ -87,6 +87,27 @@ class AlertsSpec extends SparkSpec {
     assert(fired2.isEmpty && mgr2.deliveryFailures == 1)
   }
 
+  test("Pipeline.withAlerts routes check results, suppressed across runs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.pipeline.{Pipeline, Stage}
+    val sent = scala.collection.mutable.ArrayBuffer[Alerts.Alert]()
+    val mgr = new Alerts.AlertManager((a: Alerts.Alert) => sent += a)
+    // a Warn-severity check that always fails: the pipeline stays ok
+    // (warn does not block publish) but the alert must fire
+    val st = Stage(name = "docs",
+      build = (s, _) => (1 to 100).map(i => (i.toLong, s"d$i")).toDF("id", "t"),
+      checks = Seq(graft.checks.Checks.Expression("half_ids",
+        col("id") <= 50, severity = graft.checks.Checks.Warn)))
+    val p = new Pipeline(Seq(st)).withAlerts(mgr)
+    val r1 = p.run(spark)
+    assert(r1.ok, "warn-severity failure must not fail the run")
+    assert(sent.size == 1 && sent.head.event == "fired" &&
+      sent.head.subject.startsWith("docs:"))
+    val r2 = p.run(spark)
+    assert(r2.ok && sent.size == 1, "still-failing check must not re-page")
+  }
+
   test("MetricsStore anomaly wired through the alert manager end to end") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
