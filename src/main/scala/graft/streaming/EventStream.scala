@@ -182,4 +182,27 @@ object EventStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming quantile maintenance — the third twin, for
+    * [[graft.ops.QuantileSketchAgg]]: each micro-batch folds to one
+    * mergeable KLL sketch per key and appends; replay dedupes on the
+    * foreachBatch id, so "p99 per key, maintained by the stream" costs
+    * one batch-sized fold per trigger and the raw stream is never
+    * re-read. */
+  def maintainQuantilesAvailableNow(spark: SparkSession, parquetDir: String,
+                                    schema: org.apache.spark.sql.types.StructType,
+                                    store: graft.sinks.AppendOnlyStore,
+                                    spec: graft.ops.QuantileSketchAgg.Spec,
+                                    checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(parquetDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.QuantileSketchAgg.appendBatch(store, batch, spec, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -74,6 +74,34 @@ class QuantileSketchAggSpec extends SparkSpec {
     assert(store.read().count() < rowsBefore)
   }
 
+  test("streaming twin: AvailableNow maintenance matches batch exactness") {
+    val spec = QuantileSketchAgg.Spec(Seq("g"), "v", k = 200)
+    val root = tmpDir("kll-stream")
+    val dataDir = s"$root/in"
+    val df1 = (0 until 300).map(i => (i % 3, (i * 31L) % 211L)).toDF("g", "v")
+    df1.coalesce(1).write.mode("append").parquet(dataDir)
+    val store = newStore("kll-stream-store")
+    graft.streaming.EventStream.maintainQuantilesAvailableNow(
+      spark, dataDir, df1.schema, store, spec, s"$root/ckpt")
+    def got() = QuantileSketchAgg.current(store, spec, Seq(0.5))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    def want(rows: Seq[(Int, Long)]) = rows.groupBy(_._1).toSeq.map {
+      case (g, rs) => (g, rs.size.toLong, refQuantile(rs.map(_._2), 0.5))
+    }.sorted
+    val rows1 = (0 until 300).map(i => (i % 3, (i * 31L) % 211L))
+    assert(got().toSeq == want(rows1))
+    // checkpoint: re-run with no new files is a no-op
+    graft.streaming.EventStream.maintainQuantilesAvailableNow(
+      spark, dataDir, df1.schema, store, spec, s"$root/ckpt")
+    assert(got().toSeq == want(rows1))
+    // a new file folds in incrementally
+    val rows2 = (300 until 500).map(i => (i % 3, (i * 31L) % 211L))
+    rows2.toDF("g", "v").coalesce(1).write.mode("append").parquet(dataDir)
+    graft.streaming.EventStream.maintainQuantilesAvailableNow(
+      spark, dataDir, df1.schema, store, spec, s"$root/ckpt")
+    assert(got().toSeq == want(rows1 ++ rows2))
+  }
+
   test("beyond capacity: rank error within the published epsilon bound") {
     // 100k uniform values through a k=200 sketch: Datasketches' bound
     // for k=200 is ~1.65% rank error (99% confidence); gate at 3%
