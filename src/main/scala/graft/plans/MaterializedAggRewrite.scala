@@ -110,8 +110,61 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
         sourceOf(child).flatMap { case (_, mv, preds) =>
           rewrite(agg, groups, aggExprs, mv, preds)
+        }.orElse {
+          joinSourceOf(child).flatMap { case (mv, preds, dimPlan, pairs) =>
+            rewriteJoin(groups, aggExprs, mv, preds, dimPlan, pairs)
+          }
         }.getOrElse(agg)
     }
+  }
+
+  /** An INNER equi-join of the registered fact scan with an arbitrary
+    * dimension subtree, directly under the aggregate: returns the fact's
+    * MvDef + key-only fact predicates, the dim subtree (reused verbatim,
+    * attribute ids intact), and the (factKeyAttr, dimAttr) join pairs.
+    * Every fact-side join key must be a maintained grouping key. */
+  private def joinSourceOf(p: LogicalPlan)
+      : Option[(MvDef, Seq[Expression], LogicalPlan,
+                Seq[(AttributeReference, Attribute)])] = {
+    val join = p match {
+      case j: Join => Some(j)
+      case Project(pl, j: Join)
+        if pl.forall(_.isInstanceOf[AttributeReference]) => Some(j)
+      case _ => None
+    }
+    join.flatMap {
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(cond), _) =>
+        def pairsFor(factSide: LogicalPlan, dimSide: LogicalPlan)
+            : Option[Seq[(AttributeReference, Attribute)]] = {
+          val fOut = factSide.outputSet
+          val dOut = dimSide.outputSet
+          val conj = splitConjuncts(cond)
+          val pairs = conj.map {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+              if fOut.contains(a) && dOut.contains(b) => Some((a, b: Attribute))
+            case EqualTo(b: AttributeReference, a: AttributeReference)
+              if fOut.contains(a) && dOut.contains(b) => Some((a, b: Attribute))
+            case _ => None
+          }
+          if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten)
+        }
+        def tryFact(factSide: LogicalPlan, dimSide: LogicalPlan) =
+          sourceOf(factSide).flatMap { case (_, mv, preds) =>
+            pairsFor(factSide, dimSide)
+              .filter(_.forall { case (fa, _) => mv.keyCols.contains(fa.name) })
+              .filter(_.nonEmpty)
+              .map(ps => (mv, preds, dimSide, ps))
+          }
+        tryFact(l, r).orElse(tryFact(r, l))
+      case _ => None
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
   }
 
   /** The registered source under the aggregate, tolerating the
@@ -245,6 +298,118 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
         Filter(remapped, p)
       }
       Some(Project(projected, filtered))
+    } finally rewriting.set(false)
+  }
+
+  /** The aggregate-over-join hit: `fact JOIN dim GROUP BY dim attrs` is
+    * answered by joining the (small) store re-fold with the dim subtree
+    * and RE-AGGREGATING the partials — sums of sums, min of mins, count
+    * from n_rows, avg from the two sums. Correct under any join
+    * multiplicity: duplicated dim keys duplicate partial rows exactly as
+    * they duplicate fact rows, and every served aggregate is
+    * duplication-linear (sum/count/avg) or duplication-invariant
+    * (min/max). Unmatched fact keys drop on both sides identically
+    * (inner join). Distinct counts and percentiles are NOT re-mergeable
+    * across keys and bail to the original plan. The 100 TB win is the
+    * same as the plain hit — the fact scan + first-level shuffle never
+    * run; what remains is a keys×batches-sized join against the
+    * dimension. */
+  private def rewriteJoin(groups: Seq[Expression],
+                          aggExprs: Seq[NamedExpression],
+                          mv: MvDef,
+                          keyPreds: Seq[Expression],
+                          dimPlan: LogicalPlan,
+                          pairs: Seq[(AttributeReference, Attribute)])
+      : Option[LogicalPlan] = {
+    val dimOut = dimPlan.outputSet
+    val groupAttrs = groups.collect { case a: AttributeReference => a }
+    if (groupAttrs.size != groups.size) return None
+    // every fact-side group key must be a maintained key column
+    if (!groupAttrs.forall(a => dimOut.contains(a) ||
+        mv.keyCols.contains(a.name))) return None
+
+    sealed trait ReAgg
+    case class PassDim(a: AttributeReference) extends ReAgg
+    case class PassKey(a: AttributeReference) extends ReAgg
+    case class SumStore(orig: NamedExpression, col: String) extends ReAgg
+    case class MinStore(orig: NamedExpression, col: String) extends ReAgg
+    case class MaxStore(orig: NamedExpression, col: String) extends ReAgg
+    case class AvgStore(orig: NamedExpression, c: String) extends ReAgg
+
+    val mapped: Seq[Option[ReAgg]] = aggExprs.map {
+      case a: AttributeReference if dimOut.contains(a) => Some(PassDim(a))
+      case a: AttributeReference if mv.keyCols.contains(a.name) =>
+        Some(PassKey(a))
+      case al @ Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
+        if l.value != null => Some(SumStore(al, "n_rows"))
+      case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), _)
+        if !dimOut.contains(a) && mv.sumCols.contains(a.name) =>
+        Some(SumStore(al, s"sum_${a.name}"))
+      case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), _)
+        if !dimOut.contains(a) && mv.minCols.contains(a.name) =>
+        Some(MinStore(al, s"min_${a.name}"))
+      case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), _)
+        if !dimOut.contains(a) && mv.maxCols.contains(a.name) =>
+        Some(MaxStore(al, s"max_${a.name}"))
+      case al @ Alias(AggregateExpression(Average(a: AttributeReference, _), _, false, None, _), _)
+        if !dimOut.contains(a) && mv.sumCols.contains(a.name) &&
+          al.dataType == DoubleType =>
+        Some(AvgStore(al, a.name))
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) return None
+    val refs = mapped.flatten
+
+    rewriting.set(true)
+    try {
+      val refold = mv.current().queryExecution.optimizedPlan
+      val byName = refold.output.map(a => a.name -> a).toMap
+      val needed = pairs.map(_._1.name) ++
+        groupAttrs.filterNot(dimOut.contains).map(_.name) ++
+        keyPreds.flatMap(_.references.map(_.name)) ++
+        refs.collect {
+          case SumStore(_, c) => c
+          case MinStore(_, c) => c
+          case MaxStore(_, c) => c
+        } ++ refs.collect { case AvgStore(_, c) =>
+          Seq(s"sum_$c", s"cnt_$c") }.flatten
+      if (!needed.forall(byName.contains)) return None
+
+      val filtered = keyPreds.foldLeft(refold: LogicalPlan) { (p, pred) =>
+        Filter(pred.transform { case a: AttributeReference => byName(a.name) },
+          p)
+      }
+      val cond = pairs.map { case (fa, da) =>
+        EqualTo(byName(fa.name), da): Expression
+      }.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+      val joined = Join(filtered, dimPlan,
+        org.apache.spark.sql.catalyst.plans.Inner, Some(cond),
+        JoinHint.NONE)
+
+      val groupExprs: Seq[Expression] = groupAttrs.map {
+        case a if dimOut.contains(a) => a
+        case a => byName(a.name)
+      }
+      def alias(orig: NamedExpression, e: Expression): NamedExpression = {
+        val cast = if (e.dataType == orig.dataType) e
+          else Cast(e, orig.dataType)
+        Alias(cast, orig.name)(exprId = orig.exprId)
+      }
+      val out: Seq[NamedExpression] = refs.map {
+        case PassDim(a) => a
+        case PassKey(a) => alias(a, byName(a.name))
+        case SumStore(o, c) =>
+          alias(o, Sum(byName(c)).toAggregateExpression())
+        case MinStore(o, c) =>
+          alias(o, Min(byName(c)).toAggregateExpression())
+        case MaxStore(o, c) =>
+          alias(o, Max(byName(c)).toAggregateExpression())
+        case AvgStore(o, c) =>
+          alias(o, Divide(
+            Cast(Sum(byName(s"sum_$c")).toAggregateExpression(), DoubleType),
+            Cast(Sum(byName(s"cnt_$c")).toAggregateExpression(), DoubleType)))
+      }
+      Some(Aggregate(groupExprs, out, joined))
     } finally rewriting.set(false)
   }
 }

@@ -251,6 +251,63 @@ class MaterializedAggRewriteSpec extends SparkSpec {
     } finally MaterializedAggRewrite.clear()
   }
 
+  test("aggregate over fact-dim join re-aggregates the store partials") {
+    val (srcDir, store) = fixture()
+    val dim = Seq(("k0", "east"), ("k1", "east"), ("k2", "west"),
+      ("k3", "west"), ("k4", "north"), ("k5", "north"))
+      .toDF("k", "region") // k6 intentionally unmatched → inner-join drop
+    def query() = spark.read.parquet(srcDir)
+      .join(dim, Seq("k"))
+      .groupBy($"region")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"),
+        avg($"v").as("a"))
+    val want = query().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    registered(srcDir, store) {
+      val df = query()
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__cnt"), s"join hit did not fire:\n$plan")
+      assert(!plan.contains(",id#"), s"still scanning the fact table:\n$plan")
+      val got = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toMap
+      assert(got.keySet == want.keySet && got.keySet == Set("east", "west",
+        "north"))
+      got.foreach { case (k, (n, t, a)) =>
+        val (wn, wt, wa) = want(k)
+        assert(n == wn, s"$k n")
+        assert(math.abs(t - wt) <= math.abs(wt) * 1e-12, s"$k sum")
+        assert(math.abs(a - wa) <= math.abs(wa) * 1e-12, s"$k avg")
+      }
+    }
+  }
+
+  test("join shapes that cannot re-aggregate keep their plan") {
+    val (srcDir, store) = fixture()
+    val dim = Seq(("k0", "east", 10.0), ("k1", "west", 20.0))
+      .toDF("k", "region", "w")
+    registered(srcDir, store) {
+      val fact = spark.read.parquet(srcDir)
+      // dim-column aggregate: not maintained → untouched
+      val dimAgg = fact.join(dim, Seq("k")).groupBy($"region")
+        .agg(sum($"w").as("s"))
+      assert(!dimAgg.queryExecution.optimizedPlan.toString.contains("__cnt"))
+      // left join changes unmatched-key semantics → untouched
+      val leftJoin = fact.join(dim, Seq("k"), "left").groupBy($"region")
+        .agg(count(lit(1)).as("n"))
+      assert(!leftJoin.queryExecution.optimizedPlan.toString.contains("__cnt"))
+      // distinct count is not re-mergeable across keys → untouched
+      val dAgg = fact.join(dim, Seq("k")).groupBy($"region")
+        .agg(countDistinct($"v").as("d"))
+      assert(!dAgg.queryExecution.optimizedPlan.toString.contains("__cnt"))
+      // non-key fact group column → untouched
+      val badGroup = fact.join(dim, Seq("k")).groupBy($"v")
+        .agg(count(lit(1)).as("n"))
+      assert(!badGroup.queryExecution.optimizedPlan.toString.contains("__cnt"))
+    }
+  }
+
   test("percentile_approx answers from the KLL store; exact regime equal") {
     import graft.ops.QuantileSketchAgg
     val srcDir = tmpDir("mv-q-src")
