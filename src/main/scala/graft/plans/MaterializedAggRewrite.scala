@@ -193,6 +193,38 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Classify one aggregate FUNCTION call against the store. Top-level
+    * shape (plain alias vs an expression COMPUTED over aggregates, e.g.
+    * `floor(sum(x) + 0.5)` after CollapseProject folds a select into the
+    * Aggregate) is handled by the recursive rebuild, not here. */
+  private def toStoreRef(ae: AggregateExpression, mv: MvDef): Option[StoreRef] =
+    ae match {
+      case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
+        if l.value != null => Some(Plain("n_rows"))
+      case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
+        if mv.sumCols.contains(a.name) => Some(Plain(s"sum_${a.name}"))
+      case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
+        if mv.minCols.contains(a.name) => Some(Plain(s"min_${a.name}"))
+      case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
+        if mv.maxCols.contains(a.name) => Some(Plain(s"max_${a.name}"))
+      case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
+        if mv.sumCols.contains(a.name) && ae.dataType == DoubleType =>
+        Some(AvgOf(a.name))
+      case AggregateExpression(HyperLogLogPlusPlus(a: AttributeReference, _, _, _), _, false, None, _)
+        if mv.distinctCurrent.contains(a.name) => Some(DistinctOf(a.name))
+      case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _)
+        if mv.serveExactDistinct && mv.distinctCurrent.contains(a.name) =>
+        Some(DistinctOf(a.name))
+      case AggregateExpression(ap: ApproximatePercentile, _, false, None, _) =>
+        ap.children match {
+          case Seq(a: AttributeReference, Literal(p: Double, DoubleType), _)
+            if mv.quantileCurrent.contains(a.name) && p >= 0.0 && p <= 1.0 =>
+            Some(QuantileOf(a.name, p))
+          case _ => None
+        }
+      case _ => None
+    }
+
   private def rewrite(agg: Aggregate, groups: Seq[Expression],
                       aggExprs: Seq[NamedExpression],
                       mv: MvDef,
@@ -201,51 +233,35 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     if (groupAttrs.size != groups.size) return None
     if (groupAttrs.map(_.name).toSet != mv.keyCols.toSet) return None
 
-    // map every output column onto a store reference, or bail
-    val mapped: Seq[Option[(NamedExpression, StoreRef)]] = aggExprs.map {
-      case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
-        Some((a, Plain(a.name)))
-      case al @ Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
-        if l.value != null =>
-        Some((al, Plain("n_rows")))
-      case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), _)
-        if mv.sumCols.contains(a.name) =>
-        Some((al, Plain(s"sum_${a.name}")))
-      case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), _)
-        if mv.minCols.contains(a.name) =>
-        Some((al, Plain(s"min_${a.name}")))
-      case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), _)
-        if mv.maxCols.contains(a.name) =>
-        Some((al, Plain(s"max_${a.name}")))
-      case al @ Alias(AggregateExpression(Average(a: AttributeReference, _), _, false, None, _), _)
-        if mv.sumCols.contains(a.name) && al.dataType == DoubleType =>
-        Some((al, AvgOf(a.name)))
-      case al @ Alias(AggregateExpression(HyperLogLogPlusPlus(a: AttributeReference, _, _, _), _, false, None, _), _)
-        if mv.distinctCurrent.contains(a.name) =>
-        Some((al, DistinctOf(a.name)))
-      case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _), _)
-        if mv.serveExactDistinct && mv.distinctCurrent.contains(a.name) =>
-        Some((al, DistinctOf(a.name)))
-      case al @ Alias(AggregateExpression(
-          ap: ApproximatePercentile, _, false, None, _), _) =>
-        (ap.children, mv) match {
-          case (Seq(a: AttributeReference, Literal(p: Double, DoubleType), _), m)
-            if m.quantileCurrent.contains(a.name) && p >= 0.0 && p <= 1.0 =>
-            Some((al, QuantileOf(a.name, p)))
-          case _ => None
+    // phase 1: every aggregate call maps onto the store; every attribute
+    // outside an aggregate is a grouping key — else bail. Composite
+    // expressions over aggregates (post-CollapseProject shapes) are fine.
+    val aggRefs = scala.collection.mutable.LinkedHashMap[ExprId, StoreRef]()
+    def scanOk(e: Expression): Boolean = e match {
+      case ae: AggregateExpression =>
+        toStoreRef(ae, mv) match {
+          case Some(r) => aggRefs(ae.resultId) = r; true
+          case None => false
         }
-      case _ => None
+      case a: AttributeReference =>
+        groupAttrs.exists(_.exprId == a.exprId)
+      case other => other.children.forall(scanOk)
     }
-    if (mapped.exists(_.isEmpty)) return None
-    val refs = mapped.flatten
+    val shapeOk = aggExprs.forall {
+      case a: AttributeReference => groupAttrs.exists(_.exprId == a.exprId)
+      case al: Alias => scanOk(al.child)
+      case _ => false
+    }
+    if (!shapeOk) return None
+    val refs = aggRefs.values.toSeq
 
     rewriting.set(true)
     try {
       // splice the OPTIMIZED refold subtree: operator-replacement batches
       // (e.g. Deduplicate→Aggregate) have already run on the outer tree,
       // so an analyzed subtree would keep un-lowerable operators
-      val needDistinct = refs.collect { case (_, DistinctOf(c)) => c }.distinct
-      val needQuantile = refs.collect { case (_, QuantileOf(c, p)) => (c, p) }
+      val needDistinct = refs.collect { case DistinctOf(c) => c }.distinct
+      val needQuantile = refs.collect { case QuantileOf(c, p) => (c, p) }
         .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
       val withDistinct = needDistinct.foldLeft(mv.current()) { (acc, c) =>
         acc.join(
@@ -266,28 +282,38 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
       val refold = refoldDf.queryExecution.optimizedPlan
       val byName = refold.output.map(a => a.name -> a).toMap
       val neededNames: Seq[String] = refs.flatMap {
-        case (_, Plain(n)) => Seq(n)
-        case (_, AvgOf(c)) => Seq(s"sum_$c", s"cnt_$c")
-        case (_, DistinctOf(c)) => Seq(s"n_distinct_$c")
-        case (_, QuantileOf(c, p)) => Seq(s"__q_${c}_${math.round(p * 100)}")
-      } ++ keyPreds.flatMap(_.references.map(_.name))
+        case Plain(n) => Seq(n)
+        case AvgOf(c) => Seq(s"sum_$c", s"cnt_$c")
+        case DistinctOf(c) => Seq(s"n_distinct_$c")
+        case QuantileOf(c, p) => Seq(s"__q_${c}_${math.round(p * 100)}")
+      } ++ groupAttrs.map(_.name) ++
+        keyPreds.flatMap(_.references.map(_.name))
       if (!neededNames.forall(byName.contains)) return None
-      val projected = refs.map { case (orig, ref) =>
-        val expr: Expression = ref match {
-          case Plain(n) => byName(n)
-          case AvgOf(c) =>
-            // Catalyst Average's evaluate form: sum/ count over doubles,
-            // null when the non-null count is zero (sum is null then)
-            Divide(Cast(byName(s"sum_$c"), DoubleType),
-              Cast(byName(s"cnt_$c"), DoubleType))
-          case DistinctOf(c) => byName(s"n_distinct_$c")
-          case QuantileOf(c, p) =>
-            byName(s"__q_${c}_${math.round(p * 100)}")
-        }
-        val castExpr =
-          if (expr.dataType == orig.dataType) expr
-          else Cast(expr, orig.dataType)
-        Alias(castExpr, orig.name)(exprId = orig.exprId)
+
+      // phase 2: rebuild each output expression over the store columns
+      def build(e: Expression): Expression = e match {
+        case ae: AggregateExpression =>
+          val raw: Expression = aggRefs(ae.resultId) match {
+            case Plain(n) => byName(n)
+            case AvgOf(c) =>
+              // Catalyst Average's evaluate form: sum / count over
+              // doubles, null when the non-null count is zero
+              Divide(Cast(byName(s"sum_$c"), DoubleType),
+                Cast(byName(s"cnt_$c"), DoubleType))
+            case DistinctOf(c) => byName(s"n_distinct_$c")
+            case QuantileOf(c, p) =>
+              byName(s"__q_${c}_${math.round(p * 100)}")
+          }
+          if (raw.dataType == ae.dataType) raw else Cast(raw, ae.dataType)
+        case a: AttributeReference => byName(a.name)
+        case other => other.withNewChildren(other.children.map(build))
+      }
+      val projected: Seq[NamedExpression] = aggExprs.map {
+        case a: AttributeReference =>
+          Alias(byName(a.name), a.name)(exprId = a.exprId)
+        case al: Alias =>
+          Alias(build(al.child), al.name)(exprId = al.exprId)
+        case other => return None // unreachable given shapeOk
       }
       // key-only filters re-apply over the refold (store key columns have
       // fresh exprIds — remap the predicate's attributes by name)
@@ -328,37 +354,53 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     if (!groupAttrs.forall(a => dimOut.contains(a) ||
         mv.keyCols.contains(a.name))) return None
 
+    // phase 1: every aggregate call must be re-aggregatable from store
+    // partials (distinct/percentile are not mergeable across keys and
+    // bail); attributes outside aggregates must be dim attrs or fact
+    // keys. Composite expressions over aggregates are fine.
     sealed trait ReAgg
-    case class PassDim(a: AttributeReference) extends ReAgg
-    case class PassKey(a: AttributeReference) extends ReAgg
-    case class SumStore(orig: NamedExpression, col: String) extends ReAgg
-    case class MinStore(orig: NamedExpression, col: String) extends ReAgg
-    case class MaxStore(orig: NamedExpression, col: String) extends ReAgg
-    case class AvgStore(orig: NamedExpression, c: String) extends ReAgg
-
-    val mapped: Seq[Option[ReAgg]] = aggExprs.map {
-      case a: AttributeReference if dimOut.contains(a) => Some(PassDim(a))
-      case a: AttributeReference if mv.keyCols.contains(a.name) =>
-        Some(PassKey(a))
-      case al @ Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
-        if l.value != null => Some(SumStore(al, "n_rows"))
-      case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), _)
+    case object CountRows extends ReAgg
+    case class SumStore(col: String) extends ReAgg
+    case class MinStore(col: String) extends ReAgg
+    case class MaxStore(col: String) extends ReAgg
+    case class AvgStore(c: String) extends ReAgg
+    val aggRefs = scala.collection.mutable.LinkedHashMap[ExprId, ReAgg]()
+    def toRe(ae: AggregateExpression): Option[ReAgg] = ae match {
+      case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
+        if l.value != null => Some(CountRows)
+      case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
         if !dimOut.contains(a) && mv.sumCols.contains(a.name) =>
-        Some(SumStore(al, s"sum_${a.name}"))
-      case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), _)
+        Some(SumStore(s"sum_${a.name}"))
+      case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
         if !dimOut.contains(a) && mv.minCols.contains(a.name) =>
-        Some(MinStore(al, s"min_${a.name}"))
-      case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), _)
+        Some(MinStore(s"min_${a.name}"))
+      case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
         if !dimOut.contains(a) && mv.maxCols.contains(a.name) =>
-        Some(MaxStore(al, s"max_${a.name}"))
-      case al @ Alias(AggregateExpression(Average(a: AttributeReference, _), _, false, None, _), _)
+        Some(MaxStore(s"max_${a.name}"))
+      case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
         if !dimOut.contains(a) && mv.sumCols.contains(a.name) &&
-          al.dataType == DoubleType =>
-        Some(AvgStore(al, a.name))
+          ae.dataType == DoubleType =>
+        Some(AvgStore(a.name))
       case _ => None
     }
-    if (mapped.exists(_.isEmpty)) return None
-    val refs = mapped.flatten
+    def scanOk(e: Expression): Boolean = e match {
+      case ae: AggregateExpression =>
+        toRe(ae) match {
+          case Some(r) => aggRefs(ae.resultId) = r; true
+          case None => false
+        }
+      case a: AttributeReference =>
+        dimOut.contains(a) || mv.keyCols.contains(a.name)
+      case other => other.children.forall(scanOk)
+    }
+    val shapeOk = aggExprs.forall {
+      case a: AttributeReference =>
+        dimOut.contains(a) || mv.keyCols.contains(a.name)
+      case al: Alias => scanOk(al.child)
+      case _ => false
+    }
+    if (!shapeOk) return None
+    val refs = aggRefs.values.toSeq
 
     rewriting.set(true)
     try {
@@ -367,12 +409,13 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
       val needed = pairs.map(_._1.name) ++
         groupAttrs.filterNot(dimOut.contains).map(_.name) ++
         keyPreds.flatMap(_.references.map(_.name)) ++
-        refs.collect {
-          case SumStore(_, c) => c
-          case MinStore(_, c) => c
-          case MaxStore(_, c) => c
-        } ++ refs.collect { case AvgStore(_, c) =>
-          Seq(s"sum_$c", s"cnt_$c") }.flatten
+        refs.flatMap {
+          case CountRows => Seq("n_rows")
+          case SumStore(c) => Seq(c)
+          case MinStore(c) => Seq(c)
+          case MaxStore(c) => Seq(c)
+          case AvgStore(c) => Seq(s"sum_$c", s"cnt_$c")
+        }
       if (!needed.forall(byName.contains)) return None
 
       val filtered = keyPreds.foldLeft(refold: LogicalPlan) { (p, pred) =>
@@ -390,24 +433,33 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
         case a if dimOut.contains(a) => a
         case a => byName(a.name)
       }
-      def alias(orig: NamedExpression, e: Expression): NamedExpression = {
-        val cast = if (e.dataType == orig.dataType) e
-          else Cast(e, orig.dataType)
-        Alias(cast, orig.name)(exprId = orig.exprId)
+      // phase 2: rebuild each output, replacing aggregate calls with the
+      // re-aggregation over store partials
+      def build(e: Expression): Expression = e match {
+        case ae: AggregateExpression =>
+          val raw: Expression = aggRefs(ae.resultId) match {
+            case CountRows =>
+              Sum(byName("n_rows")).toAggregateExpression()
+            case SumStore(c) => Sum(byName(c)).toAggregateExpression()
+            case MinStore(c) => Min(byName(c)).toAggregateExpression()
+            case MaxStore(c) => Max(byName(c)).toAggregateExpression()
+            case AvgStore(c) => Divide(
+              Cast(Sum(byName(s"sum_$c")).toAggregateExpression(),
+                DoubleType),
+              Cast(Sum(byName(s"cnt_$c")).toAggregateExpression(),
+                DoubleType))
+          }
+          if (raw.dataType == ae.dataType) raw else Cast(raw, ae.dataType)
+        case a: AttributeReference if dimOut.contains(a) => a
+        case a: AttributeReference => byName(a.name)
+        case other => other.withNewChildren(other.children.map(build))
       }
-      val out: Seq[NamedExpression] = refs.map {
-        case PassDim(a) => a
-        case PassKey(a) => alias(a, byName(a.name))
-        case SumStore(o, c) =>
-          alias(o, Sum(byName(c)).toAggregateExpression())
-        case MinStore(o, c) =>
-          alias(o, Min(byName(c)).toAggregateExpression())
-        case MaxStore(o, c) =>
-          alias(o, Max(byName(c)).toAggregateExpression())
-        case AvgStore(o, c) =>
-          alias(o, Divide(
-            Cast(Sum(byName(s"sum_$c")).toAggregateExpression(), DoubleType),
-            Cast(Sum(byName(s"cnt_$c")).toAggregateExpression(), DoubleType)))
+      val out: Seq[NamedExpression] = aggExprs.map {
+        case a: AttributeReference if dimOut.contains(a) => a
+        case a: AttributeReference =>
+          Alias(byName(a.name), a.name)(exprId = a.exprId)
+        case al: Alias => Alias(build(al.child), al.name)(exprId = al.exprId)
+        case other => return None // unreachable given shapeOk
       }
       Some(Aggregate(groupExprs, out, joined))
     } finally rewriting.set(false)

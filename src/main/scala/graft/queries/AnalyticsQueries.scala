@@ -549,6 +549,44 @@ object AnalyticsQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Aggregate-over-join MV hit, live in the driver gate (q123): the
+    * lineitem projection is a registered source with a per-flag
+    * IncrementalAgg store, and the query joins the raw path with an
+    * inline status DIMENSION, grouping by the dim attribute — the shape
+    * [[graft.plans.MaterializedAggRewrite.rewriteJoin]] answers by
+    * joining the store re-fold with the dim and re-aggregating partials
+    * (fact scan never runs). The oracle is the plain join+GROUP BY over
+    * lineitem with the same inline dim. Quantities are integral doubles:
+    * sums, counts and the avg division are float-exact. */
+  def q123MvJoinHit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("q123src").toString
+    t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_orderkey")
+      .write.mode("overwrite").parquet(srcDir)
+    val spec = graft.ops.IncrementalAgg.Spec(Seq("l_returnflag"),
+      Seq("l_quantity"))
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q123store").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    val src = s.read.parquet(srcDir)
+    (0L to 2L).foreach(b => graft.ops.IncrementalAgg.appendBatch(store,
+      src.filter($"l_orderkey" % 3 === b), spec, b))
+    graft.plans.MaterializedAggRewrite.register(srcDir,
+      graft.plans.MaterializedAggRewrite.MvDef(spec.keyCols, spec.sumCols,
+        () => graft.ops.IncrementalAgg.current(store, spec)))
+    val dim = Seq(("A", "archived"), ("N", "open"), ("R", "returned"))
+      .toDF("l_returnflag", "status")
+    s.read.parquet(srcDir).join(dim, Seq("l_returnflag"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("qty_d"),
+        avg($"l_quantity").as("avg_d"))
+      .select($"status", $"n_rows",
+        floor($"qty_d" + 0.5).cast("long").as("sum_qty"),
+        floor($"avg_d" * 10000.0 + 0.5).cast("long").as("avg_qty_e4"))
+      .orderBy($"status")
+  }
+
   /** Rolling 7-day active users per day (WAU): each distinct (user, day)
     * pair CONTRIBUTES to the 7 days it covers (explode of a 7-element
     * date sequence — bounded fan-out of the deduplicated pairs, not the
@@ -574,6 +612,7 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "q118_rolling_wau" -> (q118RollingWau _),
     "q117_mv_hit" -> (q117MvHit _),
+    "q123_mv_join_hit" -> (q123MvJoinHit _),
     "q116_zone_range" -> (q116ZoneRange _),
     "q114_percent_of_total" -> (q114PercentOfTotal _),
     "q115_year_over_year" -> (q115YearOverYear _),
@@ -611,6 +650,17 @@ object AnalyticsQueries {
         |  count(DISTINCT user_id) AS wau
         |FROM contrib JOIN spine USING (day)
         |GROUP BY day ORDER BY day""".stripMargin,
+    "q123_mv_join_hit" ->
+      """SELECT d.status, count(*) AS n_rows,
+        |  CAST(floor(sum(l.l_quantity) + 0.5) AS BIGINT) AS sum_qty,
+        |  CAST(floor(avg(l.l_quantity) * 10000.0 + 0.5) AS BIGINT)
+        |    AS avg_qty_e4
+        |FROM lineitem l
+        |JOIN (VALUES ('A', 'archived'), ('N', 'open'), ('R', 'returned'))
+        |  AS d(l_returnflag, status)
+        |  ON l.l_returnflag = d.l_returnflag
+        |GROUP BY d.status
+        |ORDER BY d.status""".stripMargin,
     "q117_mv_hit" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty,

@@ -168,6 +168,26 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Window"), "rank window survived the rewrite")
   }
 
+  test("q117 MV hit fires through the collapsed projection") {
+    // CollapseProject folds the quantizing select INTO the Aggregate
+    // (floor(sum(x)+0.5) shapes); the rewrite must fire anyway
+    val df = graft.queries.AnalyticsQueries.q117MvHit(spark, dir)
+    try {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("__cnt"), s"MV hit did not fire:\n$p")
+      assert(!p.contains("l_orderkey"), s"still scanning the fact table:\n$p")
+    } finally graft.plans.MaterializedAggRewrite.clear()
+  }
+
+  test("q123 join-MV hit: store partials re-aggregate, fact scan never runs") {
+    val df = graft.queries.AnalyticsQueries.q123MvJoinHit(spark, dir)
+    try {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("__cnt"), s"join-MV hit did not fire:\n$p")
+      assert(!p.contains("l_orderkey"), s"still scanning the fact table:\n$p")
+    } finally graft.plans.MaterializedAggRewrite.clear()
+  }
+
   test("q93 count-min probe: sketch broadcasts, probes scored executor-side") {
     val df = graft.queries.FunctionQueries.q93CountMin(spark, dir)
     val p = plan(df)
