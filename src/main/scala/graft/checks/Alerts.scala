@@ -93,9 +93,16 @@ object Alerts {
 
     def deliveryFailures: Long = failures
 
-    /** Route one run's check results; returns the alerts actually sent. */
+    /** Route one run's check results; returns the alerts actually sent.
+      * State transitions COMMIT only when their notification delivers:
+      * a failed fire leaves the check un-suppressed (retried next run),
+      * a failed recovery keeps it armed-as-failing (recovery retried) —
+      * delivery failure can delay a page, never swallow one. */
     def process(results: Seq[Checks.CheckResult]): Seq[Alert] = {
-      val fired = scala.collection.mutable.ArrayBuffer[Alert]()
+      val sent = scala.collection.mutable.ArrayBuffer[Alert]()
+      def deliver(a: Alert): Boolean =
+        try { notifier.send(a); sent += a; true }
+        catch { case _: Throwable => failures += 1; false }
       results.foreach { r =>
         val key = (r.check, r.column)
         val sev = r.severity match {
@@ -103,18 +110,15 @@ object Alerts {
           case Checks.Warn => "warn"
         }
         if (!r.passed && !failing.contains(key)) {
-          failing += key
-          fired += Alert(r.check, r.column, sev, r.detail, "fired")
+          if (deliver(Alert(r.check, r.column, sev, r.detail, "fired")))
+            failing += key
         } else if (r.passed && failing.contains(key)) {
-          failing -= key
-          if (notifyRecovery)
-            fired += Alert(r.check, r.column, sev, r.detail, "recovered")
+          if (!notifyRecovery ||
+              deliver(Alert(r.check, r.column, sev, r.detail, "recovered")))
+            failing -= key
         }
       }
-      fired.toSeq.filter { a =>
-        try { notifier.send(a); true }
-        catch { case _: Throwable => failures += 1; false }
-      }
+      sent.toSeq
     }
   }
 }

@@ -85,6 +85,31 @@ class AlertsSpec extends SparkSpec {
       new Alerts.WebhookNotifier(deadUrl, timeoutMs = 300))
     val fired2 = mgr2.process(Seq(fail("freshness", "events")))
     assert(fired2.isEmpty && mgr2.deliveryFailures == 1)
+    // failed delivery must NOT suppress: the next run retries the fire
+    val fired3 = mgr2.process(Seq(fail("freshness", "events")))
+    assert(fired3.isEmpty && mgr2.deliveryFailures == 2,
+      "undelivered alert must be retried, not swallowed")
+  }
+
+  test("delivery failure during recovery keeps the check armed") {
+    var up = false
+    val sent = scala.collection.mutable.ArrayBuffer[Alerts.Alert]()
+    val flaky = new Alerts.AlertNotifier {
+      override def send(a: Alerts.Alert): Unit = {
+        if (!up) sys.error("down")
+        sent += a
+      }
+    }
+    val mgr = new Alerts.AlertManager(flaky)
+    up = true
+    assert(mgr.process(Seq(fail("r", "t"))).size == 1) // fired + suppressed
+    up = false
+    assert(mgr.process(Seq(pass("r", "t"))).isEmpty) // recovery LOST
+    up = true
+    // recovery retries on the next passing run, then the check re-arms
+    val rec = mgr.process(Seq(pass("r", "t")))
+    assert(rec.size == 1 && rec.head.event == "recovered")
+    assert(mgr.process(Seq(fail("r", "t"))).size == 1, "re-armed fire")
   }
 
   test("Pipeline.withAlerts routes check results, suppressed across runs") {
