@@ -87,10 +87,28 @@ object CdcQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** Structured Streaming driver gate (SURVEY.md §2.9 ST3): the events
+    * table replayed through a file-sourced stream into
+    * [[graft.streaming.EventStream.windowedTotals]] must equal the plain
+    * batch GROUP BY the oracle runs — the stream/batch equivalence
+    * contract. The stream is the real streaming operator (micro-batched
+    * file source, stateful window aggregation, memory sink), not a batch
+    * query dressed up. */
+  def q124StreamWindowed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory (or glob) — the one-char glob
+    // makes the parent dir the base path while matching only this file.
+    val glob = s"$dir/events.parque[t]"
+    graft.streaming.EventStream.runWindowedTotalsOnce(s, glob, schema)
+      .orderBy($"window_start_s", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_cdc_roundtrip" -> (q21CdcRoundtrip _),
     "q85_scd2" -> (q85Scd2 _),
-    "q86_snapshot_diff" -> (q86SnapshotDiff _)
+    "q86_snapshot_diff" -> (q86SnapshotDiff _),
+    "q124_stream_windowed" -> (q124StreamWindowed _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +160,14 @@ object CdcQueries {
         |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
         |   OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
         |   OR v1.price_cents IS DISTINCT FROM v2.price_cents
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q124_stream_windowed" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300
+        |    AS window_start_s,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_s, event_type""".stripMargin
   )
 }

@@ -31,6 +31,42 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Tumbling-window totals with engine-portable money quantization — the
+    * oracle-gated twin of [[windowedAgg]]: cents are quantized PER ROW
+    * before the sum (floating sums differ across engines), window starts
+    * are epoch seconds, and there is no watermark because the gate runs
+    * Complete mode — append mode would hold back every window the
+    * watermark has not closed, so an end-of-stream oracle comparison
+    * would miss the trailing windows. */
+  def windowedTotals(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100.0 + 0.5)).cast("long").as("value_cents"))
+      .select(col("window.start").cast("long").as("window_start_s"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  /** File-sourced Complete-mode run of [[windowedTotals]] into a memory
+    * sink; returns the full end-of-stream aggregate. Complete mode keeps
+    * all window state — correct for a bounded replay gate; a continuous
+    * deployment uses [[windowedAgg]]'s watermarked append mode instead. */
+  def runWindowedTotalsOnce(spark: SparkSession, parquetDir: String,
+                            schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = spark.readStream.schema(schema).parquet(parquetDir)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val name = s"windowed_totals_${java.lang.System.nanoTime}"
+    val q = windowedTotals(stream).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
   final case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
