@@ -54,6 +54,18 @@ object RunStreaming {
     j.stop()
     println(s"[streaming] interval join: " +
       s"${spark.table("attrib_cli").count()} click→purchase attributions")
+
+    // per-micro-batch quality monitoring routed through the alert manager
+    val alertLog = s"$streamDir/alerts.jsonl"
+    val mgr = new graft.checks.Alerts.AlertManager(
+      new graft.checks.Alerts.FileNotifier(alertLog))
+    val sent = graft.streaming.MonitorStream.monitorAvailableNow(
+      spark, streamDir, schema,
+      Seq(graft.checks.Checks.NotNull("event_type"),
+        graft.checks.Checks.RowCountBetween(1)),
+      mgr, s"$streamDir/_monitor_ckpt")
+    println(s"[streaming] monitor: ${sent.size} alerts fired " +
+      s"(${mgr.deliveryFailures} delivery failures) -> $alertLog")
     spark.stop()
   }
 }

@@ -64,4 +64,32 @@ object SpaceSaving {
   /** Column form for `df.select(...)` / `ds.agg(...)`. */
   def topK(capacity: Int): TypedColumn[String, Seq[HeavyHitter]] =
     aggregator(capacity).toColumn
+
+  /** Merge-form aggregator: folds STORED (item,count,error) summaries
+    * instead of raw items — the read/compact side of heavy-hitter IVM
+    * ([[graft.ops.HeavyHitterAgg]]). Entries are re-offered largest-first
+    * through the same eviction rule, so merging preserves the SpaceSaving
+    * guarantees (mergeable summaries — Agarwal et al., PODS 2012), and
+    * with capacity ≥ total distinct items the merge is lossless/exact. */
+  def mergeAggregator(capacity: Int): Aggregator[Seq[HeavyHitter], SSBuffer, Seq[HeavyHitter]] =
+    new Aggregator[Seq[HeavyHitter], SSBuffer, Seq[HeavyHitter]] {
+      def zero: SSBuffer = SSBuffer(capacity, mutable.Map.empty)
+      def reduce(b: SSBuffer, hs: Seq[HeavyHitter]): SSBuffer = {
+        hs.sortBy(h => (-h.count, h.item)).foreach(h =>
+          offer(b, h.item, h.count, h.error))
+        b
+      }
+      def merge(a: SSBuffer, b: SSBuffer): SSBuffer = {
+        b.counts.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.foreach {
+          case (item, (c, e)) => offer(a, item, c, e)
+        }
+        a
+      }
+      def finish(b: SSBuffer): Seq[HeavyHitter] =
+        b.counts.toSeq.map { case (i, (c, e)) => HeavyHitter(i, c, e) }
+          .sortBy(h => (-h.count, h.item))
+      def bufferEncoder: Encoder[SSBuffer] = Encoders.kryo[SSBuffer]
+      def outputEncoder: Encoder[Seq[HeavyHitter]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HeavyHitter]]()
+    }
 }

@@ -296,9 +296,39 @@ object FunctionQueries {
       .orderBy($"s_suppkey")
   }
 
+  /** Heavy-hitter IVM driver gate: the orders priority ranking per order
+    * status, maintained across three appended batches (compacted
+    * mid-stream) of SpaceSaving summaries and answered from the store
+    * alone. Capacity 64 ≥ the handful of distinct priorities → the exact
+    * regime: zero eviction, zero error, so a plain GROUP BY + row_number
+    * oracle gates the whole fold→append→merge→rank path bit-for-bit. The
+    * beyond-capacity N/capacity overestimation bound is gated in
+    * HeavyHitterAggSpec. */
+  def q125HeavyIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.HeavyHitterAgg
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderstatus", $"o_orderpriority", $"o_orderkey")
+    val spec = HeavyHitterAgg.Spec(Seq("o_orderstatus"), "o_orderpriority",
+      capacity = 64)
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q125ss").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    (0L to 2L).foreach { b =>
+      HeavyHitterAgg.appendBatch(store,
+        ord.filter($"o_orderkey" % 3 === b), spec, batchId = b)
+      if (b == 1L) HeavyHitterAgg.compact(store, spec)
+    }
+    HeavyHitterAgg.current(store, spec, k = 3)
+      .select($"o_orderstatus", $"n_rows", $"rk",
+        $"item", $"est_count", $"max_overcount")
+      .orderBy($"o_orderstatus", $"rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_sketch_ivm" -> (q108SketchIvm _),
     "q122_quantile_ivm" -> (q122QuantileIvm _),
+    "q125_heavy_ivm" -> (q125HeavyIvm _),
     "q93_count_min" -> (q93CountMin _),
     "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q54_unpivot" -> (q54Unpivot _),
@@ -335,6 +365,21 @@ object FunctionQueries {
         |FROM d
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    "q125_heavy_ivm" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS est_count
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, est_count,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY est_count DESC, o_orderpriority) AS rk,
+        |    sum(est_count) OVER (PARTITION BY o_orderstatus) AS n_rows
+        |  FROM c)
+        |SELECT o_orderstatus, CAST(n_rows AS BIGINT) AS n_rows, rk,
+        |  o_orderpriority AS item, est_count,
+        |  CAST(0 AS BIGINT) AS max_overcount
+        |FROM r WHERE rk <= 3
+        |ORDER BY o_orderstatus, rk""".stripMargin,
     "q93_count_min" ->
       """SELECT s_suppkey, CAST(COALESCE(cnt, 0) AS BIGINT) AS est_count
         |FROM supplier

@@ -225,6 +225,29 @@ object EventStream {
     * foreachBatch id, so "p99 per key, maintained by the stream" costs
     * one batch-sized fold per trigger and the raw stream is never
     * re-read. */
+  /** Streaming heavy-hitter maintenance — the fourth twin, for
+    * [[graft.ops.HeavyHitterAgg]]: each micro-batch folds to one
+    * SpaceSaving summary per key and appends; replay dedupes on the
+    * foreachBatch id, so "top items per key, maintained by the stream"
+    * costs one batch-sized fold per trigger and the raw stream is never
+    * re-read. */
+  def maintainHeavyHittersAvailableNow(spark: SparkSession, parquetDir: String,
+                                       schema: org.apache.spark.sql.types.StructType,
+                                       store: graft.sinks.AppendOnlyStore,
+                                       spec: graft.ops.HeavyHitterAgg.Spec,
+                                       checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(parquetDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.HeavyHitterAgg.appendBatch(store, batch, spec, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def maintainQuantilesAvailableNow(spark: SparkSession, parquetDir: String,
                                     schema: org.apache.spark.sql.types.StructType,
                                     store: graft.sinks.AppendOnlyStore,
