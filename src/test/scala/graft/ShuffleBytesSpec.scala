@@ -111,4 +111,29 @@ class ShuffleBytesSpec extends SparkSpec {
     assert(bloomed * 2 < plain,
       s"bloom=$bloomed plain=$plain — pruning no longer pays")
   }
+
+  test("SpaceSaving fold shuffles capacity-bounded summaries, not items") {
+    // 200k items, 20 keys, 50 distinct tokens: the Aggregator partial-
+    // aggregates map-side, so the exchange carries one ≤capacity-entry
+    // summary per (task, key) — constant in row count — while any
+    // non-mergeable fold ships every item row to its reducer
+    val items = (1 to 200000).map { i =>
+      (i % 20L, s"token_${(i * 2654435761L) % 50}_" + "pad" * 8)
+    }.toDF("g", "item")
+    items.count()
+    val spec = graft.ops.HeavyHitterAgg.Spec(Seq("g"), "item", capacity = 64)
+    val ssBytes = shuffleBytes(materialize(
+      graft.ops.HeavyHitterAgg.partials(items, spec, batchId = 0L)))
+    val rawBytes = shuffleBytes {
+      val ds = items.as[(Long, String)]
+      materialize(ds.groupByKey(_._1).mapGroups { (g, it) =>
+        val top = it.toSeq.groupBy(_._2).view.mapValues(_.size).toSeq
+          .sortBy { case (i, c) => (-c, i) }.take(3)
+        (g, top.mkString(","))
+      }.toDF("g", "top"))
+    }
+    assert(ssBytes > 0 && rawBytes > 0, s"$ssBytes / $rawBytes")
+    assert(ssBytes * 8 < rawBytes,
+      s"ss=$ssBytes raw=$rawBytes — the mergeable fold lost its edge")
+  }
 }
