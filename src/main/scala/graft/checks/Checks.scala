@@ -1,6 +1,6 @@
 package graft.checks
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality checks — the engine-native form of dbt schema
@@ -117,6 +117,63 @@ object Checks {
 
   def errorsOnly(rs: Seq[CheckResult]): Seq[CheckResult] =
     rs.filter(r => !r.passed && r.severity == Error)
+
+  /** Row-level quarantine split — the dbt `store_failures` / WAP-
+    * quarantine analog at row granularity: returns (clean, quarantined)
+    * where quarantined rows carry a `__violations` array naming every
+    * row-level check they fail, in `checks` order. Only row-attributable
+    * checks participate (not_null, accepted_values, expression, unique,
+    * relationships); table-level checks (row_count, freshness, custom)
+    * have no per-row meaning — run them via [[runAll]].
+    *
+    * Scale shape: the scalar checks are pure projections fused into the
+    * scan (one pass, no extra shuffle); unique adds one hash-partitioned
+    * window count over its key and relationships one left join against
+    * the distinct parent keys (broadcast when small — Catalyst's
+    * choice). The split is two filters over the same annotated plan;
+    * persist the input if recomputation matters. */
+  def split(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    var cur = df
+    val flags = scala.collection.mutable.Buffer[Column]()
+    checks.zipWithIndex.foreach { case (chk, i) =>
+      chk match {
+        case NotNull(c, _) =>
+          flags += when(col(c).isNull, lit(s"not_null:$c"))
+        case AcceptedValues(c, vs, _) =>
+          flags += when(col(c).isNotNull && !col(c).isin(vs: _*),
+            lit(s"accepted_values:$c"))
+        case Expression(n, pred, _) =>
+          flags += when(!coalesce(pred, lit(false)), lit(s"expression:$n"))
+        case Unique(cols_, _) =>
+          val cnt = s"__uniq_n_$i"
+          cur = cur.withColumn(cnt, count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(cols_.map(col): _*)))
+          flags += when(col(cnt) > 1, lit(s"unique:${cols_.mkString(",")}"))
+        case Relationships(c, parent, pc, _) =>
+          val hit = s"__rel_hit_$i"
+          cur = cur.join(
+            parent.select(col(pc).as(c)).distinct()
+              .withColumn(hit, lit(true)),
+            Seq(c), "left")
+          flags += when(col(c).isNotNull && col(hit).isNull,
+            lit(s"relationships:$c"))
+        case _ => () // table-level: no per-row meaning
+      }
+    }
+    if (flags.isEmpty)
+      return (df, df.limit(0)
+        .withColumn("__violations", array().cast("array<string>")))
+    val annotated = cur
+      .withColumn("__violations", array_compact(array(flags.toSeq: _*)))
+    // the relationships join moves its key to the front: restore the
+    // caller's column order (also drops the helper columns)
+    val orig = df.columns.toSeq
+    (annotated.filter(size(col("__violations")) === 0)
+        .select(orig.map(col): _*),
+      annotated.filter(size(col("__violations")) > 0)
+        .select((orig :+ "__violations").map(col): _*))
+  }
 
   /** Per-run metrics table (Elementary T4 analog): one row of volume /
     * null-rate / freshness numbers for the run report. */

@@ -54,7 +54,10 @@ object HeavyHitterAgg {
     * Aggregator partial-aggregates map-side, so the shuffle carries
     * `capacity` triples per task — never the items themselves. */
   def partials(batch: DataFrame, spec: Spec, batchId: Long): DataFrame =
-    batch.groupBy(spec.keyCols.map(col): _*)
+    // null items are excluded like count(col)/GROUP BY would — otherwise
+    // they'd enter the summary but not __cnt, skewing n_rows
+    batch.where(col(spec.itemCol).isNotNull)
+      .groupBy(spec.keyCols.map(col): _*)
       .agg(ssUdaf(spec.capacity)(col(spec.itemCol).cast("string"))
           .as("__sketch"),
         count(col(spec.itemCol)).as("__cnt"))

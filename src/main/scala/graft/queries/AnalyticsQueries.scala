@@ -609,7 +609,27 @@ object AnalyticsQueries {
       .orderBy($"day")
   }
 
+  /** Row-level quarantine (dbt store_failures / WAP-quarantine analog):
+    * [[graft.checks.Checks.split]] annotates each violating document
+    * with EVERY row-level check it fails — pure projections fused into
+    * the scan, no shuffle — and the quarantined partition is returned.
+    * The oracle rebuilds the same reason list with CASE + concat_ws,
+    * gating both the split predicate and the reason attribution. */
+  def q126Quarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.checks.Checks
+    val docs = t(s, dir, "documents")
+    val (_, bad) = Checks.split(docs, Seq(
+      Checks.NotNull("text"),
+      Checks.AcceptedValues("lang", Seq("en", "zh", "es")),
+      Checks.Expression("min_len", $"n_chars" >= 100)))
+    bad.select($"doc_id", $"lang", $"n_chars",
+        concat_ws(";", $"__violations").as("violations"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_quarantine" -> (q126Quarantine _),
     "q118_rolling_wau" -> (q118RollingWau _),
     "q117_mv_hit" -> (q117MvHit _),
     "q123_mv_join_hit" -> (q123MvJoinHit _),
@@ -637,6 +657,19 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_quarantine" ->
+      """SELECT doc_id, lang, n_chars,
+        |  concat_ws(';',
+        |    CASE WHEN text IS NULL THEN 'not_null:text' END,
+        |    CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','zh','es')
+        |      THEN 'accepted_values:lang' END,
+        |    CASE WHEN NOT coalesce(n_chars >= 100, FALSE)
+        |      THEN 'expression:min_len' END) AS violations
+        |FROM documents
+        |WHERE text IS NULL
+        |   OR (lang IS NOT NULL AND lang NOT IN ('en','zh','es'))
+        |   OR NOT coalesce(n_chars >= 100, FALSE)
+        |ORDER BY doc_id""".stripMargin,
     "q118_rolling_wau" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

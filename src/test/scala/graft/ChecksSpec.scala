@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.concat_ws
+
 import graft.checks.Checks
 import graft.checks.Checks._
 
@@ -66,5 +68,37 @@ class ChecksSpec extends SparkSpec {
   test("metrics emits one row of volume/null-rate numbers") {
     val m = Checks.metrics(df, Seq("name"), None).collect()(0)
     assert(m.getAs[Long]("row_count") == 3 && m.getAs[Long]("nulls_name") == 1)
+  }
+
+  test("split quarantines violating rows with attributed reasons") {
+    val rows = Seq(
+      (1L, "a", 10L, 1L),   // clean
+      (2L, null, 10L, 1L),  // not_null:name
+      (3L, "zz", 10L, 1L),  // accepted_values:name
+      (4L, "a", -5L, 1L),   // expression:v_nonneg
+      (5L, "a", 10L, 9L),   // relationships:fk
+      (6L, null, -1L, 9L),  // three violations at once
+      (7L, "a", 10L, 1L), (7L, "b", 10L, 1L)) // unique:id ×2
+      .toDF("id", "name", "v", "fk")
+    val parent = Seq(1L, 2L).toDF("pid")
+    val (clean, bad) = Checks.split(rows, Seq(
+      NotNull("name"),
+      AcceptedValues("name", Seq("a", "b")),
+      Expression("v_nonneg", $"v" >= 0),
+      Unique(Seq("id")),
+      Relationships("fk", parent, "pid"),
+      RowCountBetween(1, 2))) // table-level: must be ignored
+    assert(clean.count() + bad.count() == rows.count())
+    assert(clean.select($"id").as[Long].collect().sorted.toSeq == Seq(1L))
+    assert(clean.columns.toSeq == rows.columns.toSeq,
+      "clean side must come back helper-free")
+    val reasons = bad.select($"id", concat_ws(";", $"__violations"))
+      .as[(Long, String)].collect().toMap
+    assert(reasons(2L) == "not_null:name")
+    assert(reasons(3L) == "accepted_values:name")
+    assert(reasons(4L) == "expression:v_nonneg")
+    assert(reasons(5L) == "relationships:fk")
+    assert(reasons(6L) == "not_null:name;expression:v_nonneg;relationships:fk")
+    assert(reasons(7L) == "unique:id" && bad.filter($"id" === 7L).count() == 2)
   }
 }
