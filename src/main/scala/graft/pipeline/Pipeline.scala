@@ -28,11 +28,22 @@ final case class Stage(
     build: (SparkSession, Map[String, DataFrame]) => DataFrame,
     checks: Seq[Check] = Nil,
     sink: Option[Sink] = None,
+    quarantine: Option[Quarantine] = None,
     /** Re-attempts on build/write exceptions (transient executor loss,
       * object-store 503s). Check FAILURES are never retried — a data
       * quality violation is deterministic, retrying it just burns cluster
       * time. */
     retries: Int = 0)
+
+/** Row-level quarantine for a stage (dbt store_failures / the CSV
+  * parse-quarantine generalized to semantic checks): rows failing any of
+  * `checks` are diverted — annotated with their violation reasons, the
+  * stage name and run wall-clock — into `table` (snapshot-versioned per
+  * run), and only the CLEAN rows continue to the stage's checks + sink.
+  * Use for checks where a few bad rows should not fail the whole batch;
+  * keep hard invariants in `Stage.checks`, which still gate publication.
+  * Costs one extra pass over the stage output (the split + reject write). */
+final case class Quarantine(table: SnapshotTable, checks: Seq[Check])
 
 sealed trait Sink
 /** Full-snapshot write with WAP audit. */
@@ -43,7 +54,8 @@ final case class Merge(table: SnapshotTable, keys: Seq[String],
 
 final case class StageResult(
     name: String, ok: Boolean, checks: Seq[CheckResult],
-    publishedVersion: Option[Long], durationMs: Long, error: Option[String])
+    publishedVersion: Option[Long], durationMs: Long, error: Option[String],
+    quarantined: Long = 0L)
 
 final case class PipelineResult(stages: Seq[StageResult]) {
   def ok: Boolean = stages.forall(_.ok)
@@ -63,6 +75,7 @@ final case class PipelineResult(stages: Seq[StageResult]) {
       }.mkString("[", ",", "]")
       s"""{"name":${q(st.name)},"ok":${st.ok},"durationMs":${st.durationMs},""" +
         s""""publishedVersion":${st.publishedVersion.getOrElse(-1L)},""" +
+        s""""quarantined":${st.quarantined},""" +
         s""""checks":$checksJson${st.error.map(e => s""","error":${q(e)}""").getOrElse("")}}"""
     }.mkString("[", ",", "]")
     s"""{"ok":$ok,"stages":$stagesJson}"""
@@ -256,7 +269,20 @@ class Pipeline(val stages: Seq[Stage],
     try {
       log(s"stage ${st.name} starting (deps=${st.deps.mkString(",")})")
       val deps = st.deps.flatMap(d => ref(d).map(d -> _)).toMap
-      val df = st.build(spark, deps)
+      val built = st.build(spark, deps)
+      val (df, nQuarantined) = st.quarantine match {
+        case Some(qr) =>
+          val (clean, bad) = Checks.split(built, qr.checks)
+          val stamped = bad
+            .withColumn("__stage", org.apache.spark.sql.functions.lit(st.name))
+            .withColumn("__quarantined_at",
+              org.apache.spark.sql.functions.current_timestamp())
+          qr.table.overwrite(stamped)
+          val n = qr.table.read().count()
+          if (n > 0) log(s"stage ${st.name} quarantined $n rows")
+          (clean, n)
+        case None => (built, 0L)
+      }
       val (version, checkResults, materialized) = st.sink match {
         case Some(Overwrite(table, parts)) =>
           val n = table.stage(df, parts)
@@ -301,7 +327,8 @@ class Pipeline(val stages: Seq[Stage],
           s"${if (r.passed) "pass" else s"FAIL violations=${r.violations}"}"))
       log(s"stage ${st.name} ${if (ok) "ok" else "FAILED"} (${ms}ms)")
       (StageResult(st.name, ok, checkResults, version, ms,
-        if (ok) None else Some(s"checks failed: ${bad.map(_.check).mkString(",")}")),
+        if (ok) None else Some(s"checks failed: ${bad.map(_.check).mkString(",")}"),
+        quarantined = nQuarantined),
         if (ok) Some(materialized) else None)
     } catch {
       case e: Exception =>

@@ -51,6 +51,34 @@ class PipelineSpec extends SparkSpec {
     assert(ran == List("bad"))
   }
 
+  test("row-level quarantine diverts bad rows; clean rows publish") {
+    val root = tmpDir("pipe-quarantine")
+    val target = new graft.sinks.SnapshotTable(spark, s"$root/curated")
+    val rejects = new graft.sinks.SnapshotTable(spark, s"$root/quarantine")
+    val p = new Pipeline(Seq(
+      Stage("docs",
+        build = (s, _) => {
+          import s.implicits._
+          Seq((1L, "ok"), (2L, null), (3L, "ok"), (4L, null))
+            .toDF("id", "text")
+        },
+        quarantine = Some(Quarantine(rejects,
+          Seq(graft.checks.Checks.NotNull("text")))),
+        // the hard invariant still gates publication — on CLEAN rows only
+        checks = Seq(NotNull("text")),
+        sink = Some(Overwrite(target)))))
+    val r = p.run(spark, _ => ())
+    assert(r.ok, "clean rows must publish after the split")
+    assert(r.stages.head.quarantined == 2L)
+    assert(r.toJson.contains("\"quarantined\":2"))
+    assert(target.read().count() == 2)
+    val q = rejects.read()
+    assert(q.count() == 2)
+    assert(q.columns.contains("__violations") && q.columns.contains("__stage"))
+    assert(q.select(concat_ws(";", $"__violations")).as[String].collect()
+      .forall(_ == "not_null:text"))
+  }
+
   test("end-to-end provider pipeline: CDC → raw → curated → harmonized") {
     val root = tmpDir("lake")
     val provPath = s"$root/topics/provider.jsonl"
