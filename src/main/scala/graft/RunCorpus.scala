@@ -32,6 +32,28 @@ object RunCorpus {
       s"chunks=${row.getAs[Long]("n_chunks")} " +
       s"avg_quality=${row.getAs[Double]("avg_quality")} lake=$lake")
     result.writeReport(s"$lake/run_report.json")
+
+    // incrementally-maintained token ranking per source: one SpaceSaving
+    // fold of the curated docs into the heavy-hitter store, answered
+    // from the summaries alone (the corpus-stats twin of `wc | sort`)
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val spec = graft.ops.HeavyHitterAgg.Spec(Seq("source"), "token",
+        capacity = 256)
+      val store = new graft.sinks.AppendOnlyStore(spark,
+        s"$lake/corpus/token_hh", prefixCol = "__agg_key", prefixChars = 1)
+      val tokens = new graft.sinks.SnapshotTable(spark, s"$lake/corpus/deduped")
+        .read().select($"source",
+          explode(split(lower($"text"), "[^a-z0-9]+")).as("token"))
+        .where(length($"token") >= 3)
+      graft.ops.HeavyHitterAgg.appendBatch(store, tokens, spec, batchId = 0L)
+      graft.ops.HeavyHitterAgg.current(store, spec, k = 3)
+        .orderBy($"source", $"rk").collect()
+        .foreach(r => println(s"[tokens] ${r.getAs[String]("source")} " +
+          s"#${r.getAs[Long]("rk")} ${r.getAs[String]("item")} " +
+          s"(${r.getAs[Long]("est_count")})"))
+    }
     spark.stop()
   }
 }

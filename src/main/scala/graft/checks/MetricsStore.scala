@@ -54,4 +54,30 @@ class MetricsStore(spark: SparkSession, root: String) {
         detail = f"latest=$latest mean=$mean%.1f deviation=$dev%.3f tol=$tolerance"))
     }
   }
+
+  /** Null-rate anomaly (the Elementary column-level monitor): the newest
+    * run's null FRACTION for `colName` deviates from the trailing mean
+    * by more than `tolerance` fraction points — a rate, not a count, so
+    * volume growth alone can't trip it. Requires the column to have been
+    * recorded via `record(notNullCols = ...)`; runs that didn't record
+    * it are skipped. None without a recorded latest run and ≥1 prior. */
+  def nullRateAnomaly(tableName: String, colName: String,
+                      tolerance: Double = 0.1): Option[Checks.CheckResult] = {
+    val c = s"nulls_$colName"
+    val h = history(tableName)
+    if (!h.columns.contains(c)) return None
+    val rows = h.select(col("row_count"), col(c).cast("long")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    def rate(n: Long, nulls: Long) = if (n == 0) 0.0 else nulls.toDouble / n
+    val prior = rows.dropRight(1).collect { case (n, Some(v)) => rate(n, v) }
+    rows.lastOption.collect { case (n, Some(v)) if prior.nonEmpty =>
+      val mean = prior.sum / prior.length
+      val latest = rate(n, v)
+      val dev = math.abs(latest - mean)
+      val ok = dev <= tolerance
+      Checks.CheckResult("null_rate_anomaly", s"$tableName.$colName",
+        if (ok) 0 else 1, Checks.Warn, ok,
+        detail = f"latest=$latest%.4f mean=$mean%.4f deviation=$dev%.4f tol=$tolerance")
+    }
+  }
 }

@@ -26,6 +26,25 @@ class MetricsStoreSpec extends SparkSpec {
     assert(row.getAs[Long]("nulls_v") == 1 && row.getAs[Long]("max_ts") == 20L)
   }
 
+  test("null-rate anomaly fires on drift, not on volume growth") {
+    val store = new MetricsStore(spark, tmpDir("metrics-nr") + "/m")
+    def batch(n: Int, nulls: Int) =
+      (Seq.fill(nulls)(None: Option[Int]) ++ Seq.fill(n - nulls)(Some(1)))
+        .toDF("v")
+    store.record("r1", "docs", batch(100, 2), notNullCols = Seq("v"))
+    assert(store.nullRateAnomaly("docs", "v").isEmpty, "needs ≥2 runs")
+    // 10× the volume at the same ~2% null rate: NOT anomalous
+    store.record("r2", "docs", batch(1000, 22), notNullCols = Seq("v"))
+    assert(store.nullRateAnomaly("docs", "v", tolerance = 0.1)
+      .exists(_.passed))
+    // same volume, 40% null rate: anomalous
+    store.record("r3", "docs", batch(1000, 400), notNullCols = Seq("v"))
+    val a = store.nullRateAnomaly("docs", "v", tolerance = 0.1)
+    assert(a.exists(r => !r.passed && r.check == "null_rate_anomaly"))
+    // unrecorded column → no signal, no crash
+    assert(store.nullRateAnomaly("docs", "missing").isEmpty)
+  }
+
   test("stage retries recover transient build failures; check failures never retry") {
     val attempts = new AtomicInteger(0)
     val flaky = new Pipeline(Seq(Stage("flaky", retries = 2,
