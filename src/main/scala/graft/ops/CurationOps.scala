@@ -151,6 +151,41 @@ object CurationOps {
       .filter(md5Keep(col(idCol), seed, col("keep_rate")))
   }
 
+  /** Token-budget mixture assembly: build a training mix to per-source
+    * TOKEN budgets ("500B tokens: 30% code, 70% web") rather than row
+    * counts — the [[temperatureSample]] twin where the target is weight
+    * mass. Each source's rows keep with rate `min(1, budget_d / T_d)`
+    * where `T_d = sum(weightCol)` over the source, so the expected kept
+    * mass is `min(budget_d, T_d)` — under-budget sources are taken
+    * whole; sources without a budget are excluded (the mix is the
+    * explicit contract). Selection is the deterministic `md5(seed:id)`
+    * Bernoulli filter: reproducible, engine-portable, and the kept
+    * total concentrates on the budget (relative deviation
+    * O(1/√docs)).
+    *
+    * Shape at 100 TB: per-source totals are a |sources|-row aggregate
+    * broadcast back; sampling is a filter in the scan projection — the
+    * corpus never shuffles. An exact prefix-sum cut would need a
+    * per-source total-order sort (one straggler task per source at fact
+    * scale) to improve the boundary by less than one document of mass.
+    */
+  def budgetMix(df: DataFrame, sourceCol: String, idCol: String,
+                weightCol: String, budgets: Map[String, Long],
+                seed: String = "budget"): DataFrame = {
+    require(budgets.nonEmpty, "need at least one source budget")
+    require(budgets.values.forall(_ > 0), "budgets must be positive")
+    val rates = df.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).as("__t_d"))
+      .withColumn("__budget", element_at(typedLit(budgets), col(sourceCol)))
+      .where(col("__budget").isNotNull && col("__t_d") > 0)
+      .withColumn("__keep_rate", least(lit(1.0),
+        col("__budget").cast("double") / col("__t_d").cast("double")))
+      .select(col(sourceCol), col("__keep_rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(md5Keep(col(idCol), seed, col("__keep_rate")))
+      .drop("__keep_rate")
+  }
+
   /** Reproducible epoch shuffle: a deterministic pseudo-random total
     * order keyed by `md5(epoch:id)`, laid out as `numShards` balanced
     * hash shards each sorted by the shuffle key. Same epoch → identical

@@ -240,6 +240,25 @@ object LlmQueries {
       .orderBy($"split")
   }
 
+  /** Token-budget mixture assembly (q127): four sources enter the mix
+    * with explicit char budgets — two capped below their mass (sampled
+    * at budget/T_d), one granted more than it has (taken whole), the
+    * rest of the corpus excluded. The kept set is the deterministic
+    * md5(seed:doc_id) Bernoulli selection, so the oracle replays the
+    * entire decision — totals, rates, thresholds, hex comparison —
+    * literally. */
+  def q127BudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CurationOps.budgetMix(
+        Tables.load(s, dir, "documents"),
+        sourceCol = "source", idCol = "doc_id", weightCol = "n_chars",
+        budgets = Map("src0" -> 4000L, "src1" -> 1000000L,
+          "src2" -> 2000L, "src3" -> 6000L),
+        seed = "q127")
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** SemDeDup over the embeddings table (q81): coarse cells via the
     * deterministic seed centroids, exact cosine only within a cell, and
     * a vector is kept iff no smaller-id same-cell neighbor has cosine ≥
@@ -640,6 +659,7 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "q88_ann_ivfpq" -> (q88AnnIvfPq _),
     "q87_hash_split" -> (q87HashSplit _),
+    "q127_budget_mix" -> (q127BudgetMix _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
     "q80_lm_score" -> (q80LmScore _),
@@ -1122,6 +1142,24 @@ object LlmQueries {
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
         .replace("NORM", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
         .replace("TOKS", "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"),
+    "q127_budget_mix" ->
+      """WITH tot AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t_d
+        |  FROM documents GROUP BY source),
+        |rates AS (
+        |  SELECT source, least(1.0, CAST(b.budget AS DOUBLE) / t_d)
+        |    AS keep_rate
+        |  FROM tot
+        |  JOIN (VALUES ('src0', 4000), ('src1', 1000000),
+        |        ('src2', 2000), ('src3', 6000)) AS b(source, budget)
+        |    USING (source)
+        |  WHERE t_d > 0)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE r.keep_rate >= 1.0
+        |   OR substr(md5('q127:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < lpad(lower(hex(CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT))), 8, '0')
+        |ORDER BY doc_id""".stripMargin,
     "q71_temperature_sample" ->
       """WITH hist AS (
         |  SELECT source, count(*) AS n_d FROM documents GROUP BY source),

@@ -46,6 +46,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(ids1.size - 3000) < 300, s"kept ${ids1.size}")
   }
 
+  test("budgetMix hits token budgets, takes under-budget sources whole") {
+    // weights ~100/doc: big has 900k mass, mid 90k, small 10k
+    val corpus = skewedCorpus.withColumn("tokens",
+      lit(80L) + (col("doc_id") % 41))
+    val kept = CurationOps.budgetMix(corpus, "domain", "doc_id", "tokens",
+      budgets = Map("big" -> 90000L, "small" -> 1000000L))
+    val bySource = kept.groupBy($"domain")
+      .agg(sum($"tokens").as("mass"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // capped source: kept mass concentrates on the budget (±10%)
+    val (bigMass, _) = bySource("big")
+    assert(math.abs(bigMass - 90000L) < 9000L, s"big mass $bigMass")
+    // over-granted budget: the whole source survives
+    assert(bySource("small")._2 == 100L)
+    // unbudgeted source is excluded
+    assert(!bySource.contains("mid"))
+    // deterministic: same call, same kept set
+    val again = CurationOps.budgetMix(corpus, "domain", "doc_id", "tokens",
+      budgets = Map("big" -> 90000L, "small" -> 1000000L))
+    assert(kept.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select($"doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("alpha=0.5 up-samples small domains vs proportional") {
     val kept = CurationOps.temperatureSample(skewedCorpus, "domain", "doc_id",
         alpha = 0.5, targetFraction = 0.3)
