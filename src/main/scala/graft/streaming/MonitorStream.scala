@@ -43,21 +43,26 @@ object MonitorStream {
     }
 
   /** Metrics-history variant: record each micro-batch into the
-    * [[MetricsStore]] and evaluate the volume-anomaly rule against the
-    * trailing history, paging through `manager` when a batch's volume
-    * deviates beyond `tolerance`. The anomaly model thus updates at
-    * stream cadence rather than scheduler cadence. */
+    * [[MetricsStore]] and evaluate the volume-anomaly rule — plus the
+    * null-rate drift rule for each of `notNullCols` — against the
+    * trailing history, paging through `manager` on deviation beyond the
+    * tolerances. The anomaly models thus update at stream cadence
+    * rather than scheduler cadence. */
   def monitorVolumeAvailableNow(spark: SparkSession, parquetDir: String,
                                 schema: StructType,
                                 store: MetricsStore, tableName: String,
                                 manager: Alerts.AlertManager,
                                 checkpointDir: String,
                                 tolerance: Double = 0.5,
-                                maxFilesPerTrigger: Int = Integer.MAX_VALUE): Seq[Alerts.Alert] =
+                                maxFilesPerTrigger: Int = Integer.MAX_VALUE,
+                                notNullCols: Seq[String] = Nil,
+                                nullRateTolerance: Double = 0.1): Seq[Alerts.Alert] =
     run(spark, parquetDir, schema, checkpointDir, maxFilesPerTrigger) {
       (batch, batchId) =>
-        store.record(s"batch_$batchId", tableName, batch)
-        manager.process(store.volumeAnomaly(tableName, tolerance).toSeq)
+        store.record(s"batch_$batchId", tableName, batch, notNullCols)
+        manager.process(store.volumeAnomaly(tableName, tolerance).toSeq ++
+          notNullCols.flatMap(c =>
+            store.nullRateAnomaly(tableName, c, nullRateTolerance)))
     }
 
   private def run(spark: SparkSession, parquetDir: String,

@@ -68,4 +68,24 @@ class MonitorStreamSpec extends SparkSpec {
     assert(run2.map(_.event) == Seq("fired"))
     assert(run2.head.rule == "volume_anomaly" && run2.head.subject == "events")
   }
+
+  test("null-rate drift pages from stream-maintained metrics history") {
+    val dir = tmpDir("nrmon_src")
+    val ckpt = tmpDir("nrmon_ckpt")
+    val store = new MetricsStore(spark, tmpDir("nrmon_metrics"))
+    val mgr = new Alerts.AlertManager((_: Alerts.Alert) => ())
+    def batch(n: Int, nulls: Int): Seq[(Int, String)] =
+      (1 to n).map(i => (i, if (i <= nulls) null else s"v$i"))
+    writeBatch(dir, batch(200, 4)) // 2% nulls: baseline
+    val schema = spark.read.parquet(dir).schema
+    val run1 = MonitorStream.monitorVolumeAvailableNow(spark, dir, schema,
+      store, "docs", mgr, ckpt, notNullCols = Seq("name"))
+    assert(run1.isEmpty)
+    // same volume, 50% nulls → null-rate fires, volume stays quiet
+    writeBatch(dir, batch(200, 100))
+    val run2 = MonitorStream.monitorVolumeAvailableNow(spark, dir, schema,
+      store, "docs", mgr, ckpt, notNullCols = Seq("name"))
+    assert(run2.map(_.rule) == Seq("null_rate_anomaly"))
+    assert(run2.head.subject == "docs.name")
+  }
 }
