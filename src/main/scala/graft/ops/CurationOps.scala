@@ -186,6 +186,27 @@ object CurationOps {
       .drop("__keep_rate")
   }
 
+  /** Quality-filter funnel with per-stage drop attribution (the CCNet /
+    * RefinedWeb report shape): each row is attributed to the FIRST stage
+    * whose predicate it fails — or `kept` — and the result is one row per
+    * stage with its drop count. Stages are evaluated in the given order
+    * inside a single `CASE` projection, so the whole funnel is ONE corpus
+    * scan and a |stages|-row aggregate; there is no per-stage pass and no
+    * shuffle of the corpus itself. Stages that drop nothing still appear
+    * (count 0) so the report schema is run-to-run stable. */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val attributed = stages.foldRight(lit("kept")) { case ((name, pred), rest) =>
+      when(!pred, lit(name)).otherwise(rest)
+    }
+    val counts = df.select(attributed.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_rows"))
+    val all = df.sparkSession.createDataFrame(
+      (stages.map(_._1) :+ "kept").map(Tuple1(_))).toDF("stage")
+    all.join(counts, Seq("stage"), "left")
+      .select(col("stage"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   /** Reproducible epoch shuffle: a deterministic pseudo-random total
     * order keyed by `md5(epoch:id)`, laid out as `numShards` balanced
     * hash shards each sorted by the shuffle key. Same epoch → identical

@@ -552,6 +552,32 @@ object DedupOps {
       .withColumn("is_canonical", col("node") === col("cluster_id"))
   }
 
+  /** Quality-policy canonical retention — the step a curation pipeline
+    * actually runs AFTER near-dup detection: collapse each duplicate
+    * cluster to the single best document by a caller-supplied ordering
+    * (e.g. longest text, highest quality score, earliest crawl), instead
+    * of [[dupClusters]]' min-id survivor. Docs that never appeared in a
+    * pair are their own singleton cluster and always survive.
+    *
+    * Shape at 100 TB: the component labels are (id, label) pairs for
+    * paired docs only — joined back on the id key (hash shuffle, 16
+    * bytes/row). The survivor pick is a window partitioned by cluster_id:
+    * partition count ≈ cluster count (high parallelism), partition size =
+    * cluster size (small by construction of a near-dup graph), so no
+    * straggler sort. Returns the retained rows with their `cluster_id`. */
+  def keepCanonical(corpus: DataFrame, pairs: DataFrame, idCol: String,
+                    qualityOrder: Seq[Column],
+                    srcCol: String = "id1", dstCol: String = "id2"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val labeled = corpus.join(cc, corpus(idCol) === cc("node"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
+      .drop("node", "label")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(qualityOrder :+ col(idCol).asc: _*)
+    labeled.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   // -------------------------------------------------------- ngram jaccard
 
   /** All-pairs n-gram Jaccard via inverted index: explode distinct

@@ -328,7 +328,12 @@ object SimilarityOps {
       s"bruteForceNearDups is O(n²) and guarded at $maxVectors vectors " +
         s"(got $n): partition the corpus or use cosineNearDups")
     fused(corpus)
+    // a small corpus usually arrives as ONE parquet file = one task; the
+    // n² work is in the crossJoin, so spread the streamed side across the
+    // cluster first (the other side broadcasts)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val l = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+      .repartition(par)
     val r = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     l.crossJoin(r).filter(col("id1") < col("id2"))
       .withColumn("cos", round(

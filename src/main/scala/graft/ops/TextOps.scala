@@ -27,6 +27,36 @@ object TextOps {
     when(length(normalize(text)) === 0, lit(0L))
       .otherwise(size(tokens(text)).cast("long"))
 
+  /** Pairwise vocabulary-overlap matrix between corpus groups (the
+    * source-contamination / domain-similarity report): distinct
+    * (group, token) collapse first, then an inverted-index join on the
+    * token — never a row-level self-join — then per-pair intersection
+    * counts and integer-DIV-e6 Jaccard from the exact set sizes.
+    *
+    * Shape at 100 TB: the distinct collapse bounds everything downstream
+    * by |groups|·|vocab| (millions of rows, not corpus rows); each token
+    * fans out to at most |groups| sides of the join, so the pair
+    * aggregate is |vocab|·|groups|² worst case with map-side partial
+    * aggregation — the corpus itself is scanned once and never
+    * shuffled. */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "").distinct()
+    val sizes = toks.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("overlap"))
+    inter
+      .join(sizes.select(col("g").as("g1"), col("n").as("n1")), Seq("g1"))
+      .join(sizes.select(col("g").as("g2"), col("n").as("n2")), Seq("g2"))
+      .withColumn("union_n", col("n1") + col("n2") - col("overlap"))
+      .withColumn("jaccard_e6", expr("overlap * 1000000 DIV union_n"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        col("overlap"), col("union_n"), col("jaccard_e6"))
+  }
+
   /** BPE-ish subword count estimate: words + intra-word transitions that
     * typically split (case flips, letter↔digit, punctuation). A cheap,
     * deterministic proxy for tokenizer budget at corpus scale. */

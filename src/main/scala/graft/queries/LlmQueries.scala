@@ -652,6 +652,52 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Canonical retention after near-dup clustering — the pruning step a
+    * curation pipeline actually runs: the q26/q59 edge list collapsed to
+    * components, then ONE survivor per cluster picked by the
+    * longest-text-then-smallest-id quality policy (every unpaired doc is
+    * its own singleton and survives). Oracle = the same recursive-CTE
+    * transitive closure plus a window pick, so a divergence in either the
+    * cluster labels or the retention policy breaks the hash. */
+  def q128CanonicalRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleLen = 2, threshold = 0.03, maxDf = 40)
+    DedupOps.keepCanonical(docs, pairs, "doc_id",
+        qualityOrder = Seq($"n_chars".desc))
+      .select($"doc_id", $"cluster_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Quality-filter funnel with first-fail stage attribution (the CCNet /
+    * RefinedWeb curation report): language keep-list, minimum length,
+    * minimum token count, then a repetition gate expressed as the pure
+    * integer cross-multiplication `distinct·1e6 ≥ 500000·total` (exactly
+    * ratio ≥ 0.5, no float division on either engine). One corpus scan,
+    * |stages|-row output, zero-drop stages reported as 0. */
+  def q129FilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    CurationOps.filterFunnel(Tables.load(s, dir, "documents"), Seq(
+      "1_lang_en" -> ($"lang" === "en"),
+      "2_min_chars" -> ($"n_chars" >= 100),
+      "3_min_tokens" -> (TextOps.tokenCount($"text") >= 20),
+      "4_repetition" -> (size(array_distinct(toks)).cast("long") * 1000000L >=
+        lit(500000L) * size(toks).cast("long"))))
+      .orderBy($"stage")
+  }
+
+  /** Pairwise source vocabulary-overlap matrix (domain-similarity /
+    * cross-source contamination report): distinct (source, token) sets,
+    * inverted-index intersection counts, integer-DIV-e6 Jaccard. All
+    * integer — exact oracle over the identical token sets. */
+  def q130SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.vocabOverlap(Tables.load(s, dir, "documents"), "source", "text")
+      .orderBy($"g1", $"g2")
+  }
+
   /** q87's split spec; thresholds shared verbatim with the oracle. */
   private[graft] val q87Splits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -660,6 +706,9 @@ object LlmQueries {
     "q88_ann_ivfpq" -> (q88AnnIvfPq _),
     "q87_hash_split" -> (q87HashSplit _),
     "q127_budget_mix" -> (q127BudgetMix _),
+    "q128_canonical_retention" -> (q128CanonicalRetention _),
+    "q129_filter_funnel" -> (q129FilterFunnel _),
+    "q130_source_overlap" -> (q130SourceOverlap _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
     "q80_lm_score" -> (q80LmScore _),
@@ -1569,6 +1618,64 @@ object LlmQueries {
          |    AS is_canonical
          |FROM cc
          |ORDER BY doc_id""".stripMargin,
+    "q128_canonical_retention" ->
+      s"""WITH RECURSIVE $jaccard2gramCtes,
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |   JOIN sizes s1 ON s1.doc_id = id1
+         |   JOIN sizes s2 ON s2.doc_id = id2
+         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.03),
+         |sym AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS src, id1 AS dst FROM pairs),
+         |walk(node, reach) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src),
+         |cc AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
+         |clusters AS (
+         |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, cluster_id, n_chars,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |                       ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM clusters)
+         |SELECT doc_id, cluster_id, n_chars FROM ranked WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "q129_filter_funnel" ->
+      s"""WITH attributed AS (
+         |  SELECT CASE
+         |    WHEN NOT (lang = 'en') THEN '1_lang_en'
+         |    WHEN NOT (n_chars >= 100) THEN '2_min_chars'
+         |    WHEN NOT (($nTokSql) >= 20) THEN '3_min_tokens'
+         |    WHEN NOT (len(list_distinct($toksSql)) * 1000000 >=
+         |              500000 * len($toksSql)) THEN '4_repetition'
+         |    ELSE 'kept' END AS stage
+         |  FROM documents),
+         |counts AS (SELECT stage, count(*) AS n_rows FROM attributed
+         |           GROUP BY stage),
+         |stages AS (SELECT unnest(['1_lang_en','2_min_chars','3_min_tokens',
+         |                          '4_repetition','kept']) AS stage)
+         |SELECT s.stage, CAST(coalesce(c.n_rows, 0) AS BIGINT) AS n_rows
+         |FROM stages s LEFT JOIN counts c ON c.stage = s.stage
+         |ORDER BY s.stage""".stripMargin,
+    "q130_source_overlap" ->
+      s"""WITH tok0 AS (
+         |  SELECT source AS g, unnest($toksSql) AS tok FROM documents),
+         |toks AS (SELECT DISTINCT g, tok FROM tok0 WHERE tok <> ''),
+         |sizes AS (SELECT g, count(*) AS n FROM toks GROUP BY g),
+         |inter AS (
+         |  SELECT a.g AS g1, b.g AS g2, count(*) AS overlap
+         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.g < b.g
+         |  GROUP BY a.g, b.g)
+         |SELECT g1, g2, s1.n AS n1, s2.n AS n2, overlap,
+         |  s1.n + s2.n - overlap AS union_n,
+         |  overlap * 1000000 // (s1.n + s2.n - overlap) AS jaccard_e6
+         |FROM inter JOIN sizes s1 ON s1.g = g1 JOIN sizes s2 ON s2.g = g2
+         |ORDER BY g1, g2""".stripMargin,
     "q29_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),

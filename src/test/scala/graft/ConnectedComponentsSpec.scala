@@ -39,6 +39,22 @@ class ConnectedComponentsSpec extends SparkSpec {
       (10L, 10L, 2L, true), (11L, 10L, 2L, false)))
   }
 
+  test("keepCanonical retains the best-quality doc per cluster plus singletons") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "a", 10L), (2L, "b", 99L), (3L, "c", 50L), // cluster {1,2,3}
+      (10L, "d", 5L), (11L, "e", 5L),                 // cluster {10,11}: tie → min id
+      (42L, "f", 1L)                                  // singleton, never paired
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L).toDF("id1", "id2")
+    val kept = DedupOps.keepCanonical(corpus, pairs, "doc_id",
+        qualityOrder = Seq(col("quality").desc))
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    // highest quality wins (doc 2), quality ties break to smallest id
+    // (doc 10), unpaired docs survive as their own singleton cluster
+    assert(kept == Set((2L, 1L), (10L, 10L), (42L, 42L)))
+  }
+
   test("planted exact duplicates land in the same cluster end-to-end") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

@@ -179,4 +179,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.toLowerCase.contains("exchange"))
     assert(df.groupBy("split").count().count() == 2)
   }
+
+  test("filterFunnel attributes each row to its FIRST failing stage") {
+    val docs = Seq(
+      (1L, "fr", 10L),  // fails stage 1 (and would fail 2 — attributed to 1)
+      (2L, "en", 10L),  // passes 1, fails 2
+      (3L, "en", 50L),  // kept
+      (4L, "en", 50L),  // kept
+      (5L, "de", 99L)   // fails 1
+    ).toDF("id", "lang", "len")
+    val got = CurationOps.filterFunnel(docs, Seq(
+        "1_lang" -> ($"lang" === "en"),
+        "2_len" -> ($"len" >= 20L),
+        "3_never_fires" -> lit(true)))
+      .orderBy($"stage").as[(String, Long)].collect().toSeq
+    // zero-drop stages still present, kept rows counted once
+    assert(got == Seq("1_lang" -> 2L, "2_len" -> 1L,
+      "3_never_fires" -> 0L, "kept" -> 2L))
+  }
 }

@@ -74,4 +74,19 @@ class TextOpsSpec extends SparkSpec {
       TextOps.qualityScore($"text")).asInstanceOf[Double]
     assert(good > 0.8 && bad < 0.4 && good > bad)
   }
+
+  test("vocabOverlap computes exact pairwise Jaccard on token sets") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "c d"),     // s1 vocab {a,b,c,d}
+      ("s2", "c d e"),                    // s2 vocab {c,d,e}
+      ("s3", "x y")                       // s3 vocab {x,y} — disjoint from s1/s2
+    ).toDF("source", "text")
+    val got = TextOps.vocabOverlap(docs, "source", "text")
+      .orderBy($"g1", $"g2")
+      .select($"g1", $"g2", $"n1", $"n2", $"overlap", $"union_n", $"jaccard_e6")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // disjoint pairs never appear (no shared token joins them) — the
+    // inverted-index shape, not an all-pairs matrix with zero rows
+    assert(got == Seq(("s1", "s2", 4L, 3L, 2L, 5L, 400000L)))
+  }
 }
