@@ -139,6 +139,56 @@ object EventStream {
         col("r_ts"), col("r_type"), col("r_value"))
   }
 
+  /** Stream-stream interval join, LEFT OUTER: like [[intervalJoin]] but
+    * left events with no right match inside the horizon still emit (with
+    * null right columns) — the "clicks that never converted" shape, which
+    * an inner interval join silently drops. The null row for a left event
+    * can only be emitted once the watermark passes `l_ts + horizon`
+    * (before that a match could still arrive), so unmatched results trail
+    * the stream by exactly the horizon + watermark delay — the price of
+    * correctness, not a config knob. State stays bounded exactly as in
+    * the inner variant. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            horizon: String = "15 minutes",
+                            watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"),
+        col("r_ts"), col("r_type"), col("r_value"))
+  }
+
+  /** Native session-window aggregation (`session_window`): per-user
+    * sessions that extend while events arrive within `gap` of the last
+    * one — the built-in operator for the plain "gap sessions + additive
+    * aggregates" case, with [[sessionize]] (flatMapGroupsWithState)
+    * reserved for session logic the built-in can't express (custom
+    * emission, non-additive state). Append mode: a session emits once the
+    * watermark passes its end. Money is quantized per row before the sum
+    * so the streamed figure is bit-identical to the batch twin — the same
+    * `session_window` call works in a plain batch groupBy, which is what
+    * the spec gates against. State per in-flight session row, dropped at
+    * emission — bounded by active sessions. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100.0 + 0.5)).cast("long").as("value_cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_cents"))
+
   /** Run a file-sourced event stream through `windowedAgg` into an
     * in-memory table (local smoke path; swap source/sink for Kafka/parquet
     * in production — the transform is identical). Returns the result. */

@@ -108,4 +108,77 @@ class EventStreamSpec extends SparkSpec {
     assert(s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0)
     assert((s.session_end_us - s.session_start_us) == 10L * 60 * 1000000)
   }
+
+  test("left-outer interval join emits unmatched clicks after the horizon closes") {
+    def ev(u: Long, minute: Long, t: String, v: Double) =
+      Event(u, new Timestamp(1700000000000L + minute * 60000L), t, v)
+    val dir = tmpDir("ssoj")
+    // batch 1: u1 converts inside the horizon, u2 never converts
+    Seq(ev(1, 0, "click", 1.0), ev(1, 5, "purchase", 10.0),
+        ev(2, 0, "click", 2.0))
+      .toDF().repartition(1).write.parquet(s"$dir/in")
+    // batch 2: pushers on BOTH sides (the global watermark is the MIN of
+    // the two sides' watermarks → 60-10 = 50 > 0+15 once batch 2 ends);
+    // batch 3: one more batch so the null-side emission — which trails
+    // the watermark update by a batch — actually runs
+    val schema = Seq(ev(1, 0, "click", 1.0)).toDF().schema
+    Seq(ev(9, 60, "click", 0.0), ev(8, 60, "purchase", 0.0))
+      .toDF().repartition(1).write.mode("append").parquet(s"$dir/in")
+    Seq(ev(9, 62, "click", 0.0), ev(8, 62, "purchase", 0.0))
+      .toDF().repartition(1).write.mode("append").parquet(s"$dir/in")
+    def stream(tpe: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in").filter($"event_type" === tpe)
+    val q = EventStream.intervalJoinLeftOuter(
+        stream("click"), stream("purchase"), horizon = "15 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssoj").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssoj")
+      .select($"user_id", $"l_value", $"r_value")
+      .as[(Long, Double, Option[Double])].collect().toSet
+    // u1 pairs; u2 emits with a NULL right side; the u9 pusher click's
+    // own horizon has not closed, so it stays buffered — not emitted
+    assert(got == Set((1L, 1.0, Some(10.0)), (2L, 2.0, None)))
+  }
+
+  test("native session_window agg matches the batch twin bit-for-bit") {
+    def ev(u: Long, minute: Long, v: Double) =
+      Event(u, new Timestamp(1700000000000L + minute * 60000L), "click", v)
+    val events = Seq(
+      ev(1, 0, 1.25), ev(1, 10, 2.50),  // session A: 2 events, 375 cents
+      ev(1, 50, 4.75),                  // session B (gap 40 > 30)
+      ev(2, 5, 8.00), ev(2, 20, 16.0))  // one session, 2400 cents
+    val dir = tmpDir("sesswin")
+    events.toDF().repartition(1).write.parquet(s"$dir/in")
+    // watermark pushers far enough out (minute 300 → watermark 240) to
+    // close every session; two batches because emission trails the
+    // watermark update by one micro-batch
+    Seq(ev(9, 300, 0.0)).toDF().repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    Seq(ev(9, 301, 0.0)).toDF().repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val schema = events.toDF().schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = EventStream.sessionWindowAgg(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sesswin").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sesswin")
+      .filter($"user_id" =!= 9)
+      .select($"user_id", $"session_start", $"session_end",
+        $"n_events", $"value_cents")
+      .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    // the SAME session_window call in a plain batch groupBy — the
+    // stream/batch equivalence contract
+    val batch = EventStream.sessionWindowAgg(
+        events.toDF().where($"user_id" =!= 9))
+      .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+    assert(streamed.map(s => (s._1, s._4, s._5)) ==
+      Set((1L, 2L, 375L), (1L, 1L, 475L), (2L, 2L, 2400L)))
+  }
 }

@@ -42,6 +42,33 @@ class RuntimeScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("parquet aggregate pushdown answers count/min/max from footers") {
+    // DSv2-only feature: COUNT(*)/MIN/MAX with no filter are answered
+    // from parquet footer statistics — zero row reads. At 100 TB this
+    // turns full-scan audits (row counts per table, value ranges for
+    // zone-map builds) into metadata operations.
+    val prevList = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      val path = "/root/testdata/sf0.001/lineitem.parquet"
+      val expected = spark.read.parquet(path)
+        .agg(count(lit(1)), min($"l_orderkey"), max($"l_orderkey"))
+        .as[(Long, Long, Long)].head()
+      spark.conf.set("spark.sql.sources.useV1SourceList",
+        prevList.split(",").filterNot(_.trim == "parquet").mkString(","))
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val q = spark.read.parquet(path)
+        .agg(count(lit(1)).as("n"), min($"l_orderkey").as("lo"),
+          max($"l_orderkey").as("hi"))
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(planStr.contains("PushedAggregation"),
+        s"expected footer-level aggregate pushdown:\n$planStr")
+      assert(q.as[(Long, Long, Long)].head() == expected)
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevList)
+      spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
