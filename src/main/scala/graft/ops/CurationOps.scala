@@ -186,6 +186,30 @@ object CurationOps {
       .drop("__keep_rate")
   }
 
+  /** Contiguous, deterministic 0..n-1 ids in `orderCol` order WITHOUT a
+    * global single-task sort — `row_number() OVER (ORDER BY ...)` is the
+    * classic scale trap (one reducer sorts the corpus). Here: range
+    * partition by the order key (sampled boundaries), sort within
+    * partitions, then the two-phase `zipWithIndex` — one counting job
+    * whose per-partition sizes become broadcast offsets, one map job that
+    * enumerates locally (the second job reuses the first's shuffle files;
+    * nothing is recomputed or persisted). `orderCol` must be unique —
+    * with ties the order, and therefore the ids, would be
+    * partition-placement-dependent. */
+  def assignStableIds(df: DataFrame, orderCol: String,
+                      idName: String = "stable_id",
+                      partitions: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(partitions, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val withId = ranged.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(withId,
+      ranged.schema.add(idName, org.apache.spark.sql.types.LongType,
+        nullable = false))
+  }
+
   /** Quality-filter funnel with per-stage drop attribution (the CCNet /
     * RefinedWeb report shape): each row is attributed to the FIRST stage
     * whose predicate it fails — or `kept` — and the result is one row per

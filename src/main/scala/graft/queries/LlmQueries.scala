@@ -698,6 +698,20 @@ object LlmQueries {
       .orderBy($"g1", $"g2")
   }
 
+  /** Contiguous stable-id assignment in doc_id order — the scale-safe
+    * replacement for `row_number() OVER (ORDER BY ...)` (which sorts the
+    * corpus in ONE reducer): range partition + local sort + two-phase
+    * zipWithIndex. The oracle IS that global window — the distributed
+    * enumeration must reproduce it exactly. */
+  def q131StableIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CurationOps.assignStableIds(
+        Tables.load(s, dir, "documents").select($"doc_id", $"source"),
+        orderCol = "doc_id", partitions = 8)
+      .select($"doc_id", $"source", $"stable_id")
+      .orderBy($"doc_id")
+  }
+
   /** q87's split spec; thresholds shared verbatim with the oracle. */
   private[graft] val q87Splits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -709,6 +723,7 @@ object LlmQueries {
     "q128_canonical_retention" -> (q128CanonicalRetention _),
     "q129_filter_funnel" -> (q129FilterFunnel _),
     "q130_source_overlap" -> (q130SourceOverlap _),
+    "q131_stable_ids" -> (q131StableIds _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
     "q80_lm_score" -> (q80LmScore _),
@@ -1662,6 +1677,11 @@ object LlmQueries {
          |SELECT s.stage, CAST(coalesce(c.n_rows, 0) AS BIGINT) AS n_rows
          |FROM stages s LEFT JOIN counts c ON c.stage = s.stage
          |ORDER BY s.stage""".stripMargin,
+    "q131_stable_ids" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS stable_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q130_source_overlap" ->
       s"""WITH tok0 AS (
          |  SELECT source AS g, unnest($toksSql) AS tok FROM documents),

@@ -180,6 +180,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(df.groupBy("split").count().count() == 2)
   }
 
+  test("assignStableIds enumerates in key order, invariant to partition count") {
+    val df = Seq(30L, 5L, 99L, 1L, 42L, 7L).toDF("key")
+      .withColumn("payload", $"key" * 10)
+    def ids(parts: Int) = CurationOps.assignStableIds(df, "key", partitions = parts)
+      .select($"key", $"stable_id").as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 0L, 5L -> 1L, 7L -> 2L, 30L -> 3L,
+      42L -> 4L, 99L -> 5L)
+    assert(ids(1) == expected && ids(3) == expected && ids(7) == expected)
+  }
+
   test("filterFunnel attributes each row to its FIRST failing stage") {
     val docs = Seq(
       (1L, "fr", 10L),  // fails stage 1 (and would fail 2 — attributed to 1)
