@@ -662,8 +662,11 @@ object LlmQueries {
   def q128CanonicalRetention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
+    // threshold 0.1 (vs q59's 0.03): at 0.03 this synthetic corpus is ONE
+    // connected component and retention would keep a single doc — 0.1
+    // yields ~63 clusters (biggest 8) so the policy is actually exercised
     val pairs = DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
-      shingleLen = 2, threshold = 0.03, maxDf = 40)
+      shingleLen = 2, threshold = 0.1, maxDf = 40)
     DedupOps.keepCanonical(docs, pairs, "doc_id",
         qualityOrder = Seq($"n_chars".desc))
       .select($"doc_id", $"cluster_id", $"n_chars")
@@ -1639,7 +1642,7 @@ object LlmQueries {
          |  SELECT id1, id2 FROM inter
          |   JOIN sizes s1 ON s1.doc_id = id1
          |   JOIN sizes s2 ON s2.doc_id = id2
-         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.03),
+         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.1),
          |sym AS (
          |  SELECT id1 AS src, id2 AS dst FROM pairs
          |  UNION ALL
