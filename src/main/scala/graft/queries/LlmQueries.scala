@@ -715,6 +715,23 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Model-based quality filter end to end: weak labels (lang == 'en'),
+    * hashed-BoW logistic regression, score + confusion summary. No SQL
+    * oracle — L-BFGS float aggregation is not bit-portable across
+    * engines — so this is a rows-only driver gate; the separation
+    * quality itself is gated in QualityClassifierSpec. */
+  def q132QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("label", ($"lang" === "en").cast("int"))
+    val m = graft.ops.QualityClassifier.train(docs, "text", "label",
+      numFeatures = 1 << 14, maxIter = 20)
+    graft.ops.QualityClassifier.score(m, docs, "text")
+      .groupBy($"label", ($"quality_prob" >= 0.5).cast("int").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"predicted")
+  }
+
   /** q87's split spec; thresholds shared verbatim with the oracle. */
   private[graft] val q87Splits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -727,6 +744,7 @@ object LlmQueries {
     "q129_filter_funnel" -> (q129FilterFunnel _),
     "q130_source_overlap" -> (q130SourceOverlap _),
     "q131_stable_ids" -> (q131StableIds _),
+    "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
     "q80_lm_score" -> (q80LmScore _),
