@@ -227,7 +227,9 @@ object CurationOps {
       .groupBy(col("stage")).agg(count(lit(1)).as("n_rows"))
     val all = df.sparkSession.createDataFrame(
       (stages.map(_._1) :+ "kept").map(Tuple1(_))).toDF("stage")
-    all.join(counts, Seq("stage"), "left")
+    // counts is a |stages|+1-row aggregate — broadcast it (the right/build
+    // side of the left join) rather than letting size estimation guess
+    all.join(broadcast(counts), Seq("stage"), "left")
       .select(col("stage"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
 

@@ -161,6 +161,27 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q128 canonical retention: cluster-keyed window, never a global sort funnel") {
+    // the survivor pick must window over hashpartitioning(cluster_id) —
+    // thousands of small partitions — not collapse to one
+    val df = graft.queries.LlmQueries.q128CanonicalRetention(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(cluster_id"),
+      s"expected the survivor window keyed by cluster_id:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      "canonical retention funneled through one partition")
+  }
+
+  test("q129 filter funnel: one corpus scan, stage-list side broadcast") {
+    val df = graft.queries.LlmQueries.q129FilterFunnel(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus is scanned once; the 5-row stage list joins broadcast
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"funnel should read the corpus exactly once:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"))
+  }
+
   test("q120 rank top-k: tie-aware heap aggregate, no Window, no sort below") {
     val df = graft.queries.FunctionQueries.q120RankTopK(spark, dir)
     val p = df.queryExecution.executedPlan.toString
