@@ -714,7 +714,37 @@ object RelationalQueries {
 
   // ------------------------------------------------------------- inventory
 
+  /** One SQL text, two engines: the recursive closure is the acceptance
+    * test for Spark 4's WITH RECURSIVE — results must match DuckDB's
+    * evaluation of the identical statement. Each nation chains to the
+    * NEXT key in its region (≤1 outgoing edge per node → the UNION ALL
+    * walk generates each (node, reach) exactly once and terminates at
+    * the chain tail), so no recursive dedup is needed on either engine. */
+  private val recursiveClosureSql =
+    """WITH RECURSIVE edges AS (
+      |  SELECT a.n_nationkey AS src, min(b.n_nationkey) AS dst
+      |  FROM nation a JOIN nation b
+      |    ON a.n_regionkey = b.n_regionkey AND b.n_nationkey > a.n_nationkey
+      |  GROUP BY a.n_nationkey),
+      |walk(node, reach) AS (
+      |  SELECT n_nationkey, n_nationkey FROM nation
+      |  UNION ALL
+      |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      |agg AS (
+      |  SELECT node, count(*) AS n_reachable, max(reach) AS chain_tail
+      |  FROM walk GROUP BY node)
+      |SELECT node AS n_nationkey, n_reachable, chain_tail
+      |FROM agg ORDER BY n_nationkey""".stripMargin
+
+  /** Recursive CTE (transitive closure along per-region nation chains)
+    * executed by Spark's native WITH RECURSIVE. */
+  def q133RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(recursiveClosureSql)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_recursive_cte" -> (q133RecursiveCte _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_left_join" -> (q3LeftJoin _),
@@ -761,6 +791,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_recursive_cte" -> recursiveClosureSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
