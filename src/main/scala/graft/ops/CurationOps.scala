@@ -217,7 +217,12 @@ object CurationOps {
     * inside a single `CASE` projection, so the whole funnel is ONE corpus
     * scan and a |stages|-row aggregate; there is no per-stage pass and no
     * shuffle of the corpus itself. Stages that drop nothing still appear
-    * (count 0) so the report schema is run-to-run stable. */
+    * (count 0) so the report schema is run-to-run stable.
+    *
+    * Null semantics are SQL's: a predicate evaluating to NULL does not
+    * attribute the row to that stage (it cascades to the next, possibly
+    * to `kept`) — write stages over nullable columns with an explicit
+    * `isNotNull` arm if nulls should be drops. */
   def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "need at least one funnel stage")
     val attributed = stages.foldRight(lit("kept")) { case ((name, pred), rest) =>

@@ -104,14 +104,47 @@ object CdcQueries {
       .orderBy($"window_start_s", $"event_type")
   }
 
+  /** VARIANT ingestion (Spark 4's semi-structured type): JSON built from
+    * orders → `parse_json` → typed `variant_get` path extraction, nested
+    * object + array paths included. The oracle recomputes the extracted
+    * values RELATIONALLY from the base table, so the gate proves the
+    * JSON→VARIANT→extract round-trip is value-exact (doubles ride JSON's
+    * shortest-repr printing, which re-parses to the identical bits).
+    * Unlike the `from_json` shred (q21), VARIANT needs no schema up
+    * front — the 100 TB pattern for heterogeneous event payloads: ingest
+    * once as VARIANT, extract typed columns per consumer. */
+  def q134VariantShred(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.load(s, dir, "orders")
+    val j = to_json(struct(
+      struct($"o_orderkey".as("id"),
+        array($"o_custkey", pmod($"o_orderkey", lit(7))).as("ks")).as("meta"),
+      $"o_orderstatus".as("st"),
+      $"o_totalprice".as("price")))
+    ord.select($"o_orderkey", parse_json(j).as("v"))
+      .select($"o_orderkey",
+        expr("variant_get(v, '$.meta.id', 'long')").as("meta_id"),
+        expr("variant_get(v, '$.meta.ks[1]', 'long')").as("k2"),
+        expr("variant_get(v, '$.st', 'string')").as("status"),
+        floor(expr("variant_get(v, '$.price', 'double')") * 100.0 + 0.5)
+          .as("price_cents"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_cdc_roundtrip" -> (q21CdcRoundtrip _),
+    "q134_variant_shred" -> (q134VariantShred _),
     "q85_scd2" -> (q85Scd2 _),
     "q86_snapshot_diff" -> (q86SnapshotDiff _),
     "q124_stream_windowed" -> (q124StreamWindowed _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_variant_shred" ->
+      """SELECT o_orderkey, o_orderkey AS meta_id, o_orderkey % 7 AS k2,
+        |  o_orderstatus AS status,
+        |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q21_cdc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
