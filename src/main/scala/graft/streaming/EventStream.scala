@@ -114,6 +114,72 @@ object EventStream {
       }
   }
 
+  /** [[sessionize]]'s logic on Spark 4's `transformWithState` API — the
+    * successor to flatMapGroupsWithState: explicit named state variables
+    * (schema'd, evolvable, RocksDB-backed — set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider) and explicit event-time timers instead of the single
+    * implicit timeout. Same contract as [[sessionize]]: sessions closed
+    * by a newer event emit immediately; open sessions emit when their
+    * gap timer fires past the watermark. */
+  class GapSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = if (state.exists()) Some(state.get()) else None
+      cur.foreach(s => getHandle.deleteTimer(s.lastSeen / 1000L + gapMs))
+      sorted.foreach { e =>
+        val tUs = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if tUs - s.lastSeen <= gapMs * 1000L =>
+            cur = Some(s.copy(lastSeen = tUs, nEvents = s.nEvents + 1,
+              totalValue = s.totalValue + e.value))
+          case Some(s) =>
+            closed ::= Session(userId, s.start, s.lastSeen, s.nEvents, s.totalValue)
+            cur = Some(SessionState(tUs, tUs, 1, e.value))
+          case None =>
+            cur = Some(SessionState(tUs, tUs, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.lastSeen / 1000L + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Session] =
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(Session(userId, s.start, s.lastSeen, s.nEvents, s.totalValue))
+      } else Iterator.empty
+  }
+
+  /** Gap sessionization via [[GapSessionProcessor]] / transformWithState. */
+  def sessionizeTws(events: Dataset[Event],
+                    gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapMs),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
   /** Stream-stream INTERVAL JOIN: each left event pairs with right events
     * for the same user whose event time falls in [left.ts, left.ts +
     * horizon] — the attribution primitive (click → purchase within N

@@ -109,6 +109,51 @@ class EventStreamSpec extends SparkSpec {
     assert((s.session_end_us - s.session_start_us) == 10L * 60 * 1000000)
   }
 
+  test("transformWithState sessionizer matches the flatMapGroupsWithState twin") {
+    def ev(u: Long, minute: Long, v: Double) =
+      Event(u, new Timestamp(1700000000000L + minute * 60000L), "click", v)
+    val events = Seq(
+      ev(1, 0, 1.0), ev(1, 10, 2.0), // session A (closed by the gap below)
+      ev(1, 50, 4.0),                // session B
+      ev(2, 5, 8.0), ev(2, 20, 16.0))
+    val dir = tmpDir("sesstws")
+    events.toDF().repartition(1).write.parquet(s"$dir/in")
+    // two watermark pushers: timers fire once the watermark passes
+    // lastSeen + gap, and emission trails the advance by a micro-batch
+    Seq(ev(9, 300, 0.0)).toDF().repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    Seq(ev(9, 301, 0.0)).toDF().repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(events.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in").as[Event]
+      val q = EventStream.sessionizeTws(stream)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sesstws").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sesstws").as[Session].collect()
+        .filter(_.user_id != 9)
+        .map(s => (s.user_id, s.n_events, s.total_value,
+          (s.session_end_us - s.session_start_us) / 60000000L)).toSet
+      // all three sessions close (two by newer events / timers past the
+      // pushed watermark): same result the fMGWS sessionizer produces
+      assert(got == Set((1L, 2L, 3.0, 10L), (1L, 1L, 4.0, 0L),
+        (2L, 2L, 24.0, 15L)))
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("left-outer interval join emits unmatched clicks after the horizon closes") {
     def ev(u: Long, minute: Long, t: String, v: Double) =
       Event(u, new Timestamp(1700000000000L + minute * 60000L), t, v)
