@@ -568,10 +568,13 @@ object DedupOps {
   def keepCanonical(corpus: DataFrame, pairs: DataFrame, idCol: String,
                     qualityOrder: Seq[Column],
                     srcCol: String = "id1", dstCol: String = "id2"): DataFrame = {
+    // unique-prefixed label columns so a corpus that itself carries
+    // `node`/`label` columns cannot collide with the join plumbing
     val cc = connectedComponents(pairs, srcCol, dstCol)
-    val labeled = corpus.join(cc, corpus(idCol) === cc("node"), "left")
-      .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
-      .drop("node", "label")
+      .select(col("node").as("__cc_node"), col("label").as("__cc_label"))
+    val labeled = corpus.join(cc, corpus(idCol) === cc("__cc_node"), "left")
+      .withColumn("cluster_id", coalesce(col("__cc_label"), col(idCol)))
+      .drop("__cc_node", "__cc_label")
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(qualityOrder :+ col(idCol).asc: _*)
     labeled.withColumn("__rn", row_number().over(w))

@@ -87,4 +87,18 @@ class CurationPropertySpec extends SparkSpec {
       got == expected
     }, n = 40)
   }
+
+  test("keepCanonical survives a corpus that carries node/label columns") {
+    // regression: the internal CC join columns must not collide with
+    // same-named user columns
+    val corpus = Seq(
+      (1L, 5L, "n1", "l1"), (2L, 9L, "n2", "l2"), (3L, 1L, "n3", "l3"))
+      .toDF("id", "q", "node", "label")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val got = DedupOps.keepCanonical(corpus, pairs, "id",
+        qualityOrder = Seq(col("q").desc))
+      .select($"id", $"cluster_id", $"node", $"label")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == Set((2L, 1L, "n2", "l2"), (3L, 3L, "n3", "l3")))
+  }
 }
