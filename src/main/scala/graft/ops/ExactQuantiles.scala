@@ -177,6 +177,176 @@ object ExactQuantiles {
     } finally { freq.unpersist(); () }
   }
 
+  /** Per-group exact quantiles via ITERATIVE HISTOGRAM NARROWING — the
+    * fastest few-groups path, and the one with the smallest shuffle at
+    * scale. Each round is a single whole-stage-codegen aggregate pass:
+    *
+    *  1. broadcast the per-(group, rank) active value span `[lo, hi]`
+    *     (a handful of rows) and equi-join it to the data on group;
+    *  2. histogram the in-span values into `buckets` equal-width bins —
+    *     the partial agg map-side-combines to ≤ |spans|·buckets rows, so
+    *     the shuffle carries KILOBYTES regardless of table size (vs the
+    *     full (group,value) summary shuffle of the range path);
+    *  3. the driver walks each span's bucket counts to find the bin
+    *     containing its rank and narrows the span `buckets`-fold.
+    *
+    * A span of width ≤ `buckets` resolves exactly (one value per bin),
+    * so rounds ≤ ⌈64 / log₂ buckets⌉ = 5 full passes worst-case over the
+    * entire long domain; real data resolves in 2-3. Driver state is
+    * O(|groups|·|probs|·buckets) longs — never the distribution. Spans
+    * whose width overflows long split at 0 into two selectors; bucket
+    * arithmetic stays in exact long math. Interpolation is the identical
+    * bit-exact Catalyst `Percentile` formula; null values are ignored
+    * (`Percentile` semantics); a null group KEY is a legitimate group
+    * (null-safe join). Prefer this over [[quantilesByGroup]] when extra
+    * scans are cheaper than shuffling the distinct-value summary — i.e.
+    * columnar sources with column pruning, which is the 100-TB regime. */
+  def quantilesByGroupHistogram(df: DataFrame, groupCol: String,
+                                valueCol: String, probs: Seq[Double],
+                                buckets: Int = 8192)
+      : Map[String, Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where($"v".isNotNull)
+    // pass 0: group extents — O(|groups|) rows to the driver
+    val extents = base.groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx"))
+      .select($"g", $"n", $"mn", $"mx")
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    histogramSelect(base, extents, probs, buckets)
+  }
+
+  /** [[quantilesByGroupHistogram]] with CALLER-SUPPLIED extents
+    * `group -> (n, hullLo, hullHi)` — for pipelines that already paid an
+    * aggregate pass carrying count/min/max (fold them into that agg and
+    * skip pass 0 here), or whose hull is known analytically (e.g. a
+    * derived |x − m| column is bounded by the source column's extents).
+    * `n` must be the exact non-null count; the hull need only COVER the
+    * group's values — looseness costs narrowing rounds, not correctness. */
+  def quantilesByGroupHistogramHull(df: DataFrame, groupCol: String,
+                                    valueCol: String, probs: Seq[Double],
+                                    extents: Map[String, (Long, Long, Long)],
+                                    buckets: Int = 8192)
+      : Map[String, Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where($"v".isNotNull)
+    histogramSelect(base, extents, probs, buckets)
+  }
+
+  private def histogramSelect(base: DataFrame,
+                              extents: Map[String, (Long, Long, Long)],
+                              probs: Seq[Double], buckets: Int)
+      : Map[String, Array[Double]] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    require(buckets >= 2)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val hsByGroup: Map[String, Array[Double]] = extents.map {
+      case (g, (n, _, _)) => g -> probs.map(p => (n - 1) * p).toArray
+    }
+    // one selector per (group, needed rank): its span plus the count of
+    // values strictly below the span (global 0-based rank bookkeeping)
+    case class Sel(g: String, rank: Long, lo: Long, hi: Long, below: Long)
+    var active: Seq[Sel] = extents.toSeq.flatMap { case (g, (_, mn, mx)) =>
+      hsByGroup(g).flatMap(h =>
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct
+        .flatMap { rank =>
+          // an overflowing span (mx - mn ≥ 2^63) splits at 0; count rows
+          // below 0 lazily by treating the halves as separate selectors —
+          // the first round's walk assigns the rank to whichever half
+          // covers it once negative-half counts arrive
+          try { Math.subtractExact(mx, mn); Seq(Sel(g, rank, mn, mx, 0L)) }
+          catch { case _: ArithmeticException =>
+            Seq(Sel(g, rank, mn, -1L, 0L), Sel(g, rank, 0L, mx, Long.MinValue))
+          }
+        }
+    }
+    val resolved = scala.collection.mutable.Map[(String, Long), Long]()
+    var round = 0
+    while (active.nonEmpty) {
+      round += 1
+      require(round <= 8, s"histogram selection failed to converge: $active")
+      val widths: Map[Int, Long] = active.indices.map { i =>
+        val s = active(i)
+        val span = s.hi - s.lo + 1 // safe: overflowing spans were split
+        i -> math.max(1L, (span + buckets - 1) / buckets)
+      }.toMap
+      val selRows = active.indices.map { i =>
+        val s = active(i); (i, s.g, s.lo, s.hi, widths(i))
+      }
+      val selDf = broadcast(
+        selRows.toDF("sel", "sg", "lo", "hi", "w"))
+      // literal hull of all active spans: from round 2 on this predicate
+      // reaches the parquet scan (min/max row-group skipping), unlike the
+      // per-selector bounds that only exist post-join
+      val hullLo = active.map(_.lo).min
+      val hullHi = active.map(_.hi).max
+      // join multiplies a row only by the (few) overlapping selectors of
+      // its group; bucket index in exact long division (operands ≥ 0)
+      val counts = base
+        .where($"v" >= lit(hullLo) && $"v" <= lit(hullHi))
+        .join(selDf, $"g" <=> $"sg")
+        .where($"v" >= $"lo" && $"v" <= $"hi")
+        .groupBy($"sel", expr("(v - lo) div w").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .as[(Int, Long, Long)]
+        .collect()
+      val bySel = counts.groupBy(_._1)
+      // split-span halves of one rank share (g, rank): merge the negative
+      // half's total into the positive half's `below` before walking
+      val halfTotals: Map[(String, Long), Long] = active.indices
+        .filter(i => active(i).hi == -1L)
+        .map { i =>
+          val s = active(i)
+          (s.g, s.rank) ->
+            bySel.getOrElse(i, Array.empty).map(_._3).sum
+        }.toMap
+      val next = scala.collection.mutable.ArrayBuffer[Sel]()
+      active.indices.foreach { i =>
+        val s0 = active(i)
+        val s = if (s0.below == Long.MinValue)
+          s0.copy(below = halfTotals.getOrElse((s0.g, s0.rank), 0L))
+        else s0
+        val w = widths(i)
+        val bins = bySel.getOrElse(i, Array.empty)
+          .map { case (_, b, c) => (b, c) }.sortBy(_._1)
+        var cum = s.below
+        var hit = false
+        bins.foreach { case (b, c) =>
+          if (!hit && s.rank >= cum && s.rank < cum + c) {
+            hit = true
+            val lo2 = s.lo + b * w
+            val hi2 = math.min(s.hi, lo2 + (w - 1))
+            if (w == 1L) resolved((s.g, s.rank)) = lo2
+            else next += Sel(s.g, s.rank, lo2, hi2, cum)
+          }
+          if (!hit) cum += c
+        }
+        // a half-span that doesn't contain the rank just drops out
+      }
+      active = next.toSeq
+    }
+    hsByGroup.map { case (g, hs) =>
+      g -> hs.map { h =>
+        val lo = math.floor(h)
+        val hi = math.ceil(h)
+        if (extents(g)._1 == 0) Double.NaN
+        else {
+          val lv = resolved((g, lo.toLong)).toDouble
+          val hv = resolved((g, hi.toLong)).toDouble
+          if (lo == hi) lv else (hi - h) * lv + (h - lo) * hv
+        }
+      }
+    }
+  }
+
   /** Per-group exact quantiles for the MANY-groups regime, as a
     * DataFrame `(g string, qs array<double>)`. The (group, value)
     * frequency summary hash-partitions on GROUP, a within-partition sort

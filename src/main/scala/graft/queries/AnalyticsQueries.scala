@@ -347,26 +347,39 @@ object AnalyticsQueries {
 
   /** Median absolute deviation per group — the robust dispersion
     * statistic, composed from TWO grouped exact-quantile passes
-    * ([[graft.ops.ExactQuantiles.quantilesByGroup]]): per-group medians,
-    * then medians of |deviation|. Doubling keeps everything integral
-    * (a median of integers is k or k+½, so 2·median and |2c − 2·median|
-    * are exact longs) — no float sums anywhere. Driver traffic is the
-    * per-group scalars only; both passes are range-partitioned scans. */
+    * ([[graft.ops.ExactQuantiles.quantilesByGroupHistogram]]): per-group
+    * medians, then medians of |deviation|. Doubling keeps everything
+    * integral (a median of integers is k or k+½, so 2·median and
+    * |2c − 2·median| are exact longs) — no float sums anywhere. Driver
+    * traffic is O(groups·buckets) scalars; each selection round is one
+    * map-side-combined aggregate pass, never a summary shuffle. */
   def q109Mad(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
       .select($"l_returnflag",
         floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("c"))
+    // one extents pass feeds the count report, the median selection's
+    // hull, AND (analytically: |2c − m2| ∈ [0, max |2·extreme − m2|])
+    // the deviation selection's hull — 1 + 2·rounds lean passes total
+    val ext = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), min($"c").as("mn"), max($"c").as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
     val med2 = graft.ops.ExactQuantiles
-      .quantilesByGroup(li, "l_returnflag", "c", Seq(0.5), partitions = 32)
+      .quantilesByGroupHistogramHull(li, "l_returnflag", "c", Seq(0.5), ext)
       .map { case (g, qs) => g -> math.round(qs(0) * 2) }
     val medDf = med2.toSeq.toDF("l_returnflag", "m2")
     val dev = li.join(broadcast(medDf), "l_returnflag")
       .withColumn("d2", abs(lit(2L) * $"c" - $"m2"))
+    val devExt = ext.map { case (g, (n, mn, mx)) =>
+      val m2 = med2(g)
+      g -> (n, 0L, math.max(math.abs(2 * mn - m2), math.abs(2 * mx - m2)))
+    }
     val mad2 = graft.ops.ExactQuantiles
-      .quantilesByGroup(dev, "l_returnflag", "d2", Seq(0.5), partitions = 32)
-    val counts = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .quantilesByGroupHistogramHull(dev, "l_returnflag", "d2", Seq(0.5),
+        devExt)
+    val counts = ext.map { case (g, (n, _, _)) => g -> n }
     med2.toSeq.map { case (g, m2) =>
       (g, counts(g), math.floor(m2.toDouble / 2 * 10 + 0.5).toLong,
         math.floor(mad2(g)(0) * 5 + 0.5).toLong)

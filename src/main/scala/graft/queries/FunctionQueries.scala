@@ -102,27 +102,50 @@ object FunctionQueries {
     // regression at sf0.1. Prices are exact 2-decimal values, so the
     // cents-quantized median /100 is the same number the row-level
     // median would produce.
+    // Orchestration: the sketch pass and the exact-distinct pass are
+    // independent — submit them as CONCURRENT Spark jobs (standard
+    // driver-side scheduling; local[32] and any real cluster overlap
+    // them) and fold the histogram selection's extents (count/min/max of
+    // cents) into the sketch aggregate so the selection skips its own
+    // pass 0. The 3-row result is assembled from O(|groups|) driver
+    // scalars — never the distribution.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val li = Tables.load(s, dir, "lineitem")
-    val sketches = li.groupBy($"l_returnflag").agg(
-      approx_count_distinct($"l_orderkey", 0.01).cast("double").as("__hll"),
-      percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("__amed"),
-      count(lit(1)).as("n"))
-    val distincts = li.groupBy($"l_returnflag").agg(
-      countDistinct($"l_orderkey").as("n_orders_exact"))
-    val sketched = sketches.join(distincts, Seq("l_returnflag"))
-    val medMap = graft.ops.ExactQuantiles.quantilesByGroup(
-      li.select($"l_returnflag",
-        floor($"l_extendedprice" * 100.0 + 0.5).as("__cents")),
-      "l_returnflag", "__cents", Seq(0.5), partitions = 32)
-    val med = medMap.toSeq.map { case (g, qs) => (g, qs(0) / 100.0) }
-      .toDF("l_returnflag", "__emed")
-    sketched.join(med, Seq("l_returnflag"))
-      .select($"l_returnflag", $"n_orders_exact",
-        (abs($"__hll" - $"n_orders_exact") <= $"n_orders_exact" * 0.05)
-          .cast("long").as("hll_within_5pct"),
-        (abs($"__amed" - $"__emed") <= $"__emed" * 0.05)
-          .cast("long").as("median_within_5pct"),
-        $"n")
+    val cents = floor($"l_extendedprice" * 100.0 + 0.5).cast("long")
+    val sketchesF = Future {
+      li.groupBy($"l_returnflag").agg(
+        approx_count_distinct($"l_orderkey", 0.01).cast("double").as("__hll"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("__amed"),
+        count(lit(1)).as("n"),
+        count(cents).as("__nv"), min(cents).as("__mn"), max(cents).as("__mx"))
+        .collect()
+    }
+    val distinctsF = Future {
+      li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("n_orders_exact"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val sk = Await.result(sketchesF, Duration.Inf)
+    val extents = sk.map(r =>
+      r.getString(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val medMap = graft.ops.ExactQuantiles.quantilesByGroupHistogramHull(
+      li.select($"l_returnflag", cents.as("__cents")),
+      "l_returnflag", "__cents", Seq(0.5), extents)
+    val dist = Await.result(distinctsF, Duration.Inf)
+    sk.map { r =>
+      val g = r.getString(0)
+      val emed = medMap(g)(0) / 100.0
+      val nOrders = dist(g)
+      (g, nOrders,
+        if (math.abs(r.getDouble(1) - nOrders) <= nOrders * 0.05) 1L else 0L,
+        if (math.abs(r.getDouble(2) - emed) <= emed * 0.05) 1L else 0L,
+        r.getLong(3))
+    }.toSeq
+      .toDF("l_returnflag", "n_orders_exact", "hll_within_5pct",
+        "median_within_5pct", "n")
       .orderBy($"l_returnflag")
   }
 

@@ -127,6 +127,71 @@ class ExactQuantilesSpec extends SparkSpec {
     got.foreach { case (g, qs) => assert(qs == want(g), s"group $g") }
   }
 
+  test("histogram path is bit-identical to Catalyst per group") {
+    val df = (1 to 6000).map { i =>
+      (s"g${i % 4}", (i * 2654435761L) % 9973L)
+    }.toDF("grp", "v")
+    val got = ExactQuantiles.quantilesByGroupHistogram(df, "grp", "v", probs)
+    val want = catalystByGroup(df)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, qs) =>
+      assert(qs.toSeq == want(g), s"group $g: ${qs.toSeq} vs ${want(g)}")
+    }
+  }
+
+  test("histogram path: tiny bucket count forces multiple narrowing rounds") {
+    // spans 0..99999 with buckets=4 → ~9 halvings... guarded at 8 rounds;
+    // use buckets=32 → ⌈log₃₂ 1e5⌉ = 4 rounds, still multi-round
+    val df = (1 to 5000).map { i =>
+      (s"g${i % 3}", (i * 2654435761L) % 100003L)
+    }.toDF("grp", "v")
+    val got = ExactQuantiles
+      .quantilesByGroupHistogram(df, "grp", "v", probs, buckets = 32)
+    val want = catalystByGroup(df)
+    got.foreach { case (g, qs) => assert(qs.toSeq == want(g), s"group $g") }
+  }
+
+  test("histogram path: negatives, duplicates, singleton and null keys") {
+    val rows: Seq[(String, java.lang.Long)] =
+      (1 to 2000).map(i => (s"g${i % 2}",
+        java.lang.Long.valueOf((i * 48271L) % 4001L - 2000L))) ++
+        Seq(("solo", java.lang.Long.valueOf(-7L))) ++
+        (1 to 300).map(i => (null: String, java.lang.Long.valueOf((i % 5).toLong))) ++
+        (1 to 100).map(_ => ("dup", java.lang.Long.valueOf(3L)))
+    val df = rows.toDF("grp", "v")
+    val got = ExactQuantiles.quantilesByGroupHistogram(df, "grp", "v", probs)
+    val want = df.groupBy($"grp")
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, qs) => assert(qs.toSeq == want(g), s"group $g") }
+  }
+
+  test("histogram path ignores null values like Percentile") {
+    val rows: Seq[(String, java.lang.Long)] =
+      (1 to 200).map(i => (s"g${i % 5}",
+        if (i % 7 == 0) null else java.lang.Long.valueOf(i % 11)))
+    val df = rows.toDF("grp", "v")
+    val got = ExactQuantiles.quantilesByGroupHistogram(df, "grp", "v", probs)
+    val want = catalystByGroup(df.filter($"v".isNotNull))
+    assert(got.map { case (g, qs) => g -> qs.toSeq } == want)
+  }
+
+  test("histogram path survives the full-long-domain split-span case") {
+    val rows = Seq(("g", Long.MinValue), ("g", -5L), ("g", 0L),
+      ("g", 17L), ("g", Long.MaxValue), ("h", Long.MinValue),
+      ("h", Long.MinValue + 1))
+    val df = rows.toDF("grp", "v")
+    val got = ExactQuantiles
+      .quantilesByGroupHistogram(df, "grp", "v", Seq(0.0, 0.5, 1.0))
+    // interpolation at these magnitudes is double-rounded either way;
+    // endpoints and the odd-count median are exact values
+    assert(got("g")(0) == Long.MinValue.toDouble)
+    assert(got("g")(1) == 0.0)
+    assert(got("g")(2) == Long.MaxValue.toDouble)
+    assert(got("h")(0) == Long.MinValue.toDouble)
+  }
+
   test("hashed path ignores nulls like Percentile") {
     val rows: Seq[(String, java.lang.Long)] =
       (1 to 200).map(i => (s"g${i % 5}",
