@@ -706,6 +706,24 @@ object LlmQueries {
     * corpus in ONE reducer): range partition + local sort + two-phase
     * zipWithIndex. The oracle IS that global window — the distributed
     * enumeration must reproduce it exactly. */
+  /** Sharded training-data export, gated END-TO-END: writes the real
+    * 8-shard export of `documents` to a scratch dir (one file per shard,
+    * manifest JSON), then computes the manifest FROM THE WRITTEN FILES —
+    * so the oracle checks assignment portability (md5 idiom), the
+    * partitioned write, and the read-back in one hash. */
+  def q135ShardExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("q135shards").toString
+    graft.sinks.ShardedExport.write(
+      Tables.load(s, dir, "documents"), out, nShards = 8,
+      idCol = "doc_id", tokenCol = "n_chars", seed = "q135")
+    s.read.option("basePath", out).parquet(out)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"n_chars".cast("long")).as("sum_tokens"))
+      .orderBy($"shard")
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -744,6 +762,7 @@ object LlmQueries {
     "q129_filter_funnel" -> (q129FilterFunnel _),
     "q130_source_overlap" -> (q130SourceOverlap _),
     "q131_stable_ids" -> (q131StableIds _),
+    "q135_shard_export" -> (q135ShardExport _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -986,6 +1005,15 @@ object LlmQueries {
          |SELECT q_id, vec_id, cos, rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    "q135_shard_export" ->
+      """SELECT
+        |  CAST(CAST('0x' || substr(md5('q135:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) % 8 AS BIGINT) AS shard,
+        |  count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_tokens
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q87_hash_split" -> {
       val Seq(t1, t2) = CurationOps.splitThresholdsHex(q87Splits)
       s"""SELECT
