@@ -244,6 +244,49 @@ object TextOps {
       i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkTokens))))
   }
 
+  /** Line-level boilerplate removal — the C4/RefinedWeb corpus-dedup
+    * step: any line occurring in ≥ `minDocFreq` DISTINCT documents is
+    * navigation/footer/licence boilerplate and is dropped from every
+    * document; surviving lines rejoin in original order. Returns
+    * `(idCol, textCol, n_lines_kept, n_lines_removed)` — a doc whose
+    * every line is boilerplate keeps an empty string (drop with the
+    * length filters downstream).
+    *
+    * Plan shape at 100 TB: posexplode → line-frequency aggregate
+    * (partial-agg'd shuffle keyed on the line string — lines are short,
+    * and keeping the RAW string is what makes the op exact and
+    * cross-engine checkable; pre-hash to 8 bytes if line text dominates
+    * the shuffle) → one left join back (AQE broadcasts the frequent set
+    * when small) → per-document rebuild via array_sort(collect_list) —
+    * state bounded by ONE document's lines, the unit that fits by
+    * definition. No windows, no driver state. */
+  def dedupFrequentLines(df: DataFrame, textCol: String, idCol: String,
+                         minDocFreq: Long,
+                         delim: String = "\n"): DataFrame = {
+    val lit_delim = java.util.regex.Pattern.quote(delim)
+    // coalesce BEFORE split: a null text becomes [""] so the doc
+    // survives the explode — no recovery join needed afterwards
+    val lines = df.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), lit_delim))
+        .as(Seq("pos", "line")))
+    val freq = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select(col("line"), lit(true).as("__rm"))
+    val flagged = lines.join(freq, Seq("line"), "left")
+      .select(col(idCol), col("pos"), col("line"),
+        coalesce(col("__rm"), lit(false)).as("__rm"))
+    flagged.groupBy(col(idCol)).agg(
+      array_join(
+        transform(
+          filter(array_sort(collect_list(struct(col("pos"), col("line"),
+            col("__rm")))), x => !x.getField("__rm")),
+          x => x.getField("line")),
+        delim).as(textCol),
+      sum(when(col("__rm"), 0L).otherwise(1L)).as("n_lines_kept"),
+      sum(when(col("__rm"), 1L).otherwise(0L)).as("n_lines_removed"))
+  }
+
   /** PII redaction: emails, URLs, IPv4s, US-style phone numbers → typed
     * placeholder tags. Patterns are RE2-compatible (no lookaround) so the
     * same regexes run in any engine. One chained projection — single pass. */

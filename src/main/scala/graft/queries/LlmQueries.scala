@@ -724,6 +724,23 @@ object LlmQueries {
       .orderBy($"shard")
   }
 
+  /** C4-style line-level boilerplate removal over a deterministically
+    * line-structured corpus (the synthetic docs carry no newlines, so
+    * the gate splits on three frequent words — the identical `replace`
+    * chain runs in DuckDB, making the WHOLE pipeline — line explode,
+    * doc-frequency threshold, order-preserving rebuild — hash-checkable
+    * end to end). */
+  def q136LineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lined = Tables.load(s, dir, "documents").select($"doc_id",
+      expr("replace(replace(replace(text, ' the ', chr(10)), ' a ', " +
+        "chr(10)), ' table ', chr(10))").as("text"))
+    TextOps.dedupFrequentLines(lined, "text", "doc_id", minDocFreq = 10)
+      .select($"doc_id", $"text".as("clean_text"),
+        $"n_lines_kept", $"n_lines_removed")
+      .orderBy($"doc_id")
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -763,6 +780,7 @@ object LlmQueries {
     "q130_source_overlap" -> (q130SourceOverlap _),
     "q131_stable_ids" -> (q131StableIds _),
     "q135_shard_export" -> (q135ShardExport _),
+    "q136_line_dedup" -> (q136LineDedup _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -1005,6 +1023,29 @@ object LlmQueries {
          |SELECT q_id, vec_id, cos, rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    "q136_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id, replace(replace(replace(text, ' the ', chr(10)),
+        |    ' a ', chr(10)), ' table ', chr(10)) AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, u.line, u.ord
+        |  FROM lined, LATERAL (
+        |    SELECT unnest(string_split(t, chr(10))) AS line,
+        |           generate_subscripts(string_split(t, chr(10)), 1) AS ord) u),
+        |freq AS (SELECT line FROM lines GROUP BY line
+        |         HAVING count(DISTINCT doc_id) >= 10),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS txt,
+        |         count(*) AS nk
+        |  FROM lines WHERE line NOT IN (SELECT line FROM freq)
+        |  GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS nl FROM lines GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(k.txt, '') AS clean_text,
+        |  coalesce(k.nk, 0) AS n_lines_kept,
+        |  t.nl - coalesce(k.nk, 0) AS n_lines_removed
+        |FROM tot t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q135_shard_export" ->
       """SELECT
         |  CAST(CAST('0x' || substr(md5('q135:' || CAST(doc_id AS VARCHAR)), 1, 8)

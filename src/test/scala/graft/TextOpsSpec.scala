@@ -89,4 +89,45 @@ class TextOpsSpec extends SparkSpec {
     // inverted-index shape, not an all-pairs matrix with zero rows
     assert(got == Seq(("s1", "s2", 4L, 3L, 2L, 5L, 400000L)))
   }
+
+  test("dedupFrequentLines drops boilerplate, keeps order, counts both ways") {
+    val docs = Seq(
+      (1L, "intro one\nCOOKIE BANNER\nbody a\nFOOTER"),
+      (2L, "COOKIE BANNER\nbody b\nFOOTER"),
+      (3L, "body c\nFOOTER\nCOOKIE BANNER\ntail c"),
+      (4L, "unique only"),
+      (5L, "COOKIE BANNER\nFOOTER") // all-boilerplate doc -> empty text
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupFrequentLines(docs, "text", "doc_id",
+        minDocFreq = 3).orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "intro one\nbody a", 2L, 2L),
+      (2L, "body b", 1L, 2L),
+      (3L, "body c\ntail c", 2L, 2L),
+      (4L, "unique only", 1L, 0L),
+      (5L, "", 0L, 2L)))
+  }
+
+  test("dedupFrequentLines: duplicate lines WITHIN one doc count once for df") {
+    // 'x' appears 3 times in doc 1 but only 2 DISTINCT docs carry it —
+    // below minDocFreq=3, so it must survive everywhere
+    val docs = Seq(
+      (1L, "x\nx\nx"), (2L, "x\ny"), (3L, "z")).toDF("doc_id", "text")
+    val got = TextOps.dedupFrequentLines(docs, "text", "doc_id",
+        minDocFreq = 3).orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "x\nx\nx", 3L, 0L), (2L, "x\ny", 2L, 0L),
+      (3L, "z", 1L, 0L)))
+  }
+
+  test("dedupFrequentLines: null text and custom delimiter") {
+    val docs = Seq((1L, "a|BP|b"), (2L, "BP|c"), (3L, null), (4L, "BP"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupFrequentLines(docs, "text", "doc_id",
+        minDocFreq = 3, delim = "|").orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "a|b", 2L, 1L), (2L, "c", 1L, 1L),
+      (3L, "", 1L, 0L), (4L, "", 0L, 1L)))
+  }
 }
