@@ -244,6 +244,53 @@ object TextOps {
       i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkTokens))))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, §A1.1) — the published
+    * rule-set for pretraining-corpus document filtering, as per-rule
+    * boolean columns plus the conjunction, so `CurationOps.filterFunnel`
+    * can attribute drops per rule. Every test is INTEGER arithmetic
+    * (cross-multiplied ratios — `10·symbols < words`, never a float
+    * division), making the flags bit-portable to any engine. One
+    * projection pass; no shuffle, no UDFs.
+    *
+    * Rules implemented (the text-only subset; line-shape rules live in
+    * [[dedupFrequentLines]]'s domain):
+    *  - `r_word_count`: words ∈ [minWords, maxWords]
+    *  - `r_mean_word_len`: mean word length ∈ [3, 10] chars
+    *  - `r_symbol_ratio`: (# + …) symbol-to-word ratio < 0.1
+    *  - `r_alpha_ratio`: ≥80 % of words contain an alphabetic char
+    *  - `r_stopwords`: ≥2 DISTINCT stop words present
+    */
+  /** The paper's own stop-word list (Rae et al. 2021, §A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQualityFlags(df: DataFrame, textCol: String,
+                         minWords: Long = 50L,
+                         maxWords: Long = 100000L,
+                         stops: Seq[String] = gopherStopwords): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nw = tokenCount(t)
+    val sumChars = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), _ + _)
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEll = ((length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(array_intersect(toks,
+      array(stops.map(lit): _*))).cast("long")
+    df.withColumn("r_word_count", nw >= minWords && nw <= maxWords)
+      .withColumn("r_mean_word_len",
+        nw > 0L && sumChars >= lit(3L) * nw && sumChars <= lit(10L) * nw)
+      .withColumn("r_symbol_ratio", lit(10L) * (nHash + nEll) < nw)
+      .withColumn("r_alpha_ratio", lit(5L) * nAlpha >= lit(4L) * nw)
+      .withColumn("r_stopwords", nStop >= 2L)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_alpha_ratio") &&
+          col("r_stopwords"))
+  }
+
   /** Line-level boilerplate removal — the C4/RefinedWeb corpus-dedup
     * step: any line occurring in ≥ `minDocFreq` DISTINCT documents is
     * navigation/footer/licence boilerplate and is dropped from every

@@ -724,6 +724,25 @@ object LlmQueries {
       .orderBy($"shard")
   }
 
+  /** Gopher rule-based quality filter (Rae et al. 2021) — per-rule
+    * boolean attribution over the corpus. Every rule is integer
+    * arithmetic (cross-multiplied ratios), so the DuckDB twin computes
+    * bit-identical flags; the corpus fails ~half on word count and a
+    * tail on stopwords, so the gate exercises both outcomes of every
+    * CASE. */
+  def q137GopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.gopherQualityFlags(Tables.load(s, dir, "documents"), "text")
+      .select($"doc_id",
+        $"r_word_count".cast("long").as("r_word_count"),
+        $"r_mean_word_len".cast("long").as("r_mean_word_len"),
+        $"r_symbol_ratio".cast("long").as("r_symbol_ratio"),
+        $"r_alpha_ratio".cast("long").as("r_alpha_ratio"),
+        $"r_stopwords".cast("long").as("r_stopwords"),
+        $"gopher_pass".cast("long").as("gopher_pass"))
+      .orderBy($"doc_id")
+  }
+
   /** C4-style line-level boilerplate removal over a deterministically
     * line-structured corpus (the synthetic docs carry no newlines, so
     * the gate splits on three frequent words — the identical `replace`
@@ -781,6 +800,7 @@ object LlmQueries {
     "q131_stable_ids" -> (q131StableIds _),
     "q135_shard_export" -> (q135ShardExport _),
     "q136_line_dedup" -> (q136LineDedup _),
+    "q137_gopher_rules" -> (q137GopherRules _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -1023,6 +1043,43 @@ object LlmQueries {
          |SELECT q_id, vec_id, cos, rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    "q137_gopher_rules" ->
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CAST($nTokSql AS BIGINT) AS nw,
+        |    CAST(list_aggregate(list_transform($toksSql, w -> length(w)),
+        |      'sum') AS BIGINT) AS sum_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter($toksSql,
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect($toksSql,
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END
+        |      AS r_word_count,
+        |    CASE WHEN nw > 0 AND sum_chars >= 3 * nw
+        |      AND sum_chars <= 10 * nw THEN 1 ELSE 0 END AS r_mean_word_len,
+        |    CASE WHEN 10 * (n_hash + n_ell) < nw THEN 1 ELSE 0 END
+        |      AS r_symbol_ratio,
+        |    CASE WHEN 5 * n_alpha >= 4 * nw THEN 1 ELSE 0 END
+        |      AS r_alpha_ratio,
+        |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords
+        |  FROM m)
+        |SELECT doc_id, CAST(r_word_count AS BIGINT) AS r_word_count,
+        |  CAST(r_mean_word_len AS BIGINT) AS r_mean_word_len,
+        |  CAST(r_symbol_ratio AS BIGINT) AS r_symbol_ratio,
+        |  CAST(r_alpha_ratio AS BIGINT) AS r_alpha_ratio,
+        |  CAST(r_stopwords AS BIGINT) AS r_stopwords,
+        |  CAST(r_word_count * r_mean_word_len * r_symbol_ratio *
+        |       r_alpha_ratio * r_stopwords AS BIGINT) AS gopher_pass
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
     "q136_line_dedup" ->
       """WITH lined AS (
         |  SELECT doc_id, replace(replace(replace(text, ' the ', chr(10)),

@@ -90,6 +90,42 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(("s1", "s2", 4L, 3L, 2L, 5L, 400000L)))
   }
 
+  test("gopherQualityFlags: each rule fires on its designed failure") {
+    val good = (Seq("the", "of", "and") ++ (1 to 60).map(i => s"word$i"))
+      .mkString(" ") // 63 words, stopwords present, alphabetic, no symbols
+    val docs = Seq(
+      (1L, good),
+      (2L, "the of " + (1 to 10).map(i => s"w$i").mkString(" ")), // 12 words < 50
+      (3L, ("the of " + (1 to 60).map(_ => "xy").mkString(" "))), // mean len 62*2+2*2.5... ~2 < 3
+      (4L, (Seq("the", "of") ++ (1 to 60).map(_ => "###word")).mkString(" ")), // symbols
+      (5L, (Seq("the", "of") ++ (1 to 60).map(_ => "12345")).mkString(" ")), // non-alpha
+      (6L, (1 to 60).map(i => s"word$i").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQualityFlags(docs, "text")
+      .select($"doc_id", $"r_word_count", $"r_mean_word_len",
+        $"r_symbol_ratio", $"r_alpha_ratio", $"r_stopwords", $"gopher_pass")
+      .orderBy($"doc_id")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(got(0) == ((1L, true, true, true, true, true, true)))
+    assert(!got(1)._2 && !got(1)._7, "short doc fails word count")
+    assert(!got(2)._3 && !got(2)._7, "tiny words fail mean length")
+    assert(!got(3)._4 && !got(3)._7, "symbol soup fails symbol ratio")
+    assert(!got(4)._5 && !got(4)._7, "numeric words fail alpha ratio")
+    assert(!got(5)._6 && !got(5)._7, "stopword-free doc fails stopwords")
+  }
+
+  test("gopherQualityFlags: stopword rule needs two DISTINCT stop words") {
+    val docs = Seq(
+      (1L, ("the the the " + (1 to 60).map(i => s"w$i").mkString(" "))),
+      (2L, ("the of " + (1 to 60).map(i => s"w$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQualityFlags(docs, "text")
+      .select($"doc_id", $"r_stopwords").orderBy($"doc_id")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, false), (2L, true)))
+  }
+
   test("dedupFrequentLines drops boilerplate, keeps order, counts both ways") {
     val docs = Seq(
       (1L, "intro one\nCOOKIE BANNER\nbody a\nFOOTER"),
