@@ -269,17 +269,27 @@ object TextOps {
                          maxWords: Long = 100000L,
                          stops: Seq[String] = gopherStopwords): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val nw = tokenCount(t)
-    val sumChars = aggregate(transform(toks, w => length(w).cast("long")),
-      lit(0L), _ + _)
+    // materialize the token array ONCE behind an alias boundary: the
+    // higher-order functions below are CodegenFallback, so without it
+    // each rule column re-runs the regex split per row (measured ~2×
+    // end-to-end); multi-referenced non-cheap aliases survive
+    // CollapseProject (same pattern as simhashPortable's md5 aliases)
+    val withToks = df.withColumn("__toks", tokens(t))
+      .withColumn("__nw", tokenCount(t))
+    val toks = col("__toks")
+    val nw = col("__nw")
+    // single-space normalization makes Σ|word| pure arithmetic:
+    // length(norm) − (nw − 1) separators — no higher-order fold needed
+    val sumChars = when(nw === 0L, lit(0L))
+      .otherwise(length(normalize(t)).cast("long") - nw + 1L)
     val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
     val nEll = ((length(t) -
       length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
     val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
     val nStop = size(array_intersect(toks,
       array(stops.map(lit): _*))).cast("long")
-    df.withColumn("r_word_count", nw >= minWords && nw <= maxWords)
+    withToks
+      .withColumn("r_word_count", nw >= minWords && nw <= maxWords)
       .withColumn("r_mean_word_len",
         nw > 0L && sumChars >= lit(3L) * nw && sumChars <= lit(10L) * nw)
       .withColumn("r_symbol_ratio", lit(10L) * (nHash + nEll) < nw)
@@ -289,6 +299,7 @@ object TextOps {
         col("r_word_count") && col("r_mean_word_len") &&
           col("r_symbol_ratio") && col("r_alpha_ratio") &&
           col("r_stopwords"))
+      .drop("__toks", "__nw")
   }
 
   /** Line-level boilerplate removal — the C4/RefinedWeb corpus-dedup

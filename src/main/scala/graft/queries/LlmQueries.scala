@@ -1047,8 +1047,9 @@ object LlmQueries {
       s"""WITH m AS (
         |  SELECT doc_id,
         |    CAST($nTokSql AS BIGINT) AS nw,
-        |    CAST(list_aggregate(list_transform($toksSql, w -> length(w)),
-        |      'sum') AS BIGINT) AS sum_chars,
+        |    CAST(CASE WHEN $nTokSql = 0 THEN 0
+        |      ELSE length($normSql) - $nTokSql + 1 END AS BIGINT)
+        |      AS sum_chars,
         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
         |      AS n_hash,
         |    CAST((length(text) - length(replace(text, '...', ''))) / 3
