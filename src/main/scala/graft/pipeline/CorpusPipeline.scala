@@ -33,7 +33,12 @@ object CorpusPipeline {
       /** Deterministic split assignment written on every surviving doc
         * (md5-keyed; growth-stable — see CurationOps.hashSplit). */
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      /** Gopher word-count lower bound for the structural-rule gate
+        * (the published 50 assumes web documents; size to corpus). */
+      gopherMinWords: Long = 10L,
+      /** Terminal training-shard export count. */
+      exportShards: Int = 4)
 
   def build(spark: SparkSession, cfg: Config): Pipeline = {
     val cleanTable = new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/clean")
@@ -41,6 +46,8 @@ object CorpusPipeline {
     val chunkTable = new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/chunks")
     val statsTable = new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/stats")
 
+    val manifestTable =
+      new SnapshotTable(spark, s"${cfg.lakeRoot}/corpus/shard_manifest")
     new Pipeline(Seq(
       Stage(
         name = "corpus_clean",
@@ -61,24 +68,43 @@ object CorpusPipeline {
             col("n_tokens") >= cfg.minTokens),
         checks = Seq(RowCountBetween(min = 1))),
       Stage(
+        // Gopher rule gate (Rae et al. 2021): enforce the
+        // domain-independent rules (word count, symbol ratio, alpha
+        // ratio); mean-word-length and stopwords are ANNOTATED, not
+        // enforced — both assume English web prose (wrong to
+        // hard-require on code, CJK, or synthetic corpora). All five
+        // flags stay on the rows for filterFunnel-style attribution.
+        name = "corpus_gopher_gate",
+        deps = Seq("corpus_quality_gate"),
+        tags = Set("corpus", "filter"),
+        build = (_, ctx) => TextOps.gopherQualityFlags(
+            ctx("corpus_quality_gate"), "text",
+            minWords = cfg.gopherMinWords)
+          .filter(col("r_word_count") && col("r_symbol_ratio") &&
+            col("r_alpha_ratio")),
+        checks = Seq(RowCountBetween(min = 1))),
+      Stage(
         // CCNet-style LM filter: score every doc's token transitions
         // under the corpus's own bigram model; drop the configured
         // bottom fraction (exact quantile — one driver scalar). Docs too
         // short to score (< 2 tokens) carry a null score and are kept.
         name = "corpus_lm_gate",
-        deps = Seq("corpus_quality_gate"),
+        deps = Seq("corpus_gopher_gate"),
         tags = Set("corpus", "filter"),
         build = (_, ctx) => {
-          val docs = ctx("corpus_quality_gate")
+          val docs = ctx("corpus_gopher_gate")
           val scores = TextOps.bigramLmScores(docs, "text", "doc_id")
             .select(col("doc_id"), col("avg_logp"))
           val annotated = docs.join(scores, Seq("doc_id"), "left")
           if (cfg.lmDropFraction <= 0.0) annotated
           else {
-            val cut = annotated.filter(col("avg_logp").isNotNull)
-              .stat.approxQuantile("avg_logp",
-                Array(cfg.lmDropFraction), 0.0)(0)
-            annotated.filter(col("avg_logp").isNull || col("avg_logp") >= cut)
+            // approxQuantile returns an EMPTY array on an empty input —
+            // an upstream gate may legitimately pass zero scoreable docs
+            val cuts = annotated.filter(col("avg_logp").isNotNull)
+              .stat.approxQuantile("avg_logp", Array(cfg.lmDropFraction), 0.0)
+            if (cuts.isEmpty) annotated
+            else annotated.filter(
+              col("avg_logp").isNull || col("avg_logp") >= cuts(0))
           }
         },
         checks = Seq(RowCountBetween(min = 1))),
@@ -119,6 +145,19 @@ object CorpusPipeline {
           .withColumn("chunk_tokens", TextOps.tokenCount(col("chunk"))),
         checks = Seq(NotNull("chunk")),
         sink = Some(Overwrite(chunkTable, partitionBy = Seq("lang")))),
+      Stage(
+        // terminal export: deterministic md5-mod training shards with an
+        // aggregate-built manifest (sinks/ShardedExport); the manifest
+        // is also snapshotted so the export is auditable/time-travelable
+        name = "corpus_export",
+        deps = Seq("corpus_near_dedup"),
+        tags = Set("corpus", "export"),
+        build = (s, ctx) => graft.sinks.ShardedExport.write(
+          ctx("corpus_near_dedup"), s"${cfg.lakeRoot}/corpus/shards",
+          cfg.exportShards, idCol = "doc_id", tokenCol = "n_tokens",
+          seed = "corpus"),
+        checks = Seq(RowCountBetween(min = 1), Unique(Seq("shard"))),
+        sink = Some(Overwrite(manifestTable))),
       Stage(
         name = "corpus_stats",
         deps = Seq("corpus_near_dedup", "corpus_chunks"),

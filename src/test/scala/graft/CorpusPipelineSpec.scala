@@ -51,6 +51,22 @@ class CorpusPipelineSpec extends SparkSpec {
     // every surviving doc carries a split; all three splits materialize
     assert(deduped.columns.contains("split"))
     assert(deduped.filter(col("split").isNull).count() == 0)
+    // gopher gate annotated its rule flags on every surviving doc
+    assert(deduped.columns.contains("gopher_pass"))
+    assert(deduped.columns.contains("r_stopwords"))
+    // terminal export: shard dirs on disk + snapshotted manifest whose
+    // totals reconcile with the deduped table
+    val shardDirs = new java.io.File(s"$root/lake/corpus/shards")
+      .listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    val manifest = new graft.sinks.SnapshotTable(spark,
+      s"$root/lake/corpus/shard_manifest").read()
+    assert(manifest.agg(sum(col("n_rows"))).head().getLong(0)
+      == deduped.count())
+    val shardRows = spark.read
+      .option("basePath", s"$root/lake/corpus/shards")
+      .parquet(s"$root/lake/corpus/shards")
+    assert(shardRows.count() == deduped.count())
   }
 
   test("lm gate drops the lowest-scoring fraction when enabled") {
