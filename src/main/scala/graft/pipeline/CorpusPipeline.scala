@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.checks.Checks.{NotNull, RowCountBetween, Unique}
+import graft.checks.Checks.{Error, NotNull, RowCountBetween, Unique}
 import graft.ops.{CurationOps, DedupOps, TextOps}
 import graft.sinks.SnapshotTable
 import graft.sources.Tables
@@ -66,7 +66,7 @@ object CorpusPipeline {
         build = (_, ctx) => ctx("corpus_clean")
           .filter(col("quality") >= cfg.minQuality &&
             col("n_tokens") >= cfg.minTokens),
-        checks = Seq(RowCountBetween(min = 1))),
+        checks = Seq(RowCountBetween(min = 1, severity = Error))),
       Stage(
         // Gopher rule gate (Rae et al. 2021): enforce the
         // domain-independent rules (word count, symbol ratio, alpha
@@ -82,7 +82,7 @@ object CorpusPipeline {
             minWords = cfg.gopherMinWords)
           .filter(col("r_word_count") && col("r_symbol_ratio") &&
             col("r_alpha_ratio")),
-        checks = Seq(RowCountBetween(min = 1))),
+        checks = Seq(RowCountBetween(min = 1, severity = Error))),
       Stage(
         // CCNet-style LM filter: score every doc's token transitions
         // under the corpus's own bigram model; drop the configured
@@ -107,7 +107,7 @@ object CorpusPipeline {
               col("avg_logp").isNull || col("avg_logp") >= cuts(0))
           }
         },
-        checks = Seq(RowCountBetween(min = 1))),
+        checks = Seq(RowCountBetween(min = 1, severity = Error))),
       Stage(
         name = "corpus_exact_dedup",
         deps = Seq("corpus_lm_gate"),
@@ -132,7 +132,8 @@ object CorpusPipeline {
               Seq("doc_id"), "left_anti"),
             "doc_id", cfg.splits, seed = "corpus")
         },
-        checks = Seq(Unique(Seq("doc_id")), RowCountBetween(min = 1)),
+        checks = Seq(Unique(Seq("doc_id")),
+          RowCountBetween(min = 1, severity = Error)),
         sink = Some(Overwrite(dedupTable))),
       Stage(
         name = "corpus_chunks",
@@ -156,7 +157,8 @@ object CorpusPipeline {
           ctx("corpus_near_dedup"), s"${cfg.lakeRoot}/corpus/shards",
           cfg.exportShards, idCol = "doc_id", tokenCol = "n_tokens",
           seed = "corpus"),
-        checks = Seq(RowCountBetween(min = 1), Unique(Seq("shard"))),
+        checks = Seq(RowCountBetween(min = 1, severity = Error),
+          Unique(Seq("shard"))),
         sink = Some(Overwrite(manifestTable))),
       Stage(
         name = "corpus_stats",

@@ -89,4 +89,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!ids.contains(500L), "garbled doc must fail the LM gate")
     assert((1L to 30L).forall(ids.contains), s"over-dropped: $ids")
   }
+
+  test("a gate that empties the corpus FAILS the run instead of warning") {
+    // regression: RowCountBetween defaults to Warn severity — a filter
+    // wiping the corpus used to sail through and crash a later stage;
+    // the corpus gates now carry Error severity explicitly
+    val root = tmpDir("corpus-empty")
+    val docs = (1 to 20).map(i =>
+        (i.toLong, s"## ### #### $i", "en", "symbols", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$root/sf/documents.parquet")
+    val cfg = CorpusPipeline.Config(s"$root/sf", s"$root/lake",
+      minQuality = 0.0, minTokens = 1)
+    val result = CorpusPipeline.build(spark, cfg).run(spark, _ => ())
+    assert(!result.ok, "symbol-soup corpus must fail the gopher gate")
+    val failed = result.stages.filter(!_.ok).map(_.name)
+    assert(failed == Seq("corpus_gopher_gate"), failed.toString)
+  }
 }
