@@ -265,6 +265,33 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * swap is the same atomic publish, no data movement. */
   def rollback(to: Long): Unit = publish(to)
 
+  /** Table history from filesystem METADATA alone — no data read: one
+    * row per retained snapshot (published or staged-only) with file
+    * count, byte size, and last-modified time. The `DESCRIBE HISTORY`
+    * analog; time travel targets come from here
+    * (`readVersion`/`rollback`/`diffVersions`). */
+  def history(): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val cur = latestVersion
+    val rows = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snapshot="))
+      .map { s =>
+        val v = s.getPath.getName.stripPrefix("snapshot=").toLong
+        var nFiles = 0L; var bytes = 0L; var modified = 0L
+        val it = fs.listFiles(s.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          nFiles += 1; bytes += f.getLen
+          modified = math.max(modified, f.getModificationTime)
+        }
+        (v, cur.contains(v), nFiles, bytes, modified)
+      }
+      .sortBy(_._1)
+    rows.toDF("version", "is_current", "n_files", "size_bytes",
+      "modified_ms")
+  }
+
   /** Drop all snapshots older than the published one. */
   def vacuum(): Unit = latestVersion.foreach { keep =>
     val st = fs.listStatus(rootPath)

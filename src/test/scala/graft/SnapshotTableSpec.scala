@@ -112,4 +112,21 @@ class SnapshotTableSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(got == Seq((1, "a2"), (2, "b"), (3, "c")))
   }
+
+  test("history lists every retained snapshot incl. staged-only, flags current") {
+    val t = new SnapshotTable(spark, tmpDir("hist"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))        // v1 published
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v")) // v2 published
+    t.stage(Seq((9, "z")).toDF("id", "v"))            // v3 staged, unpublished
+    val h = t.history().orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(h.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(h.map(_._2).toSeq == Seq(false, true, false),
+      "only the published pointer target is current")
+    assert(h.forall(r => r._3 > 0 && r._4 > 0), "files and bytes counted")
+    // rollback retargets current without touching data
+    t.rollback(1L)
+    val h2 = t.history().orderBy("version").collect().map(_.getBoolean(1))
+    assert(h2.toSeq == Seq(true, false, false))
+  }
 }
