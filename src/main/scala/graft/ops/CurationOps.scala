@@ -186,6 +186,48 @@ object CurationOps {
       .drop("__keep_rate")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per stratum (Efraimidis &
+    * Spirakis 2006 "A-ES"): each row draws key `ln(u)/w` from its own
+    * deterministic uniform `u` and the k largest keys per stratum win —
+    * exactly the distribution of sequential weighted draws without
+    * replacement. The curation use: "give me 10k docs per source, picked
+    * proportionally to quality/length" — [[seededSample]] can't weight
+    * rows, [[temperatureSample]] weights domains not rows, and a true
+    * sequential draw is inherently serial; A-ES turns it into an
+    * embarrassingly-parallel per-row key + top-k.
+    *
+    * Determinism/portability: `u = (v + 0.5) / 2⁶⁰` where v is the first
+    * 15 md5 hex digits of `seed:id` — v and the division are IEEE-exact
+    * in both engines, the +0.5 bounds u away from ln(0), and distinct
+    * ids give distinct v (id tiebreak covers the 2⁻⁶⁰ residual). ln()
+    * is the one transcendental; a cross-engine 1-ulp wobble could flip
+    * an order only between keys within ~1e-16 relative — vanishing for
+    * continuous keys (and validated by the q139 hash gate).
+    *
+    * Shape at 100 TB: key is scan-projection arithmetic; the per-stratum
+    * `row_number() <= k` is exactly the pattern [[graft.plans.TopKRewrite]]
+    * compiles to a bounded per-key heap — no full sort, no stratum
+    * straggler. */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+                     weightCol: String, k: Int,
+                     seed: String = "wsample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val v = conv(substring(md5(concat_ws(":", lit(seed),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0) // 2^60
+    val key = log(u) / col(weightCol).cast("double")
+    df.withColumn("__aes_key", key)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(strataCol))
+          // id tiebreak shares the key's direction so every orderSpec leg
+          // is DESC — the uniformity TopKRewrite needs to heap-compile
+          // this (ties are 2⁻⁶⁰ anyway; the id leg just pins determinism)
+          .orderBy(col("__aes_key").desc, col(idCol).desc)))
+      .where(col("__rn") <= k)
+      .drop("__aes_key", "__rn")
+  }
+
   /** Contiguous, deterministic 0..n-1 ids in `orderCol` order WITHOUT a
     * global single-task sort — `row_number() OVER (ORDER BY ...)` is the
     * classic scale trap (one reducer sorts the corpus). Here: range

@@ -19,6 +19,32 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unicode NFC canonical composition ([[graft.functions.NfcNormalize]]):
+    * decomposed accent sequences ("e"+U+0301) collapse to their composed
+    * form ("é"), so canonically-equivalent text fingerprints identically.
+    * Fast-path no-op (zero allocation) for ASCII / already-composed rows. */
+  def nfc(text: Column): Column =
+    ExpressionUtils.column(
+      graft.functions.NfcNormalize(ExpressionUtils.expression(text)))
+
+  /** Strips C0/C1 control characters (except tab, LF, CR) — the bytes that
+    * break downstream tokenizers and TSV/JSONL exports. Pure
+    * `regexp_replace`, codegen'd. */
+  def stripControl(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", "")
+
+  /** Ingest-side text canonicalization: NFC composition then control-char
+    * strip. Run before fingerprinting/dedup so canonical equivalence and
+    * junk bytes never split a duplicate class. One projection, one pass. */
+  def cleanText(text: Column): Column = stripControl(nfc(text))
+
+  /** Occurrences of common UTF-8-decoded-as-Latin-1 artifacts ("Ã", "Â",
+    * "â€", "ï¿½") and the replacement character U+FFFD — the standard
+    * mojibake tells. High counts flag documents whose upstream decode was
+    * wrong (re-decode or drop; repair is out of scope engine-side). */
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit("Ã|Â|â€|ï¿½|�")).cast("long")
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

@@ -760,6 +760,43 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Unicode canonicalization gate. The synthetic corpus is pure ASCII —
+    * where NFC is the identity — so the gate *injects* the interesting
+    * cases deterministically in both engines: every 'e' becomes the
+    * decomposed "e"+U+0301 (NFC must re-compose it to "é"), a BEL control
+    * byte is appended (the cleaner must strip it), and a "Ã©" mojibake
+    * artifact is appended (the counter must see it). The md5 over the
+    * cleaned text then proves Spark's [[graft.functions.NfcNormalize]] is
+    * bit-identical to DuckDB's ICU `nfc_normalize`, and `n_composed` > 0
+    * on every row with an 'e' proves the gate isn't vacuous. */
+  def q138NfcClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inj = concat(
+      regexp_replace($"text", "e", "e\u0301"), expr("chr(7)"), lit(" \u00c3\u00a9"))
+    Tables.load(s, dir, "documents")
+      .withColumn("inj", inj)
+      .select($"doc_id",
+        md5(TextOps.cleanText($"inj")).as("h_clean"),
+        (length($"inj") - length(TextOps.cleanText($"inj")))
+          .cast("long").as("n_composed"),
+        TextOps.mojibakeCount($"inj").as("n_mojibake"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-source weighted sample without replacement (A-ES, k = 5,
+    * weight = n_chars): the kept doc set is a pure function of
+    * (seed, id, weight), reproduced row-for-row by the DuckDB twin —
+    * gating both the portable-uniform construction and the ln-key
+    * ordering. */
+  def q139WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CurationOps.weightedSample(Tables.load(s, dir, "documents"),
+        strataCol = "source", idCol = "doc_id", weightCol = "n_chars",
+        k = 5, seed = "q139")
+      .select($"source", $"doc_id", $"n_chars")
+      .orderBy($"source", $"doc_id")
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -801,6 +838,8 @@ object LlmQueries {
     "q135_shard_export" -> (q135ShardExport _),
     "q136_line_dedup" -> (q136LineDedup _),
     "q137_gopher_rules" -> (q137GopherRules _),
+    "q138_nfc_clean" -> (q138NfcClean _),
+    "q139_weighted_sample" -> (q139WeightedSample _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -1081,6 +1120,36 @@ object LlmQueries {
         |       r_alpha_ratio * r_stopwords AS BIGINT) AS gopher_pass
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+    "q138_nfc_clean" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    replace(text, 'e', 'e\u0301') || chr(7) || ' \u00c3\u00a9' AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(nfc_normalize(t),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g') AS ct
+        |  FROM inj)
+        |SELECT doc_id, md5(ct) AS h_clean,
+        |  length(t) - length(ct) AS n_composed,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\u00c3|\u00c2|\u00e2\u20ac|\u00ef\u00bf\u00bd|\ufffd')) AS BIGINT)
+        |    AS n_mojibake
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q139_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ln((CAST(CAST('0x' || substr(md5('q139:' || CAST(doc_id AS VARCHAR)),
+        |        1, 15) AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0)
+        |      / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id DESC)
+        |      AS rn
+        |  FROM keyed)
+        |SELECT source, doc_id, n_chars FROM r WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
     "q136_line_dedup" ->
       """WITH lined AS (
         |  SELECT doc_id, replace(replace(replace(text, ' the ', chr(10)),

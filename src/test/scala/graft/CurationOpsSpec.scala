@@ -207,4 +207,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Seq("1_lang" -> 2L, "2_len" -> 1L,
       "3_never_fires" -> 0L, "kept" -> 2L))
   }
+
+  test("weightedSample: exactly k per stratum, deterministic, weight-sensitive") {
+    val n = 400
+    val docs = (1 to n).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+       if (i <= 4) 100000L else 1L)     // ids 1..4 carry crushing weight
+    }.toDF("id", "src", "w")
+    val s1 = CurationOps.weightedSample(docs, "src", "id", "w", k = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(s1.count(_._2 == "a") == 10 && s1.count(_._2 == "b") == 10)
+    val s2 = CurationOps.weightedSample(docs, "src", "id", "w", k = 10)
+      .collect().toSeq
+    assert(s1.map(r => (r._1, r._2, r._3)).toSet ==
+      s2.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet,
+      "same seed, same sample")
+    // the 1e5-weight rows win their stratum's draw essentially surely
+    val heavy = s1.filter(_._1 <= 4).map(_._1).toSet
+    assert(heavy == Set(1L, 2L, 3L, 4L),
+      s"heavyweights must be sampled, got $heavy")
+    // a different seed moves the lightweight tail
+    val s3 = CurationOps.weightedSample(docs, "src", "id", "w", k = 10,
+      seed = "other").as[(Long, String, Long)].collect().toSeq
+    assert(s3.map(_._1).toSet != s1.map(_._1).toSet, "seed varies the draw")
+  }
+
+  test("weightedSample matches a sequential A-ES reference draw exactly") {
+    // tiny stratum: recompute the Spark md5-keys in Scala and take top-k —
+    // the kept set must be the k largest ln(u)/w keys
+    val docs = Seq((1L, 5L), (2L, 1L), (3L, 50L), (4L, 2L), (5L, 8L))
+      .map { case (i, w) => (i, "s", w) }.toDF("id", "src", "w")
+    val got = CurationOps.weightedSample(docs, "src", "id", "w", k = 2)
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val v = java.lang.Long.parseLong(hex, 16)
+      math.log((v.toDouble + 0.5) / 1152921504606846976.0) / w.toDouble
+    }
+    val want = Seq((1L, 5L), (2L, 1L), (3L, 50L), (4L, 2L), (5L, 8L))
+      .sortBy { case (i, w) => -key(i, w) }.take(2).map(_._1).toSet
+    assert(got == want)
+  }
 }

@@ -206,6 +206,13 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("q139 weighted sample: A-ES top-k heap-compiles, no Window sort") {
+    val df = graft.queries.LlmQueries.q139WeightedSample(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("collect_top"), s"A-ES top-k did not heap-compile:\n$p")
+    assert(!p.contains("Window"), "per-stratum window survived the rewrite")
+  }
+
   test("q120 rank top-k: tie-aware heap aggregate, no Window, no sort below") {
     val df = graft.queries.FunctionQueries.q120RankTopK(spark, dir)
     val p = df.queryExecution.executedPlan.toString

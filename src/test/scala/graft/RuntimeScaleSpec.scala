@@ -100,4 +100,44 @@ class RuntimeScaleSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
     }
   }
+
+  test("runtime bloom filter: selective dim filter reaches the fact side") {
+    // InjectRuntimeFilter: when a shuffle join's small side carries a
+    // selective filter, Spark builds a bloom filter over its join keys
+    // and pushes a might_contain() predicate into the big side's scan —
+    // the row-level analog of DPP, and the difference between shuffling
+    // 100 TB of fact rows and shuffling only the ~0.1% that can match.
+    // Evidence-gated here so a session/config regression fails CI.
+    val dir = tmpDir("rbf")
+    (0L until 200000L).map(i => (i, i % 1000, i)).toDF("id", "fk", "v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (0 until 1000).map(i => (i, s"g${i % 100}")).toDF("k", "grp")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val appKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get(appKey)
+    try {
+      // no broadcast (runtime filters target shuffle joins) and drop the
+      // 10 GB application-side floor so the 200k-row fact qualifies
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(appKey, "0")
+      val q = fact.join(dim, $"fk" === $"k").where($"grp" === "g7")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$p")
+      val (sv, n) = q.as[(Long, Long)].head()
+      assert(n == 2000L, s"10 dim keys x 200 fact rows each, got $n")
+      // exact sum: keys 7,107,...,907; rows i with i%1000 == key
+      val expect = (0L until 200000L)
+        .filter(i => i % 1000 % 100 == 7).sum
+      assert(sv == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set(appKey, prevA)
+    }
+  }
 }

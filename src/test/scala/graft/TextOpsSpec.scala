@@ -166,4 +166,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a|b", 2L, 1L), (2L, "c", 1L, 1L),
       (3L, "", 1L, 0L), (4L, "", 0L, 1L)))
   }
+
+  test("nfc composes decomposed sequences; ASCII is an allocation-free no-op") {
+    val docs = Seq(
+      (1L, "cafe\u0301"),          // decomposed e + combining acute
+      (2L, "caf\u00e9"),           // already composed
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = docs.select($"id", TextOps.nfc($"text").as("t"),
+        length(TextOps.nfc($"text")).as("n"))
+      .orderBy($"id").as[(Long, String, Option[Long])].collect().toSeq
+    assert(got(0) == ((1L, "caf\u00e9", Some(4L))), "composed to U+00E9")
+    assert(got(0)._2 == got(1)._2, "canonically equivalent forms converge")
+    assert(got(2) == ((3L, "plain ascii", Some(11L))))
+    assert(got(3) == ((4L, null, None)), "null passthrough")
+    // equivalence now survives fingerprinting
+    val fp = docs.where($"text".isNotNull && $"id" <= 2)
+      .select(TextOps.fingerprint(TextOps.nfc($"text")).as("f"))
+      .distinct().count()
+    assert(fp == 1L, "NFC-equal docs share one fingerprint")
+  }
+
+  test("cleanText strips C0/C1 controls but keeps tab/LF/CR; mojibake counted") {
+    val s = "a\u0000b\u0007c\td\ne\rf\u009fg"
+    val got = Seq(Tuple1(s)).toDF("text")
+      .select(TextOps.cleanText($"text").as("t")).as[String].head()
+    assert(got == "abc\td\ne\rfg")
+    val moji = Seq(Tuple1("caf\u00c3\u00a9 \u00e2\u20ac\u201c x \ufffd"))
+      .toDF("text").select(TextOps.mojibakeCount($"text")).as[Long].head()
+    assert(moji == 3L, "\u00c3, \u00e2\u20ac, and U+FFFD each count once")
+  }
 }
