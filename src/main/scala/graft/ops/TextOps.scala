@@ -38,6 +38,26 @@ object TextOps {
     * junk bytes never split a duplicate class. One projection, one pass. */
   def cleanText(text: Column): Column = stripControl(nfc(text))
 
+  /** HTML → text extraction: drops script/style blocks, strips all tags,
+    * decodes the common named entities, collapses the whitespace the
+    * removed markup leaves behind. Regex-only (no parser — crawl HTML is
+    * malformed anyway and a DOM parse of 100 TB is not a plan), fully
+    * codegen'd, and every pattern is RE2-compatible (no backreferences)
+    * so a SQL oracle can replay it verbatim. `&amp;` decodes LAST so
+    * double-escaped text ("&amp;lt;") yields the literal "&lt;" it
+    * means, not a spurious "<". */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Occurrences of common UTF-8-decoded-as-Latin-1 artifacts ("Ã", "Â",
     * "â€", "ï¿½") and the replacement character U+FFFD — the standard
     * mojibake tells. High counts flag documents whose upstream decode was

@@ -53,8 +53,13 @@ object CorpusPipeline {
         name = "corpus_clean",
         tags = Set("corpus", "clean"),
         build = (s, _) => {
+          // canonicalize BEFORE redaction/fingerprinting: NFC + control
+          // strip (TextOps.cleanText) so canonically-equivalent variants
+          // of the same document can never split a duplicate class or
+          // dodge a PII pattern via a decomposed accent
           val docs = Tables.load(s, cfg.sfDir, "documents")
-            .withColumn("text", TextOps.redactPii(col("text")))
+            .withColumn("text",
+              TextOps.redactPii(TextOps.cleanText(col("text"))))
           TextOps.withMetrics(docs, "text", includeLang = true)
         },
         checks = Seq(NotNull("doc_id"), Unique(Seq("doc_id"))),

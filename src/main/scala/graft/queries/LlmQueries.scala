@@ -797,6 +797,45 @@ object LlmQueries {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Vocabulary id-encoding gate: top-50 vocab by (count desc, token)
+    * — a deterministic total order — then every doc's token sequence
+    * becomes an id array via the broadcast-vocab expression. The
+    * position-weighted checksum (`ids_pos_sum`) proves the ARRAY ORDER
+    * matches the token order, not just the multiset. */
+  def q140VocabEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = graft.ops.VocabOps.encode(
+      Tables.load(s, dir, "documents"), "text", topN = 50)
+    enc.select($"doc_id", posexplode($"ids"))
+      .toDF("doc_id", "pos", "id")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"id" === 0, 1L).otherwise(0L)).as("n_oov"),
+        sum($"id".cast("long")).as("ids_sum"),
+        sum(($"id" * ($"pos" + 1)).cast("long")).as("ids_pos_sum"))
+      .orderBy($"doc_id")
+  }
+
+  /** HTML extraction gate. The corpus is plain text, so the gate wraps
+    * every doc in deterministic markup - tags, a script block whose body
+    * contains fake tags, a style block, and the entity set including a
+    * double-escape - in BOTH engines, then md5-compares the extraction.
+    * Also proves decode ORDER: "&lt;tag&gt;" must survive as literal
+    * "<tag>" text because entities decode after tag-stripping. */
+  def q141HtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val suffix = "</p><script type=\"text/javascript\">var x = \"<p>not " +
+      "text</p>\";</script><style>p { color: red }</style>&amp;lt; " +
+      "&quot;q&quot; &#39;s&#39; &nbsp;&amp; &lt;tag&gt;</body></html>"
+    val raw = concat(lit("<html><body clAss=\"x\"><p>"),
+      replace($"text", lit(" the "), lit(" <b>the</b> ")), lit(suffix))
+    Tables.load(s, dir, "documents")
+      .withColumn("html", raw)
+      .select($"doc_id", md5(TextOps.stripHtml($"html")).as("h_text"),
+        length(TextOps.stripHtml($"html")).cast("long").as("n_chars_clean"))
+      .orderBy($"doc_id")
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -840,6 +879,8 @@ object LlmQueries {
     "q137_gopher_rules" -> (q137GopherRules _),
     "q138_nfc_clean" -> (q138NfcClean _),
     "q139_weighted_sample" -> (q139WeightedSample _),
+    "q140_vocab_encode" -> (q140VocabEncode _),
+    "q141_html_strip" -> (q141HtmlStrip _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -1120,6 +1161,51 @@ object LlmQueries {
         |       r_alpha_ratio * r_stopwords AS BIGINT) AS gopher_pass
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+    "q141_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id, '<html><body clAss="x"><p>'
+        |    || replace(text, ' the ', ' <b>the</b> ')
+        |    || '</p><script type="text/javascript">var x = "<p>not text</p>";</script><style>p { color: red }</style>&amp;lt; &quot;q&quot; &#39;s&#39; &nbsp;&amp; &lt;tag&gt;</body></html>'
+        |    AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM h)
+        |SELECT doc_id, md5(t) AS h_text,
+        |  length(t) AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q140_vocab_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.tok, u.ord FROM (
+        |    SELECT doc_id, string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+        |    FROM documents) d,
+        |  LATERAL (SELECT unnest(ts) AS tok,
+        |           generate_subscripts(ts, 1) AS ord) u
+        |  WHERE u.tok <> ''),
+        |vocab AS (
+        |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS id FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |    ORDER BY cnt DESC, tok LIMIT 50)),
+        |enc AS (
+        |  SELECT t.doc_id, t.ord, coalesce(v.id, 0) AS id
+        |  FROM toks t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(id) AS BIGINT) AS ids_sum,
+        |  CAST(sum(id * ord) AS BIGINT) AS ids_pos_sum
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q138_nfc_clean" ->
       """WITH inj AS (
         |  SELECT doc_id,

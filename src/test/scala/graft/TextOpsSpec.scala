@@ -196,4 +196,18 @@ class TextOpsSpec extends SparkSpec {
       .toDF("text").select(TextOps.mojibakeCount($"text")).as[Long].head()
     assert(moji == 3L, "\u00c3, \u00e2\u20ac, and U+FFFD each count once")
   }
+
+  test("stripHtml: blocks, tags, entities, decode order, whitespace") {
+    val html = "<html><p clAss=\"x\">Hello <b>world</b></p>" +
+      "<script>var t = \"<p>fake</p>\";</script>" +
+      "<style>p{color:red}</style>" +
+      "A&nbsp;B &amp;lt;still-escaped&gt; &quot;q&quot; &#39;s&#39; " +
+      "&lt;tag&gt; x &amp; y</html>"
+    val got = Seq(Tuple1(html)).toDF("text")
+      .select(TextOps.stripHtml($"text")).as[String].head()
+    // script/style bodies vanish (including the fake tags inside),
+    // &amp;lt; double-escape decodes to literal "&lt;", and &lt;tag&gt;
+    // survives as literal <tag> because entities decode AFTER tag-strip
+    assert(got == "Hello world A B &lt;still-escaped> \"q\" 's' <tag> x & y")
+  }
 }
