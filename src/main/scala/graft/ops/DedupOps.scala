@@ -624,4 +624,41 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+  /** Cross-source exact-duplication matrix: for every source pair, how
+    * many distinct fingerprints appear in BOTH — the standard corpus
+    * diagnostic for mirror/scrape overlap and shared boilerplate before
+    * choosing mixture weights (a source that is 40% another source
+    * should not be weighted as independent data). `prefixTokens` > 0
+    * fingerprints only the leading tokens, catching shared intros/
+    * templates that full-document hashing misses.
+    *
+    * Shape at 100 TB: ONE corpus shuffle (groupBy fingerprint with
+    * map-side-combined `collect_set(source)` — bounded by |sources|,
+    * not occurrences), then pair expansion on the ≤|sources|² arrays of
+    * the multi-source fingerprints only. No fingerprint self-join: a
+    * join would shuffle the fingerprint table twice and explode on
+    * hot keys; the set-then-expand form touches each fingerprint once.
+    * `array_sort` pins the pair orientation (src_a < src_b) against
+    * collect_set's partition-order nondeterminism. */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+                           sourceCol: String,
+                           prefixTokens: Int = 0): DataFrame = {
+    val norm = TextOps.normalize(col(textCol))
+    val fpBase =
+      if (prefixTokens > 0)
+        concat_ws(" ", slice(split(norm, " "), 1, prefixTokens))
+      else norm
+    df.select(md5(fpBase).as("__f"), col(sourceCol).as("__src"))
+      .distinct()
+      .groupBy(col("__f"))
+      .agg(array_sort(collect_set(col("__src"))).as("__srcs"))
+      .where(size(col("__srcs")) > 1)
+      .select(col("__f"), col("__srcs"),
+        posexplode(col("__srcs")).as(Seq("__pa", "src_a")))
+      .select(col("__f"), col("src_a"), col("__pa"),
+        posexplode(col("__srcs")).as(Seq("__pb", "src_b")))
+      .where(col("__pa") < col("__pb"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

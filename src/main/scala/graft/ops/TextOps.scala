@@ -58,6 +58,13 @@ object TextOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** zlib-compressibility ratio ([[graft.functions.DeflateRatio]]):
+    * low values flag repetitive/boilerplate text; prose sits ~0.6-0.8.
+    * The third quality axis beside the Gopher rules and the LM score. */
+  def compressionRatio(text: Column): Column =
+    ExpressionUtils.column(
+      graft.functions.DeflateRatio(ExpressionUtils.expression(text)))
+
   /** Occurrences of common UTF-8-decoded-as-Latin-1 artifacts ("Ã", "Â",
     * "â€", "ï¿½") and the replacement character U+FFFD — the standard
     * mojibake tells. High counts flag documents whose upstream decode was

@@ -175,7 +175,9 @@ object CorpusPipeline {
           docs.agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("total_tokens"),
-            round(avg(col("quality")), 4).as("avg_quality"))
+            round(avg(col("quality")), 4).as("avg_quality"),
+            round(avg(TextOps.compressionRatio(col("text"))), 4)
+              .as("avg_compression"))
             .crossJoin(chunks.agg(
               count(lit(1)).as("n_chunks"),
               sum(col("chunk_tokens")).as("total_chunk_tokens")))

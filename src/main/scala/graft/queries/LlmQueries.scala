@@ -836,6 +836,31 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Cross-source duplication matrix at an 8-token-prefix fingerprint
+    * (full-document hashes share nothing in this corpus; leading-token
+    * fingerprints expose the template overlap — 24 source pairs at
+    * sf0.01, so both the multi-source filter and the pair expansion are
+    * exercised). */
+  def q142CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.crossSourceDupMatrix(Tables.load(s, dir, "documents"),
+        "text", "source", prefixTokens = 8)
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** Compression-quality signal over the corpus (no SQL oracle — DuckDB
+    * has no zlib — so this is a rows-only driver gate; the signal's
+    * ordering properties are spec-gated in TextOpsSpec). Bucketed
+    * ratios keep the output stable against zlib-version drift. */
+  def q143CompressionSignal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"source",
+        floor(TextOps.compressionRatio($"text") * 10).cast("long").as("decile"))
+      .groupBy($"source", $"decile").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source", $"decile")
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -881,6 +906,8 @@ object LlmQueries {
     "q139_weighted_sample" -> (q139WeightedSample _),
     "q140_vocab_encode" -> (q140VocabEncode _),
     "q141_html_strip" -> (q141HtmlStrip _),
+    "q142_cross_source_dups" -> (q142CrossSourceDups _),
+    "q143_compression_signal" -> (q143CompressionSignal _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -1161,6 +1188,18 @@ object LlmQueries {
         |       r_alpha_ratio * r_stopwords AS BIGINT) AS gopher_pass
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+    "q142_cross_source_dups" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT
+        |    md5(array_to_string(list_slice(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      1, 8), ' ')) AS f,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q141_html_strip" ->
       """WITH h AS (
         |  SELECT doc_id, '<html><body clAss="x"><p>'

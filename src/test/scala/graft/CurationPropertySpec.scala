@@ -101,4 +101,34 @@ class CurationPropertySpec extends SparkSpec {
       .as[(Long, Long, String, String)].collect().toSet
     assert(got == Set((2L, 1L, "n2", "l2"), (3L, 3L, "n3", "l3")))
   }
+
+  private val weightedGen = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      strat <- Gen.choose(0, 3)
+      w <- Gen.choose(1L, 1000L)
+    } yield (strat, w))
+    k <- Gen.choose(1, 8)
+  } yield (rows.zipWithIndex.map { case ((st, w), i) =>
+    (i.toLong, s"s$st", w) }, k)
+
+  test("weightedSample equals the brute-force A-ES draw on random strata") {
+    check(Prop.forAll(weightedGen) { case (rows, k) =>
+      val df = rows.toDF("id", "src", "w")
+      def key(id: Long, w: Long): Double = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"wsample:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val v = java.lang.Long.parseLong(hex, 16)
+        math.log((v.toDouble + 0.5) / 1152921504606846976.0) / w.toDouble
+      }
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy { case (id, _, w) => (-key(id, w), -id) }.take(k)
+      }.map(_._1).toSet
+      // partitioning-invariant: a repartitioned corpus draws the same set
+      val got = CurationOps.weightedSample(df.repartition(7), "src", "id",
+        "w", k).collect().map(_.getLong(0)).toSet
+      got == want
+    }, n = 20)
+  }
 }

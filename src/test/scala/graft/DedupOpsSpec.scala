@@ -177,4 +177,33 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(spans.toSeq === Seq((1L, 0L, 1L), (2L, 0L, 1L)))
   }
+
+  test("crossSourceDupMatrix counts distinct shared fingerprints per pair") {
+    val docs = Seq(
+      (1L, "A", "hello world"),
+      (2L, "B", "hello  WORLD"),   // same fingerprint as 1 (normalize)
+      (3L, "C", "hello world"),    // shared by A,B,C -> 3 pairs
+      (4L, "A", "unique to a"),
+      (5L, "B", "only in b"),
+      (6L, "A", "twin text"), (7L, "A", "twin text"),  // dup WITHIN A: no pair
+      (8L, "B", "twin text")       // A-B share "twin text" once, not twice
+    ).toDF("id", "src", "text")
+    val got = DedupOps.crossSourceDupMatrix(docs, "text", "src")
+      .orderBy($"src_a", $"src_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)))
+  }
+
+  test("crossSourceDupMatrix prefix mode catches shared intros only") {
+    val docs = Seq(
+      (1L, "A", "breaking news today something happened"),
+      (2L, "B", "breaking news today entirely different tail"),
+      (3L, "C", "no shared prefix here")
+    ).toDF("id", "src", "text")
+    val full = DedupOps.crossSourceDupMatrix(docs, "text", "src").count()
+    val pre = DedupOps.crossSourceDupMatrix(docs, "text", "src",
+      prefixTokens = 3).as[(String, String, Long)].collect().toSeq
+    assert(full == 0L, "full-text hashes share nothing")
+    assert(pre == Seq(("A", "B", 1L)))
+  }
 }

@@ -210,4 +210,25 @@ class TextOpsSpec extends SparkSpec {
     // survives as literal <tag> because entities decode AFTER tag-strip
     assert(got == "Hello world A B &lt;still-escaped> \"q\" 's' <tag> x & y")
   }
+
+  test("compressionRatio orders repetitive below prose below noise") {
+    val rep = "spam spam spam spam " * 50
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders into a meadow full of unexpected vocabulary items " * 5
+    val noise = (1 to 400).map(i => (i * 2654435761L % 1000003).toString)
+      .mkString(" ")
+    val df = Seq((1L, rep), (2L, prose), (3L, noise), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = df.select($"id", TextOps.compressionRatio($"text").as("r"))
+      .orderBy($"id").as[(Long, Option[Double])].collect().toSeq
+    val r = got.map(_._2)
+    assert(r(0).get < r(1).get, "repetition compresses best")
+    assert(r(1).get < r(2).get, "prose compresses better than noise")
+    assert(r(3).contains(1.0), "empty text convention")
+    assert(r(4).isEmpty, "null passthrough")
+    // deterministic across evaluations
+    val again = df.select(TextOps.compressionRatio($"text")).collect()
+    assert(df.select(TextOps.compressionRatio($"text")).collect()
+      .zip(again).forall { case (a, b) => a == b })
+  }
 }
