@@ -58,6 +58,64 @@ object TextOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Lowercased authority of a URL with the scheme's default port
+    * (`:80`/`:443`) and a leading `www.` stripped; a non-default port is
+    * kept (it names a different origin). Scheme and path casing are
+    * handled by [[canonicalizeUrl]]; this is the host key used for
+    * per-site grouping. */
+  def urlHost(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    regexp_replace(noPort, "^www\\.", "")
+  }
+
+  /** Canonical URL form for web-corpus dedup and per-site statistics:
+    * lowercase scheme + host, default port and `www.` stripped, fragment
+    * dropped, trailing path slashes trimmed (bare authority → `/`),
+    * tracking parameters (`utm_*`, `gclid`, `fbclid`, `ref`) removed and
+    * the surviving query parameters sorted. Page-identical variants
+    * (`HTTP://WWW.X.COM/a/?utm_source=f#top` vs `http://x.com/a`) then
+    * hash identically, which is what URL-level dedup needs; path CASE is
+    * preserved (paths are case-sensitive).
+    *
+    * Pure `functions._` composition (regex splits + one `filter`/
+    * `array_sort` over the handful of query params) — codegen'd, scales
+    * as a scan projection with zero shuffles. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val q0 = regexp_extract(u, "\\?([^#]*)", 1)
+    val trimmedPath = regexp_replace(path0, "/+$", "")
+    val path = when(length(trimmedPath) === 0, lit("/")).otherwise(trimmedPath)
+    val kept = array_sort(filter(split(q0, "&"),
+      p => p =!= lit("") && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)=")))
+    val qs = array_join(kept, "&")
+    concat(scheme, lit("://"), urlHost(url), path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** Registered (pay-level) domain of a hostname — the aggregation key
+    * for per-site quotas and blocklists, where subdomains of one owner
+    * must collapse (`cdn.news.example.co.uk` → `example.co.uk`). Uses the
+    * common-second-level heuristic (last two labels, or three when the
+    * penultimate label is a shared registry label like `co`/`com`/`ac`)
+    * rather than the full public-suffix list — the standard tradeoff when
+    * shipping no lookup table; swap in a broadcast PSL set for exactness.
+    * Expects a bare hostname (strip any `:port` first). */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(size(labels) <= 2, host)
+      .when(element_at(labels, -2)
+          .isin("co", "com", "net", "org", "gov", "ac", "edu"),
+        concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(concat_ws(".", slice(labels, -2, 2)))
+  }
+
   /** zlib-compressibility ratio ([[graft.functions.DeflateRatio]]):
     * low values flag repetitive/boilerplate text; prose sits ~0.6-0.8.
     * The third quality axis beside the Gopher rules and the LM score. */
@@ -528,5 +586,48 @@ object TextOps {
             transform(array_sort(collect_list(struct(col("pos"), col("term")))),
               e => e.getField("term")),
             lit(0.0), (acc, x) => acc + x) / count(lit(1)), 4).as("avg_logp"))
+  }
+
+  /** PMI-style collocation mining: the top-K adjacent word pairs ranked
+    * by lift — how much more often the pair occurs than its words'
+    * frequencies predict. The classic phrase-mining pass ("new york",
+    * "machine learning") run before tokenizer training or n-gram
+    * blocklist construction.
+    *
+    * Ranking key is the INTEGER `lift_e6 = c12·10⁶ div (c1·c2)`: true
+    * PMI is `log(N · c12 / (c1·c2))` and N (total tokens) is constant
+    * across the corpus, so dropping `log` and `N` preserves the exact
+    * order while keeping the pipeline free of transcendentals (portable
+    * across engines bit-for-bit) and inside Long range (`c12·10⁶` ≤
+    * 9·10¹⁸ up to 9 trillion pair occurrences). Raw `c12/c1/c2` counts
+    * ride along so consumers can compute calibrated PMI/NPMI.
+    *
+    * Shape at 100 TB: one shuffle for bigram counts, one for unigram
+    * counts (both map-side combined, keyed by word — no skew beyond
+    * natural Zipf, which AQE splits), then two joins of the BIGRAM-
+    * VOCABULARY-sized table (≪ corpus) against the unigram table;
+    * Catalyst broadcasts the unigram side when small, sort-merges
+    * otherwise. The corpus itself is never joined. Final top-K is a
+    * TakeOrderedAndProject — heap, no global sort. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+                   topK: Int = 20): DataFrame = {
+    val toks = df.select(split(normalize(col(textCol)), " ").as("t"))
+      .where(size(col("t")) > 0)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = toks.where(size(col("t")) > 1)
+      .select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    pairs
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        expr("c12 * 1000000L DIV (c1 * c2)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
   }
 }

@@ -861,6 +861,47 @@ object LlmQueries {
       .orderBy($"source", $"decile")
   }
 
+  /** URL canonicalization + per-domain stats gate. The corpus has no URL
+    * column, so (q141-style) both engines build the same adversarial
+    * URLs from doc_id — mixed-case scheme/host, `www.`, default and
+    * non-default ports, trailing slashes, unsorted query params with
+    * tracking noise, fragments — then canonicalize and group by
+    * registered domain. `n_canonical < n_docs` proves variants collapse;
+    * `sample_url` pins the exact canonical string. */
+  def q144UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"doc_id"
+    val site = element_at(array(lit("Example.COM"), lit("Sub.Example.CO.UK"),
+      lit("cdn.News-Site.ORG")), (pmod(d, lit(3)) + 1).cast("int"))
+    val raw = concat(
+      when(pmod(d, lit(2)) === 0, "HTTPS").otherwise("http"), lit("://"),
+      when(pmod(d, lit(4)) === 1, "WWW.").otherwise(""), site,
+      when(pmod(d, lit(7)) === 0, ":8080")
+        .when(pmod(d, lit(2)) === 0, ":443").otherwise(":80"),
+      lit("/Articles/"), pmod(d, lit(50)),
+      when(pmod(d, lit(5)) === 0, "/").otherwise(""),
+      lit("?b=2&utm_campaign=c"), d, lit("&id="), pmod(d, lit(50)),
+      lit("&ref=rss&a=1&gclid=X#sec"), d)
+    Tables.load(s, dir, "documents")
+      .select(TextOps.canonicalizeUrl(raw).as("curl"))
+      .groupBy(TextOps.registeredDomain(
+          regexp_replace(regexp_extract($"curl", "^[a-z]+://([^/?#]*)", 1),
+            ":[0-9]+$", "")).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"curl").as("n_canonical"),
+        min($"curl").as("sample_url"))
+      .orderBy($"domain")
+  }
+
+  /** PMI collocation mining over the corpus: integer-lift ranking (order
+    * identical to PMI — see [[TextOps.collocations]]) keeps the whole
+    * pipeline transcendental-free, so DuckDB replays it bit-for-bit. */
+  def q145Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.collocations(Tables.load(s, dir, "documents"), "text",
+      minCount = 5L, topK = 20)
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -908,6 +949,8 @@ object LlmQueries {
     "q141_html_strip" -> (q141HtmlStrip _),
     "q142_cross_source_dups" -> (q142CrossSourceDups _),
     "q143_compression_signal" -> (q143CompressionSignal _),
+    "q144_url_canon" -> (q144UrlCanon _),
+    "q145_collocations" -> (q145Collocations _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -1188,6 +1231,69 @@ object LlmQueries {
         |       r_alpha_ratio * r_stopwords AS BIGINT) AS gopher_pass
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+    "q144_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN 'WWW.' ELSE '' END) ||
+        |    (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'Example.COM'
+        |      WHEN 1 THEN 'Sub.Example.CO.UK' ELSE 'cdn.News-Site.ORG' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+        |      WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ||
+        |    '/Articles/' || (doc_id % 50) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    '?b=2&utm_campaign=c' || doc_id || '&id=' || (doc_id % 50) ||
+        |    '&ref=rss&a=1&gclid=X#sec' || doc_id AS url
+        |  FROM documents),
+        |c0 AS (SELECT regexp_replace(trim(url), '#.*$', '') AS nf FROM u),
+        |c1 AS (SELECT
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS s,
+        |  lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0,
+        |  regexp_extract(nf, '\?([^#]*)', 1) AS q0
+        |  FROM c0),
+        |c2 AS (SELECT s,
+        |  regexp_replace(CASE WHEN s = 'http' THEN regexp_replace(auth, ':80$', '')
+        |    WHEN s = 'https' THEN regexp_replace(auth, ':443$', '')
+        |    ELSE auth END, '^www\.', '') AS host,
+        |  CASE WHEN length(regexp_replace(p0, '/+$', '')) = 0 THEN '/'
+        |    ELSE regexp_replace(p0, '/+$', '') END AS p,
+        |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)='))),
+        |    '&') AS qs
+        |  FROM c1),
+        |c3 AS (SELECT
+        |  s || '://' || host || p ||
+        |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS curl,
+        |  string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS l,
+        |  regexp_replace(host, ':[0-9]+$', '') AS hname
+        |  FROM c2)
+        |SELECT
+        |  CASE WHEN len(l) <= 2 THEN hname
+        |    WHEN l[-2] IN ('co','com','net','org','gov','ac','edu')
+        |      THEN array_to_string(l[-3:], '.')
+        |    ELSE array_to_string(l[-2:], '.') END AS domain,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT curl) AS n_canonical,
+        |  min(curl) AS sample_url
+        |FROM c3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q145_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM documents WHERE len(string_split(trim(
+        |    regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) > 0),
+        |uni AS (
+        |  SELECT u.w, count(*) AS c
+        |  FROM toks, LATERAL (SELECT unnest(t) AS w) u GROUP BY 1),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT bi.w1, bi.w2, bi.c12, u1.c AS c1, u2.c AS c2,
+        |  bi.c12 * 1000000 // (u1.c * u2.c) AS lift_e6
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+        |ORDER BY lift_e6 DESC, c12 DESC, w1, w2 LIMIT 20""".stripMargin,
     "q142_cross_source_dups" ->
       """WITH fp AS (
         |  SELECT DISTINCT

@@ -211,6 +211,56 @@ class TextOpsSpec extends SparkSpec {
     assert(got == "Hello world A B &lt;still-escaped> \"q\" 's' <tag> x & y")
   }
 
+  test("canonicalizeUrl collapses page-identical variants, keeps real differences") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/a/b/?utm_source=f&b=2&a=1#frag"),
+      (2L, "http://example.com/a/b?a=1&b=2"),          // same page as 1
+      (3L, "https://example.com/a/b?a=1&b=2"),          // scheme differs: distinct
+      (4L, "https://example.com:8443/a/b?a=1&b=2"),     // non-default port kept
+      (5L, "HTTPS://Sub.Example.CO.UK:443/"),           // bare root
+      (6L, "http://example.com/A/B"),                   // path case preserved
+      (7L, "http://example.com/x?utm_a=1&gclid=g&ref=r&fbclid=f") // all tracking
+    ).toDF("id", "url")
+    val got = urls.select($"id", TextOps.canonicalizeUrl($"url").as("c"))
+      .orderBy($"id").as[(Long, String)].collect().map(_._2)
+    assert(got(0) == "http://example.com/a/b?a=1&b=2")
+    assert(got(1) == got(0))
+    assert(got(2) == "https://example.com/a/b?a=1&b=2")
+    assert(got(3) == "https://example.com:8443/a/b?a=1&b=2")
+    assert(got(4) == "https://sub.example.co.uk/")
+    assert(got(5) == "http://example.com/A/B")
+    assert(got(6) == "http://example.com/x")
+  }
+
+  test("registeredDomain applies the shared-second-level heuristic") {
+    val hosts = Seq("example.com", "cdn.news.example.co.uk", "a.b.site.org",
+      "localhost", "deep.sub.example.com").toDF("h")
+    val got = hosts.select(TextOps.registeredDomain($"h")).as[String]
+      .collect().toSeq
+    assert(got == Seq("example.com", "example.co.uk", "site.org",
+      "localhost", "example.com"))
+  }
+
+  test("collocations ranks pairs by lift with exact integer keys") {
+    // "new york" always adjacent (lift high); "the cat"/"the dog" dilute "the"
+    val docs = Seq.tabulate(10)(i =>
+      (i.toLong, "new york " + ("the cat sat " * (i % 3 + 1)) + "the dog ran new york"))
+      .toDF("id", "text")
+    val got = TextOps.collocations(docs, "text", minCount = 5L, topK = 5)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // brute-force twin
+    val toks = docs.collect().map(_.getString(1).toLowerCase.trim
+      .split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bi = toks.flatMap(t => t.zip(t.tail)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }.filter(_._2 >= 5L)
+    val want = bi.toSeq.map { case ((a, b), c12) =>
+      (a, b, c12, uni(a), uni(b), c12 * 1000000L / (uni(a) * uni(b))) }
+      .sortBy { case (a, b, c12, _, _, l) => (-l, -c12, a, b) }.take(5)
+    assert(got == want)
+    assert(got.exists(r => r._1 == "new" && r._2 == "york"))
+  }
+
   test("compressionRatio orders repetitive below prose below noise") {
     val rep = "spam spam spam spam " * 50
     val prose = "the quick brown fox jumps over the lazy dog and then " +
