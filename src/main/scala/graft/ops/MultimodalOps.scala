@@ -264,4 +264,105 @@ object MultimodalOps {
       .select(col("media_id"), col("kind"), col("payload"),
         struct(col("source"), col("declared_format")).as("meta"))
   }
+
+  // ----------------------------------------------- perceptual near-dup
+
+  /** Deterministic 8×8-block-patterned image (real ImageIO containers):
+    * each block is light (0xE0E0E0) or dark (0x202020) by a seed-mixed
+    * hash bit, and the first `invertBlocks` blocks (row-major) are
+    * color-inverted. Because block luminances sit at the extremes, one
+    * inverted block flips EXACTLY one [[imageAHash]] bit (the ≲2 %
+    * mean drift can never cross the ~48 % luminance gap), so planted
+    * hamming distances are exact by construction — the property the
+    * near-dup recall gates rely on. */
+  def encodePatternImage(width: Int, height: Int, seed: Long, format: String,
+                         invertBlocks: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val bx = x * 8 / width; val by = y * 8 / height
+        var h = seed * 0x9E3779B97F4A7C15L + (by * 8 + bx) * 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 31); h *= 0xD6E8FEB86659FD93L; h ^= (h >>> 27)
+        val base = if ((h & 1L) == 1L) 0xE0E0E0 else 0x202020
+        val rgb = if (by * 8 + bx < invertBlocks) ~base & 0xFFFFFF else base
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** 64-bit perceptual average-hash of a decoded image: exact-integer
+    * area-average luminance (BT.601 integer weights, the same `x*8/w`
+    * block partition as [[encodePatternImage]]) over an 8×8 grid, one
+    * bit per cell (above the 64-cell mean). Content-addressed, not
+    * container-addressed: the same pixels hash identically through PNG,
+    * GIF, or BMP (lossless codecs), which is what lets near-dup detection
+    * collapse re-encoded copies. All-integer arithmetic → bit-for-bit
+    * reproducible across JVMs/architectures. Returns 0 for undecodable
+    * payloads (they then only ever pair with each other, and real
+    * pipelines filter `ahash != 0` first). */
+  def imageAHash(payload: Array[Byte]): Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) return 0L
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](64); val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114
+        val c = cy * 8 + x * 8 / w
+        sums(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var mean = 0L; var i = 0
+    val cells = new Array[Long](64)
+    while (i < 64) {
+      cells(i) = if (counts(i) == 0) 0L else sums(i) / counts(i)
+      mean += cells(i); i += 1
+    }
+    mean /= 64
+    var bits = 0L; i = 0
+    while (i < 64) { if (cells(i) > mean) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  /** Per-image aHash table: partition-batched decode (codec init once per
+    * partition, payloads dropped before any shuffle — only the 8-byte
+    * hash travels). */
+  def imageAHashes(media: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, p) => (id, imageAHash(p)) })
+      .toDF(idCol, "ahash")
+  }
+
+  /** Image near-dup pairs at hamming ≤ `maxHamming` over the perceptual
+    * aHash — re-encoded, slightly-edited, or watermark-tweaked copies of
+    * the same picture. Reuses the SimHash pigeonhole band join
+    * ([[DedupOps.simhashNearDups]]): recall 1.0 by construction, equi-
+    * join-only (no cartesian), so the plan is the text near-dup plan over
+    * 8-byte keys. At 100 TB the decode pass dominates and scales linearly
+    * with executors; everything after it handles 8 bytes per image. */
+  def imageNearDups(media: DataFrame, idCol: String = "media_id",
+                    maxHamming: Int = 3): DataFrame =
+    DedupOps.simhashNearDups(
+      imageAHashes(media, idCol).withColumnRenamed("ahash", "simhash"),
+      idCol, maxDist = maxHamming, sigBits = 64)
 }

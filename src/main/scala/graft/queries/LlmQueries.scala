@@ -902,6 +902,30 @@ object LlmQueries {
       minCount = 5L, topK = 20)
   }
 
+  /** Image perceptual near-dup gate (rows-only: DuckDB has no image
+    * codec; the exact pair set — planted copies at their constructed
+    * hamming distances, nothing else — is spec-gated in
+    * MultimodalOpsSpec). Every doc becomes a patterned PNG/GIF; the
+    * first 25 get a re-encoded copy with 1-3 inverted blocks under
+    * id+10⁶. The banded join must surface exactly those copies. */
+  def q146ImageNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents")
+      .select($"doc_id").as[Long].mapPartitions { it =>
+        it.flatMap { id =>
+          val fmt = if (id % 2 == 0) "png" else "gif"
+          val w = 8 + (id % 24).toInt; val h = 8 + ((id * 7) % 24).toInt
+          val base = (id, MultimodalOps.encodePatternImage(w, h, id, fmt))
+          if (id < 25)
+            Seq(base, (id + 1000000L, MultimodalOps.encodePatternImage(
+              w, h, id, fmt, invertBlocks = 1 + (id % 3).toInt)))
+          else Seq(base)
+        }
+      }.toDF("media_id", "payload")
+    MultimodalOps.imageNearDups(media, maxHamming = 3)
+      .orderBy($"id1", $"id2")
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -951,6 +975,7 @@ object LlmQueries {
     "q143_compression_signal" -> (q143CompressionSignal _),
     "q144_url_canon" -> (q144UrlCanon _),
     "q145_collocations" -> (q145Collocations _),
+    "q146_image_neardups" -> (q146ImageNearDups _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),

@@ -101,4 +101,45 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.decodeHeader(images("a.png")) == ((12, 9, "png")))
     assert(MultimodalOps.decodeHeader(images("b.jpeg")) == ((20, 15, "jpeg")))
   }
+
+  test("aHash is content-addressed: identical pixels through png/gif/bmp") {
+    (1L to 5L).foreach { seed =>
+      val hashes = Seq("png", "gif", "bmp").map(f =>
+        MultimodalOps.imageAHash(
+          MultimodalOps.encodePatternImage(19, 23, seed, f)))
+      assert(hashes.distinct.size == 1, s"seed $seed: $hashes")
+      assert(hashes.head != 0L)
+    }
+  }
+
+  test("inverting k blocks moves the aHash by exactly hamming k") {
+    (0L to 9L).foreach { seed =>
+      val base = MultimodalOps.imageAHash(
+        MultimodalOps.encodePatternImage(30, 17, seed, "png"))
+      (1 to 4).foreach { k =>
+        val tweaked = MultimodalOps.imageAHash(
+          MultimodalOps.encodePatternImage(30, 17, seed, "png", invertBlocks = k))
+        assert(java.lang.Long.bitCount(base ^ tweaked) == k,
+          s"seed $seed k $k")
+      }
+    }
+  }
+
+  test("imageNearDups finds exactly the planted copies at their distances") {
+    val rows = (0L until 40L).flatMap { id =>
+      val fmt = if (id % 2 == 0) "png" else "gif"
+      val w = 8 + (id % 24).toInt; val h = 8 + ((id * 7) % 24).toInt
+      val base = (id, MultimodalOps.encodePatternImage(w, h, id, fmt))
+      if (id < 10)
+        Seq(base, (id + 1000L, MultimodalOps.encodePatternImage(
+          w, h, id, fmt, invertBlocks = 1 + (id % 3).toInt)))
+      else Seq(base)
+    }
+    val media = rows.toDF("media_id", "payload")
+    val got = MultimodalOps.imageNearDups(media, maxHamming = 3)
+      .orderBy($"id1", $"id2")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = (0L until 10L).map(id => (id, id + 1000L, 1L + id % 3))
+    assert(got == want)
+  }
 }
