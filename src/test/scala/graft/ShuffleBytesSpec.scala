@@ -136,4 +136,39 @@ class ShuffleBytesSpec extends SparkSpec {
     assert(ssBytes * 8 < rawBytes,
       s"ss=$ssBytes raw=$rawBytes — the mergeable fold lost its edge")
   }
+
+  test("collocations shuffles vocab-sized counts, not the token stream") {
+    // 8k docs × 30 tokens from a 100-word vocab: map-side combine must
+    // reduce the shuffle to ~partitions×vocab, never one row per token
+    val vocab = (0 until 100).map(i => s"w$i")
+    val docs = (1 to 8000).map { d =>
+      (d.toLong, (0 until 30).map(j =>
+        vocab(((d * 31 + j * 17) % 100 + 100) % 100)).mkString(" "))
+    }.toDF("id", "text").repartition(16).localCheckpoint()
+    val opBytes = shuffleBytes(materialize(
+      graft.ops.TextOps.collocations(docs, "text", minCount = 5L, topK = 20)))
+    // the anti-pattern: ship every token row across the wire
+    val tokenBytes = shuffleBytes(materialize(
+      docs.select(explode(split(lower($"text"), " ")).as("w"))
+        .repartition(32, $"w")))
+    assert(opBytes > 0 && tokenBytes > 0, s"$opBytes / $tokenBytes")
+    assert(opBytes * 5 < tokenBytes,
+      s"op=$opBytes tokens=$tokenBytes — bigram agg lost map-side combine")
+  }
+
+  test("crossSourceDupMatrix's combined shuffle beats a raw fingerprint shuffle") {
+    // hot duplication: 200 texts × 5 sources over 40k rows — the
+    // distinct/collect_set path must combine before the wire
+    val docs = (1 to 40000).map { i =>
+      (i.toLong, s"src${i % 5}", s"shared text number ${i % 200} padding " + "y" * 40)
+    }.toDF("id", "src", "text").repartition(16).localCheckpoint()
+    val opBytes = shuffleBytes(materialize(
+      graft.ops.DedupOps.crossSourceDupMatrix(docs, "text", "src")))
+    val rawBytes = shuffleBytes(materialize(
+      docs.select(md5(lower($"text")).as("f"), $"src")
+        .repartition(32, col("f"))))
+    assert(opBytes > 0 && rawBytes > 0, s"$opBytes / $rawBytes")
+    assert(opBytes * 2 < rawBytes,
+      s"op=$opBytes raw=$rawBytes — set-then-expand lost its combine edge")
+  }
 }
