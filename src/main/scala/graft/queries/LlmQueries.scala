@@ -926,6 +926,42 @@ object LlmQueries {
       .orderBy($"id1", $"id2")
   }
 
+  /** Declarative SQL-project gate: a two-model dbt-style project (merge-
+    * materialized scored layer with unique/not_null tests → tested
+    * rollup) is written to disk, loaded by [[graft.pipeline.SqlProject]],
+    * run through the full WAP pipeline, and the PUBLISHED rollup table is
+    * compared against DuckDB running the composed SQL — gating the
+    * loader, ref-graph ordering, merge materialization and publication
+    * end to end. */
+  def q147SqlProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val models = java.nio.file.Files.createTempDirectory("q147-models")
+    val lake = java.nio.file.Files.createTempDirectory("q147-lake").toString
+    def w(n: String, t: String) = java.nio.file.Files.write(
+      models.resolve(s"$n.sql"), t.getBytes("UTF-8"))
+    w("docs_scored",
+      """-- graft: materialized=merge unique_key=doc_id order_by=doc_id tags=raw
+        |-- test: not_null doc_id
+        |-- test: unique doc_id
+        |SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM {{ source('documents') }} WHERE doc_id IS NOT NULL""".stripMargin)
+    w("source_rollup",
+      """-- graft: materialized=table
+        |-- test: not_null source
+        |-- test: row_count_between 1 1000000
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars_m) AS BIGINT) AS total_chars,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM {{ ref('docs_scored') }}
+        |GROUP BY source""".stripMargin)
+    val p = graft.pipeline.SqlProject.load(s, models.toString, lake,
+      Map("documents" -> (ss => Tables.load(ss, dir, "documents"))))
+    val res = p.run(s, _ => ())
+    require(res.ok, s"sql project run failed: ${res.toJson}")
+    new graft.sinks.SnapshotTable(s, s"$lake/source_rollup").read()
+      .orderBy($"source")
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -976,6 +1012,7 @@ object LlmQueries {
     "q144_url_canon" -> (q144UrlCanon _),
     "q145_collocations" -> (q145Collocations _),
     "q146_image_neardups" -> (q146ImageNearDups _),
+    "q147_sql_project" -> (q147SqlProject _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -1256,6 +1293,14 @@ object LlmQueries {
         |       r_alpha_ratio * r_stopwords AS BIGINT) AS gopher_pass
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+    "q147_sql_project" ->
+      """WITH docs_scored AS (
+        |  SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS n_chars_m
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars_m) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM docs_scored GROUP BY source ORDER BY source""".stripMargin,
     "q144_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipeline.SqlProject
+import graft.sinks.SnapshotTable
+
+class SqlProjectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeModel(dir: String, name: String, text: String): Unit =
+    Files.write(Paths.get(dir, s"$name.sql"), text.getBytes("UTF-8"))
+
+  private def events = Seq(
+    (1L, "p1", "alpha", 100L), (2L, "p1", "alpha-renamed", 200L),
+    (3L, "p2", "beta", 150L), (4L, "p3", "gamma", 50L)
+  ).toDF("event_id", "provider_id", "provider_name", "event_ts")
+
+  private def sites = Seq(("p1", "siteA"), ("p2", "siteB"), ("p3", "siteC"))
+    .toDF("provider_id", "site_name")
+
+  test("parseModel reads config, tests, refs and sources from the header") {
+    val m = SqlProject.parseModel("m", """-- graft: materialized=merge unique_key=id order_by=ts
+      |-- graft: tags=raw,cdc retries=2
+      |-- test: unique id
+      |-- test: not_null name severity=warn
+      |-- test: relationships site_id sites site_id
+      |select * from {{ ref('base') }} b join {{ source('ext') }} e on b.id = e.id
+      |""".stripMargin)
+    assert(m.materialized == "merge" && m.uniqueKey == Seq("id") &&
+      m.orderBy == Seq("ts") && m.tags == Set("raw", "cdc") && m.retries == 2)
+    assert(m.refs == Seq("base") && m.sources == Seq("ext"))
+    assert(m.tests.map(_.kind) == Seq("unique", "not_null", "relationships"))
+    assert(m.tests(1).severity == graft.checks.Checks.Warn)
+    intercept[IllegalArgumentException] {
+      SqlProject.parseModel("bad", "-- graft: materialized=merge\nselect 1")
+    }
+  }
+
+  test("a three-model project runs: merge raw, ephemeral view, tested curated") {
+    val dir = tmpDir("sqlproj-models"); val lake = tmpDir("sqlproj-lake")
+    writeModel(dir, "raw_events",
+      """-- graft: materialized=merge unique_key=provider_id order_by=event_ts
+        |-- graft: tags=raw
+        |-- test: not_null provider_id
+        |select provider_id, provider_name, event_ts
+        |from {{ source('events') }}""".stripMargin)
+    writeModel(dir, "enriched",
+      """-- graft: materialized=ephemeral
+        |select r.provider_id, r.provider_name, s.site_name
+        |from {{ ref('raw_events') }} r
+        |join {{ source('sites') }} s on r.provider_id = s.provider_id""".stripMargin)
+    writeModel(dir, "curated",
+      """-- graft: materialized=table
+        |-- test: unique provider_id
+        |-- test: not_null site_name
+        |-- test: relationships provider_id raw_events provider_id
+        |-- test: expression name_nonempty length(provider_name) > 0
+        |-- test: row_count_between 1 100
+        |select provider_id, provider_name, site_name
+        |from {{ ref('enriched') }}""".stripMargin)
+    val p = SqlProject.load(spark, dir, lake, Map(
+      "events" -> (_ => events), "sites" -> (_ => sites)))
+    assert(p.ordered.map(_.name) == Seq("raw_events", "enriched", "curated"))
+    val res = p.run(spark, _ => ())
+    assert(res.ok, res.toJson)
+    // merge kept the LATEST row per provider (event_ts desc)
+    val curated = new SnapshotTable(spark, s"$lake/curated").read()
+      .orderBy($"provider_id")
+      .as[(String, String, String)].collect().toSeq
+    assert(curated == Seq(("p1", "alpha-renamed", "siteA"),
+      ("p2", "beta", "siteB"), ("p3", "gamma", "siteC")))
+    // ephemeral models never materialize
+    assert(!new SnapshotTable(spark, s"$lake/enriched").exists)
+    // every declared test ran
+    assert(res.stages.last.checks.size == 5 &&
+      res.stages.last.checks.forall(_.passed))
+  }
+
+  test("a failing Error test blocks publication (WAP)") {
+    val dir = tmpDir("sqlproj-fail"); val lake = tmpDir("sqlproj-fail-lake")
+    writeModel(dir, "dups",
+      """-- graft: materialized=table
+        |-- test: unique k
+        |select x AS k from {{ source('xs') }}""".stripMargin)
+    val p = SqlProject.load(spark, dir, lake, Map(
+      "xs" -> (s => { import s.implicits._; Seq(1, 1, 2).toDF("x") })))
+    val res = p.run(spark, _ => ())
+    assert(!res.ok)
+    assert(!new SnapshotTable(spark, s"$lake/dups").exists,
+      "failed audit must not publish")
+  }
+
+  test("excluded refs fall back to the published lake, like dbt slices") {
+    val dir = tmpDir("sqlproj-slice"); val lake = tmpDir("sqlproj-slice-lake")
+    writeModel(dir, "base",
+      """-- graft: materialized=table tags=raw
+        |select x from {{ source('xs') }}""".stripMargin)
+    writeModel(dir, "downstream",
+      """-- graft: materialized=table
+        |select x * 2 AS y from {{ ref('base') }}""".stripMargin)
+    def proj = SqlProject.load(spark, dir, lake, Map(
+      "xs" -> (s => { import s.implicits._; Seq(5, 7).toDF("x") })))
+    assert(proj.select("tag:raw").run(spark, _ => ()).ok)
+    val sliced = proj.exclude("tag:raw")
+    assert(sliced.stages.map(_.name) == Seq("downstream"))
+    assert(sliced.run(spark, _ => ()).ok)
+    val got = new SnapshotTable(spark, s"$lake/downstream").read()
+      .orderBy($"y").as[Long].collect().toSeq
+    assert(got == Seq(10L, 14L))
+  }
+}
