@@ -1,0 +1,77 @@
+package graft
+
+import graft.pipeline.SqlProject
+
+/** CLI entry for declarative SQL projects — the engine-native `app.py`:
+  * load models → run (WAP: build, audit, publish) → write the run report.
+  *
+  * Usage:
+  * {{{
+  * runMain graft.RunSqlProject <modelsDir> <lakeRoot>
+  *   [--sources file]      # default <modelsDir>/sources.conf
+  *   [--select sel] [--exclude sel]   # dbt selectors: name, name+, tag:t, tag:t+
+  *   [--parallel]          # dependency-parallel stage execution
+  *   [--report path.json]  # Elementary-style run report (+ .html twin)
+  *   [--metrics dir]       # append per-run volume metrics (Elementary history)
+  *   [--alerts path.jsonl] # file-notifier alert delivery on failed checks
+  * }}}
+  *
+  * Exit code 1 on any failed stage (fail-fast like `app.py:61-64`).
+  */
+object RunSqlProject {
+  def main(args: Array[String]): Unit = {
+    val pos = scala.collection.mutable.ArrayBuffer[String]()
+    val opts = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--parallel" => opts("parallel") = "true"; i += 1
+        case f if f.startsWith("--") =>
+          require(i + 1 < args.length, s"$f needs a value")
+          opts(f.stripPrefix("--")) = args(i + 1); i += 2
+        case p => pos += p; i += 1
+      }
+    }
+    require(pos.size == 2, "usage: RunSqlProject <modelsDir> <lakeRoot> [flags]")
+    val Seq(modelsDir, lakeRoot) = pos.toSeq
+    val sourcesPath = opts.getOrElse("sources", s"$modelsDir/sources.conf")
+    val sources =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(sourcesPath)))
+        SqlProject.parseSources(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(sourcesPath)), "UTF-8"))
+      else Map.empty[String, org.apache.spark.sql.SparkSession =>
+        org.apache.spark.sql.DataFrame]
+
+    val spark = GraftSession.getOrCreate("graft-sql-project")
+    var p = SqlProject.load(spark, modelsDir, lakeRoot, sources)
+    opts.get("select").foreach(sel => p = p.select(sel))
+    opts.get("exclude").foreach(sel => p = p.exclude(sel))
+    opts.get("metrics").foreach { dir =>
+      p = p.withMetrics(new graft.checks.MetricsStore(spark, dir),
+        java.util.UUID.randomUUID().toString.take(8))
+    }
+    opts.get("alerts").foreach { path =>
+      p = p.withAlerts(new graft.checks.Alerts.AlertManager(
+        new graft.checks.Alerts.FileNotifier(path)))
+    }
+
+    val result =
+      if (opts.contains("parallel")) p.runParallel(spark) else p.run(spark)
+    result.stages.foreach { st =>
+      println(f"[model] ${st.name}%-28s ok=${st.ok} " +
+        f"version=${st.publishedVersion.getOrElse(-1L)} ${st.durationMs}ms" +
+        st.error.map(e => s" error=${e.takeWhile(_ != '\n')}").getOrElse(""))
+      st.checks.foreach(c => println(
+        f"  [test] ${c.check}%-24s ${c.column}%-16s " +
+          s"${if (c.passed) "pass" else s"FAIL (${c.violations} violations)"}"))
+    }
+    opts.get("report").foreach { path =>
+      result.writeReport(path)
+      result.writeReportHtml(path.stripSuffix(".json") + ".html")
+      println(s"[report] $path")
+    }
+    spark.stop()
+    if (!result.ok) sys.exit(1)
+  }
+}

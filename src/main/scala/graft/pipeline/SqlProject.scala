@@ -128,9 +128,37 @@ object SqlProject {
           org.apache.spark.sql.functions.expr(rest.mkString(" ")), t.severity)
       case ("row_count_between", Seq(mn, mx)) =>
         Checks.RowCountBetween(mn.toLong, mx.toLong, t.severity)
+      case ("freshness", Seq(c, maxAgeMs)) =>
+        Checks.Freshness(c, maxAgeMs.toLong, t.severity)
       case _ => throw new IllegalArgumentException(
         s"model $model: unknown test '${t.kind} ${t.args.mkString(" ")}'")
     }
+
+  /** Parse a `sources.conf` text (the engine's `source.yaml` analog):
+    * one `name format path` triple per line, `#` comments. Formats:
+    * `parquet`/`orc` (self-describing), `jsonl` (schema inferred),
+    * `csv` (header + inference — the reference's client-drop shape).
+    * Inference is a CLI convenience; programmatic callers pass typed
+    * DataFrames to [[load]] directly. */
+  def parseSources(text: String): Map[String, SparkSession => DataFrame] =
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        l.split("\\s+") match {
+          case Array(name, fmt, path) =>
+            val f: SparkSession => DataFrame = fmt match {
+              case "parquet" | "orc" => s => s.read.format(fmt).load(path)
+              case "jsonl" => s => s.read.json(path)
+              case "csv" => s => s.read.option("header", "true")
+                .option("inferSchema", "true").csv(path)
+              case other => throw new IllegalArgumentException(
+                s"source $name: unknown format $other")
+            }
+            name -> f
+          case _ => throw new IllegalArgumentException(
+            s"malformed source line '$l' (want: name format path)")
+        }
+      }.toMap
 
   /** Read every `*.sql` under `modelsDir` (one level) into a [[Pipeline]]
     * publishing to `lakeRoot/<model>`; `sources` supplies the external

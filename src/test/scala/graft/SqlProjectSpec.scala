@@ -25,12 +25,14 @@ class SqlProjectSpec extends SparkSpec {
       |-- test: unique id
       |-- test: not_null name severity=warn
       |-- test: relationships site_id sites site_id
+      |-- test: freshness ts 86400000
       |select * from {{ ref('base') }} b join {{ source('ext') }} e on b.id = e.id
       |""".stripMargin)
     assert(m.materialized == "merge" && m.uniqueKey == Seq("id") &&
       m.orderBy == Seq("ts") && m.tags == Set("raw", "cdc") && m.retries == 2)
     assert(m.refs == Seq("base") && m.sources == Seq("ext"))
-    assert(m.tests.map(_.kind) == Seq("unique", "not_null", "relationships"))
+    assert(m.tests.map(_.kind) ==
+      Seq("unique", "not_null", "relationships", "freshness"))
     assert(m.tests(1).severity == graft.checks.Checks.Warn)
     intercept[IllegalArgumentException] {
       SqlProject.parseModel("bad", "-- graft: materialized=merge\nselect 1")
@@ -89,6 +91,42 @@ class SqlProjectSpec extends SparkSpec {
     assert(!res.ok)
     assert(!new SnapshotTable(spark, s"$lake/dups").exists,
       "failed audit must not publish")
+  }
+
+  test("parseSources reads the conf format and rejects junk") {
+    val srcs = SqlProject.parseSources(
+      """# external tables
+        |docs parquet /tmp/x.parquet
+        |drops csv /tmp/drop.csv
+        |""".stripMargin)
+    assert(srcs.keySet == Set("docs", "drops"))
+    intercept[IllegalArgumentException] {
+      SqlProject.parseSources("docs avro /tmp/x")
+    }
+    intercept[IllegalArgumentException] {
+      SqlProject.parseSources("too few")
+    }
+  }
+
+  test("a file-declared project runs end to end from sources.conf") {
+    val dir = tmpDir("sqlproj-conf"); val lake = tmpDir("sqlproj-conf-lake")
+    val data = tmpDir("sqlproj-conf-data")
+    events.write.parquet(s"$data/events.parquet")
+    Files.write(Paths.get(dir, "sources.conf"),
+      s"events parquet $data/events.parquet\n".getBytes("UTF-8"))
+    writeModel(dir, "latest",
+      """-- graft: materialized=merge unique_key=provider_id order_by=event_ts
+        |-- test: unique provider_id
+        |select provider_id, provider_name, event_ts
+        |from {{ source('events') }}""".stripMargin)
+    val sources = SqlProject.parseSources(new String(
+      Files.readAllBytes(Paths.get(dir, "sources.conf")), "UTF-8"))
+    val res = SqlProject.load(spark, dir, lake, sources).run(spark, _ => ())
+    assert(res.ok, res.toJson)
+    val got = new SnapshotTable(spark, s"$lake/latest").read()
+      .orderBy($"provider_id").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("p1", "alpha-renamed", 200L), ("p2", "beta", 150L),
+      ("p3", "gamma", 50L)))
   }
 
   test("excluded refs fall back to the published lake, like dbt slices") {
