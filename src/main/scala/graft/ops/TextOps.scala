@@ -116,6 +116,19 @@ object TextOps {
       .otherwise(concat_ws(".", slice(labels, -2, 2)))
   }
 
+  /** Total blocklist-phrase occurrences
+    * ([[graft.functions.MultiSubstringCount]]): one Aho-Corasick scan per
+    * row regardless of blocklist size — the C4-style bad-word/boilerplate
+    * filter primitive. Byte-level: normalize/lowercase the text first if
+    * the blocklist is normalized. */
+  def blocklistCount(text: Column, patterns: Seq[String]): Column =
+    ExpressionUtils.column(graft.functions.MultiSubstringCount(
+      ExpressionUtils.expression(text), patterns))
+
+  /** True when any blocklist phrase occurs (same single scan). */
+  def blocklistHit(text: Column, patterns: Seq[String]): Column =
+    blocklistCount(text, patterns) > 0
+
   /** zlib-compressibility ratio ([[graft.functions.DeflateRatio]]):
     * low values flag repetitive/boilerplate text; prose sits ~0.6-0.8.
     * The third quality axis beside the Gopher rules and the LM score. */

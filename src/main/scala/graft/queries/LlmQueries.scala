@@ -962,6 +962,25 @@ object LlmQueries {
       .orderBy($"source")
   }
 
+  /** Blocklist filtering gate: five phrase patterns over the normalized
+    * corpus via ONE Aho-Corasick scan per row
+    * ([[TextOps.blocklistCount]]); DuckDB replays each phrase's
+    * occurrence count with replace()-length arithmetic (exact because the
+    * phrases have no self-border, so overlapping == non-overlapping). */
+  def q148Blocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pats = Seq("spark merge", "batch table", "the data",
+      "window join", "slow row")
+    Tables.load(s, dir, "documents")
+      .select($"source",
+        TextOps.blocklistCount(TextOps.normalize($"text"), pats).as("n"))
+      .groupBy($"source")
+      .agg(sum($"n").as("total_hits"),
+        sum(when($"n" > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"source")
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -1013,6 +1032,7 @@ object LlmQueries {
     "q145_collocations" -> (q145Collocations _),
     "q146_image_neardups" -> (q146ImageNearDups _),
     "q147_sql_project" -> (q147SqlProject _),
+    "q148_blocklist" -> (q148Blocklist _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -1293,6 +1313,21 @@ object LlmQueries {
         |       r_alpha_ratio * r_stopwords AS BIGINT) AS gopher_pass
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+    "q148_blocklist" ->
+      """WITH n AS (
+        |  SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |c AS (SELECT source,
+        |  (length(t) - length(replace(t, 'spark merge', ''))) // 11 +
+        |  (length(t) - length(replace(t, 'batch table', ''))) // 11 +
+        |  (length(t) - length(replace(t, 'the data', ''))) // 8 +
+        |  (length(t) - length(replace(t, 'window join', ''))) // 11 +
+        |  (length(t) - length(replace(t, 'slow row', ''))) // 8 AS n
+        |  FROM n)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS total_hits,
+        |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+        |  count(*) AS n_docs
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q147_sql_project" ->
       """WITH docs_scored AS (
         |  SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS n_chars_m

@@ -261,6 +261,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(r => r._1 == "new" && r._2 == "york"))
   }
 
+  test("blocklistCount equals the brute-force all-positions count") {
+    val pats = Seq("ab", "abc", "bc", "c", "xyz", "aba")
+    val texts = Seq("abcabc", "ababa", "", "zzz", "abc abc c",
+      "aabbcc", "xyzxyzx", "cccc")
+    def brute(t: String): Long = pats.map { p =>
+      (0 to t.length - p.length).count(i => t.startsWith(p, i)).toLong
+    }.sum
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.select($"id", TextOps.blocklistCount($"t", pats).as("n"))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i)._2 == brute(t), s"text '$t'")
+    }
+    // overlapping matches are counted ("aba" twice in "ababa")
+    assert(got(1)._2 ==
+      pats.map(p => (0 to "ababa".length - p.length)
+        .count(i => "ababa".startsWith(p, i)).toLong).sum)
+    // null passthrough + hit predicate
+    val withNull = Seq((1L, "has ab here"), (2L, "clean"),
+      (3L, null.asInstanceOf[String])).toDF("id", "t")
+    val hits = withNull.select($"id",
+      TextOps.blocklistHit($"t", Seq("ab")).as("h"))
+      .orderBy($"id").as[(Long, Option[Boolean])].collect().toSeq
+    assert(hits == Seq((1L, Some(true)), (2L, Some(false)), (3L, None)))
+  }
+
+  test("blocklistCount scales to a large blocklist in one pass") {
+    // 5k patterns; only a handful present — count must stay exact
+    val pats = (0 until 5000).map(i => s"zz_phrase_$i") ++
+      Seq("spark merge", "batch table")
+    val t = "the spark merge ran then a batch table and spark merge again"
+    val got = Seq(t).toDF("t")
+      .select(TextOps.blocklistCount($"t", pats)).as[Long].head()
+    assert(got == 3L)
+  }
+
   test("compressionRatio orders repetitive below prose below noise") {
     val rep = "spam spam spam spam " * 50
     val prose = "the quick brown fox jumps over the lazy dog and then " +
