@@ -43,6 +43,14 @@ import graft.sinks.SnapshotTable
   * `relationships` parents resolve from the lake AT CHECK TIME, so a
   * parent published earlier in the same run is visible.
   *
+  * Incremental models (dbt's `is_incremental()` / `{{ this }}`): a
+  * `{% if is_incremental() %} … {% endif %}` block is dropped on the
+  * model's first run and inlined on every later run, and `{{ this }}`
+  * resolves to the model's own published snapshot — the standard
+  * "WHERE ts > (SELECT max(ts) FROM {{ this }})" pattern that keeps a
+  * model's scan proportional to NEW data. Combine with
+  * `materialized=merge` for upsert-by-key increments.
+  *
   * Scale posture: the loader only wires plans together — every model body
   * is analyzed by Catalyst as ONE query over its refs (temp views are
   * lazy), so filter pushdown/pruning cross model boundaries exactly as if
@@ -62,6 +70,9 @@ object SqlProject {
 
   private val RefPat = """\{\{\s*ref\(\s*'([A-Za-z0-9_]+)'\s*\)\s*\}\}""".r
   private val SrcPat = """\{\{\s*source\(\s*'([A-Za-z0-9_]+)'\s*\)\s*\}\}""".r
+  private val ThisPat = """\{\{\s*this\s*\}\}""".r
+  private val IncPat =
+    """(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}""".r
 
   /** Parse one model file's text (header comment lines + SQL body). */
   def parseModel(name: String, text: String): Model = {
@@ -195,6 +206,24 @@ object SqlProject {
         sink = sink,
         build = (s, deps) => {
           var sql = m.sql
+          // dbt incremental semantics: on the FIRST run (no published
+          // table) `is_incremental()` blocks drop and the model scans its
+          // full inputs; afterwards the block body survives and
+          // `{{ this }}` reads the published snapshot — so a 100 TB model
+          // re-reads only the rows its own predicate admits, not history
+          val target = new SnapshotTable(s, s"$lakeRoot/${m.name}")
+          val incremental = target.exists
+          sql = IncPat.replaceAllIn(sql, mm =>
+            if (incremental)
+              scala.util.matching.Regex.quoteReplacement(mm.group(1))
+            else "")
+          if (ThisPat.findFirstIn(sql).isDefined) {
+            require(incremental,
+              s"model ${m.name}: {{ this }} outside is_incremental() " +
+                "on the first run — no published table to read")
+            target.read().createOrReplaceTempView(s"graft_this_${m.name}")
+            sql = ThisPat.replaceAllIn(sql, s"graft_this_${m.name}")
+          }
           m.refs.foreach { r =>
             // a ref sliced away by select()/exclude() is assumed already
             // materialized (dbt semantics) — read its published snapshot

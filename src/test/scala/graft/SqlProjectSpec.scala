@@ -129,6 +129,40 @@ class SqlProjectSpec extends SparkSpec {
       ("p3", "gamma", 50L)))
   }
 
+  test("is_incremental blocks drop on first run, filter via {{ this }} after") {
+    val dir = tmpDir("sqlproj-incr"); val lake = tmpDir("sqlproj-incr-lake")
+    val data = tmpDir("sqlproj-incr-data")
+    writeModel(dir, "incr",
+      """-- graft: materialized=merge unique_key=event_id order_by=event_ts
+        |select event_id, provider_id, event_ts
+        |from {{ source('events') }}
+        |{% if is_incremental() %}
+        |where event_ts > (select max(event_ts) from {{ this }})
+        |{% endif %}""".stripMargin)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SqlProject.load(spark, dir, lake,
+        Map("events" -> (_ => df))).run(spark, _ => ())
+    // first run: block dropped, full scan of the 4-row batch
+    assert(run(events).ok)
+    val t = new SnapshotTable(spark, s"$lake/incr")
+    assert(t.read().count() == 4)
+    // second run: a LATE row (ts 120 < published max 200) must be
+    // excluded by the {{ this }} filter; a new row (ts 300) merges in
+    val batch2 = Seq((5L, "p9", 300L), (6L, "p_late", 120L))
+      .toDF("event_id", "provider_id", "event_ts")
+    assert(run(batch2).ok)
+    val ids = t.read().orderBy($"event_id").as[(Long, String, Long)]
+      .collect().map(_._1).toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L), "late row must not re-enter")
+    // {{ this }} outside an is_incremental block fails fast on first run
+    val dir2 = tmpDir("sqlproj-incr-bad")
+    writeModel(dir2, "bad",
+      "select * from {{ this }}")
+    val res = SqlProject.load(spark, dir2, tmpDir("sqlproj-incr-bad-lake"),
+      Map.empty).run(spark, _ => ())
+    assert(!res.ok && res.stages.head.error.exists(_.contains("is_incremental")))
+  }
+
   test("excluded refs fall back to the published lake, like dbt slices") {
     val dir = tmpDir("sqlproj-slice"); val lake = tmpDir("sqlproj-slice-lake")
     writeModel(dir, "base",
