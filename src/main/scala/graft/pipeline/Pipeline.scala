@@ -51,6 +51,25 @@ final case class Overwrite(table: SnapshotTable, partitionBy: Seq[String] = Nil)
 /** Merge-upsert by key (reference K3 `incremental_strategy='merge'`). */
 final case class Merge(table: SnapshotTable, keys: Seq[String],
                        orderCols: Seq[Column], partitionBy: Seq[String] = Nil) extends Sink
+/** Partition replacement (dbt `incremental_strategy='insert_overwrite'`):
+  * the batch's partitions replace the table's same partitions IN PLACE
+  * (dynamic partition overwrite, no key matching) — bounded rewrite IO,
+  * no snapshot history. Because there is no staged snapshot, checks audit
+  * the BATCH before the write (audit-then-write rather than WAP); a
+  * failed Error check leaves every partition untouched. */
+final case class InsertOverwrite(table: SnapshotTable, partitionCol: String) extends Sink
+/** SCD Type-2 snapshotting (dbt `snapshots` with the `check` strategy):
+  * each run closes the open interval of every key whose tracked
+  * attributes changed and opens a new one; closed intervals are
+  * immutable. `attrCols` empty = track all non-key, non-`validFrom`
+  * columns (dbt `check_cols='all'` — use an explicit list when rows
+  * carry per-event ids, or every event opens an interval). Change
+  * detection runs over CURRENT OPEN ROWS ∪ BATCH only — one key-shuffle
+  * of batch-sized data, never a rescan of interval history. WAP applies:
+  * the new snapshot stages, checks audit it, a clean audit publishes. */
+final case class Scd2(table: SnapshotTable, keys: Seq[String],
+                      orderCols: Seq[Column], attrCols: Seq[String],
+                      validFrom: String, partitionBy: Seq[String] = Nil) extends Sink
 
 final case class StageResult(
     name: String, ok: Boolean, checks: Seq[CheckResult],
@@ -305,6 +324,40 @@ class Pipeline(val stages: Seq[Stage],
             case Some(n) => (Some(n), rs, table.read())
             case None => (None, rs, df)
           }
+        case Some(InsertOverwrite(table, partCol)) =>
+          // no staged snapshot to audit — check the batch, then write; a
+          // failed audit leaves every existing partition untouched
+          val rs = Checks.runAll(df, st.checks)
+          if (Checks.errorsOnly(rs).isEmpty) {
+            table.insertOverwritePartitions(df, partCol)
+            (None, rs, table.readInPlace())
+          } else (None, rs, df)
+        case Some(Scd2(table, keys, order, attrs, validFrom, parts)) =>
+          import org.apache.spark.sql.functions.{col, not}
+          val cur = if (table.exists) Some(table.read()) else None
+          // open rows re-enter change detection as plain events (their
+          // original event columns survive scd2's projection); closed
+          // intervals never re-enter — batch-bounded work
+          val events = cur match {
+            case Some(c) => c.filter(col("is_current"))
+              .drop("valid_from", "valid_to", "is_current").unionByName(df)
+            case None => df
+          }
+          val attrCols =
+            if (attrs.nonEmpty) attrs
+            else df.columns.toSeq.filterNot(c => keys.contains(c) || c == validFrom)
+          val intervals = graft.ops.ScdOps.scd2(
+            events, keys, order, attrCols, col(validFrom))
+          val result = cur match {
+            case Some(c) => c.filter(not(col("is_current"))).unionByName(intervals)
+            case None => intervals
+          }
+          val n = table.stage(result, parts)
+          val staged = table.readVersion(n)
+          val rs = Checks.runAll(staged, st.checks)
+          if (Checks.errorsOnly(rs).isEmpty) {
+            table.publish(n); (Some(n), rs, table.read())
+          } else (None, rs, staged)
         case None =>
           val rs = if (st.checks.nonEmpty) Checks.runAll(df, st.checks) else Nil
           (None, rs, df)

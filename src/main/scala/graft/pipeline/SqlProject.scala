@@ -39,7 +39,15 @@ import graft.sinks.SnapshotTable
   * `source.yaml`). Materializations: `table` (full-snapshot WAP write,
   * the default), `merge` (K3 incremental upsert by `unique_key`, latest
   * row per key by `order_by`), `ephemeral` (no write; downstream refs
-  * consume the DataFrame — dbt's CTE-inlined ephemeral models).
+  * consume the DataFrame — dbt's CTE-inlined ephemeral models),
+  * `insert_overwrite` (dbt's other incremental strategy: the batch's
+  * partitions replace the table's same partitions in place, dynamic
+  * partition overwrite — needs exactly one `partition_by` column; IO
+  * bounded by the touched partitions, no snapshot history), and `scd2`
+  * (dbt snapshots: validity intervals `[valid_from, valid_to)` per
+  * `unique_key`, a new interval whenever the `check_cols` tuple changes
+  * — `check_cols` omitted tracks all non-key columns; `valid_from`
+  * names the interval-start column, defaulting to the first `order_by`).
   * `relationships` parents resolve from the lake AT CHECK TIME, so a
   * parent published earlier in the same run is visible.
   *
@@ -63,7 +71,8 @@ object SqlProject {
       name: String, sql: String, refs: Seq[String], sources: Seq[String],
       materialized: String, uniqueKey: Seq[String], orderBy: Seq[String],
       partitionBy: Seq[String], tags: Set[String], retries: Int,
-      tests: Seq[TestSpec])
+      tests: Seq[TestSpec], checkCols: Seq[String] = Nil,
+      validFrom: Option[String] = None)
 
   /** One `-- test:` line, compiled against the lake in [[load]]. */
   final case class TestSpec(kind: String, args: Seq[String], severity: Severity)
@@ -101,13 +110,16 @@ object SqlProject {
     val sql = lines.dropWhile(_.trim.startsWith("--")).mkString("\n").trim
     require(sql.nonEmpty, s"model $name: no SQL body")
     val mat = conf.getOrElse("materialized", "table")
-    require(Set("table", "merge", "ephemeral").contains(mat),
-      s"model $name: unknown materialized=$mat")
+    require(Set("table", "merge", "ephemeral", "insert_overwrite", "scd2")
+      .contains(mat), s"model $name: unknown materialized=$mat")
     def list(k: String): Seq[String] =
       conf.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    if (mat == "merge")
+    if (mat == "merge" || mat == "scd2")
       require(list("unique_key").nonEmpty && list("order_by").nonEmpty,
-        s"model $name: materialized=merge needs unique_key= and order_by=")
+        s"model $name: materialized=$mat needs unique_key= and order_by=")
+    if (mat == "insert_overwrite")
+      require(list("partition_by").size == 1,
+        s"model $name: materialized=insert_overwrite needs exactly one partition_by= column")
     Model(name, sql,
       refs = RefPat.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct,
       sources = SrcPat.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct,
@@ -115,10 +127,12 @@ object SqlProject {
       uniqueKey = list("unique_key"), orderBy = list("order_by"),
       partitionBy = list("partition_by"), tags = list("tags").toSet,
       retries = conf.get("retries").map(_.toInt).getOrElse(0),
-      tests = tests.toSeq)
+      tests = tests.toSeq, checkCols = list("check_cols"),
+      validFrom = conf.get("valid_from"))
   }
 
-  private def compileTest(model: String, t: TestSpec, lakeRoot: String): Check =
+  private def compileTest(model: String, t: TestSpec, lakeRoot: String,
+                          readPublished: (SparkSession, String) => DataFrame): Check =
     (t.kind, t.args) match {
       case ("unique", Seq(cols)) =>
         Checks.Unique(cols.split(",").toSeq, t.severity)
@@ -129,8 +143,8 @@ object SqlProject {
         // parent resolves from the lake when the check RUNS (dbt refs a
         // published model); NULL FKs pass, per dbt semantics
         Checks.CustomCheck(s"relationships:$c->$parent.$parentCol", df => {
-          val p = new SnapshotTable(df.sparkSession, s"$lakeRoot/$parent")
-            .read().select(col(parentCol).as(c))
+          val p = readPublished(df.sparkSession, parent)
+            .select(col(parentCol).as(c))
           df.select(col(c)).where(col(c).isNotNull)
             .join(p, Seq(c), "left_anti").count()
         }, t.severity)
@@ -190,6 +204,15 @@ object SqlProject {
       m.sources.foreach(s => require(sources.contains(s),
         s"model ${m.name}: source('$s') not in the sources map"))
     }
+    // insert_overwrite tables live in the stable data dir, not a published
+    // snapshot — every lake-side read (ref fallback, {{ this }},
+    // relationships parents) resolves through the model's materialization
+    val matOf = models.map(m => m.name -> m.materialized).toMap
+    def readPublished(s: SparkSession, name: String): DataFrame = {
+      val t = new SnapshotTable(s, s"$lakeRoot/$name")
+      if (matOf.get(name).contains("insert_overwrite")) t.readInPlace()
+      else t.read()
+    }
     val stages = models.map { m =>
       val sink: Option[Sink] = m.materialized match {
         case "ephemeral" => None
@@ -197,12 +220,18 @@ object SqlProject {
           new SnapshotTable(spark, s"$lakeRoot/${m.name}"), m.uniqueKey,
           // latest-per-key = MAX of order_by (latestPerKey convention)
           m.orderBy.map(col(_)), m.partitionBy))
+        case "insert_overwrite" => Some(InsertOverwrite(
+          new SnapshotTable(spark, s"$lakeRoot/${m.name}"), m.partitionBy.head))
+        case "scd2" => Some(Scd2(
+          new SnapshotTable(spark, s"$lakeRoot/${m.name}"), m.uniqueKey,
+          m.orderBy.map(col(_)), m.checkCols,
+          m.validFrom.getOrElse(m.orderBy.head), m.partitionBy))
         case _ => Some(Overwrite(
           new SnapshotTable(spark, s"$lakeRoot/${m.name}"), m.partitionBy))
       }
       Stage(
         name = m.name, deps = m.refs, tags = m.tags, retries = m.retries,
-        checks = m.tests.map(compileTest(m.name, _, lakeRoot)),
+        checks = m.tests.map(compileTest(m.name, _, lakeRoot, readPublished)),
         sink = sink,
         build = (s, deps) => {
           var sql = m.sql
@@ -212,7 +241,9 @@ object SqlProject {
           // `{{ this }}` reads the published snapshot — so a 100 TB model
           // re-reads only the rows its own predicate admits, not history
           val target = new SnapshotTable(s, s"$lakeRoot/${m.name}")
-          val incremental = target.exists
+          val incremental =
+            if (m.materialized == "insert_overwrite") target.existsInPlace
+            else target.exists
           sql = IncPat.replaceAllIn(sql, mm =>
             if (incremental)
               scala.util.matching.Regex.quoteReplacement(mm.group(1))
@@ -221,13 +252,14 @@ object SqlProject {
             require(incremental,
               s"model ${m.name}: {{ this }} outside is_incremental() " +
                 "on the first run — no published table to read")
-            target.read().createOrReplaceTempView(s"graft_this_${m.name}")
+            readPublished(s, m.name)
+              .createOrReplaceTempView(s"graft_this_${m.name}")
             sql = ThisPat.replaceAllIn(sql, s"graft_this_${m.name}")
           }
           m.refs.foreach { r =>
             // a ref sliced away by select()/exclude() is assumed already
             // materialized (dbt semantics) — read its published snapshot
-            deps.getOrElse(r, new SnapshotTable(s, s"$lakeRoot/$r").read())
+            deps.getOrElse(r, readPublished(s, r))
               .createOrReplaceTempView(s"graft_ref_$r")
             sql = RefPat.replaceAllIn(sql, mm =>
               if (mm.group(1) == r) s"graft_ref_$r" else mm.matched)

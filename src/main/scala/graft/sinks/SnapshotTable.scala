@@ -258,6 +258,26 @@ class SnapshotTable(spark: SparkSession, root: String) {
       .parquet(dataDir)
   }
 
+  /** dbt `incremental_strategy='insert_overwrite'`: the batch's partitions
+    * REPLACE the table's same partitions in the stable data dir (dynamic
+    * partition overwrite); untouched partitions are not read or written.
+    * No key matching — the batch is the new truth for every partition it
+    * contains. Rewrite IO is proportional to the touched partitions, the
+    * right shape when a 100 TB table takes daily partition refreshes; the
+    * trade is no snapshot history for this table (same contract as
+    * [[mergeInPlaceByPartition]]). */
+  def insertOverwritePartitions(df: DataFrame, partCol: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(new Path(rootPath, "data").toString)
+
+  /** Whether the stable (non-snapshot) data dir has been written — the
+    * existence test for in-place tables, as [[exists]] is for published
+    * snapshots. */
+  def existsInPlace: Boolean = fs.exists(new Path(rootPath, "data"))
+
   def readInPlace(): DataFrame =
     spark.read.parquet(new Path(rootPath, "data").toString)
 

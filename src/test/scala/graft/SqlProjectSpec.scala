@@ -163,6 +163,67 @@ class SqlProjectSpec extends SparkSpec {
     assert(!res.ok && res.stages.head.error.exists(_.contains("is_incremental")))
   }
 
+  test("insert_overwrite replaces exactly the batch's partitions") {
+    val dir = tmpDir("sqlproj-io"); val lake = tmpDir("sqlproj-io-lake")
+    writeModel(dir, "daily",
+      """-- graft: materialized=insert_overwrite partition_by=day
+        |-- test: not_null provider_id
+        |select day, provider_id, n from {{ source('batch') }}""".stripMargin)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SqlProject.load(spark, dir, lake,
+        Map("batch" -> (_ => df))).run(spark, _ => ())
+    val b1 = Seq((1, "p1", 10L), (1, "p2", 11L), (2, "p3", 20L))
+      .toDF("day", "provider_id", "n")
+    assert(run(b1).ok)
+    // second batch REVISES day 2 (different rows — replacement, not merge)
+    // and adds day 3; day 1 must come back untouched
+    val b2 = Seq((2, "p9", 99L), (3, "p4", 30L))
+      .toDF("day", "provider_id", "n")
+    assert(run(b2).ok)
+    val t = new SnapshotTable(spark, s"$lake/daily")
+    val got = t.readInPlace().select("day", "provider_id", "n")
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((1, "p1", 10L), (1, "p2", 11L),
+      (2, "p9", 99L), (3, "p4", 30L)))
+    // a failed Error check writes nothing: every partition keeps its rows
+    val bad = Seq((1, null.asInstanceOf[String], 1L))
+      .toDF("day", "provider_id", "n")
+    assert(!run(bad).ok)
+    assert(t.readInPlace().count() == 4)
+    // config validation: the strategy needs its partition column
+    intercept[IllegalArgumentException] {
+      SqlProject.parseModel("x",
+        "-- graft: materialized=insert_overwrite\nselect 1")
+    }
+  }
+
+  test("scd2 snapshots: changed check_cols close intervals, unchanged don't") {
+    val dir = tmpDir("sqlproj-scd2"); val lake = tmpDir("sqlproj-scd2-lake")
+    writeModel(dir, "dim",
+      """-- graft: materialized=scd2 unique_key=pid order_by=ts check_cols=status
+        |select pid, ts, status from {{ source('ev') }}""".stripMargin)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SqlProject.load(spark, dir, lake,
+        Map("ev" -> (_ => df))).run(spark, _ => ())
+    assert(run(Seq(("p1", 1L, "a"), ("p2", 1L, "x")).toDF("pid", "ts", "status")).ok)
+    val t = new SnapshotTable(spark, s"$lake/dim")
+    def state() = t.read()
+      .select("pid", "valid_from", "valid_to", "is_current", "status")
+      .as[(String, Long, Option[Long], Boolean, String)].collect().toSet
+    assert(state() == Set(("p1", 1L, None, true, "a"), ("p2", 1L, None, true, "x")))
+    // p1's status changes -> its open interval closes at the new event's
+    // valid_from; p2 is unchanged -> stays a single open interval
+    val b2 = Seq(("p1", 5L, "b"), ("p2", 5L, "x")).toDF("pid", "ts", "status")
+    assert(run(b2).ok)
+    val expected = Set(
+      ("p1", 1L, Some(5L), false, "a"), ("p1", 5L, None, true, "b"),
+      ("p2", 1L, None, true, "x"))
+    assert(state() == expected)
+    // replaying the same batch is a no-op (idempotent snapshots)
+    assert(run(b2).ok)
+    assert(state() == expected)
+  }
+
   test("excluded refs fall back to the published lake, like dbt slices") {
     val dir = tmpDir("sqlproj-slice"); val lake = tmpDir("sqlproj-slice-lake")
     writeModel(dir, "base",
