@@ -1,79 +1,92 @@
 package graft.pipeline
 
-/** Periodic pipeline trigger — the scheduler role the reference declares
-  * but never ships (`infra/airflow/` is a bare Helm chart; `README.md:146`
-  * admits `promptly/app.py` "can be turned into a DAG"). [[Pipeline]] IS
-  * the DAG; this supplies the missing clock.
+import org.apache.spark.sql.SparkSession
+
+/** Periodic pipeline trigger — the engine-native form of the reference's
+  * Airflow scheduling layer (`infra/airflow/`, DAG order + schedule in
+  * `README.md:107-118`). The reference declares the model graph as an
+  * Airflow DAG with a cron `schedule_interval`; here the [[Pipeline]] IS
+  * the DAG, and this class supplies the missing trigger: fire the whole
+  * run every `intervalMs`, aligned to the interval grid.
   *
-  * Semantics (the Airflow-like subset that matters for an engine):
+  * Semantics (mirroring the Airflow knobs a dbt user relies on):
+  *   - `max_active_runs=1`: runs never overlap — a run that outlasts its
+  *     interval delays the next tick, it is never run concurrently with it
+  *     (concurrent WAP merges of the same tables would interleave badly).
+  *   - `catchup=false`: ticks missed while a run was executing (or while
+  *     the scheduler was down) COLLAPSE into one next run — a pipeline
+  *     whose sources are read-latest is idempotent per tick, so replaying
+  *     N stale ticks does N-1 useless table rewrites.
+  *   - Failure policy: a failed run does not stop the schedule (transient
+  *     source outages heal on the next tick); `onResult` sees every
+  *     result, and consecutive-failure counts are exposed so an
+  *     [[graft.checks.Alerts.AlertManager]] hook can page on sustained
+  *     breakage while single blips stay quiet.
   *
-  *  - **interval-aligned firing**: runs trigger at wall-clock multiples
-  *    of the interval, so a "daily at 00:00" contract is expressible and
-  *    run timestamps are stable identifiers (they become `runId`s);
-  *  - **no pile-up** (`catchup=false`): a run that overshoots its
-  *    interval skips the missed ticks and fires at the NEXT boundary —
-  *    overlapping runs of the same pipeline are never started;
-  *  - **bounded failure tolerance**: consecutive failures up to
-  *    `maxConsecutiveFailures` are tolerated (logged via `onFailure`),
-  *    then the loop stops — a permanently broken pipeline must fail
-  *    loudly, not spin forever.
-  *
-  * The clock and sleeper are injectable, so scheduling LOGIC is spec'd
-  * deterministically (no real sleeps in tests) — the same seam any
-  * scheduler kernel exposes. Driver-side only; zero data-plane cost.
+  * Scale note: the scheduler is one driver thread that sleeps between
+  * runs — all distributed work happens inside `Pipeline.run`, so this
+  * adds nothing to the cluster's critical path. Clock and sleep are
+  * injectable for deterministic tests (virtual time, no wall-clock
+  * flakiness).
   */
-final class Scheduler(intervalMs: Long,
-                      maxConsecutiveFailures: Int = 3,
-                      onFailure: (Long, Throwable) => Unit = (_, _) => (),
-                      clock: () => Long = () => System.currentTimeMillis(),
-                      sleeper: Long => Unit = Thread.sleep) {
-  require(intervalMs > 0, "interval must be positive")
+final class Scheduler(
+    pipeline: Pipeline,
+    spark: SparkSession,
+    intervalMs: Long,
+    onResult: PipelineResult => Unit = _ => (),
+    clock: () => Long = () => System.currentTimeMillis(),
+    sleep: Long => Unit = Thread.sleep,
+    log: String => Unit = s => println(s"[scheduler] $s")) {
 
-  /** The first aligned tick strictly after `now`. */
-  def nextTick(now: Long): Long = (now / intervalMs + 1) * intervalMs
+  require(intervalMs > 0, "intervalMs must be positive")
 
-  /** Run `body` for `ticks` aligned firings (blocking). Returns the
-    * tick timestamps that actually fired (missed ticks are skipped, so
-    * the list is strictly increasing by >= one interval). `body` receives
-    * the tick timestamp — the natural `runId`. */
-  def runTicks(ticks: Int)(body: Long => Unit): Seq[Long] = {
-    val fired = scala.collection.mutable.ArrayBuffer[Long]()
-    var failures = 0
-    var tick = nextTick(clock())
-    while (fired.length < ticks && failures < maxConsecutiveFailures) {
-      val now = clock()
-      if (now < tick) sleeper(tick - now)
-      else {
-        fired += tick
-        try { body(tick); failures = 0 }
-        catch {
-          case t: Throwable =>
-            failures += 1
-            onFailure(tick, t)
+  @volatile private var stopped = false
+  @volatile private var failStreak = 0
+  @volatile private var runsDone = 0L
+
+  /** Consecutive failed runs (0 after any clean run) — the alerting
+    * signal for sustained breakage. */
+  def consecutiveFailures: Int = failStreak
+  def completedRuns: Long = runsDone
+
+  def stop(): Unit = { stopped = true }
+
+  /** Run the schedule on the CALLING thread until `stop()` or `maxRuns`.
+    * The first run fires immediately; each subsequent run fires at the
+    * next grid point `start + k*intervalMs` strictly after the previous
+    * run finished (missed grid points collapse — catchup=false). */
+  def runLoop(maxRuns: Long = Long.MaxValue): Unit = {
+    val start = clock()
+    while (!stopped && runsDone < maxRuns) {
+      val t0 = clock()
+      val res =
+        try pipeline.run(spark, log)
+        catch { // a driver-side crash must not kill the schedule thread
+          case e: Exception =>
+            log(s"run crashed: $e")
+            PipelineResult(Seq(StageResult(
+              "<scheduler>", ok = false, Nil, None, clock() - t0, Some(e.toString))))
         }
-        // catchup=false: next boundary strictly after NOW (skip missed)
-        tick = nextTick(math.max(clock(), tick))
+      runsDone += 1
+      failStreak = if (res.ok) 0 else failStreak + 1
+      log(s"run ${runsDone} ${if (res.ok) "ok" else s"FAILED (streak=$failStreak)"}")
+      onResult(res)
+      if (!stopped && runsDone < maxRuns) {
+        // next grid point strictly in the future; overdue ticks collapse
+        val now = clock()
+        val k = ((now - start) / intervalMs) + 1
+        val wait = start + k * intervalMs - now
+        if (wait > 0) sleep(wait)
       }
     }
-    fired.toSeq
   }
 
-  /** Run until `maxConsecutiveFailures` is hit (the daemon form). */
-  def runForever(body: Long => Unit): Unit = {
-    var failures = 0
-    var tick = nextTick(clock())
-    while (failures < maxConsecutiveFailures) {
-      val now = clock()
-      if (now < tick) sleeper(tick - now)
-      else {
-        try { body(tick); failures = 0 }
-        catch {
-          case t: Throwable =>
-            failures += 1
-            onFailure(tick, t)
-        }
-        tick = nextTick(math.max(clock(), tick))
-      }
-    }
+  /** Fire the schedule on a daemon thread; returns after the thread
+    * starts. Use `stop()` to end it (takes effect at the next tick). */
+  def start(maxRuns: Long = Long.MaxValue): Thread = {
+    val t = new Thread(() => runLoop(maxRuns), "graft-scheduler")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 }

@@ -1,67 +1,65 @@
 package graft
 
-import graft.pipeline.Scheduler
+import org.apache.spark.sql.functions.lit
 
-/** Scheduler kernel: interval-aligned ticks, no pile-up on overrun,
-  * bounded failure tolerance — all spec'd against an injected clock, no
-  * real sleeps.
-  */
+import graft.pipeline.{Pipeline, Scheduler, Stage}
+
+/** Virtual-time scheduler tests — no wall-clock sleeps, no flakiness:
+  * the injected clock only advances when the pipeline "works" or the
+  * scheduler sleeps. */
 class SchedulerSpec extends SparkSpec {
+  import spark.implicits._
 
-  /** A fake clock: `sleeper` advances it, `body` can add work time. */
-  private final class FakeTime(var now: Long) {
-    def clock(): Long = now
-    def sleep(ms: Long): Unit = { now += ms }
+  test("grid alignment: overdue ticks collapse (catchup=false), runs never overlap") {
+    var now = 0L
+    val fires = scala.collection.mutable.ArrayBuffer[Long]()
+    val runCost = 250L
+    val p = new Pipeline(Seq(Stage(name = "s", build = (s, _) => {
+      fires += now
+      now += runCost // the run consumes virtual time beyond two intervals
+      Seq(1).toDF("x")
+    })))
+    val sched = new Scheduler(p, spark, intervalMs = 100L,
+      clock = () => now, sleep = ms => now += ms, log = _ => ())
+    sched.runLoop(maxRuns = 3)
+    // first run at t=0 ends at 250; ticks 100 and 200 collapse; the next
+    // runs fire at the 300 and 600 grid points — never mid-run
+    assert(fires.toSeq == Seq(0L, 300L, 600L))
+    assert(sched.completedRuns == 3 && sched.consecutiveFailures == 0)
   }
 
-  test("ticks fire interval-aligned and carry the boundary timestamp") {
-    val t = new FakeTime(1037L)
-    val sched = new Scheduler(1000L, clock = t.clock _, sleeper = t.sleep _)
-    val seen = scala.collection.mutable.ArrayBuffer[Long]()
-    val fired = sched.runTicks(3) { ts => seen += ts }
-    assert(fired == Seq(2000L, 3000L, 4000L) && seen == fired)
+  test("failed runs keep the schedule alive and count a streak; success resets") {
+    var now = 0L
+    var failTimes = 2
+    val results = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val streaks = scala.collection.mutable.ArrayBuffer[Int]()
+    val p = new Pipeline(Seq(Stage(name = "s", build = (s, _) => {
+      now += 10
+      if (failTimes > 0) { failTimes -= 1; sys.error("transient source outage") }
+      Seq(1).toDF("x")
+    })))
+    lazy val s2: Scheduler = new Scheduler(p, spark, intervalMs = 100L,
+      onResult = r => { results += r.ok; streaks += s2.consecutiveFailures },
+      clock = () => now, sleep = ms => now += ms, log = _ => ())
+    s2.runLoop(maxRuns = 4)
+    assert(results.toSeq == Seq(false, false, true, true))
+    // the streak climbs through the outage and re-arms on recovery —
+    // exactly the signal an AlertManager hook needs to page once
+    assert(streaks.toSeq == Seq(1, 2, 0, 0))
   }
 
-  test("a run overshooting its interval skips missed ticks (no pile-up)") {
-    val t = new FakeTime(0L)
-    val sched = new Scheduler(1000L, clock = t.clock _, sleeper = t.sleep _)
-    val fired = sched.runTicks(3) { _ => t.now += 2500L } // 2.5 intervals
-    // 1000 fires, work ends at 3500 → next boundary 4000 (2000/3000
-    // skipped), then 6500 → 7000
-    assert(fired == Seq(1000L, 4000L, 7000L))
-  }
-
-  test("consecutive failures stop the loop; recovery resets the count") {
-    val t = new FakeTime(0L)
-    val failures = scala.collection.mutable.ArrayBuffer[Long]()
-    val sched = new Scheduler(100L, maxConsecutiveFailures = 2,
-      onFailure = (ts, _) => failures += ts,
-      clock = t.clock _, sleeper = t.sleep _)
-    var calls = 0
-    val fired = sched.runTicks(10) { _ =>
-      calls += 1
-      // fail on calls 2 and 4-5: the isolated failure recovers, the
-      // consecutive pair kills the loop
-      if (calls == 2 || calls >= 4) sys.error("boom")
-    }
-    assert(calls == 5, s"expected stop after 2nd consecutive failure, got $calls")
-    assert(failures.size == 3)
-    assert(fired.size == 5, "failed ticks still count as fired (no retry-storm)")
-  }
-
-  test("drives a real Pipeline run per tick") {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val out = new graft.sinks.SnapshotTable(spark, tmpDir("sched-out"))
-    val t = new FakeTime(0L)
-    val sched = new Scheduler(1000L, clock = t.clock _, sleeper = t.sleep _)
-    val runs = scala.collection.mutable.ArrayBuffer[Long]()
-    sched.runTicks(2) { ts =>
-      runs += ts
-      out.overwrite((1 to 10).map(i => (i.toLong, ts)).toDF("id", "run_ts"))
-    }
-    assert(runs == Seq(1000L, 2000L))
-    assert(out.read().select(countDistinct($"run_ts")).head.getLong(0) == 1)
-    assert(out.read().head.getLong(1) == 2000L, "latest run's snapshot wins")
+  test("stop() ends the loop at the next tick") {
+    var now = 0L
+    var runs = 0
+    lazy val sched: Scheduler = new Scheduler(
+      new Pipeline(Seq(Stage(name = "s", build = (s, _) => {
+        runs += 1; now += 10
+        if (runs == 2) sched.stop()
+        Seq(1).toDF("x")
+      }))),
+      spark, intervalMs = 100L,
+      clock = () => now, sleep = ms => now += ms, log = _ => ())
+    sched.runLoop()
+    assert(runs == 2 && sched.completedRuns == 2)
   }
 }
