@@ -56,7 +56,14 @@ object Checks {
   final case class Freshness(col: String, maxAgeMs: Long,
                              severity: Severity = Warn) extends Check
 
-  def runAll(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+  def runAll(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] =
+    runAllWithCount(df, checks)._1
+
+  /** [[runAll]] plus the table's row count, read from the SAME fused
+    * aggregation — callers that also want volume metrics (the pipeline's
+    * per-stage Elementary feed) get them for zero extra passes instead
+    * of re-scanning the published table. */
+  def runAllWithCount(df: DataFrame, checks: Seq[Check]): (Seq[CheckResult], Long) = {
     // --- fuse every single-pass check into one aggregation over one scan
     val aggExprs = checks.flatMap {
       case NotNull(c, _) =>
@@ -73,7 +80,7 @@ object Checks {
     val row: Row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
     val nRows = row.getAs[Long]("__n")
 
-    checks.map {
+    val results = checks.map {
       case Unique(cols, sev) =>
         val v = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).count()
@@ -113,6 +120,7 @@ object Checks {
         CheckResult("freshness", c, if (ok) 0 else 1, sev, ok,
           detail = s"ageMs=$age max=$maxAge")
     }
+    (results, nRows)
   }
 
   def errorsOnly(rs: Seq[CheckResult]): Seq[CheckResult] =

@@ -18,13 +18,33 @@ class MetricsStore(spark: SparkSession, root: String) {
 
   private val table = new SnapshotTable(spark, root)
 
-  /** Record metrics for one table in one run. */
+  /** Record metrics for one table in one run (one fused aggregation pass
+    * over `df`). When the caller already knows the row count — e.g. from
+    * the WAP audit's fused aggregation — use [[recordRowCount]] instead
+    * and skip this scan entirely. */
   def record(runId: String, tableName: String, df: DataFrame,
              notNullCols: Seq[String] = Nil, tsCol: Option[String] = None): Unit = {
     val aggs = Seq(count(lit(1)).as("row_count")) ++
       notNullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")) ++
       tsCol.map(c => max(col(c)).cast("long").as("max_ts")).toSeq
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    append(runId, tableName, df.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Record a volume row from an ALREADY-COMPUTED count — zero data
+    * scans (the pipeline reads the count off the audit aggregation it
+    * runs anyway; at 100 TB the difference between "metrics are free"
+    * and "metrics re-read the table once per stage"). */
+  def recordRowCount(runId: String, tableName: String, rowCount: Long): Unit = {
+    val sp = spark
+    import sp.implicits._
+    append(runId, tableName, Seq(rowCount).toDF("row_count"))
+  }
+
+  private def append(runId: String, tableName: String,
+                     metricsRow: DataFrame): Unit = {
+    // single-row frame; the read-union-overwrite is over the (tiny)
+    // metrics table only
+    val row = metricsRow
       .withColumn("run_id", lit(runId))
       .withColumn("table_name", lit(tableName))
       .withColumn("recorded_at", current_timestamp())

@@ -302,36 +302,43 @@ class Pipeline(val stages: Seq[Stage],
           (clean, n)
         case None => (built, 0L)
       }
-      val (version, checkResults, materialized) = st.sink match {
+      // auditedRows rides along from the audit's fused aggregation so the
+      // metrics feed never re-scans a published table (free at any scale);
+      // for in-place sinks it is the BATCH volume — the run-over-run
+      // signal that matters for partition refreshes
+      val (version, checkResults, materialized, auditedRows) = st.sink match {
         case Some(Overwrite(table, parts)) =>
           val n = table.stage(df, parts)
           val staged = table.readVersion(n)
-          val rs = Checks.runAll(staged, st.checks)
+          val (rs, rows) = Checks.runAllWithCount(staged, st.checks)
           if (Checks.errorsOnly(rs).isEmpty) {
-            table.publish(n); (Some(n), rs, table.read())
-          } else (None, rs, staged)
+            table.publish(n); (Some(n), rs, table.read(), Some(rows))
+          } else (None, rs, staged, Some(rows))
         case Some(Merge(table, keys, order, parts)) =>
           // Write-Audit-Publish for merges too: the merged snapshot is
           // staged, checks run against the STAGED data, and only a clean
           // audit publishes — an Error-severity failure never moves the
           // pointer (same contract as the Overwrite sink).
           var rs: Seq[CheckResult] = Nil
+          var rows = -1L
           val published = table.mergeAudited(df, keys, order, staged => {
-            rs = Checks.runAll(staged, st.checks)
+            val out = Checks.runAllWithCount(staged, st.checks)
+            rs = out._1; rows = out._2
             Checks.errorsOnly(rs).isEmpty
           }, parts)
+          val audited = if (rows >= 0) Some(rows) else None
           published match {
-            case Some(n) => (Some(n), rs, table.read())
-            case None => (None, rs, df)
+            case Some(n) => (Some(n), rs, table.read(), audited)
+            case None => (None, rs, df, audited)
           }
         case Some(InsertOverwrite(table, partCol)) =>
           // no staged snapshot to audit — check the batch, then write; a
           // failed audit leaves every existing partition untouched
-          val rs = Checks.runAll(df, st.checks)
+          val (rs, rows) = Checks.runAllWithCount(df, st.checks)
           if (Checks.errorsOnly(rs).isEmpty) {
             table.insertOverwritePartitions(df, partCol)
-            (None, rs, table.readInPlace())
-          } else (None, rs, df)
+            (None, rs, table.readInPlace(), Some(rows))
+          } else (None, rs, df, Some(rows))
         case Some(Scd2(table, keys, order, attrs, validFrom, parts)) =>
           import org.apache.spark.sql.functions.{col, not}
           val cur = if (table.exists) Some(table.read()) else None
@@ -354,20 +361,27 @@ class Pipeline(val stages: Seq[Stage],
           }
           val n = table.stage(result, parts)
           val staged = table.readVersion(n)
-          val rs = Checks.runAll(staged, st.checks)
+          val (rs, rows) = Checks.runAllWithCount(staged, st.checks)
           if (Checks.errorsOnly(rs).isEmpty) {
-            table.publish(n); (Some(n), rs, table.read())
-          } else (None, rs, staged)
+            table.publish(n); (Some(n), rs, table.read(), Some(rows))
+          } else (None, rs, staged, Some(rows))
         case None =>
-          val rs = if (st.checks.nonEmpty) Checks.runAll(df, st.checks) else Nil
-          (None, rs, df)
+          if (st.checks.nonEmpty) {
+            val (rs, rows) = Checks.runAllWithCount(df, st.checks)
+            (None, rs, df, Some(rows))
+          } else (None, Nil, df, None)
       }
       val bad = Checks.errorsOnly(checkResults)
       val ok = bad.isEmpty
       // synchronized: runParallel stages record concurrently and the
-      // metrics table append is read-union-overwrite
-      if (ok) metrics.foreach(m =>
-        this.synchronized { m.record(runId, st.name, materialized) })
+      // metrics table append is read-union-overwrite. The count comes
+      // from the audit aggregation when one ran — no table re-scan.
+      if (ok) metrics.foreach(m => this.synchronized {
+        auditedRows match {
+          case Some(rows) => m.recordRowCount(runId, st.name, rows)
+          case None => m.record(runId, st.name, materialized)
+        }
+      })
       // alert routing sees EVERY result (pass results re-arm recovery);
       // synchronized for the same runParallel reason
       alerts.foreach(a => this.synchronized {
