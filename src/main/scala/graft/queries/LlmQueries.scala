@@ -981,6 +981,72 @@ object LlmQueries {
       .orderBy($"source")
   }
 
+  /** Incremental-model gate: a dbt-style `is_incremental()` model runs
+    * twice — first over the early half of `events`, then over the full
+    * feed with `{{ this }}` restricting the rescan to rows newer than the
+    * published max — and the merged result must equal one full refresh
+    * (the incremental/full-refresh equivalence contract a dbt user
+    * relies on; [[graft.pipeline.SqlProject]]). At 100 TB the second
+    * run's scan is bounded by the `ts` predicate, not history. */
+  def q149IncrementalModel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val models = java.nio.file.Files.createTempDirectory("q149-models")
+    val lake = java.nio.file.Files.createTempDirectory("q149-lake").toString
+    java.nio.file.Files.write(models.resolve("inc_events.sql"),
+      """-- graft: materialized=merge unique_key=event_id order_by=ts
+        |select event_id, user_id, event_type, ts
+        |from {{ source('events') }}
+        |{% if is_incremental() %}
+        |where ts > (select max(ts) from {{ this }})
+        |{% endif %}""".stripMargin.getBytes("UTF-8"))
+    def run(src: DataFrame): Unit = {
+      val res = graft.pipeline.SqlProject.load(s, models.toString, lake,
+        Map("events" -> (_ => src))).run(s, _ => ())
+      require(res.ok, s"incremental model run failed: ${res.toJson}")
+    }
+    val ev = Tables.load(s, dir, "events")
+    run(ev.filter($"ts" < lit("2024-01-15").cast("timestamp")))
+    run(ev) // only rows past the published max(ts) are rescanned/merged
+    // epoch-micros output: timestamp carriers round-trip engines at
+    // different physical precisions; integers don't
+    new graft.sinks.SnapshotTable(s, s"$lake/inc_events").read()
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts").as("ts_us"))
+      .orderBy($"event_id")
+  }
+
+  /** insert_overwrite gate: a partition-refresh model runs twice — first
+    * deriving every month with formula A, then re-deriving only months
+    * ≥ 1996-01 with formula B. The batch's partitions REPLACE the
+    * table's same partitions (dynamic partition overwrite, no key
+    * matching); earlier months must survive untouched. The oracle
+    * replays the month-split replacement in one SQL pass. */
+  def q150InsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val models = java.nio.file.Files.createTempDirectory("q150-models")
+    val lake = java.nio.file.Files.createTempDirectory("q150-lake").toString
+    java.nio.file.Files.write(models.resolve("monthly.sql"),
+      """-- graft: materialized=insert_overwrite partition_by=month
+        |select month, n_orders, rev from {{ source('batch') }}""".stripMargin
+        .getBytes("UTF-8"))
+    def run(src: DataFrame): Unit = {
+      val res = graft.pipeline.SqlProject.load(s, models.toString, lake,
+        Map("batch" -> (_ => src))).run(s, _ => ())
+      require(res.ok, s"insert_overwrite model run failed: ${res.toJson}")
+    }
+    val monthly = Tables.load(s, dir, "orders")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+    // per-row floor() then integer-sum: bit-portable across engines
+    run(monthly.agg(count(lit(1)).as("n_orders"),
+      sum(floor($"o_totalprice")).cast("long").as("rev")))
+    run(monthly.agg(count(lit(1)).as("n_orders"),
+      sum(floor($"o_totalprice" / 2)).cast("long").as("rev"))
+      .filter($"month" >= "1996-01"))
+    new graft.sinks.SnapshotTable(s, s"$lake/monthly").readInPlace()
+      .select($"month", $"n_orders", $"rev")
+      .orderBy($"month")
+  }
+
   def q131StableIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CurationOps.assignStableIds(
@@ -1033,6 +1099,8 @@ object LlmQueries {
     "q146_image_neardups" -> (q146ImageNearDups _),
     "q147_sql_project" -> (q147SqlProject _),
     "q148_blocklist" -> (q148Blocklist _),
+    "q149_incremental_model" -> (q149IncrementalModel _),
+    "q150_insert_overwrite" -> (q150InsertOverwrite _),
     "q132_quality_classifier" -> (q132QualityClassifier _),
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
@@ -1336,6 +1404,22 @@ object LlmQueries {
         |  CAST(sum(n_chars_m) AS BIGINT) AS total_chars,
         |  count(DISTINCT lang) AS n_langs
         |FROM docs_scored GROUP BY source ORDER BY source""".stripMargin,
+    "q149_incremental_model" ->
+      // two incremental runs must equal one full refresh
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q150_insert_overwrite" ->
+      // replay the partition replacement: months >= 1996-01 carry the
+      // second batch's derivation, earlier months the first's
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    count(*) AS n_orders,
+        |    CAST(sum(floor(o_totalprice)) AS BIGINT) AS rev_a,
+        |    CAST(sum(floor(o_totalprice / 2)) AS BIGINT) AS rev_b
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders,
+        |  CASE WHEN month >= '1996-01' THEN rev_b ELSE rev_a END AS rev
+        |FROM m ORDER BY month""".stripMargin,
     "q144_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id,
