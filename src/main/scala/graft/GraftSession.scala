@@ -31,6 +31,12 @@ object GraftSession {
       // rejects; read as long and convert in Tables.load (no sub-us digits
       // exist in the testdata, so floor-division to micros is lossless).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ... and the micros flavor is annotated isAdjustedToUTC=false, which
+      // Spark 4 would otherwise surface as TIMESTAMP_NTZ. The engine (like
+      // the reference's Trino posture) models naive timestamps as session-TZ
+      // UTC instants, so read them as plain TIMESTAMP — identical values,
+      // and unix_micros/window functions stay applicable.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       // managed tables (bucketed layouts) land here, not in the cwd;
       // production overrides with a durable warehouse path

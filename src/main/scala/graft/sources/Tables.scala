@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver's TPC-H-ish parquet test tables (TESTDATA.md).
   *
@@ -24,6 +24,13 @@ object Tables {
     // sub-microsecond digits.
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Generator flavors vary: a micros column with isAdjustedToUTC=false
+    // infers as TIMESTAMP_NTZ unless the session disables NTZ inference
+    // (GraftSession does). Under the UTC session the wall-clock micros ARE
+    // the instant, so the cast is value-preserving — and keeps every
+    // downstream unix_micros/window expression on plain TimestampType.
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 
