@@ -348,7 +348,42 @@ object FunctionQueries {
       .orderBy($"o_orderstatus", $"rk")
   }
 
+  /** KMV set-expression sketches (q151): per-priority bottom-k sketches
+    * of the distinct customer set, then every pairwise overlap and union
+    * answered FROM THE SKETCHES alone — the cross-source audience-overlap
+    * question HLL cannot answer (no intersection). One partial-agg'd
+    * pass builds |priorities| fixed-size summaries (the shuffle carries
+    * ≤k longs per task-group, never customers); the pairwise combine
+    * consumes O(|groups|²) driver-scale summaries — the same documented
+    * shape as ExactQuantiles' subtotals, bounded by group count, not
+    * data. k=32768 ≥ the 15k-customer dimension through sf0.1, so every
+    * sketch is below capacity and the counts are EXACT integers
+    * (deterministic given data + xxhash64) — the below-capacity oracle
+    * posture of q93/q108/q122/q125; the saturated θ-cut estimator is
+    * gated in KmvSketchSpec. */
+  def q151KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    val k = 32768
+    val kmv = udaf(graft.functions.KmvSketch.aggregator(k), Encoders.LONG)
+    val sks = Tables.load(s, dir, "orders")
+      .select($"o_orderpriority".as("p"), xxhash64($"o_custkey").as("h"))
+      .groupBy($"p").agg(kmv($"h").as("sk"))
+      .as[(String, Array[Long])]
+      .collect()
+      .sortBy(_._1)
+    val rows = for {
+      (p1, a) <- sks.toSeq; (p2, b) <- sks.toSeq if p1 < p2
+    } yield {
+      val (ni, nu) = graft.functions.KmvSketch.exactSetCounts(a, b, k)
+      (p1, p2, ni, nu)
+    }
+    rows.toDF("p1", "p2", "n_common", "n_either")
+      .orderBy($"p1", $"p2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_kmv_overlap" -> (q151KmvOverlap _),
     "q108_sketch_ivm" -> (q108SketchIvm _),
     "q122_quantile_ivm" -> (q122QuantileIvm _),
     "q125_heavy_ivm" -> (q125HeavyIvm _),
@@ -365,6 +400,20 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_kmv_overlap" ->
+      """WITH pc AS (
+        |  SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+        |counts AS (SELECT p, count(*) AS n FROM pc GROUP BY p),
+        |x AS (
+        |  SELECT a.p AS p1, b.p AS p2, count(*) AS n_common
+        |  FROM pc a JOIN pc b ON a.c = b.c AND a.p < b.p
+        |  GROUP BY 1, 2)
+        |SELECT ca.p AS p1, cb.p AS p2,
+        |  CAST(COALESCE(x.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(ca.n + cb.n - COALESCE(x.n_common, 0) AS BIGINT) AS n_either
+        |FROM counts ca JOIN counts cb ON ca.p < cb.p
+        |LEFT JOIN x ON x.p1 = ca.p AND x.p2 = cb.p
+        |ORDER BY p1, p2""".stripMargin,
     "q108_sketch_ivm" ->
       """SELECT day, n_distinct, n_rows FROM (
         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
