@@ -382,8 +382,37 @@ object FunctionQueries {
       .orderBy($"p1", $"p2")
   }
 
+  /** KMV overlap IVM driver gate (q152): the q151 overlap matrix, but
+    * MAINTAINED — orders arrive as three appended batches (compacted
+    * mid-stream) of per-priority KMV partials and the matrix is answered
+    * from the store alone. Union of bottom-k sketches is the bottom-k of
+    * the union, so the maintained result must equal the one-shot q151
+    * result bit-for-bit; the identical DuckDB oracle gates the whole
+    * fold→append→compact→merge→combine path. Same below-capacity exact
+    * regime; same O(|groups|²) driver-scale summary combine. */
+  def q152OverlapIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.OverlapAgg
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderpriority", $"o_custkey", $"o_orderkey")
+    val spec = OverlapAgg.Spec(Seq("o_orderpriority"), "o_custkey",
+      k = 32768)
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q152kmv").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    (0L to 2L).foreach { b =>
+      OverlapAgg.appendBatch(store,
+        ord.filter($"o_orderkey" % 3 === b), spec, batchId = b)
+      if (b == 1L) OverlapAgg.compact(store, spec)
+    }
+    OverlapAgg.overlapMatrix(store, spec)
+      .select($"k1".as("p1"), $"k2".as("p2"), $"n_common", $"n_either")
+      .orderBy($"p1", $"p2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q151_kmv_overlap" -> (q151KmvOverlap _),
+    "q152_overlap_ivm" -> (q152OverlapIvm _),
     "q108_sketch_ivm" -> (q108SketchIvm _),
     "q122_quantile_ivm" -> (q122QuantileIvm _),
     "q125_heavy_ivm" -> (q125HeavyIvm _),
@@ -399,21 +428,26 @@ object FunctionQueries {
     "q51_approx_stats" -> (q51ApproxStats _)
   )
 
+  private val kmvOverlapOracle =
+    """WITH pc AS (
+      |  SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+      |counts AS (SELECT p, count(*) AS n FROM pc GROUP BY p),
+      |x AS (
+      |  SELECT a.p AS p1, b.p AS p2, count(*) AS n_common
+      |  FROM pc a JOIN pc b ON a.c = b.c AND a.p < b.p
+      |  GROUP BY 1, 2)
+      |SELECT ca.p AS p1, cb.p AS p2,
+      |  CAST(COALESCE(x.n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(ca.n + cb.n - COALESCE(x.n_common, 0) AS BIGINT) AS n_either
+      |FROM counts ca JOIN counts cb ON ca.p < cb.p
+      |LEFT JOIN x ON x.p1 = ca.p AND x.p2 = cb.p
+      |ORDER BY p1, p2""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q151_kmv_overlap" ->
-      """WITH pc AS (
-        |  SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
-        |counts AS (SELECT p, count(*) AS n FROM pc GROUP BY p),
-        |x AS (
-        |  SELECT a.p AS p1, b.p AS p2, count(*) AS n_common
-        |  FROM pc a JOIN pc b ON a.c = b.c AND a.p < b.p
-        |  GROUP BY 1, 2)
-        |SELECT ca.p AS p1, cb.p AS p2,
-        |  CAST(COALESCE(x.n_common, 0) AS BIGINT) AS n_common,
-        |  CAST(ca.n + cb.n - COALESCE(x.n_common, 0) AS BIGINT) AS n_either
-        |FROM counts ca JOIN counts cb ON ca.p < cb.p
-        |LEFT JOIN x ON x.p1 = ca.p AND x.p2 = cb.p
-        |ORDER BY p1, p2""".stripMargin,
+    // q152 maintains q151's result incrementally — the IVM gate is that
+    // the identical oracle holds for the store-answered matrix
+    "q152_overlap_ivm" -> kmvOverlapOracle,
+    "q151_kmv_overlap" -> kmvOverlapOracle,
     "q108_sketch_ivm" ->
       """SELECT day, n_distinct, n_rows FROM (
         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
