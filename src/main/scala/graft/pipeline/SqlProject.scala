@@ -187,9 +187,15 @@ object SqlProject {
 
   /** Read every `*.sql` under `modelsDir` (one level) into a [[Pipeline]]
     * publishing to `lakeRoot/<model>`; `sources` supplies the external
-    * tables `source('name')` refers to. */
+    * tables `source('name')` refers to. `seedsDir` (dbt `seeds/`): every
+    * `<name>.csv` there becomes a dependency-free stage publishing the
+    * file as a WAP'd snapshot table that models `ref('name')` like any
+    * model — the version-controlled small-dimension path (country codes,
+    * rate cards). Seeds are driver-file-sized by contract; big inputs
+    * belong in `sources`. */
   def load(spark: SparkSession, modelsDir: String, lakeRoot: String,
-           sources: Map[String, SparkSession => DataFrame]): Pipeline = {
+           sources: Map[String, SparkSession => DataFrame],
+           seedsDir: Option[String] = None): Pipeline = {
     val files = Files.list(Paths.get(modelsDir)).iterator().asScala
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
     require(files.nonEmpty, s"no .sql models under $modelsDir")
@@ -197,10 +203,17 @@ object SqlProject {
       parseModel(p.getFileName.toString.stripSuffix(".sql"),
         new String(Files.readAllBytes(p), "UTF-8"))
     }
-    val names = models.map(_.name).toSet
+    val seedFiles: Seq[Path] = seedsDir.toSeq.flatMap { d =>
+      Files.list(Paths.get(d)).iterator().asScala
+        .filter(_.toString.endsWith(".csv")).toSeq.sortBy(_.toString)
+    }
+    val seedNames = seedFiles.map(_.getFileName.toString.stripSuffix(".csv"))
+    seedNames.foreach(n => require(!models.exists(_.name == n),
+      s"seed '$n' collides with a model file"))
+    val names = models.map(_.name).toSet ++ seedNames
     models.foreach { m =>
       m.refs.foreach(r => require(names.contains(r),
-        s"model ${m.name}: ref('$r') has no model file"))
+        s"model ${m.name}: ref('$r') has no model or seed file"))
       m.sources.foreach(s => require(sources.contains(s),
         s"model ${m.name}: source('$s') not in the sources map"))
     }
@@ -272,6 +285,17 @@ object SqlProject {
           s.sql(sql)
         })
     }
-    new Pipeline(stages)
+    val seedStages = seedFiles.map { p =>
+      val name = p.getFileName.toString.stripSuffix(".csv")
+      Stage(name = name, tags = Set("seed"),
+        // header + inference, the dbt seed contract; the file is read on
+        // the driver's filesystem path and published through the same
+        // WAP snapshot as any model, so downstream refs and time travel
+        // see no difference
+        build = (s, _) => s.read.option("header", "true")
+          .option("inferSchema", "true").csv(p.toString),
+        sink = Some(Overwrite(new SnapshotTable(spark, s"$lakeRoot/$name"))))
+    }
+    new Pipeline(seedStages ++ stages)
   }
 }

@@ -242,4 +242,35 @@ class SqlProjectSpec extends SparkSpec {
       .orderBy($"y").as[Long].collect().toSeq
     assert(got == Seq(10L, 14L))
   }
+
+  test("seeds publish as ref-able snapshot tables ahead of models") {
+    val dir = tmpDir("sqlproj-seed"); val lake = tmpDir("sqlproj-seed-lake")
+    val seeds = tmpDir("sqlproj-seed-seeds")
+    Files.write(Paths.get(seeds, "country_codes.csv"),
+      "code,region\nDE,EMEA\nFR,EMEA\nUS,AMER\n".getBytes("UTF-8"))
+    writeModel(dir, "tagged",
+      """-- graft: materialized=table
+        |-- test: not_null region
+        |select s.provider_id, s.site_name, c.region
+        |from {{ source('sites') }} s
+        |join {{ ref('country_codes') }} c on c.code = 'DE'""".stripMargin)
+    val p = SqlProject.load(spark, dir, lake,
+      Map("sites" -> (_ => sites)), seedsDir = Some(seeds))
+    // the seed has no declared dep edge, but stage order must still put
+    // it first (dependency-free stages run ahead); ref() then resolves
+    assert(p.ordered.map(_.name).indexOf("country_codes") <
+      p.ordered.map(_.name).indexOf("tagged"))
+    assert(p.run(spark, _ => ()).ok)
+    val seedTable = new SnapshotTable(spark, s"$lake/country_codes").read()
+    assert(seedTable.count() == 3)
+    val got = new SnapshotTable(spark, s"$lake/tagged").read()
+      .select($"region").distinct().as[String].collect().toSeq
+    assert(got == Seq("EMEA"))
+    // seed name colliding with a model is a load-time error
+    writeModel(dir, "country_codes", "-- graft: materialized=table\nselect 1 AS x")
+    intercept[IllegalArgumentException] {
+      SqlProject.load(spark, dir, lake, Map("sites" -> (_ => sites)),
+        seedsDir = Some(seeds))
+    }
+  }
 }
