@@ -277,6 +277,26 @@ object SimilarityOps {
     IvfIndex(root, centroids)
   }
 
+  /** Incremental index maintenance: assign a NEW batch of vectors to the
+    * existing centroids and append into the cell layout — per-batch IO
+    * tracks the batch, never the corpus (the [[graft.sinks.AppendOnlyStore]]
+    * posture applied to the vector index; a growing corpus never pays the
+    * rebuild). Probe results over the appended index are IDENTICAL to a
+    * rebuild with the same centroids — cell assignment depends only on
+    * (vector, centroids), gated in SimilarityOpsSpec. Centroids are
+    * frozen by contract: cell distributions drift as the corpus grows, so
+    * recluster by rebuilding (`buildIvfIndex` with `lloydIters`) when
+    * probe-cell sizes skew — the classic IVF reindex cadence. Batches
+    * must be logically unique (an object-store retry of a SUCCEEDED batch
+    * duplicates rows — route replay-prone feeds through an id-deduped
+    * upstream or re-run `buildIvfIndex`). */
+  def appendToIvfIndex(index: IvfIndex, batch: DataFrame,
+                       vecCol: String = "embedding"): Unit = {
+    fused(batch)
+    assignCells(batch, index.centroids, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(index.cellsPath)
+  }
+
   /** Load a previously built index (centroids are nlist·dim floats). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, root: String): IvfIndex = {
     val cents = spark.read.parquet(s"$root/centroids").collect()

@@ -149,6 +149,30 @@ class SimilarityOpsSpec extends SparkSpec {
       "queries side was not broadcast")
   }
 
+  test("incremental IVF append: probe equals a rebuild over the grown corpus") {
+    val first = corpus.filter($"vec_id" % 3 =!= 2)
+    val growth1 = corpus.filter($"vec_id" % 3 === 2 && $"vec_id" < 60)
+    val growth2 = corpus.filter($"vec_id" % 3 === 2 && $"vec_id" >= 60)
+    val root = tmpDir("ivfappend")
+    val index = SimilarityOps.buildIvfIndex(first, root, nlist = 8)
+    SimilarityOps.appendToIvfIndex(index, growth1)
+    SimilarityOps.appendToIvfIndex(index, growth2)
+    // all appended rows landed, assigned to frozen centroids
+    assert(spark.read.parquet(index.cellsPath).count() == corpus.count())
+    val queries = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val grown = SimilarityOps.ivfTopKIndexed(index, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // rebuild from scratch with the SAME centroids over the full corpus
+    val root2 = tmpDir("ivfappend-rebuild")
+    SimilarityOps.assignCells(corpus, index.centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root2/cells")
+    val rebuilt = SimilarityOps.IvfIndex(root2, index.centroids)
+    val want = SimilarityOps.ivfTopKIndexed(rebuilt, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(grown == want, "appended index diverged from rebuild")
+  }
+
   test("banded LSH near-dups reach >=0.85 recall vs brute force on real embeddings") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val exact = SimilarityOps.bruteForceNearDups(emb, threshold = 0.4)
