@@ -380,4 +380,27 @@ object EventStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming set-overlap maintenance — the fifth twin, for
+    * [[graft.ops.OverlapAgg]]: each micro-batch folds to one KMV sketch
+    * per key and appends; replay dedupes on the foreachBatch id, so
+    * "audience overlap across sources, maintained by the stream" costs
+    * one batch-sized fold per trigger and the raw stream is never
+    * re-read. */
+  def maintainOverlapAvailableNow(spark: SparkSession, parquetDir: String,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  store: graft.sinks.AppendOnlyStore,
+                                  spec: graft.ops.OverlapAgg.Spec,
+                                  checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(parquetDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.OverlapAgg.appendBatch(store, batch, spec, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -55,6 +55,31 @@ class OverlapAggSpec extends SparkSpec {
     assert(OverlapAgg.overlapMatrix(store, spec).collect().toSet == before)
   }
 
+  test("streaming twin: AvailableNow maintenance matches the batch matrix") {
+    val root = tmpDir("overlap-stream")
+    val dataDir = s"$root/in"
+    val df1 = mk(0, 300)
+    df1.coalesce(1).write.mode("append").parquet(dataDir)
+    val store = newStore("overlap-stream-store")
+    graft.streaming.EventStream.maintainOverlapAvailableNow(
+      spark, dataDir, df1.schema, store, spec, s"$root/ckpt")
+    def got() = OverlapAgg.overlapMatrix(store, spec).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got() == Set(
+      ("a", "b", 0L, 600L), ("a", "c", 0L, 600L), ("b", "c", 0L, 600L)))
+    // re-run with no new files: checkpoint makes it a no-op
+    graft.streaming.EventStream.maintainOverlapAvailableNow(
+      spark, dataDir, df1.schema, store, spec, s"$root/ckpt")
+    assert(got().size == 3)
+    // a new file folds in incrementally and overlaps appear
+    mk(300, 600).coalesce(1).write.mode("append").parquet(dataDir)
+    graft.streaming.EventStream.maintainOverlapAvailableNow(
+      spark, dataDir, df1.schema, store, spec, s"$root/ckpt")
+    assert(got() == Set(
+      ("a", "b", 300L, 900L), ("a", "c", 0L, 1200L), ("b", "c", 300L, 900L)))
+  }
+
   test("compaction is result-invariant and folds to one row per key") {
     val store = newStore("overlap-compact")
     (1L to 5L).foreach(b =>
