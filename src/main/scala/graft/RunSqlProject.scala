@@ -9,6 +9,8 @@ import graft.pipeline.SqlProject
   * {{{
   * runMain graft.RunSqlProject <modelsDir> <lakeRoot>
   *   [--sources file]      # default <modelsDir>/sources.conf
+  *   [--seeds dir]         # dbt seeds: CSVs published as ref-able tables
+  *                         # (default <modelsDir>/seeds when present)
   *   [--select sel] [--exclude sel]   # dbt selectors: name, name+, tag:t, tag:t+
   *   [--parallel]          # dependency-parallel stage execution
   *   [--report path.json]  # Elementary-style run report (+ .html twin)
@@ -43,8 +45,12 @@ object RunSqlProject {
       else Map.empty[String, org.apache.spark.sql.SparkSession =>
         org.apache.spark.sql.DataFrame]
 
+    val seedsDir = opts.get("seeds").orElse(
+      Some(s"$modelsDir/seeds").filter(d =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))))
+
     val spark = GraftSession.getOrCreate("graft-sql-project")
-    var p = SqlProject.load(spark, modelsDir, lakeRoot, sources)
+    var p = SqlProject.load(spark, modelsDir, lakeRoot, sources, seedsDir)
     opts.get("select").foreach(sel => p = p.select(sel))
     opts.get("exclude").foreach(sel => p = p.exclude(sel))
     opts.get("metrics").foreach { dir =>
