@@ -11,6 +11,8 @@ import graft.pipeline.SqlProject
   *   [--sources file]      # default <modelsDir>/sources.conf
   *   [--seeds dir]         # dbt seeds: CSVs published as ref-able tables
   *                         # (default <modelsDir>/seeds when present)
+  *   [--vars k=v,k2=v2]    # dbt run vars for {{ var('k') }} — the
+  *                         # backfill knob (e.g. --vars ds=2026-08-01)
   *   [--select sel] [--exclude sel]   # dbt selectors: name, name+, tag:t, tag:t+
   *   [--parallel]          # dependency-parallel stage execution
   *   [--report path.json]  # Elementary-style run report (+ .html twin)
@@ -49,8 +51,15 @@ object RunSqlProject {
       Some(s"$modelsDir/seeds").filter(d =>
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))))
 
+    val vars: Map[String, String] = opts.get("vars").map(_.split(",")
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"--vars entry '$kv' is not k=v")
+        kv.take(i) -> kv.drop(i + 1)
+      }.toMap).getOrElse(Map.empty)
+
     val spark = GraftSession.getOrCreate("graft-sql-project")
-    var p = SqlProject.load(spark, modelsDir, lakeRoot, sources, seedsDir)
+    var p = SqlProject.load(spark, modelsDir, lakeRoot, sources, seedsDir, vars)
     opts.get("select").foreach(sel => p = p.select(sel))
     opts.get("exclude").foreach(sel => p = p.exclude(sel))
     opts.get("metrics").foreach { dir =>

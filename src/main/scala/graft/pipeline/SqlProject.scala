@@ -80,6 +80,9 @@ object SqlProject {
   private val RefPat = """\{\{\s*ref\(\s*'([A-Za-z0-9_]+)'\s*\)\s*\}\}""".r
   private val SrcPat = """\{\{\s*source\(\s*'([A-Za-z0-9_]+)'\s*\)\s*\}\}""".r
   private val ThisPat = """\{\{\s*this\s*\}\}""".r
+  // {{ var('name') }} or {{ var('name', 'default') }} — dbt run vars
+  private val VarPat =
+    """\{\{\s*var\(\s*'([A-Za-z0-9_]+)'\s*(?:,\s*'([^']*)'\s*)?\)\s*\}\}""".r
   private val IncPat =
     """(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}""".r
 
@@ -193,9 +196,17 @@ object SqlProject {
     * model — the version-controlled small-dimension path (country codes,
     * rate cards). Seeds are driver-file-sized by contract; big inputs
     * belong in `sources`. */
+  /** `vars`: dbt run variables — `{{ var('name') }}` substitutes the
+    * value (SQL-quoted by the CALLER's literal context, substitution is
+    * textual like dbt's), `{{ var('name', 'default') }}` falls back. An
+    * unset no-default var fails the stage at build time, not silently.
+    * The backfill idiom: an `insert_overwrite` model filtered by
+    * `{{ var('ds') }}` re-runs per historical date, each run replacing
+    * only that date's partitions. */
   def load(spark: SparkSession, modelsDir: String, lakeRoot: String,
            sources: Map[String, SparkSession => DataFrame],
-           seedsDir: Option[String] = None): Pipeline = {
+           seedsDir: Option[String] = None,
+           vars: Map[String, String] = Map.empty): Pipeline = {
     val files = Files.list(Paths.get(modelsDir)).iterator().asScala
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
     require(files.nonEmpty, s"no .sql models under $modelsDir")
@@ -248,6 +259,14 @@ object SqlProject {
         sink = sink,
         build = (s, deps) => {
           var sql = m.sql
+          // vars substitute FIRST — they may appear inside
+          // is_incremental() blocks or ref/source argument positions
+          sql = VarPat.replaceAllIn(sql, mm => {
+            val v = vars.get(mm.group(1)).orElse(Option(mm.group(2)))
+            require(v.isDefined,
+              s"model ${m.name}: var('${mm.group(1)}') is unset and has no default")
+            scala.util.matching.Regex.quoteReplacement(v.get)
+          })
           // dbt incremental semantics: on the FIRST run (no published
           // table) `is_incremental()` blocks drop and the model scans its
           // full inputs; afterwards the block body survives and

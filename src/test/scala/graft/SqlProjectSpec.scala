@@ -243,6 +243,34 @@ class SqlProjectSpec extends SparkSpec {
     assert(got == Seq(10L, 14L))
   }
 
+  test("run vars: the insert_overwrite backfill idiom replays one date per run") {
+    val dir = tmpDir("sqlproj-vars"); val lake = tmpDir("sqlproj-vars-lake")
+    writeModel(dir, "daily",
+      """-- graft: materialized=insert_overwrite partition_by=day
+        |select day, provider_id, n from {{ source('history') }}
+        |where day = {{ var('ds') }} and n >= {{ var('min_n', '0') }}""".stripMargin)
+    val history = Seq((1, "p1", 10L), (1, "p2", 11L), (2, "p3", 20L),
+      (3, "p4", 30L)).toDF("day", "provider_id", "n")
+    def backfill(ds: String, extra: Map[String, String] = Map.empty) =
+      SqlProject.load(spark, dir, lake, Map("history" -> (_ => history)),
+        vars = Map("ds" -> ds) ++ extra).run(spark, _ => ())
+    // backfill days 1 and 3; each run writes only its own partition
+    assert(backfill("1").ok)
+    assert(backfill("3").ok)
+    val t = new SnapshotTable(spark, s"$lake/daily")
+    assert(t.readInPlace().select($"day").distinct()
+      .as[Int].collect().toSet == Set(1, 3))
+    // re-running a date replaces it under the tightened default-var filter
+    assert(backfill("1", Map("min_n" -> "11")).ok)
+    assert(t.readInPlace().select("day", "provider_id", "n")
+      .as[(Int, String, Long)].collect().toSet ==
+      Set((1, "p2", 11L), (3, "p4", 30L)))
+    // an unset no-default var fails the stage, not silently
+    val res = SqlProject.load(spark, dir, lake,
+      Map("history" -> (_ => history))).run(spark, _ => ())
+    assert(!res.ok)
+  }
+
   test("seeds publish as ref-able snapshot tables ahead of models") {
     val dir = tmpDir("sqlproj-seed"); val lake = tmpDir("sqlproj-seed-lake")
     val seeds = tmpDir("sqlproj-seed-seeds")
