@@ -137,6 +137,25 @@ class ShuffleBytesSpec extends SparkSpec {
       s"ss=$ssBytes raw=$rawBytes — the mergeable fold lost its edge")
   }
 
+  test("KMV fold shuffles k-bounded sketches, not members") {
+    // 200k members, 10 keys, k=256: partials combine map-side so the
+    // exchange carries ≤k longs per (task, key) — constant in row count —
+    // while the exact distinct-set fold ships every (key, member) row
+    val rows = (1 to 200000).map { i =>
+      (i % 10L, s"member_${(i * 2654435761L) % 100000}_" + "pad" * 8)
+    }.toDF("g", "u")
+    rows.count()
+    val spec = graft.ops.OverlapAgg.Spec(Seq("g"), "u", k = 256)
+    val kmvBytes = shuffleBytes(materialize(
+      graft.ops.OverlapAgg.partials(rows, spec, batchId = 0L)))
+    val rawBytes = shuffleBytes(materialize(
+      rows.distinct().groupBy($"g")
+        .agg(collect_list($"u").as("members"))))
+    assert(kmvBytes > 0 && rawBytes > 0, s"$kmvBytes / $rawBytes")
+    assert(kmvBytes * 8 < rawBytes,
+      s"kmv=$kmvBytes raw=$rawBytes — the sketch fold lost its edge")
+  }
+
   test("collocations shuffles vocab-sized counts, not the token stream") {
     // 8k docs × 30 tokens from a 100-word vocab: map-side combine must
     // reduce the shuffle to ~partitions×vocab, never one row per token
