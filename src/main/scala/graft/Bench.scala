@@ -33,8 +33,17 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Sub-second queries flip 2-3x between rounds on IO/scheduler noise
+    // alone, polluting cross-round regression reads. Apply the CDC
+    // median-of-3 protocol to any query whose first run lands under 1 s
+    // (two extra sub-second runs — cheap); big queries keep 1 sample.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time(materialize(fn(spark, sfDir)))
+      val first = time(materialize(fn(spark, sfDir)))
+      results(name) =
+        if (first >= 0 && first < 1.0) {
+          val again = Seq.fill(2)(time(materialize(fn(spark, sfDir))))
+          (first +: again).sorted.apply(1)
+        } else first
     }
     // reference-scale CDC pipeline: 2M change events → curated. Envelopes
     // are materialized to parquet OUTSIDE the timed window so the metric

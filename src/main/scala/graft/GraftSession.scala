@@ -44,6 +44,14 @@ object GraftSession {
         sys.env.getOrElse("GRAFT_WAREHOUSE",
           s"${sys.props("java.io.tmpdir")}/graft-warehouse"))
       .config("spark.ui.enabled", "false")
+      // Reliable-checkpoint mode for iterative ops (graft.ops.Lineage):
+      // when set, connected components / PageRank / LSH / BPE cut lineage
+      // with reliable checkpoint() under this directory instead of
+      // executor-local blocks. REQUIRED on a multi-executor cluster
+      // (docs/SCALING.md rule: localCheckpoint does not survive executor
+      // loss); leave unset on local[n].
+      .config(graft.ops.Lineage.ConfKey,
+        sys.env.getOrElse("GRAFT_CHECKPOINT_DIR", ""))
 
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(

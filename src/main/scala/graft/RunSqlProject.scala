@@ -18,6 +18,8 @@ import graft.pipeline.SqlProject
   *   [--report path.json]  # Elementary-style run report (+ .html twin)
   *   [--metrics dir]       # append per-run volume metrics (Elementary history)
   *   [--alerts path.jsonl] # file-notifier alert delivery on failed checks
+  *   [--docs dir]          # dbt `docs generate`: write manifest.json +
+  *                         # lineage.html (DAG + tests) for the project
   * }}}
   *
   * Exit code 1 on any failed stage (fail-fast like `app.py:61-64`).
@@ -51,12 +53,21 @@ object RunSqlProject {
       Some(s"$modelsDir/seeds").filter(d =>
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))))
 
-    val vars: Map[String, String] = opts.get("vars").map(_.split(",")
-      .filter(_.nonEmpty).map { kv =>
-        val i = kv.indexOf('=')
-        require(i > 0, s"--vars entry '$kv' is not k=v")
-        kv.take(i) -> kv.drop(i + 1)
-      }.toMap).getOrElse(Map.empty)
+    // split on ',' only where a new k= pair starts, so values may contain
+    // commas (list literals, CSV date ranges: --vars ds=2026-01-01,2026-01-02
+    // is ONE var unless followed by another key=)
+    val vars: Map[String, String] = opts.get("vars")
+      .map(_.split(",(?=[A-Za-z_][A-Za-z0-9_]*=)")
+        .filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"--vars entry '$kv' is not k=v")
+          kv.take(i) -> kv.drop(i + 1)
+        }.toMap).getOrElse(Map.empty)
+
+    opts.get("docs").foreach { dir =>
+      SqlProject.writeDocs(modelsDir, dir, seedsDir)
+      println(s"[docs] $dir/manifest.json $dir/lineage.html")
+    }
 
     val spark = GraftSession.getOrCreate("graft-sql-project")
     var p = SqlProject.load(spark, modelsDir, lakeRoot, sources, seedsDir, vars)

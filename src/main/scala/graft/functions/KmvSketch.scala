@@ -25,27 +25,52 @@ import org.apache.spark.sql.expressions.Aggregator
   *    is what lets a driver gate hash-match a DuckDB COUNT(DISTINCT)
   *    oracle, the same below-capacity posture as q93/q108/q122/q125.
   *
-  * Scale: partials combine map-side (Aggregator = partial-agg'd), the
-  * shuffle carries ≤k longs per (task, group) regardless of input size;
-  * the buffer prunes at 2k so per-row cost is amortized O(1). Input is
-  * the PRE-HASHED column (`xxhash64(value)`) so hashing runs inside
-  * whole-stage codegen, not per-row in the aggregator.
+  * Scale: partials combine map-side (Aggregator = partial-agg'd), and the
+  * shuffle carries ≤k longs per (task, group) regardless of input size —
+  * the buffer is Kryo-serialized through [[KmvBuffer.write]], which prunes
+  * first and writes only the live entries, never the backing array. In
+  * memory the buffer holds up to 4k entries between prunes so per-row
+  * insert cost is amortized O(1). Input is the PRE-HASHED column
+  * (`xxhash64(value)`) so hashing runs inside whole-stage codegen, not
+  * per-row in the aggregator.
   */
 object KmvSketch {
 
-  /** Append-and-prune buffer of JVM-primitive fields only (kryo-trivial:
-    * an Int and a long[]). Inserts append blindly (duplicates allowed);
-    * when the buffer reaches 4k entries it prunes: unsigned sort, dedup,
-    * keep the k smallest distinct — amortized O(log k) per row. The true
-    * k smallest distinct hashes ever inserted can never be pruned (fewer
-    * than k distinct values present are smaller than any of them), so
-    * finish's sort-dedup-take-k is exactly the bottom-k of the input. */
-  final class KmvBuffer(val k: Int) extends Serializable {
+  /** Append-and-prune buffer of JVM-primitive fields only. Inserts append
+    * blindly (duplicates allowed); when the buffer reaches 4k entries it
+    * prunes: unsigned sort, dedup, keep the k smallest distinct —
+    * amortized O(log k) per row. The true k smallest distinct hashes ever
+    * inserted can never be pruned (fewer than k distinct values present
+    * are smaller than any of them), so finish's sort-dedup-take-k is
+    * exactly the bottom-k of the input.
+    *
+    * Serialization implements [[com.esotericsoftware.kryo.KryoSerializable]]
+    * directly: [[write]] prunes and emits only the ≤k live entries, so a
+    * shuffled partial costs ≤k longs on the wire — Kryo's default field
+    * serializer would ship the whole 4k-capacity backing array, garbage
+    * slots included (~1 MB per group at k=32768). */
+  final class KmvBuffer(var k: Int) extends Serializable
+      with com.esotericsoftware.kryo.KryoSerializable {
+    def this() = this(1) // Kryo instantiation; fields set by read()
     var n: Int = 0
     var arr: Array[Long] = new Array[Long](math.max(4 * k, 8))
     def insert(h: Long): Unit = {
       if (n == arr.length) prune()
       arr(n) = h; n += 1
+    }
+    def write(kryo: com.esotericsoftware.kryo.Kryo,
+              out: com.esotericsoftware.kryo.io.Output): Unit = {
+      prune()
+      out.writeInt(k); out.writeInt(n)
+      var i = 0
+      while (i < n) { out.writeLong(arr(i)); i += 1 }
+    }
+    def read(kryo: com.esotericsoftware.kryo.Kryo,
+             in: com.esotericsoftware.kryo.io.Input): Unit = {
+      k = in.readInt(); n = in.readInt()
+      arr = new Array[Long](math.max(math.max(4 * k, 8), n))
+      var i = 0
+      while (i < n) { arr(i) = in.readLong(); i += 1 }
     }
     /** Sort-dedup-truncate in place; after this n ≤ k. */
     def prune(): Unit = {
@@ -66,7 +91,10 @@ object KmvSketch {
     def result(): Array[Long] = { prune(); java.util.Arrays.copyOf(arr, n) }
   }
 
-  private def newBuffer(k: Int) = new KmvBuffer(k)
+  private def newBuffer(k: Int) = {
+    require(k >= 1, s"KMV sketch capacity k must be >= 1 (got $k)")
+    new KmvBuffer(k)
+  }
 
   /** Bottom-k sketch of a pre-hashed column: unsigned-sorted array of the
     * k smallest distinct hashes. Null hashes (null inputs) are skipped,
@@ -118,10 +146,14 @@ object KmvSketch {
   private def u(h: Long): Double =
     ((h ^ Long.MinValue).toDouble - Long.MinValue.toDouble + 1.0) / math.pow(2.0, 64)
 
-  /** NDV estimate: exact below capacity, (k-1)/u(h_k) at capacity. */
-  def estimateDistinct(sk: Array[Long], k: Int): Double =
+  /** NDV estimate: exact below capacity, (k-1)/u(h_k) at capacity.
+    * k >= 2 because the saturated estimator is (k-1)/u — at k = 1 it
+    * degenerates to 0 (and k = 0 would index sk(-1)). */
+  def estimateDistinct(sk: Array[Long], k: Int): Double = {
+    require(k >= 2, s"estimateDistinct needs k >= 2 for (k-1)/u(h_k) (got $k)")
     if (sk.length < k) sk.length.toDouble
     else (k - 1).toDouble / u(sk(k - 1))
+  }
 
   /** Pure sketch union (bottom-k of the merged hash sets). */
   def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
@@ -133,14 +165,23 @@ object KmvSketch {
     * θ = min of their saturation thresholds, so the cut intersection /
     * union are exact samples at rate θ; estimates divide by θ. Returns
     * (intersectEstimate, unionEstimate, jaccard). In the exact regime
-    * (neither sketch at capacity) θ = 1 and the counts are exact. */
+    * (neither sketch at capacity) θ = 1, every entry is kept, and the
+    * counts are exact.
+    *
+    * The saturated cut is STRICT (u(h) < θ), the theta-sketch convention:
+    * the kth minimum DEFINES θ and is not itself a retained sample.
+    * An inclusive cut would count k hashes below a threshold that only
+    * k-1 samples justify — a systematic k/(k-1) overestimate that also
+    * disagrees with [[estimateDistinct]]'s unbiased (k-1)/u(h_k). */
   def setEstimates(a: Array[Long], b: Array[Long], k: Int)
       : (Double, Double, Double) = {
+    require(k >= 2, s"setEstimates needs k >= 2 (got $k)")
     val thetaA = if (a.length < k) 1.0 else u(a(k - 1))
     val thetaB = if (b.length < k) 1.0 else u(b(k - 1))
     val theta = math.min(thetaA, thetaB)
-    val cutA = a.filter(h => u(h) <= theta)
-    val cutB = b.filter(h => u(h) <= theta)
+    val keep = (h: Long) => if (theta == 1.0) true else u(h) < theta
+    val cutA = a.filter(keep)
+    val cutB = b.filter(keep)
     val bs = cutB.toSet
     val nInter = cutA.count(bs.contains)
     val nUnion = cutA.length + cutB.length - nInter

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
@@ -155,4 +155,170 @@ object PqAdcScore {
       PqAdcScore(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(table), ksub))
+}
+
+/** PQ encode with the codebooks riding the expression as ONE reference
+  * object (`flat`: codeword floats at `((j·ksub)+cid)·dsub + t`, cid in
+  * stored order) — the [[graft.functions.BpeEncode]] pattern applied to
+  * quantization. Replaces the previous m·ksub-literal
+  * `array_min(struct(sq_dist_f(slice…), cid)…)` tree, whose ~1000-node
+  * plan cost SECONDS of analysis + janino compilation per query at any
+  * data size (measured: 2.4 s to encode 2000 vectors, all overhead).
+  * Arithmetic is bit-identical to that tree: per subspace, squared-L2 in
+  * sequential double accumulation ([[SqDistF]]'s exact order), argmin
+  * with ties to the smallest cid (array_min's lexicographic
+  * (d, cid) order). NULL for a null or wrong-length vector. */
+case class PqEncodeCodes(child: Expression, m: Int, ksub: Int, dsub: Int,
+                         flat: Array[Float])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != m * dsub) return null
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var bestD = Double.PositiveInfinity
+      var bestC = 0
+      var cid = 0
+      while (cid < ksub) {
+        var s = 0.0
+        var t = 0
+        val base = (j * ksub + cid) * dsub
+        while (t < dsub) {
+          val d = a.getFloat(j * dsub + t).toDouble - flat(base + t).toDouble
+          s += d * d
+          t += 1
+        }
+        if (s < bestD) { bestD = s; bestC = cid }
+        cid += 1
+      }
+      codes(j) = bestC.toByte
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fl = ctx.addReferenceObj("pqFlat", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j"); val cid = ctx.freshName("cid")
+      val t = ctx.freshName("t"); val base = ctx.freshName("base")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val bestD = ctx.freshName("bestD"); val bestC = ctx.freshName("bestC")
+      s"""
+         |if ($a.numElements() != ${m * dsub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  byte[] $codes = new byte[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    int $bestC = 0;
+         |    for (int $cid = 0; $cid < $ksub; $cid++) {
+         |      double $s = 0.0;
+         |      final int $base = ($j * $ksub + $cid) * $dsub;
+         |      for (int $t = 0; $t < $dsub; $t++) {
+         |        final double $d =
+         |          (double) $a.getFloat($j * $dsub + $t) - (double) $fl[$base + $t];
+         |        $s += $d * $d;
+         |      }
+         |      if ($s < $bestD) { $bestD = $s; $bestC = $cid; }
+         |    }
+         |    $codes[$j] = (byte) $bestC;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table with the codebooks as one reference object
+  * (layout as [[PqEncodeCodes]]): entry `j·ksub + cid` =
+  * dot(query subvector j, codeword cid) in [[DotProductF]]'s exact
+  * sequential double order. Replaces the m·ksub-element
+  * `array(dot_product_f(slice…)…)` literal tree on the query side —
+  * same plan-size rationale as [[PqEncodeCodes]]. */
+case class PqAdcTableExpr(child: Expression, m: Int, ksub: Int, dsub: Int,
+                          flat: Array[Float])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_table"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != m * dsub) return null
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var cid = 0
+      while (cid < ksub) {
+        var dot = 0.0
+        var t = 0
+        val base = (j * ksub + cid) * dsub
+        while (t < dsub) {
+          dot += a.getFloat(j * dsub + t).toDouble * flat(base + t).toDouble
+          t += 1
+        }
+        out(j * ksub + cid) = dot
+        cid += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fl = ctx.addReferenceObj("pqFlat", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j"); val cid = ctx.freshName("cid")
+      val t = ctx.freshName("t"); val base = ctx.freshName("base")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($a.numElements() != ${m * dsub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[${m * ksub}];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    for (int $cid = 0; $cid < $ksub; $cid++) {
+         |      double $dot = 0.0;
+         |      final int $base = ($j * $ksub + $cid) * $dsub;
+         |      for (int $t = 0; $t < $dsub; $t++) {
+         |        $dot += (double) $a.getFloat($j * $dsub + $t)
+         |          * (double) $fl[$base + $t];
+         |      }
+         |      $out[$j * $ksub + $cid] = $dot;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTableExpr =
+    copy(child = newChild)
 }

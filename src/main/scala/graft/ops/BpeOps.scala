@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Lineage.LineageSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
@@ -67,13 +68,13 @@ object BpeOps {
 
   /** Learn `numMerges` merges. Ties break deterministically on
     * (cnt desc, l asc, r asc). Returns the merge list in learned order
-    * plus the final symbol table. The per-iteration `localCheckpoint`
+    * plus the final symbol table. The per-iteration [[Lineage.cut]]
     * keeps lineage flat (same pattern as connectedComponents) — each
     * iteration's job is O(|vocab|), and only the 1-row argmax reaches
     * the driver. */
   def train(df: DataFrame, textCol: String,
             numMerges: Int): (Seq[(String, String)], DataFrame) = {
-    var symbols = initSymbols(wordFreqs(df, textCol)).localCheckpoint()
+    var symbols = initSymbols(wordFreqs(df, textCol)).cutLineage()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     var exhausted = false
@@ -84,7 +85,7 @@ object BpeOps {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        symbols = mergeStep(symbols, a, b).localCheckpoint()
+        symbols = mergeStep(symbols, a, b).cutLineage()
       }
       i += 1
     }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Lineage.LineageSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -118,7 +119,7 @@ object DedupOps {
     // batch-sized; referenced by the within-batch grouping, the store
     // probe, and the final append — materialize once
     val bk = bucketKeys(batch, textCol, idCol, k, bands, shingleLen, seed)
-      .localCheckpoint()
+      .cutLineage()
     val withinDups = dupClusters(
       bk.groupBy(col("bucket_key"))
         .agg(array_sort(collect_list(col(idCol))).as("ids"))
@@ -166,7 +167,7 @@ object DedupOps {
                                       maxBucketSize: Int = 1000,
                                       broadcastBatch: Boolean = true): DataFrame = {
     val bk = bucketKeys(batch, textCol, idCol, k, bands, shingleLen, seed)
-      .localCheckpoint()
+      .cutLineage()
     val withinPairs = bk.groupBy(col("bucket_key"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
@@ -186,14 +187,14 @@ object DedupOps {
       else withinPairs.limit(0)
     // candidate pairs are tiny (bucket collisions only); the verification
     // joins reference them twice each — pin them
-    val cand = withinPairs.unionByName(crossPairs).localCheckpoint()
+    val cand = withinPairs.unionByName(crossPairs).cutLineage()
     val candIds = cand.select(col("id1").as(idCol))
       .unionByName(cand.select(col("id2").as(idCol))).distinct()
     val lookup = batch.select(col(idCol), col(textCol))
       .unionByName(corpus.select(col(idCol), col(textCol)))
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), TextOps.shingles(col(textCol), shingleLen).as("sh"))
-      .localCheckpoint()
+      .cutLineage()
     val verified = cand
       .join(lookup.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(lookup.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -202,7 +203,7 @@ object DedupOps {
       .filter(col("inter") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")) >= threshold)
       .select(col("id1"), col("id2"), col("is_cross"))
-      .localCheckpoint()
+      .cutLineage()
     val withinDups = dupClusters(verified.filter(!col("is_cross")))
       .filter(!col("is_canonical"))
       .select(col("node").as(idCol))
@@ -293,17 +294,17 @@ object DedupOps {
     // projections + the verification join) — materialize the signature →
     // band → bucket-join pipeline ONCE; the pair list itself is tiny
     val pairs = lshCandidatePairs(
-      lshBuckets(sigs, idCol, bands, k / bands), idCol).localCheckpoint()
+      lshBuckets(sigs, idCol, bands, k / bands), idCol).cutLineage()
     // Verification cost must scale with the CANDIDATE set, not the
     // corpus: semi-join down to docs that appear in some pair before
     // shingling for exact Jaccard (naively, the sets subtree shingles the
-    // ENTIRE corpus — and twice, once per join side). localCheckpoint
+    // ENTIRE corpus — and twice, once per join side). The lineage cut
     // materializes the now-small sets once for both joins.
     val candIds = pairs.select(col("id1").as(idCol))
       .unionByName(pairs.select(col("id2").as(idCol))).distinct()
     val sets = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), TextOps.shingles(col(textCol), shingleLen).as("sh"))
-      .localCheckpoint()
+      .cutLineage()
     pairs
       .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -384,7 +385,7 @@ object DedupOps {
     // ReusedExchange (measured: the whole tokenize→hash→agg pipeline ran
     // twice, ~40% of q28's runtime). Signatures are 16 bytes/doc —
     // materialize them once, explicitly.
-    val sigsOnly = sims.select(col(idCol), col("simhash")).localCheckpoint()
+    val sigsOnly = sims.select(col(idCol), col("simhash")).cutLineage()
     val banded = sigsOnly.select(col(idCol), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
@@ -498,8 +499,10 @@ object DedupOps {
     * 16 bytes/node regardless of document size — and rounds ≈ component
     * diameter. Near-dup graphs are locally dense (clusters of copies), so
     * diameters are small; a corpus-scale run converges in a handful of
-    * rounds. `localCheckpoint` truncates lineage each round so the plan
-    * does not grow with iterations (the classic iterative-Spark trap).
+    * rounds. [[Lineage.cut]] truncates lineage each round so the plan
+    * does not grow with iterations (the classic iterative-Spark trap);
+    * set `spark.graft.checkpointDir` for the fault-tolerant cut on a
+    * real cluster.
     * For adversarial long-chain graphs, swap in the large-star/small-star
     * variant — same contract, same per-round shuffle shape. */
   def connectedComponents(edges: DataFrame, srcCol: String = "id1",
@@ -508,12 +511,12 @@ object DedupOps {
     // symmetric union below references it twice, and every iteration
     // rejoins it
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+      .cutLineage()
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = sym.groupBy("src").agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
+      .cutLineage()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -530,7 +533,7 @@ object DedupOps {
       val next = pushed.unionByName(own)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), min(col("own")).as("old"))
-        .localCheckpoint()
+        .cutLineage()
       converged = next.filter(col("label") < col("old")).isEmpty
       labels = next.select(col("node"), col("label"))
     }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Lineage.LineageSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -89,9 +90,17 @@ object ExactQuantiles {
     * values — O(P·|groups|) scalars, never the distribution. Group keys
     * are compared as strings (cast internally); interpolation is the
     * same bit-exact Catalyst formula. Null values are ignored
-    * (`Percentile` semantics); a null group KEY is a legitimate group. */
+    * (`Percentile` semantics); a null group KEY is a legitimate group.
+    *
+    * Driver state is O(partitions·|groups|), so the group count is
+    * GUARDED at `maxGroups`: a high-cardinality group column here would
+    * silently OOM the driver. Callers that don't know their group
+    * cardinality should use [[quantilesByGroupAuto]] — the recommended
+    * entry point — which counts groups first and routes the many-groups
+    * regime to the driverless hashed path. */
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
-                       probs: Seq[Double], partitions: Int = 64)
+                       probs: Seq[Double], partitions: Int = 64,
+                       maxGroups: Int = 4096)
       : Map[String, Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -100,13 +109,14 @@ object ExactQuantiles {
           col(valueCol).cast("long").as("v"))
         .where($"v".isNotNull)
         .groupBy($"g", $"v").agg(count(lit(1)).as("f")),
-      probs, partitions)
+      probs, partitions, maxGroups)
   }
 
   /** The range-partitioned selection over a prebuilt `(g, v, f)`
     * summary — shared by [[quantilesByGroup]] and the auto path. */
   private def rangeFromSummary(summary: DataFrame, probs: Seq[Double],
-                               partitions: Int)
+                               partitions: Int,
+                               maxGroups: Int = Int.MaxValue)
       : Map[String, Array[Double]] = {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
     val spark = summary.sparkSession
@@ -117,6 +127,16 @@ object ExactQuantiles {
       .as[(String, Long, Long)]
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      if (maxGroups != Int.MaxValue) {
+        // cheap over the persisted summary; fires BEFORE the O(P·groups)
+        // subtotal collect below can OOM the driver
+        val nGroups = freq.select($"g").distinct().count()
+        require(nGroups <= maxGroups,
+          s"quantilesByGroup holds O(partitions·groups) driver state: " +
+            s"$nGroups groups exceeds maxGroups=$maxGroups. Use " +
+            s"quantilesByGroupAuto (routes many-groups to the driverless " +
+            s"hashed path) or raise maxGroups deliberately.")
+      }
       val subtotals: Array[((Int, String), Long)] = freq.rdd
         .mapPartitionsWithIndex { (pid, it) =>
           val acc = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -240,21 +260,71 @@ object ExactQuantiles {
     histogramSelect(base, extents, probs, buckets)
   }
 
+  /** One selector per (group, needed rank): its span plus the count of
+    * values strictly below the span (global 0-based rank bookkeeping). */
+  private final case class Sel(g: String, rank: Long, lo: Long, hi: Long,
+                               below: Long)
+
+  /** Quantiles from a caller-computed FIXED-WIDTH coarse histogram —
+    * the zero-extra-pass donation: the caller aggregates
+    * `(g, v div binWidth) → count` in a pass it can run CONCURRENTLY
+    * with its other aggregates (no extents needed, unlike
+    * [[quantilesByGroupHistogramHull]] whose hull comes from a prior
+    * pass), and the selection here starts from each rank's COVERING BIN
+    * instead of the full value hull. With `binWidth ≤ buckets` that is
+    * ONE narrowing round over a binWidth-wide span — q51's shape: 3
+    * concurrent scans (sketches, exact distinct, coarse histogram) and
+    * a single selection round, nothing serialized behind the sketch
+    * pass.
+    *
+    * `bins`: every non-empty `(g, bin, count)` with `bin = v div
+    * binWidth`, from EXACTLY the rows of `df` (a drifted histogram
+    * fails loudly in the walk). Values must be non-negative (`div`
+    * truncates toward zero, which mis-bins negatives — shift the column
+    * if needed; enforced). Null handling, group-key semantics, and the
+    * interpolation formula match [[quantilesByGroupHistogram]]. */
+  def quantilesByGroupFromCoarseHistogram(df: DataFrame, groupCol: String,
+                                          valueCol: String, probs: Seq[Double],
+                                          bins: Seq[(String, Long, Long)],
+                                          binWidth: Long, buckets: Int = 8192)
+      : Map[String, Array[Double]] = {
+    require(binWidth >= 1, s"binWidth must be >= 1 (got $binWidth)")
+    require(bins.forall(_._2 >= 0),
+      "coarse bins must come from non-negative values (div truncation " +
+        "mis-bins negatives — shift the value column)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where($"v".isNotNull)
+    val byGroup = bins.groupBy(_._1)
+    val nByGroup: Map[String, Long] =
+      byGroup.map { case (g, bs) => g -> bs.map(_._3).sum }
+    val active: Seq[Sel] = byGroup.toSeq.flatMap { case (g, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val cums = sorted.scanLeft(0L)(_ + _._3)
+      val n = nByGroup(g)
+      probs.map(p => (n - 1) * p)
+        .flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong))
+        .distinct.flatMap { rank =>
+          sorted.indices.collectFirst {
+            case i if rank >= cums(i) && rank < cums(i) + sorted(i)._3 =>
+              val b = sorted(i)._2
+              Sel(g, rank, b * binWidth, b * binWidth + (binWidth - 1), cums(i))
+          }
+        }
+    }
+    runSelection(base, probs, buckets, nByGroup, active)
+  }
+
   private def histogramSelect(base: DataFrame,
                               extents: Map[String, (Long, Long, Long)],
                               probs: Seq[Double], buckets: Int)
       : Map[String, Array[Double]] = {
-    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
-    require(buckets >= 2)
-    val spark = base.sparkSession
-    import spark.implicits._
     val hsByGroup: Map[String, Array[Double]] = extents.map {
       case (g, (n, _, _)) => g -> probs.map(p => (n - 1) * p).toArray
     }
-    // one selector per (group, needed rank): its span plus the count of
-    // values strictly below the span (global 0-based rank bookkeeping)
-    case class Sel(g: String, rank: Long, lo: Long, hi: Long, below: Long)
-    var active: Seq[Sel] = extents.toSeq.flatMap { case (g, (_, mn, mx)) =>
+    val active: Seq[Sel] = extents.toSeq.flatMap { case (g, (_, mn, mx)) =>
       hsByGroup(g).flatMap(h =>
         Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct
         .flatMap { rank =>
@@ -268,6 +338,21 @@ object ExactQuantiles {
           }
         }
     }
+    runSelection(base, probs, buckets,
+      extents.map { case (g, (n, _, _)) => g -> n }, active)
+  }
+
+  private def runSelection(base: DataFrame, probs: Seq[Double], buckets: Int,
+                           nByGroup: Map[String, Long], initial: Seq[Sel])
+      : Map[String, Array[Double]] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    require(buckets >= 2)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val hsByGroup: Map[String, Array[Double]] = nByGroup.map {
+      case (g, n) => g -> probs.map(p => (n - 1) * p).toArray
+    }
+    var active: Seq[Sel] = initial
     val resolved = scala.collection.mutable.Map[(String, Long), Long]()
     var round = 0
     while (active.nonEmpty) {
@@ -337,7 +422,7 @@ object ExactQuantiles {
       g -> hs.map { h =>
         val lo = math.floor(h)
         val hi = math.ceil(h)
-        if (extents(g)._1 == 0) Double.NaN
+        if (nByGroup(g) == 0) Double.NaN
         else {
           val lv = resolved((g, lo.toLong)).toDouble
           val hv = resolved((g, hi.toLong)).toDouble
@@ -450,7 +535,7 @@ object ExactQuantiles {
         // eagerly materialize (result is |groups| rows) so the summary
         // cache can be released before returning the lazy frame
         val res = hashedFromSummary(summary, probs, partitions)
-          .localCheckpoint(true)
+          .cutLineage(eager = true)
         res
       }
     } finally { summary.unpersist(); () }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Lineage.LineageSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -59,10 +60,10 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // one edge pass materialized once; reused by every iteration
-    val withDeg = e.join(deg, Seq("src")).localCheckpoint()
+    val withDeg = e.join(deg, Seq("src")).cutLineage()
     val nodes = withDeg.select(col("src").as("node"))
       .union(withDeg.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     var ranks = nodes.withColumn("r", lit(unit))
     (1 to iters).foreach { _ =>
       val contrib = withDeg
@@ -74,7 +75,7 @@ object GraphOps {
           (lit(base) + expr(
             s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
             .as("r"))
-        .localCheckpoint(false) // lazy: cut lineage, materialize on demand
+        .cutLineage(eager = false) // lazy: cut lineage, materialize on demand
     }
     ranks
   }

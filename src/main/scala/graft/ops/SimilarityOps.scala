@@ -514,7 +514,18 @@ object SimilarityOps {
   /** Per-subspace codebooks: `codewords(j)` lists subspace j's `ksub`
     * codewords (cid → dsub floats), cid-ordered 0..ksub-1. */
   final case class PqCodebooks(m: Int, ksub: Int, dsub: Int,
-      codewords: IndexedSeq[IndexedSeq[(Int, Seq[Float])]])
+      codewords: IndexedSeq[IndexedSeq[(Int, Seq[Float])]]) {
+    /** Flattened codeword floats at `((j·ksub)+cid)·dsub + t` — the one
+      * reference object the codegen'd encode/ADC expressions carry
+      * instead of m·ksub literal sub-arrays. */
+    lazy val flat: Array[Float] = {
+      val out = new Array[Float](m * ksub * dsub)
+      for (j <- 0 until m; ((_, cw), i) <- codewords(j).zipWithIndex;
+           t <- 0 until dsub)
+        out((j * ksub + i) * dsub + t) = cw(t)
+      out
+    }
+  }
 
   /** Deterministic PQ codebook seeding: the same every-7th-by-id vectors
     * as [[seedCentroids]], sliced per subspace — SQL-replayable, so the
@@ -575,25 +586,57 @@ object SimilarityOps {
   }
 
   /** Encode vectors to `m` sub-codeword ids (`array<tinyint>` — m bytes
-    * per vector instead of dim×4: 32× at dim 64 / m 8). One corpus pass,
-    * all codegen'd [[graft.functions.SqDistF]] kernels. */
+    * per vector instead of dim×4: 32× at dim 64 / m 8). One corpus pass
+    * through the single codegen'd [[graft.functions.PqEncodeCodes]]
+    * kernel (codebooks ride as one reference object; the previous
+    * m·ksub-literal expression tree cost seconds of plan analysis +
+    * janino compile per call — measured 2.4 s to encode 2000 vectors,
+    * all overhead). Bit-identical output by construction. */
   def pqEncode(df: DataFrame, cb: PqCodebooks,
                vecCol: String = "embedding",
-               codesCol: String = "pq_codes"): DataFrame = {
-    graft.functions.SqDistF.register(df.sparkSession)
-    df.withColumn(codesCol, array((0 until cb.m).map { j =>
-      nearestCode(cb.codewords(j))(
-        slice(col(vecCol), j * cb.dsub + 1, cb.dsub)).cast("tinyint")
-    }: _*))
-  }
+               codesCol: String = "pq_codes"): DataFrame =
+    df.withColumn(codesCol,
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.PqEncodeCodes(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(vecCol)),
+          cb.m, cb.ksub, cb.dsub, cb.flat)))
 
   /** The per-query ADC lookup table: flat `m·ksub` doubles, entry
     * `j·ksub + cid` = dot(query subvector j, codeword cid). Computed on
-    * the (small, broadcast) query side only. */
+    * the (small, broadcast) query side only — one
+    * [[graft.functions.PqAdcTableExpr]] kernel, same plan-size rationale
+    * as [[pqEncode]]. */
   def pqAdcTable(qVec: Column, cb: PqCodebooks): Column =
-    array((for (j <- 0 until cb.m; (_, c) <- cb.codewords(j)) yield
-      graft.functions.DotProductF(slice(qVec, j * cb.dsub + 1, cb.dsub), litVec(c))
-    ): _*)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqAdcTableExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(qVec),
+        cb.m, cb.ksub, cb.dsub, cb.flat))
+
+  /** Persist trained PQ codebooks to the lake (m·ksub·dsub floats — a
+    * few KB): the train-once/encode-many seam. Codebook training (Lloyd
+    * over every corpus vector) amortizes over the corpus lifetime like
+    * [[buildIvfIndex]]'s layout; steady-state encode of new batches and
+    * every query-side ADC table build then [[loadPqCodebooks]] instead
+    * of re-training. Round-trip is bit-exact (PqSpec). */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      cb: PqCodebooks, path: String): Unit = {
+    import spark.implicits._
+    (for (j <- 0 until cb.m; (cid, cw) <- cb.codewords(j)) yield
+      (j, cid, cw)).toDF("j", "cid", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): PqCodebooks = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val m = rows.map(_._1).max + 1
+    val byJ = rows.groupBy(_._1)
+    val codewords = (0 until m).map(j =>
+      byJ(j).sortBy(_._2).map { case (_, cid, cw) => (cid, cw) }.toIndexedSeq)
+    val ksub = codewords.head.length
+    PqCodebooks(m, ksub, codewords.head.head._2.length, codewords)
+  }
 
   /** ANN top-k via PQ asymmetric distance + exact re-rank: the coarse
     * pass reads m BYTES per corpus vector (codes only — the float

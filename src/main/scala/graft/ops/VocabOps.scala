@@ -30,6 +30,12 @@ object VocabOps {
     * reserved for OOV by [[encode]]'s default. The (cnt, tok) sort key
     * is a deterministic total order, so the vocab — and everything
     * encoded with it — is reproducible across runs and engines. */
+  /** Upper bound on the vocab rows [[encode]] will collect to the driver.
+    * 2²² tokens ≈ 4M (tok, id) rows — generous for any real vocabulary
+    * (GPT-scale BPE vocabs are ≤ 2⁸ k) while refusing the accidental
+    * "topN = corpus cardinality" call that would OOM the driver. */
+  val MaxDriverVocab: Int = 1 << 22
+
   def buildVocab(df: DataFrame, textCol: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
     df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
@@ -51,9 +57,15 @@ object VocabOps {
 
   /** Encodes the corpus against the `topN`-token vocabulary built from
     * it: adds `ids` (array<int>, token order preserved) with OOV = 0.
-    * One bounded vocab collect; the corpus pass is shuffle-free. */
+    * One bounded vocab collect (enforced ≤ [[MaxDriverVocab]]); the
+    * corpus pass is shuffle-free. */
   def encode(df: DataFrame, textCol: String, topN: Int,
              idsCol: String = "ids"): DataFrame = {
+    require(topN <= MaxDriverVocab,
+      s"encode collects the vocab to the driver: topN=$topN exceeds the " +
+        s"$MaxDriverVocab cap. A vocabulary this large will not fit a " +
+        s"broadcast expression — shrink topN or join against buildVocab's " +
+        s"distributed (tok, id) table instead.")
     val vocab = buildVocab(df, textCol, topN)
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     df.withColumn(idsCol, encodeColumn(col(textCol), vocab))

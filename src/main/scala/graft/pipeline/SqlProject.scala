@@ -203,10 +203,10 @@ object SqlProject {
     * The backfill idiom: an `insert_overwrite` model filtered by
     * `{{ var('ds') }}` re-runs per historical date, each run replacing
     * only that date's partitions. */
-  def load(spark: SparkSession, modelsDir: String, lakeRoot: String,
-           sources: Map[String, SparkSession => DataFrame],
-           seedsDir: Option[String] = None,
-           vars: Map[String, String] = Map.empty): Pipeline = {
+  /** Parse every model file and seed name of a project directory —
+    * shared by [[load]] (execution) and [[writeDocs]] (lineage docs). */
+  def parseProjectFiles(modelsDir: String, seedsDir: Option[String])
+      : (Seq[Model], Seq[Path]) = {
     val files = Files.list(Paths.get(modelsDir)).iterator().asScala
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
     require(files.nonEmpty, s"no .sql models under $modelsDir")
@@ -218,6 +218,14 @@ object SqlProject {
       Files.list(Paths.get(d)).iterator().asScala
         .filter(_.toString.endsWith(".csv")).toSeq.sortBy(_.toString)
     }
+    (models, seedFiles)
+  }
+
+  def load(spark: SparkSession, modelsDir: String, lakeRoot: String,
+           sources: Map[String, SparkSession => DataFrame],
+           seedsDir: Option[String] = None,
+           vars: Map[String, String] = Map.empty): Pipeline = {
+    val (models, seedFiles) = parseProjectFiles(modelsDir, seedsDir)
     val seedNames = seedFiles.map(_.getFileName.toString.stripSuffix(".csv"))
     seedNames.foreach(n => require(!models.exists(_.name == n),
       s"seed '$n' collides with a model file"))
@@ -316,5 +324,145 @@ object SqlProject {
         sink = Some(Overwrite(new SnapshotTable(spark, s"$lakeRoot/$name"))))
     }
     new Pipeline(seedStages ++ stages)
+  }
+
+  // ------------------------------------------------------- lineage docs
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jarr(xs: Seq[String]): String =
+    xs.map(jstr).mkString("[", ",", "]")
+
+  /** dbt `manifest.json` analog: every node (model or seed) with its
+    * materialization, config, tests, and the DAG edges discovered from
+    * `ref()`/`source()` — machine-readable lineage for CI diffing and
+    * impact analysis ("what is downstream of X"). */
+  def manifestJson(models: Seq[Model], seeds: Seq[String]): String = {
+    val seedNodes = seeds.sorted.map { s =>
+      s"""{"name":${jstr(s)},"type":"seed","materialized":"table","tags":["seed"],"refs":[],"sources":[],"tests":[]}"""
+    }
+    val modelNodes = models.sortBy(_.name).map { m =>
+      val tests = m.tests.map { t =>
+        s"""{"kind":${jstr(t.kind)},"args":${jarr(t.args)},"severity":${
+          jstr(if (t.severity == Checks.Warn) "warn" else "error")}}"""
+      }.mkString("[", ",", "]")
+      s"""{"name":${jstr(m.name)},"type":"model","materialized":${jstr(m.materialized)},""" +
+        s""""tags":${jarr(m.tags.toSeq.sorted)},"refs":${jarr(m.refs)},""" +
+        s""""sources":${jarr(m.sources)},"unique_key":${jarr(m.uniqueKey)},""" +
+        s""""order_by":${jarr(m.orderBy)},"partition_by":${jarr(m.partitionBy)},""" +
+        s""""tests":$tests}"""
+    }
+    val edges = models.sortBy(_.name).flatMap { m =>
+      m.refs.map(r =>
+        s"""{"from":${jstr(r)},"to":${jstr(m.name)},"kind":"ref"}""") ++
+        m.sources.map(s =>
+          s"""{"from":${jstr(s)},"to":${jstr(m.name)},"kind":"source"}""")
+    }
+    s"""{"nodes":${(seedNodes ++ modelNodes).mkString("[", ",", "]")},""" +
+      s""""edges":${edges.mkString("[", ",", "]")}}"""
+  }
+
+  /** Self-contained HTML DAG (dbt `docs generate` analog, same
+    * no-dependency posture as [[Pipeline.toHtml]]): nodes laid out
+    * left-to-right by dependency depth, SVG edges, and a per-model table
+    * of materializations and tests. Sources render as a distinct node
+    * kind (they are external tables, not built stages). */
+  def lineageHtml(models: Seq[Model], seeds: Seq[String]): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val sources = models.flatMap(_.sources).distinct.sorted
+    val kinds: Map[String, String] =
+      (seeds.map(_ -> "seed") ++ sources.map(_ -> "source") ++
+        models.map(m => m.name -> m.materialized)).toMap
+    val parents: Map[String, Seq[String]] =
+      models.map(m => m.name -> (m.refs ++ m.sources)).toMap
+    // depth = longest path from any root; roots (seeds/sources/no-dep
+    // models) sit at 0. Model files are a DAG by load()'s ref check.
+    val depthMemo = scala.collection.mutable.Map[String, Int]()
+    def depth(n: String): Int = depthMemo.getOrElseUpdate(n,
+      parents.get(n).filter(_.nonEmpty)
+        .map(ps => 1 + ps.map(depth).max).getOrElse(0))
+    val all = (seeds ++ sources ++ models.map(_.name)).distinct
+    val byLevel = all.groupBy(depth).toSeq.sortBy(_._1)
+      .map { case (d, ns) => d -> ns.sorted }
+    val (colW, rowH, boxW, boxH) = (230, 64, 190, 36)
+    val pos: Map[String, (Int, Int)] = byLevel.flatMap { case (d, ns) =>
+      ns.zipWithIndex.map { case (n, i) =>
+        n -> (30 + d * colW, 30 + i * rowH)
+      }
+    }.toMap
+    val width = 60 + byLevel.size * colW
+    val height = 60 + byLevel.map(_._2.size).max * rowH
+    val edgeSvg = models.flatMap { m =>
+      (m.refs ++ m.sources).map { p =>
+        val (x1, y1) = pos(p); val (x2, y2) = pos(m.name)
+        val (sx, sy) = (x1 + boxW, y1 + boxH / 2)
+        val (tx, ty) = (x2, y2 + boxH / 2)
+        s"""<path d="M $sx $sy C ${sx + 40} $sy, ${tx - 40} $ty, $tx $ty"/>"""
+      }
+    }.mkString("\n")
+    val nodeSvg = all.map { n =>
+      val (x, y) = pos(n)
+      val k = kinds(n)
+      s"""<g class="node $k"><rect x="$x" y="$y" rx="6" width="$boxW" height="$boxH"/>""" +
+        s"""<text x="${x + boxW / 2}" y="${y + 16}">${esc(n)}</text>""" +
+        s"""<text class="kind" x="${x + boxW / 2}" y="${y + 30}">${esc(k)}</text></g>"""
+    }.mkString("\n")
+    val rows = models.sortBy(_.name).map { m =>
+      val tests =
+        if (m.tests.isEmpty) "&mdash;"
+        else m.tests.map(t =>
+          esc(s"${t.kind} ${t.args.mkString(" ")}") +
+            (if (t.severity == Checks.Warn) " <em>(warn)</em>" else ""))
+          .mkString("<br>")
+      s"<tr><td>${esc(m.name)}</td><td>${esc(m.materialized)}</td>" +
+        s"<td>${esc(m.tags.toSeq.sorted.mkString(", "))}</td>" +
+        s"<td>${esc((m.refs ++ m.sources).mkString(", "))}</td><td>$tests</td></tr>"
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>graft lineage</title>
+       |<style>
+       |body{font-family:sans-serif;margin:2em}
+       |svg{border:1px solid #eee}
+       |svg path{fill:none;stroke:#a9b4c0;stroke-width:1.5}
+       |svg rect{fill:#f4f7fa;stroke:#5b7a99}
+       |.seed rect{fill:#fff6e0;stroke:#c9a227}
+       |.source rect{fill:#efe7f7;stroke:#7a5b99}
+       |.merge rect,.insert_overwrite rect,.scd2 rect{fill:#e5f2e8;stroke:#2e7d4f}
+       |svg text{text-anchor:middle;font-size:12px;fill:#1c2733}
+       |svg text.kind{font-size:9px;fill:#66717e}
+       |table{border-collapse:collapse;margin-top:1.5em}
+       |td,th{border:1px solid #ccc;padding:4px 10px;text-align:left;vertical-align:top}
+       |</style></head><body>
+       |<h1>Model lineage</h1>
+       |<svg width="$width" height="$height">
+       |$edgeSvg
+       |$nodeSvg
+       |</svg>
+       |<table>
+       |<tr><th>model</th><th>materialized</th><th>tags</th><th>depends on</th><th>tests</th></tr>
+       |$rows
+       |</table></body></html>""".stripMargin
+  }
+
+  /** `dbt docs generate`: parse the project and write
+    * `outDir/manifest.json` + `outDir/lineage.html`. Pure parsing — no
+    * SparkSession, no lake access — so docs stay generatable from a
+    * checkout alone. */
+  def writeDocs(modelsDir: String, outDir: String,
+                seedsDir: Option[String] = None): Unit = {
+    val (models, seedFiles) = parseProjectFiles(modelsDir, seedsDir)
+    val seeds = seedFiles.map(_.getFileName.toString.stripSuffix(".csv"))
+    val out = Paths.get(outDir)
+    Files.createDirectories(out)
+    Files.writeString(out.resolve("manifest.json"), manifestJson(models, seeds))
+    Files.writeString(out.resolve("lineage.html"), lineageHtml(models, seeds))
   }
 }

@@ -102,24 +102,27 @@ object FunctionQueries {
     // regression at sf0.1. Prices are exact 2-decimal values, so the
     // cents-quantized median /100 is the same number the row-level
     // median would produce.
-    // Orchestration: the sketch pass and the exact-distinct pass are
-    // independent — submit them as CONCURRENT Spark jobs (standard
-    // driver-side scheduling; local[32] and any real cluster overlap
-    // them) and fold the histogram selection's extents (count/min/max of
-    // cents) into the sketch aggregate so the selection skips its own
-    // pass 0. The 3-row result is assembled from O(|groups|) driver
-    // scalars — never the distribution.
+    // Orchestration: THREE independent chains as CONCURRENT Spark jobs
+    // (standard driver-side scheduling; local[32] and any real cluster
+    // overlap them): (1) the sketch aggregate, (2) the exact-distinct
+    // aggregate, (3) the exact-median chain — a fixed-width coarse
+    // cents histogram (needs NO extents, so it does not wait on the
+    // sketch pass like the previous hull-donation form did) feeding ONE
+    // histogram-narrowing selection round (binWidth ≤ buckets resolves
+    // in a single round). Wall-clock ≈ the longest single chain, and
+    // the 3-row result is assembled from O(|groups|) driver scalars —
+    // never the distribution.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val li = Tables.load(s, dir, "lineitem")
     val cents = floor($"l_extendedprice" * 100.0 + 0.5).cast("long")
+    val binW = 2048L
     val sketchesF = Future {
       li.groupBy($"l_returnflag").agg(
         approx_count_distinct($"l_orderkey", 0.01).cast("double").as("__hll"),
         percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("__amed"),
-        count(lit(1)).as("n"),
-        count(cents).as("__nv"), min(cents).as("__mn"), max(cents).as("__mx"))
+        count(lit(1)).as("n"))
         .collect()
     }
     val distinctsF = Future {
@@ -128,12 +131,20 @@ object FunctionQueries {
         .collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     }
+    val medF = Future {
+      val bins = li
+        .select($"l_returnflag", cents.as("__cents"))
+        .where($"__cents".isNotNull)
+        .groupBy($"l_returnflag", expr(s"__cents div $binW").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.ops.ExactQuantiles.quantilesByGroupFromCoarseHistogram(
+        li.select($"l_returnflag", cents.as("__cents")),
+        "l_returnflag", "__cents", Seq(0.5), bins, binW)
+    }
     val sk = Await.result(sketchesF, Duration.Inf)
-    val extents = sk.map(r =>
-      r.getString(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
-    val medMap = graft.ops.ExactQuantiles.quantilesByGroupHistogramHull(
-      li.select($"l_returnflag", cents.as("__cents")),
-      "l_returnflag", "__cents", Seq(0.5), extents)
+    val medMap = Await.result(medF, Duration.Inf)
     val dist = Await.result(distinctsF, Duration.Inf)
     sk.map { r =>
       val g = r.getString(0)

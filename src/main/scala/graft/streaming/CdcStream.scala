@@ -26,15 +26,35 @@ object CdcStream {
 
   /** Stream a JSONL topic-dump directory with the Kafka column contract
     * (`value`, `timestamp` — timestamp from the envelope's ts_ms for
-    * determinism, like [[Debezium.readJsonl]]). */
-  def readJsonlStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+    * determinism, like [[Debezium.readJsonl]]).
+    *
+    * `dir` may be a flat topic dump OR a partitioned one (`.jsonl`
+    * files under `partition=N` subdirectories — the on-disk twin of a
+    * Kafka topic's partitions; the glob recurses). Kafka orders WITHIN a partition
+    * only, and so does this twin: cross-partition order is undefined,
+    * which is why every consumer downstream keys on the envelope's
+    * `ts_ms` rather than arrival order (pinned in CdcStreamSpec).
+    *
+    * `maxFilesPerTrigger` is the file-source analog of Kafka's
+    * `maxOffsetsPerTrigger` (KafkaConfig): it bounds each micro-batch,
+    * and `Trigger.AvailableNow` then drains the backlog as SEVERAL
+    * batches instead of one. Results must be batching-invariant — the
+    * merge sink is keyed and idempotent — which is the semantic the
+    * contract spec pins before a real broker ever appears. */
+  def readJsonlStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
-      .text(dir)
+      .option("pathGlobFilter", "*.jsonl")
+      .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger.foreach(n =>
+      r = r.option("maxFilesPerTrigger", n.toString))
+    r.text(dir)
       .select(
         col("value"),
         timestamp_millis(get_json_object(col("value"), "$.payload.ts_ms").cast(LongType))
           .as("timestamp"))
+  }
 
   /** Run the raw CDC stage as an AvailableNow stream: tombstone-filter +
     * raw-model shape each micro-batch, merge-upsert into `table` keyed by
@@ -45,9 +65,10 @@ object CdcStream {
                          checkpointDir: String,
                          partitionBy: Seq[String] = Seq("ingestion_cdc_date"),
                          quarantine: Option[SnapshotTable] = None,
-                         rowSchema: Option[StructType] = None): Long = {
+                         rowSchema: Option[StructType] = None,
+                         maxFilesPerTrigger: Option[Int] = None): Long = {
     var batches = 0L
-    val q = readJsonlStream(spark, topicDir).writeStream
+    val q = readJsonlStream(spark, topicDir, maxFilesPerTrigger).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -204,4 +204,52 @@ class ExactQuantilesSpec extends SparkSpec {
     val want = catalystByGroup(df.filter($"v".isNotNull))
     assert(got == want, "all-null group must vanish, nulls must not count")
   }
+
+  test("maxGroups guard fires with an actionable message before collecting") {
+    val df = (1 to 500).map(i => (s"g$i", i.toLong)).toDF("grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      ExactQuantiles.quantilesByGroup(df, "grp", "v", Seq(0.5),
+        partitions = 4, maxGroups = 100)
+    }
+    assert(e.getMessage.contains("quantilesByGroupAuto"),
+      s"guard message should point at the Auto router: ${e.getMessage}")
+  }
+
+  test("Auto router: few groups -> driver path, many groups -> hashed path, same results") {
+    val few = (1 to 300).map(i => (s"g${i % 3}", (i % 37).toLong)).toDF("grp", "v")
+    val many = (1 to 300).map(i => (s"g${i % 150}", (i % 37).toLong)).toDF("grp", "v")
+    for (df <- Seq(few, many)) {
+      val got = ExactQuantiles
+        .quantilesByGroupAuto(df, "grp", "v", probs, partitions = 4, fewGroupsMax = 10)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val want = df.filter($"v".isNotNull)
+        .groupBy($"grp").agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(got == want)
+    }
+  }
+
+  test("coarse-histogram entry matches Catalyst percentile in one narrowing round") {
+    val rows = (1 to 4000).map(i => (s"g${i % 3}", (i * 37 % 9001).toLong)) ++
+      Seq.fill(500)(("g0", 4242L)) // duplicate-heavy spike
+    val df = rows.toDF("grp", "v")
+    val binW = 128L
+    val bins = df.groupBy($"grp", expr(s"v div $binW").as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = ExactQuantiles.quantilesByGroupFromCoarseHistogram(
+      df, "grp", "v", probs, bins, binW)
+    val want = df.groupBy($"grp")
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.view.mapValues(_.toSeq).toMap == want)
+  }
+
+  test("coarse-histogram entry rejects negative-value bins") {
+    val df = Seq(("g", -5L), ("g", 3L)).toDF("grp", "v")
+    intercept[IllegalArgumentException] {
+      ExactQuantiles.quantilesByGroupFromCoarseHistogram(
+        df, "grp", "v", Seq(0.5), Seq(("g", -1L, 1L), ("g", 0L, 1L)), 8L)
+    }
+  }
 }

@@ -82,6 +82,46 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(eu - 50000) < 0.1 * 50000, s"union est $eu")
   }
 
+  test("kryo serialization prunes first: a partial costs <=k longs on the wire") {
+    val k = 64
+    val buf = new KmvSketch.KmvBuffer(k)
+    (1 to 4 * k - 1).foreach(i => buf.insert(i.toLong * 2654435761L))
+    assert(buf.n > k, "buffer should be mid-fill, beyond k entries")
+    val kryo = new com.esotericsoftware.kryo.Kryo()
+    kryo.setRegistrationRequired(false)
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new com.esotericsoftware.kryo.io.Output(baos)
+    kryo.writeObject(out, buf)
+    out.close()
+    val bytes = baos.toByteArray
+    // k + n ints + <=k longs + kryo framing — nowhere near 4k*8 bytes
+    assert(bytes.length <= k * 8 + 64,
+      s"serialized partial is ${bytes.length} B; field-serializing the " +
+        s"4k backing array would be ~${4 * k * 8} B")
+    val in = new com.esotericsoftware.kryo.io.Input(
+      new java.io.ByteArrayInputStream(bytes))
+    val back = kryo.readObject(in, classOf[KmvSketch.KmvBuffer])
+    assert(back.result().toSeq == buf.result().toSeq)
+    // round-tripped buffer keeps working as an aggregation buffer
+    back.insert(42L)
+    assert(back.result().length <= k)
+  }
+
+  test("capacity guards: k=0 aggregator and k<2 estimators are rejected") {
+    intercept[IllegalArgumentException] {
+      KmvSketch.aggregator(0).zero
+    }
+    intercept[IllegalArgumentException] {
+      KmvSketch.mergeAggregator(0).zero
+    }
+    intercept[IllegalArgumentException] {
+      KmvSketch.estimateDistinct(Array(1L), 1)
+    }
+    intercept[IllegalArgumentException] {
+      KmvSketch.setEstimates(Array(1L), Array(1L), 1)
+    }
+  }
+
   test("null hashes are skipped like count(DISTINCT)") {
     val df = Seq(Some("a"), None, Some("b"), None, Some("a")).toDF("v")
       .select(when(col("v").isNotNull, xxhash64(col("v"))).as("h"))

@@ -100,4 +100,56 @@ class PqSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"crossJoin leaked into: $p")
     assert(!p.contains("Window"), "no window sort in either stage")
   }
+
+  test("codebook save/load round-trips bit-exactly; encode is train-once/encode-many") {
+    val trained = SimilarityOps.trainPqCodebooks(corpus, m = 4, ksub = 16, iters = 1)
+    val path = tmpDir("pq-cb") + "/codebooks"
+    SimilarityOps.savePqCodebooks(spark, trained, path)
+    val loaded = SimilarityOps.loadPqCodebooks(spark, path)
+    assert(loaded.m == trained.m && loaded.ksub == trained.ksub &&
+      loaded.dsub == trained.dsub)
+    assert(loaded.codewords == trained.codewords, "floats must round-trip bit-exactly")
+    // encode-many with the persisted codebooks == encode with the trained ones
+    def codes(cb: SimilarityOps.PqCodebooks) =
+      SimilarityOps.pqEncode(corpus, cb)
+        .select($"vec_id", $"pq_codes").orderBy($"vec_id").collect().toSeq
+    assert(codes(loaded) == codes(trained))
+  }
+
+  test("encode kernel equals the literal sq_dist argmin formulation (bit-for-bit)") {
+    // the codegen'd PqEncodeCodes replaced an array_min(struct(sq_dist_f,
+    // cid)) literal tree; this pins the equivalence the swap relies on
+    graft.functions.SqDistF.register(spark)
+    val cb = SimilarityOps.seedPqCodebooks(corpus, m = 4, ksub = 16)
+    val viaTree = corpus.withColumn("pq_codes",
+      array((0 until cb.m).map { j =>
+        array_min(array(cb.codewords(j).map { case (cid, c) =>
+          struct(
+            graft.functions.SqDistF(
+              slice($"embedding", j * cb.dsub + 1, cb.dsub),
+              array(c.map(lit): _*).cast("array<float>")).as("d"),
+            lit(cid).as("cid"))
+        }: _*)).getField("cid").cast("tinyint")
+      }: _*))
+      .select($"vec_id", $"pq_codes").orderBy($"vec_id").collect().toSeq
+    val viaKernel = SimilarityOps.pqEncode(corpus, cb)
+      .select($"vec_id", $"pq_codes").orderBy($"vec_id").collect().toSeq
+    assert(viaKernel == viaTree)
+  }
+
+  test("ADC table kernel equals the literal dot_product formulation (bit-for-bit)") {
+    val cb = SimilarityOps.seedPqCodebooks(corpus, m = 4, ksub = 16)
+    val qs = corpus.filter($"vec_id" < 6)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val viaTree = qs.withColumn("t",
+      array((for (j <- 0 until cb.m; (_, c) <- cb.codewords(j)) yield
+        graft.functions.DotProductF(
+          slice($"q_vec", j * cb.dsub + 1, cb.dsub),
+          array(c.map(lit): _*).cast("array<float>"))): _*))
+      .select($"q_id", $"t").orderBy($"q_id").collect().toSeq
+    val viaKernel = qs
+      .withColumn("t", SimilarityOps.pqAdcTable($"q_vec", cb))
+      .select($"q_id", $"t").orderBy($"q_id").collect().toSeq
+    assert(viaKernel == viaTree)
+  }
 }

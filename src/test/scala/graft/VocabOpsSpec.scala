@@ -44,4 +44,12 @@ class VocabOpsSpec extends SparkSpec {
       .select($"ids").as[Seq[Int]].head()
     assert(got == Seq(1, 1, 1), "case/whitespace variants share one id")
   }
+
+  test("encode refuses a vocab too large to collect to the driver") {
+    val df = Seq("a b c").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.VocabOps.encode(df, "text", topN = graft.ops.VocabOps.MaxDriverVocab + 1)
+    }
+    assert(e.getMessage.contains("driver"), e.getMessage)
+  }
 }
