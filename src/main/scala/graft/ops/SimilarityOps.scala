@@ -545,16 +545,6 @@ object SimilarityOps {
       }))
   }
 
-  private def litVec(v: Seq[Float]): Column =
-    array(v.map(lit): _*).cast("array<float>")
-
-  /** Nearest codeword id in subspace `j` for subvector `sv` (squared-L2,
-    * ties to the smallest cid — `array_min` struct order). */
-  private def nearestCode(cw: IndexedSeq[(Int, Seq[Float])])(sv: Column): Column =
-    array_min(array(cw.map { case (cid, c) =>
-      struct(graft.functions.SqDistF(sv, litVec(c)).as("d"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
-
   /** Lloyd refinement of all `m` sub-codebooks at once: each iteration is
     * ONE distributed pass (explode subspaces → per-(subspace, codeword,
     * dim) mean); only m·ksub·dsub floats reach the driver. Empty cells
@@ -562,15 +552,19 @@ object SimilarityOps {
   def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int = 16,
                        iters: Int = 2, idCol: String = "vec_id",
                        vecCol: String = "embedding"): PqCodebooks = {
-    graft.functions.SqDistF.register(corpus.sparkSession)
     var cb = seedPqCodebooks(corpus, m, ksub, idCol, vecCol)
     (1 to iters).foreach { _ =>
+      // assignment via the single PqEncodeCodes kernel (codes(j) IS the
+      // argmin cid for subspace j — same reference-object rationale as
+      // pqEncode; the literal nearestCode trees this replaces dominated
+      // training wall-clock at any corpus size)
+      val assigned = pqEncode(corpus, cb, vecCol, "__codes")
       val subCols = (0 until m).map { j =>
-        val sv = slice(col(vecCol), j * cb.dsub + 1, cb.dsub)
-        struct(lit(j).as("j"), nearestCode(cb.codewords(j))(sv).as("cid"),
-          sv.as("sv"))
+        struct(lit(j).as("j"),
+          element_at(col("__codes"), j + 1).cast("int").as("cid"),
+          slice(col(vecCol), j * cb.dsub + 1, cb.dsub).as("sv"))
       }
-      val means = corpus.select(explode(array(subCols: _*)).as("s"))
+      val means = assigned.select(explode(array(subCols: _*)).as("s"))
         .select(col("s.j"), col("s.cid"), posexplode(col("s.sv")).as(Seq("dim", "x")))
         .groupBy(col("j"), col("cid"), col("dim")).agg(avg(col("x")).as("mu"))
         .groupBy(col("j"), col("cid"))

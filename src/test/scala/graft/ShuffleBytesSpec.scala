@@ -190,4 +190,29 @@ class ShuffleBytesSpec extends SparkSpec {
     assert(opBytes * 2 < rawBytes,
       s"op=$opBytes raw=$rawBytes — set-then-expand lost its combine edge")
   }
+
+  test("coarse-histogram quantile selection shuffles bin counts, not the summary") {
+    // 200k rows, 3 groups, ~50k distinct values: the q51 shape. The
+    // coarse pass + one narrowing round must shuffle O(groups x bins)
+    // count rows (map-side combined), never the per-value frequency
+    // summary the range-partitioned path ships
+    val rows = (1 to 200000).map { i =>
+      (s"g${i % 3}", ((i * 2654435761L) % 50021L) + 7L)
+    }.toDF("grp", "v").repartition(16).localCheckpoint()
+    val binW = 64L
+    val histBytes = shuffleBytes {
+      val bins = rows.groupBy($"grp", expr(s"v div $binW").as("b"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.ops.ExactQuantiles.quantilesByGroupFromCoarseHistogram(
+        rows, "grp", "v", Seq(0.5), bins, binW)
+      ()
+    }
+    val summaryBytes = shuffleBytes(materialize(
+      rows.groupBy($"grp", $"v").agg(count(lit(1)).as("f"))
+        .repartitionByRange(32, $"grp", $"v")))
+    assert(histBytes > 0 && summaryBytes > 0, s"$histBytes / $summaryBytes")
+    assert(histBytes * 4 < summaryBytes,
+      s"hist=$histBytes summary=$summaryBytes — bin counts lost their edge")
+  }
 }
