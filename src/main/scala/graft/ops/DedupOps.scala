@@ -503,8 +503,11 @@ object DedupOps {
     * does not grow with iterations (the classic iterative-Spark trap);
     * set `spark.graft.checkpointDir` for the fault-tolerant cut on a
     * real cluster.
-    * For adversarial long-chain graphs, swap in the large-star/small-star
-    * variant — same contract, same per-round shuffle shape. */
+    * For adversarial long-chain graphs use
+    * [[connectedComponentsAlternating]] — same contract, same per-round
+    * shuffle shape, O(log n) rounds regardless of diameter; this variant
+    * now REFUSES (require) to return partially-propagated labels when
+    * maxIter is hit. */
   def connectedComponents(edges: DataFrame, srcCol: String = "id1",
                           dstCol: String = "id2", maxIter: Int = 25): DataFrame = {
     // materialize the (possibly expensive) edge pipeline ONCE — the
@@ -538,7 +541,84 @@ object DedupOps {
       labels = next.select(col("node"), col("label"))
     }
     sym.unpersist()
+    // an unconverged loop would RETURN PARTIALLY-PROPAGATED LABELS —
+    // silently wrong clusters. Rounds track component diameter, so this
+    // fires on long-chain graphs; the alternating variant below
+    // converges in O(log n) rounds on exactly those shapes.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(component diameter exceeds maxIter). Raise maxIter or use " +
+        s"connectedComponentsAlternating for high-diameter graphs.")
     labels
+  }
+
+  /** Connected components by ALTERNATING large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * ACM SoCC 2014 — public algorithm): converges in O(log n) rounds
+    * REGARDLESS of component diameter, where [[connectedComponents]]'
+    * min-label propagation needs diameter-many rounds. Same contract:
+    * (node, label) with label = min node id of the component, for every
+    * node that appears in an edge; equality with the min-label variant
+    * is property-gated in ConnectedComponentsSpec.
+    *
+    * Per round both stars are one groupBy-min over the (symmetrized)
+    * edge list joined back on the center — two hash shuffles of
+    * (node, node) pairs, the same per-round shape and size as the
+    * min-label variant; the win is ROUND COUNT on chain-y graphs.
+    * Edges only re-point toward smaller ids (monotone), so the edge
+    * set never grows beyond the symmetrized input. Convergence is the
+    * exact fixed point (edge multiset unchanged), checked with a
+    * count + except emptiness — no hash-collision coin flip. Lineage
+    * cuts via [[Lineage.cut]] like every iterative op. */
+  def connectedComponentsAlternating(edges: DataFrame,
+                                     srcCol: String = "id1",
+                                     dstCol: String = "id2",
+                                     maxIter: Int = 40): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .cutLineage()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val centers = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(centers, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge (larger, smaller); key = larger endpoint
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val centers = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(centers, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(centers)
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    var e = e0
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val next = smallStar(largeStar(e)).cutLineage()
+      converged =
+        next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+    }
+    require(converged,
+      s"alternating connected components did not reach its fixed point " +
+        s"in $maxIter rounds — O(log n) bound exceeded, input likely " +
+        s"violates the edge contract")
+    // fixed point is a star forest: every edge points node → component
+    // min; roots label themselves
+    e.select(col("u").as("node"), col("v").as("label"))
+      .unionByName(e.select(col("v").as("node"), col("v").as("label")))
+      .distinct()
   }
 
   /** Duplicate clusters from a near-dup pair list: every node annotated

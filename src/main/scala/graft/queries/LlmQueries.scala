@@ -485,6 +485,20 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Alternating large-star/small-star connected components (q153):
+    * the O(log n)-round CC variant over the same near-dup edge list as
+    * q59 — the labels must EQUAL the min-label/recursive-CTE answer
+    * exactly (both compute component minimum), which is what lets one
+    * oracle gate two different distributed algorithms. */
+  def q153CcAlternating(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupOps.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+      "text", "doc_id", shingleLen = 2, threshold = 0.03, maxDf = 40)
+    DedupOps.connectedComponentsAlternating(pairs)
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
   /** Benchmark decontamination: docs with doc_id % 50 == 7 act as the
     * "eval set"; every other doc is flagged iff it shares a 5-gram with
     * that set. Oracle computes the identical membership on string
@@ -1119,6 +1133,7 @@ object LlmQueries {
     "q63_bm25" -> (q63Bm25 _),
     "q60_decontaminate" -> (q60Decontaminate _),
     "q59_dup_clusters" -> (q59DupClusters _),
+    "q153_cc_alternating" -> (q153CcAlternating _),
     "q53_ann_ivf" -> (q53AnnIvf _),
     "q52_cosine_neardups" -> (q52CosineNearDups _),
     "q119_banded_neardup" -> (q119BandedNearDups _),
@@ -2247,6 +2262,24 @@ object LlmQueries {
          |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
          |FROM documents WHERE doc_id % 50 <> 7
+         |ORDER BY doc_id""".stripMargin,
+    "q153_cc_alternating" ->
+      s"""WITH RECURSIVE $jaccard2gramCtes,
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |   JOIN sizes s1 ON s1.doc_id = id1
+         |   JOIN sizes s2 ON s2.doc_id = id2
+         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.03),
+         |sym AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS src, id1 AS dst FROM pairs),
+         |walk(node, reach) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src),
+         |cc AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node)
+         |SELECT node AS doc_id, cluster_id FROM cc
          |ORDER BY doc_id""".stripMargin,
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $jaccard2gramCtes,

@@ -67,4 +67,52 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
     // doc 5 never paired: untouched by clustering (survives by default)
   }
+
+  // ---- alternating large-star/small-star variant ----
+
+  private def ccAlt(maxIter: Int, edges: (Long, Long)*): Map[Long, Long] =
+    DedupOps.connectedComponentsAlternating(
+      edges.toDF("id1", "id2"), maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("alternating CC equals min-label CC on random small-diameter graphs") {
+    val rnd = new scala.util.Random(7L)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val edges = (1 to 120).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val viaLabels = cc(edges: _*)
+      val viaStars = ccAlt(40, edges: _*)
+      assert(viaStars == viaLabels, s"trial $trial diverged")
+    }
+  }
+
+  test("alternating CC resolves a 256-node chain in O(log n) rounds") {
+    // diameter 255: min-label needs ~255 rounds; alternating must land
+    // the full component on label 0 within 16 alternations
+    val chain = (0L until 255L).map(i => (i, i + 1))
+    val got = ccAlt(16, chain: _*)
+    assert(got.size == 256 && got.values.forall(_ == 0L))
+  }
+
+  test("min-label CC refuses to return silently wrong labels past maxIter") {
+    // the old behavior returned partially-propagated labels; now it fires
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(chain.toDF("id1", "id2"), maxIter = 5)
+        .count()
+    }
+    assert(e.getMessage.contains("connectedComponentsAlternating"))
+  }
+
+  test("alternating CC: cliques, singleton pairs, reversed edges, empty input") {
+    val clique = for (a <- 20L to 25L; b <- 20L to 25L if a < b) yield (a, b)
+    val got = ccAlt(40, (clique ++ Seq((3L, 1L), (50L, 49L))): _*)
+    assert((20L to 25L).forall(got(_) == 20L))
+    assert(got(1L) == 1L && got(3L) == 1L && got(49L) == 49L && got(50L) == 49L)
+    val empty = DedupOps.connectedComponentsAlternating(
+      Seq.empty[(Long, Long)].toDF("id1", "id2"))
+    assert(empty.count() == 0)
+  }
 }
