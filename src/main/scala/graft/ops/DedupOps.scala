@@ -601,13 +601,18 @@ object DedupOps {
         .distinct()
     }
     var e = e0
-    var converged = e.isEmpty
+    var prevCount = e.count()
+    var converged = prevCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
       val next = smallStar(largeStar(e)).cutLineage()
-      converged =
-        next.count() == e.count() && next.exceptAll(e).isEmpty
+      // count first (cheap over the materialized cut; previous round's
+      // count is carried, not recomputed) — the exceptAll set-compare
+      // only runs when counts agree, i.e. at or near the fixed point
+      val nextCount = next.count()
+      converged = nextCount == prevCount && next.exceptAll(e).isEmpty
+      prevCount = nextCount
       e = next
     }
     require(converged,
