@@ -33,14 +33,16 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // Sub-second queries flip 2-3x between rounds on IO/scheduler noise
-    // alone, polluting cross-round regression reads. Apply the CDC
-    // median-of-3 protocol to any query whose first run lands under 1 s
-    // (two extra sub-second runs — cheap); big queries keep 1 sample.
+    // Small queries flip 2-3x between rounds on IO/scheduler noise alone
+    // (a cold page cache can push a 0.5 s query past 2 s), polluting
+    // cross-round regression reads. Apply the CDC median-of-3 protocol
+    // to any query whose first sample lands under 3 s — that is the
+    // noise-dominated band; the genuinely heavy queries (CDC, IVM
+    // protocols, PageRank) keep 1 sample, their runtime dwarfs the noise.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val first = time(materialize(fn(spark, sfDir)))
       results(name) =
-        if (first >= 0 && first < 1.0) {
+        if (first >= 0 && first < 3.0) {
           val again = Seq.fill(2)(time(materialize(fn(spark, sfDir))))
           (first +: again).sorted.apply(1)
         } else first

@@ -152,4 +152,28 @@ class PqSpec extends SparkSpec {
       .select($"q_id", $"t").orderBy($"q_id").collect().toSeq
     assert(viaKernel == viaTree)
   }
+
+  test("PQ kernels: interpreted eval equals codegen (both expression paths)") {
+    // nullSafeEval (interpreted / fallback path) must match doGenCode —
+    // CODEGEN_ONLY vs NO_CODEGEN factory modes run the same plan twice
+    val cb = SimilarityOps.seedPqCodebooks(corpus, m = 4, ksub = 16)
+    def run() = {
+      val codes = SimilarityOps.pqEncode(corpus, cb)
+        .select($"vec_id", $"pq_codes").orderBy($"vec_id").collect().toSeq
+      val tables = corpus.filter($"vec_id" < 4)
+        .select($"vec_id", SimilarityOps.pqAdcTable($"embedding", cb).as("t"))
+        .orderBy($"vec_id").collect().toSeq
+      (codes, tables)
+    }
+    val viaCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val viaInterp = run()
+      assert(viaInterp == viaCodegen)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
