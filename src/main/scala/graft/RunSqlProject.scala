@@ -26,6 +26,18 @@ import graft.pipeline.SqlProject
   */
 object RunSqlProject {
   def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("graft-sql-project")
+    val result = run(args, spark)
+    spark.stop()
+    if (!result.ok) sys.exit(1)
+  }
+
+  /** The CLI body, callable in-process (q154 drives the full arg-parse →
+    * sources.conf → load → run path from the driver gate without the
+    * session stop / exit-code side effects `main` adds). */
+  def run(args: Array[String],
+          spark: org.apache.spark.sql.SparkSession)
+      : graft.pipeline.PipelineResult = {
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     val opts = scala.collection.mutable.Map[String, String]()
     var i = 0
@@ -69,7 +81,6 @@ object RunSqlProject {
       println(s"[docs] $dir/manifest.json $dir/lineage.html")
     }
 
-    val spark = GraftSession.getOrCreate("graft-sql-project")
     var p = SqlProject.load(spark, modelsDir, lakeRoot, sources, seedsDir, vars)
     opts.get("select").foreach(sel => p = p.select(sel))
     opts.get("exclude").foreach(sel => p = p.exclude(sel))
@@ -97,7 +108,6 @@ object RunSqlProject {
       result.writeReportHtml(path.stripSuffix(".json") + ".html")
       println(s"[report] $path")
     }
-    spark.stop()
-    if (!result.ok) sys.exit(1)
+    result
   }
 }

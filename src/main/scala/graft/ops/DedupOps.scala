@@ -569,11 +569,38 @@ object DedupOps {
     * set never grows beyond the symmetrized input. Convergence is the
     * exact fixed point (edge multiset unchanged), checked with a
     * count + except emptiness — no hash-collision coin flip. Lineage
-    * cuts via [[Lineage.cut]] like every iterative op. */
+    * cuts via [[Lineage.cut]] like every iterative op.
+    *
+    * CONTRACT DIFFERENCE from [[connectedComponents]]: the star
+    * re-pointing needs a total order with arithmetic comparison, so ids
+    * are cast to LONG. Non-numeric ids (UUIDs, content hashes) would
+    * cast to null and silently vanish from the edge list — this method
+    * REFUSES such input (one validation pass over the edges) instead;
+    * hash or dictionary-encode string ids to longs first, or use the
+    * min-label [[connectedComponents]], which orders any comparable id
+    * type via `least()`. Nodes that appear only in self-loops are kept
+    * and label themselves, matching the min-label sibling. */
   def connectedComponentsAlternating(edges: DataFrame,
                                      srcCol: String = "id1",
                                      dstCol: String = "id2",
                                      maxIter: Int = 40): DataFrame = {
+    // a non-null id whose LONG cast is null is a non-numeric id — the
+    // contract violation that would otherwise drop edges silently
+    val badCast = edges.where(
+      (col(srcCol).isNotNull && col(srcCol).cast("long").isNull) ||
+        (col(dstCol).isNotNull && col(dstCol).cast("long").isNull))
+    require(badCast.isEmpty,
+      s"connectedComponentsAlternating requires numeric (LONG-castable) " +
+        s"node ids in '$srcCol'/'$dstCol'; found non-numeric ids. " +
+        s"Hash/dictionary-encode them first, or use connectedComponents " +
+        s"(min-label), which handles any orderable id type.")
+    // self-loop-only nodes carry no connectivity but ARE part of the
+    // contract's output (they label themselves); remember them here
+    // because the u =!= v filter below drops their only edges
+    val selfNodes = edges
+      .select(col(srcCol).cast("long").as("node"))
+      .where(col(srcCol).cast("long") === col(dstCol).cast("long"))
+      .distinct()
     val e0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
@@ -620,10 +647,13 @@ object DedupOps {
         s"in $maxIter rounds — O(log n) bound exceeded, input likely " +
         s"violates the edge contract")
     // fixed point is a star forest: every edge points node → component
-    // min; roots label themselves
+    // min; roots label themselves. Self-loop-only nodes fold in as
+    // (node, node); groupBy-min (same shuffle the distinct() cost)
+    // keeps the component label when a self-loop node is also connected.
     e.select(col("u").as("node"), col("v").as("label"))
       .unionByName(e.select(col("v").as("node"), col("v").as("label")))
-      .distinct()
+      .unionByName(selfNodes.select(col("node"), col("node").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
   }
 
   /** Duplicate clusters from a near-dup pair list: every node annotated

@@ -45,9 +45,17 @@ object Lineage {
     checkpointDir(df) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir is idempotent for the same path; honor a
-        // runtime conf change by re-pointing when it differs
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        // setCheckpointDir appends a UUID subdir, so the effective dir's
+        // PARENT is what a conf value compares against. Exact fs-qualified
+        // path equality — a substring test would silently ignore a runtime
+        // re-point to a prefix of the current path (e.g. /data/ckpt → /data).
+        val want = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+        }
+        val currentParent = sc.getCheckpointDir
+          .map(d => new org.apache.hadoop.fs.Path(d).getParent.toString)
+        if (!currentParent.contains(want)) sc.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

@@ -384,11 +384,21 @@ object SqlProject {
     val parents: Map[String, Seq[String]] =
       models.map(m => m.name -> (m.refs ++ m.sources)).toMap
     // depth = longest path from any root; roots (seeds/sources/no-dep
-    // models) sit at 0. Model files are a DAG by load()'s ref check.
+    // models) sit at 0. writeDocs runs BEFORE load()'s DAG validation,
+    // so a cyclic ref() graph must fail here with a named cycle, not a
+    // StackOverflowError (getOrElseUpdate memoizes only after return).
     val depthMemo = scala.collection.mutable.Map[String, Int]()
-    def depth(n: String): Int = depthMemo.getOrElseUpdate(n,
-      parents.get(n).filter(_.nonEmpty)
-        .map(ps => 1 + ps.map(depth).max).getOrElse(0))
+    val inProgress = scala.collection.mutable.LinkedHashSet[String]()
+    def depth(n: String): Int = depthMemo.getOrElse(n, {
+      require(!inProgress.contains(n),
+        s"cyclic ref() graph: ${(inProgress.dropWhile(_ != n).toSeq :+ n).mkString(" -> ")}")
+      inProgress += n
+      val d = parents.get(n).filter(_.nonEmpty)
+        .map(ps => 1 + ps.map(depth).max).getOrElse(0)
+      inProgress -= n
+      depthMemo(n) = d
+      d
+    })
     val all = (seeds ++ sources ++ models.map(_.name)).distinct
     val byLevel = all.groupBy(depth).toSeq.sortBy(_._1)
       .map { case (d, ns) => d -> ns.sorted }

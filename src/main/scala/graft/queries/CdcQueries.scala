@@ -131,7 +131,51 @@ object CdcQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** Full SQL-project lifecycle through the RunSqlProject CLI path
+    * (q154): the committed 3-model fixture project on the classpath
+    * (`src/main/resources/q154_project/` — merge + incremental raw
+    * layer, ephemeral stats, tested curated aggregate) runs TWICE:
+    * first on the docs with `doc_id <= max/2` (batch var 1), then on
+    * the full table (batch var 2), where the second pass takes the
+    * `is_incremental()` + `{{ this }}` path. The audit column
+    * `loaded_batch` records which run FIRST admitted each row, so the
+    * final curated hash fails if the incremental filter re-admits old
+    * rows or drops new ones — the oracle computes the batch split
+    * relationally from the same max/2 cut. */
+  def q154SqlProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val cut = docs.agg(max($"doc_id")).head.getLong(0) / 2
+    val modelsDir = java.nio.file.Files.createTempDirectory("q154-models")
+    Seq("raw_docs.sql", "doc_stats.sql", "curated_langs.sql").foreach { f =>
+      val in = getClass.getResourceAsStream(s"/q154_project/$f")
+      require(in != null, s"fixture resource q154_project/$f missing")
+      try java.nio.file.Files.copy(in, modelsDir.resolve(f))
+      finally in.close()
+    }
+    val data = java.nio.file.Files.createTempDirectory("q154-data")
+    docs.where($"doc_id" <= cut).write.mode("overwrite")
+      .parquet(s"$data/batch1.parquet")
+    val lake = java.nio.file.Files.createTempDirectory("q154-lake").toString
+    def pass(batch: Int, sourcePath: String): Unit = {
+      val conf = data.resolve(s"sources_$batch.conf")
+      java.nio.file.Files.writeString(conf,
+        s"documents parquet $sourcePath\n")
+      val res = graft.RunSqlProject.run(Array(
+        modelsDir.toString, lake,
+        "--sources", conf.toString, "--vars", s"batch=$batch"), s)
+      require(res.ok, s"q154 pass $batch failed: ${res.toJson}")
+    }
+    pass(1, s"$data/batch1.parquet")
+    pass(2, s"$dir/documents.parquet")
+    new graft.sinks.SnapshotTable(s, s"$lake/curated_langs").read()
+      .select($"lang", $"loaded_batch", $"n_docs", $"total_chars",
+        $"total_len", $"n_sources")
+      .orderBy($"lang", $"loaded_batch")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q154_sql_project" -> (q154SqlProject _),
     "q21_cdc_roundtrip" -> (q21CdcRoundtrip _),
     "q134_variant_shred" -> (q134VariantShred _),
     "q85_scd2" -> (q85Scd2 _),
@@ -140,6 +184,24 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_sql_project" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CASE WHEN doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END
+        |      AS loaded_batch
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, lang, source, loaded_batch, n_chars,
+        |    length(text) AS text_len
+        |  FROM raw)
+        |SELECT lang, loaded_batch, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(text_len) AS BIGINT) AS total_len,
+        |  count(DISTINCT source) AS n_sources
+        |FROM stats
+        |GROUP BY lang, loaded_batch
+        |ORDER BY lang, loaded_batch""".stripMargin,
     "q134_variant_shred" ->
       """SELECT o_orderkey, o_orderkey AS meta_id, o_orderkey % 7 AS k2,
         |  o_orderstatus AS status,

@@ -43,6 +43,29 @@ object CdcStream {
     * contract spec pins before a real broker ever appears. */
   def readJsonlStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // A topic dump whose files lack the .jsonl extension (part-00000
+    // style) would match the glob zero times and the stream would
+    // "succeed" with 0 batches — fail loudly instead of ingesting nothing.
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val files = walk.iterator()
+        var sawFile = false
+        var sawJsonl = false
+        while (files.hasNext && !sawJsonl) {
+          val p = files.next()
+          if (java.nio.file.Files.isRegularFile(p)) {
+            sawFile = true
+            if (p.getFileName.toString.endsWith(".jsonl")) sawJsonl = true
+          }
+        }
+        require(!sawFile || sawJsonl,
+          s"topic dump '$dir' contains files but none match *.jsonl — " +
+            s"this source reads .jsonl files only; rename the dump or " +
+            s"point at the right directory")
+      } finally walk.close()
+    }
     var r = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .option("pathGlobFilter", "*.jsonl")

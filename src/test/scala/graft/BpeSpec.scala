@@ -51,6 +51,32 @@ class BpeSpec extends SparkSpec {
     assert(lowest === Seq("low", "est"))
   }
 
+  test("batched training equals sequential training merge-for-merge") {
+    // the hand corpus forces batch degeneration (top pairs chain-share
+    // symbols); the documents corpus exercises real multi-merge batches
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    for (c <- Seq(corpus, docs.select($"text"))) {
+      val seq = BpeOps.trainDetailed(c, "text", numMerges = 48,
+        maxMergesPerRound = 1)
+      val bat = BpeOps.trainDetailed(c, "text", numMerges = 48,
+        maxMergesPerRound = 64)
+      assert(bat.merges === seq.merges,
+        "batched merge list must equal the sequential algorithm's")
+    }
+  }
+
+  test("batching amortizes driver round-trips on the bench corpus") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents").select($"text")
+    val bat = BpeOps.trainDetailed(docs, "text", numMerges = 64,
+      maxMergesPerRound = 16)
+    assert(bat.merges.size === 64)
+    val perRound = bat.merges.size.toDouble / bat.rounds
+    assert(perRound >= 8.0,
+      s"expected >=8 merges/round, got $perRound (${bat.rounds} rounds)")
+  }
+
   test("document-level encode is one flat projection over tokens") {
     val (merges, _) = BpeOps.train(corpus, "text", numMerges = 4)
     val out = Seq("the newest lower").map(Tuple1(_)).toDF("text")
