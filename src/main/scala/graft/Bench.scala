@@ -20,6 +20,11 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     def time(f: => Unit): Double = {
+      // GC first: iterative queries localCheckpoint per round, and the
+      // previous run's checkpoint blocks stay pinned in the block manager
+      // until their RDDs are collected — without this, run N's storage
+      // memory is charged to run N+1 (the round-4 in-sweep inflation).
+      System.gc()
       val t0 = System.nanoTime()
       try f catch { case e: Throwable =>
         System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0 }
@@ -32,24 +37,46 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Optional args = query names: run ONLY those (isolated-measurement
+    // mode, used to separate real regressions from full-sweep JVM/IO
+    // accumulation). No args = the full sweep + the CDC pipeline.
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.toSeq.filter(q => args.contains(q._1))
+      else SparkEntry.queries.toSeq
+    if (args.nonEmpty) {
+      // isolated mode: 3 samples each, all reported — cold-vs-warm visible
+      val samples = selected.sortBy(_._1).map { case (name, fn) =>
+        val ts = (1 to 3).map(_ => time(materialize(fn(spark, sfDir))))
+        s"\"" + name + "\":[" + ts.mkString(",") + "]"
+      }
+      println(s"""{"metric":"isolated","samples":${
+        samples.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // Small queries flip 2-3x between rounds on IO/scheduler noise alone
-    // (a cold page cache can push a 0.5 s query past 2 s), polluting
-    // cross-round regression reads. Apply the CDC median-of-3 protocol
-    // to any query whose first sample lands under 3 s — that is the
-    // noise-dominated band; the genuinely heavy queries (CDC, IVM
-    // protocols, PageRank) keep 1 sample, their runtime dwarfs the noise.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // EVERY query is the median of 3 runs. Round 4 recorded q77 at 55 s
+    // in-sweep where isolated warm runs measure 5-7 s: after ~450 query
+    // executions in one JVM, the FIRST sample of a late-alphabet heavy
+    // query absorbs accumulated codegen/GC/page-cache state — and the old
+    // "median-of-3 only under 3 s" rule excluded exactly those inflated
+    // samples from re-measurement. Uniform re-runs (plus a GC between
+    // queries to stop one query's garbage billing the next) make the
+    // recorded figure the query's own cost, not the sweep's history.
+    val raw = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    selected.sortBy(_._1).foreach { case (name, fn) =>
       val first = time(materialize(fn(spark, sfDir)))
       results(name) =
-        if (first >= 0 && first < 3.0) {
+        if (first < 0) { raw(name) = Seq(first); first }
+        else {
           val again = Seq.fill(2)(time(materialize(fn(spark, sfDir))))
+          raw(name) = first +: again
           // a failed re-run returns the -1 sentinel; a median over mixed
           // sentinel/real values is meaningless — keep the good first
           // sample instead of letting -1 shadow a real failure mode
           if (again.exists(_ < 0)) first
           else (first +: again).sorted.apply(1)
-        } else first
+        }
     }
     // reference-scale CDC pipeline: 2M change events → curated. Envelopes
     // are materialized to parquet OUTSIDE the timed window so the metric
@@ -65,8 +92,9 @@ object Bench {
       materialize(graft.queries.CdcBench.curatedFromEnvelopes(
         spark.read.parquet(cdcDir)))
     cdcRun() // warm-up: page cache + codegen, untimed
-    val cdcTimes = (1 to 3).map(_ => time(cdcRun())).sorted
-    results("cdc_pipeline_2m") = cdcTimes(1)
+    val cdcTimes = (1 to 3).map(_ => time(cdcRun()))
+    raw("cdc_pipeline_2m") = cdcTimes
+    results("cdc_pipeline_2m") = cdcTimes.sorted.apply(1)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -94,7 +122,14 @@ object Bench {
           cwd.resolve(f"bench/bench_r${maxR + 1}%02d.json")
         }
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(out, json + "\n")
+      // the committed artifact additionally carries every RAW sample, so
+      // a future "is this figure real or a cold outlier?" question is
+      // answerable from the artifact alone (the stdout line stays medians
+      // only — it is the driver's fixed one-line contract)
+      val rawJson = raw.map { case (k, v) =>
+        s"\"" + k + "\":[" + v.mkString(",") + "]" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(out,
+        json.dropRight(1) + s""","samples":$rawJson}""" + "\n")
       System.err.println(s"[bench] full results written to $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }

