@@ -20,10 +20,15 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     def time(f: => Unit): Double = {
-      // GC first: iterative queries localCheckpoint per round, and the
-      // previous run's checkpoint blocks stay pinned in the block manager
-      // until their RDDs are collected — without this, run N's storage
-      // memory is charged to run N+1 (the round-4 in-sweep inflation).
+      // Drop cached frames + GC first: several ops return `.cache()`d
+      // results (the caller owns unpersist — here, nobody), so across
+      // ~460 samples the CacheManager registry grows and every later
+      // query's plan-lookup walks it; and iterative queries'
+      // localCheckpoint blocks stay pinned until their RDDs are
+      // collected — without this, run N's storage memory and registry
+      // are charged to run N+1 (the round-4 in-sweep inflation). Each
+      // sample measures real work, never a prior sample's cache hit.
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       try f catch { case e: Throwable =>
