@@ -34,19 +34,19 @@ object GraphOps {
     * rank `base` and contributes nothing (standard lost-mass
     * simplification); with a symmetrized edge list there are none.
     *
-    * Scale shape: the edge list (with out-degree computed once by a
-    * src-partitioned window, checkpointed) is the only large dataset.
-    * Each iteration is one join of ranks onto edges by `src` (broadcast
-    * below `maxBroadcastNodes`, shuffled otherwise), the per-edge
-    * contributions unioned with a zero seed per node, and ONE shuffle —
-    * the dst-keyed sum with map-side partials — which also applies the
-    * damping update (the seeded 0 replaces a rank-update left join).
-    * Nothing is collected to the driver but a node count; lineage is cut
-    * every `cutEvery` iterations so the plan stays bounded, not
-    * corpus-deep. Callers whose edge plan is expensive (joins, dedup)
-    * should `.cutLineage()` it first — the op reads its input twice
-    * (window pass + nodes pass) and deliberately never copies what might
-    * be a cheap re-readable scan.
+    * Scale shape: the edge list (checkpointed once, on entry) is the
+    * only large dataset. Nodes and out-degrees come from ONE map-side-
+    * combined aggregation over (src→1, dst→0) tags — node-sized partials
+    * reach the exchange, where a degree window would sort the full edge
+    * list — and the static degree then rides the rank frame, so no
+    * per-iteration degree join exists. Each iteration is one join of
+    * ranks onto the edge checkpoint by `src` (broadcast below
+    * `maxBroadcastNodes`, shuffled otherwise), the per-edge contributions
+    * unioned with a zero seed per node, and ONE shuffle — the dst-keyed
+    * sum with map-side partials — which also applies the damping update
+    * (the seeded 0 replaces a rank-update left join). Nothing is
+    * collected to the driver but a node count; lineage is cut every
+    * `cutEvery` iterations so the plan stays bounded, not corpus-deep.
     *
     * @param edges   directed edges as columns `src`, `dst` (BIGINT-like)
     * @param iters   fixed iteration count (no convergence collect)
@@ -78,24 +78,26 @@ object GraphOps {
     require((unit * (dampDen - dampNum)) % dampDen == 0,
       s"unit·(dampDen-dampNum) must divide by dampDen for an integral base")
     val base = unit * (dampDen - dampNum) / dampDen
-    val e = edges.select(col("src"), col("dst"))
-    // out-degree as a window count over src: ONE exchange and ONE
-    // evaluation of the caller's edge plan, where a groupBy+join would
-    // shuffle twice and evaluate it twice. The src-partitioned window
-    // concentrates a hub's edges in one task — same skew the degree JOIN
-    // would have had; at power-law extremes pre-cut the edge plan and
-    // let AQE split the join instead (pass the degree in yourself).
-    val withDeg = e.withColumn("deg",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src"))))
+    // materialize the caller's edge plan once; the degree pass and every
+    // iteration's contribution join re-read the checkpoint, never the
+    // (possibly join-shaped) upstream plan
+    val eCut = edges.select(col("src"), col("dst")).cutLineage()
+    // nodes AND out-degree from ONE map-side-combined aggregation: tag
+    // src occurrences 1 and dst occurrences 0, sum per node. Kilobytes
+    // per partition reach the exchange (node-sized partials), where the
+    // previous src-partitioned window SORTED the full edge list to count
+    // — the sort was q89's single largest stage. Dangling nodes (only
+    // ever a dst) come out with deg=0 and contribute nothing, exactly
+    // the old semantics. The static degree then RIDES the rank frame, so
+    // no per-iteration degree join exists at all.
+    val nodeDeg = eCut.select(col("src").as("node"), lit(1L).as("d"))
+      .unionByName(eCut.select(col("dst").as("node"), lit(0L).as("d")))
+      .groupBy(col("node")).agg(sum(col("d")).as("deg"))
       .cutLineage()
-    val nodes = withDeg.select(col("src").as("node"))
-      .union(withDeg.select(col("dst").as("node")))
-      .distinct().cutLineage()
     // one count over the checkpointed node list decides the join strategy
     // for EVERY iteration — a checkpoint-backed frame has no stats, so
     // without the hint Catalyst would shuffle the edge list each round
-    val small = nodes.count() <= maxBroadcastNodes
+    val small = nodeDeg.count() <= maxBroadcastNodes
     // On a broadcast-small graph every per-iteration stage is tiny and
     // pre-hinted, so AQE's runtime re-planning is pure job overhead
     // (measured: 20 jobs → 13, ~20% wall). The eager checkpoint cuts
@@ -105,29 +107,34 @@ object GraphOps {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = sess.conf.get(aqeKey, "true")
     if (small) sess.conf.set(aqeKey, "false")
-    var ranks = nodes.withColumn("r", lit(unit))
+    var ranks = nodeDeg.select(col("node"), lit(unit).as("r"), col("deg"))
     try {
       (1 to iters).foreach { i =>
-        val rsrc = ranks.withColumnRenamed("node", "src")
+        val rsrc = ranks.select(col("node").as("src"), col("r"), col("deg"))
         // fused update: per-edge contributions UNIONed with a zero seed
         // per node, then ONE dst-keyed agg — `base + damp·sum div dampDen`
         // with a seeded 0 is exactly the old left-join's coalesce(s, 0),
         // so one exchange replaces the contribution agg + rank-update
-        // join pair.
-        val contribIn = withDeg
+        // join pair. The seed rows also re-assert the static degree
+        // (contribution rows carry null), so `max(deg)` restores it
+        // without a join: every node has exactly one seed row.
+        val contribIn = eCut
           .join(if (small) broadcast(rsrc) else rsrc, Seq("src"))
-          .select(col("dst").as("node"), expr("r div deg").as("c"))
+          .select(col("dst").as("node"), expr("r div deg").as("c"),
+            lit(null).cast("long").as("deg"))
           // ranks always carries every node, so it doubles as the seed
-          .unionByName(ranks.select(col("node"), lit(0L).as("c")))
-        val next = contribIn.groupBy(col("node")).agg(sum(col("c")).as("s"))
+          .unionByName(ranks.select(col("node"), lit(0L).as("c"), col("deg")))
+        val next = contribIn.groupBy(col("node"))
+          .agg(sum(col("c")).as("s"), max(col("deg")).as("deg"))
           .select(col("node"),
-            (lit(base) + expr(s"($dampNum * s) div $dampDen")).as("r"))
+            (lit(base) + expr(s"($dampNum * s) div $dampDen")).as("r"),
+            col("deg"))
         // lazy on the last iteration: the caller may only sample the result
         ranks =
           if (i % cutEvery == 0 || i == iters) next.cutLineage(eager = i != iters)
           else next
       }
     } finally if (small) sess.conf.set(aqeKey, aqeWas)
-    ranks
+    ranks.select(col("node"), col("r"))
   }
 }

@@ -106,7 +106,13 @@ object MultimodalOps {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (rgbSeed * 2654435761L & 0xffffffL).toInt
-    (0 until height).foreach(y => (0 until width).foreach(x => img.setRGB(x, y, rgb)))
+    // one optimized raster fill — same pixels (and therefore identical
+    // encoded bytes) as the per-pixel setRGB loop, without w·h JNI-ish
+    // color-model conversions per image
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, width, height)
+    g.dispose()
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray

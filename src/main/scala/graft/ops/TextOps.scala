@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Lineage.LineageSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
@@ -573,11 +574,17 @@ object TextOps {
     * result is independent of partitioning and row order — what makes the
     * op oracle-checkable at 4 decimals. */
   def bigramLmScores(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Tokenize ONCE: the unigram pass, the bigram pass, and the term join
+    // all read the materialized token arrays (≈ corpus-sized, one
+    // sequential write) — un-cut, the tokenizer ran 4× because the plan
+    // references `toks` from four subtrees and no exchange lines up.
     val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-    val stream = toks.select(col(idCol), explode(col("toks")).as("w"))
+      .cutLineage()
+    val stream = toks.select(explode(col("toks")).as("w"))
     val uni = stream.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val vocab = stream.agg(countDistinct(col("w")).as("v"))
+    // |vocab| = the unigram table's row count — no second corpus pass
+    val vocab = uni.agg(count(lit(1)).as("v"))
     val bg = toks.select(col(idCol), posexplode(expr(
         """zip_with(slice(toks, 1, size(toks) - 1),
           |         slice(toks, 2, size(toks) - 1),
