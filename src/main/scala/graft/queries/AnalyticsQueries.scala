@@ -641,7 +641,29 @@ object AnalyticsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Z-order layout key (q155): customers projected onto a 16-bit
+    * (custkey, acctbal-cents) grid by their actual min/max bounds, then
+    * Morton-interleaved into one clustering key — the sort key
+    * [[graft.ops.LayoutOps.writeZOrdered]] lays files out by so scans
+    * filtering on EITHER column prune by footer stats. All exact integer
+    * bit arithmetic (magic-number spread), so DuckDB reproduces every
+    * z-value bit-for-bit; first 200 cells returned. */
+  def q155ZOrderKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer").select($"c_custkey",
+      floor($"c_acctbal" * 100.0 + 0.5).cast("long").as("cents"))
+    val b = c.agg(min($"c_custkey").as("a0"), max($"c_custkey").as("a1"),
+      min($"cents").as("b0"), max($"cents").as("b1"))
+    c.crossJoin(broadcast(b))
+      .select($"c_custkey",
+        graft.ops.LayoutOps.zValue2(
+          graft.ops.LayoutOps.scaleToGrid($"c_custkey", $"a0", $"a1"),
+          graft.ops.LayoutOps.scaleToGrid($"cents", $"b0", $"b1")).as("zval"))
+      .orderBy($"zval", $"c_custkey").limit(200)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_zorder" -> (q155ZOrderKey _),
     "q126_quarantine" -> (q126Quarantine _),
     "q118_rolling_wau" -> (q118RollingWau _),
     "q117_mv_hit" -> (q117MvHit _),
@@ -670,6 +692,32 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_zorder" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |b AS (
+        |  SELECT min(c_custkey) AS a0, max(c_custkey) AS a1,
+        |         min(cents) AS b0, max(cents) AS b1
+        |  FROM c),
+        |g AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN a1 = a0 THEN 0
+        |      ELSE ((c_custkey - a0) * 65535) // (a1 - a0) END AS gx,
+        |    CASE WHEN b1 = b0 THEN 0
+        |      ELSE ((cents - b0) * 65535) // (b1 - b0) END AS gy
+        |  FROM c CROSS JOIN b),
+        |s1 AS (SELECT c_custkey, (gx | (gx << 8)) & 16711935 AS x1,
+        |              (gy | (gy << 8)) & 16711935 AS y1 FROM g),
+        |s2 AS (SELECT c_custkey, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |              (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT c_custkey, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |              (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT c_custkey, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |              (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        |SELECT c_custkey, (x4 | (y4 << 1)) AS zval
+        |FROM s4 ORDER BY zval, c_custkey LIMIT 200""".stripMargin,
     "q126_quarantine" ->
       """SELECT doc_id, lang, n_chars,
         |  concat_ws(';',

@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.LayoutOps
+import org.apache.spark.sql.functions._
+
+class LayoutOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue2 interleaves bits (hand-checked + magic == per-bit form)") {
+    // x=3 (bits 0,1 -> z bits 0,2), y=1 (bit 0 -> z bit 1): z = 0b0111
+    val hand = Seq((3L, 1L)).toDF("x", "y")
+      .select(LayoutOps.zValue2(col("x"), col("y"))).head().getLong(0)
+    assert(hand == 7L)
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = pts.toDF("x", "y")
+    val magic = df.select(LayoutOps.zValue2(col("x"), col("y"))).collect().map(_.getLong(0))
+    val perBit = df.select(LayoutOps.zValueN(Seq(col("x"), col("y")), 16))
+      .collect().map(_.getLong(0))
+    assert(magic.toSeq == perBit.toSeq)
+  }
+
+  test("zValueN handles 3 dimensions and rejects invalid shapes") {
+    // x=1,y=1,z=1 with d=3: bits 0,1,2 set -> 7
+    val v = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(LayoutOps.zValueN(Seq(col("a"), col("b"), col("c")), 4))
+      .head().getLong(0)
+    assert(v == 7L)
+    intercept[IllegalArgumentException] {
+      LayoutOps.zValueN(Seq(col("a")), 16)
+    }
+    intercept[IllegalArgumentException] {
+      LayoutOps.zValueN(Seq(col("a"), col("b"), col("c"), col("a")), 16)
+    }
+  }
+
+  test("scaleToGrid maps bounds to grid extremes, exactly and monotonically") {
+    val df = Seq(100L, 150L, 200L).toDF("v")
+      .select(LayoutOps.scaleToGrid(col("v"), lit(100L), lit(200L)).as("g"))
+    val g = df.collect().map(_.getLong(0))
+    assert(g(0) == 0L && g(2) == 65535L && g(1) > 0L && g(1) < 65535L)
+    // degenerate column: everything lands in cell 0
+    val d = Seq(5L).toDF("v")
+      .select(LayoutOps.scaleToGrid(col("v"), lit(5L), lit(5L))).head().getLong(0)
+    assert(d == 0L)
+  }
+
+  test("z-ordered layout prunes on BOTH columns; linear only on its sort key") {
+    // two independent uniform dimensions, deterministic from the id
+    val n = 20000
+    val df = spark.range(n.toLong).select(
+      (xxhash64(col("id")).bitwiseAND(lit(0x7FFFFFFFL)) % 100000L).as("a"),
+      (xxhash64(col("id"), lit(1)).bitwiseAND(lit(0x7FFFFFFFL)) % 100000L).as("b"))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val lDir = java.nio.file.Files.createTempDirectory("linear").toString
+    LayoutOps.writeZOrdered(df, "a", "b", zDir, numFiles = 16)
+    LayoutOps.writeLinearOrdered(df, "a", lDir, numFiles = 16)
+    // clustering must not lose or duplicate rows
+    assert(spark.read.parquet(zDir).count() == n)
+
+    // a selective box on the NON-sort column b: the a-sorted layout has
+    // b uniform in every file (all files overlap); the z-ordered layout
+    // confines each b-range to a subset of files
+    val bBox = Map("b" -> (0L, 12000L))
+    val (zB, zTot) = LayoutOps.filesOverlappingBox(spark, zDir, bBox)
+    val (lB, lTot) = LayoutOps.filesOverlappingBox(spark, lDir, bBox)
+    assert(zTot == 16 && lTot == 16)
+    assert(lB == 16, s"control: linear layout should not prune on b (got $lB)")
+    assert(zB <= 8, s"z-order should skip at least half the files on b (got $zB)")
+
+    // a 2-D box prunes harder still
+    val box2 = Map("a" -> (0L, 12000L), "b" -> (0L, 12000L))
+    val (z2, _) = LayoutOps.filesOverlappingBox(spark, zDir, box2)
+    assert(z2 <= 4, s"2-D box should touch <= 4 of 16 z-ordered files (got $z2)")
+
+    // and Spark pushes the box predicate into the parquet scan, so the
+    // footer stats this layout tightens are what the scan prunes with
+    val scan = spark.read.parquet(zDir)
+      .filter(col("a") <= 12000L && col("b") <= 12000L)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(a,12000)"),
+      s"box predicate not pushed to scan:\n$plan")
+  }
+}
