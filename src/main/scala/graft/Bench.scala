@@ -69,6 +69,27 @@ object Bench {
     // queries to stop one query's garbage billing the next) make the
     // recorded figure the query's own cost, not the sweep's history.
     val raw = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // reference-scale CDC pipeline: 2M change events → curated. Envelopes
+    // are materialized to parquet OUTSIDE the timed window so the metric
+    // measures the engine's parse/merge/join path, not the JSON generator.
+    // The figure is the MEDIAN of 3 timed runs after one untimed warm-up.
+    // This block runs BEFORE the query sweep, right after its input is
+    // written: measured at the END of the ~460-sample sweep, the ~1 GB
+    // envelope parquet has been evicted from the page cache by hundreds
+    // of intervening shuffles and the same pipeline recorded 11-25 s
+    // where a fresh JVM measures ~3 s — sweep history, not engine cost
+    // (round-2 README documented the 10-19 s band; this ordering removes
+    // the artifact instead of documenting it).
+    val cdcDir = java.nio.file.Files.createTempDirectory("cdc-bench").toString
+    graft.queries.CdcBench.envelopes(spark, 2000000L)
+      .write.mode("overwrite").parquet(cdcDir)
+    def cdcRun(): Unit =
+      materialize(graft.queries.CdcBench.curatedFromEnvelopes(
+        spark.read.parquet(cdcDir)))
+    cdcRun() // warm-up: page cache + codegen, untimed
+    val cdcTimes = (1 to 3).map(_ => time(cdcRun()))
+    raw("cdc_pipeline_2m") = cdcTimes
+    results("cdc_pipeline_2m") = cdcTimes.sorted.apply(1)
     selected.sortBy(_._1).foreach { case (name, fn) =>
       val first = time(materialize(fn(spark, sfDir)))
       results(name) =
@@ -83,23 +104,6 @@ object Bench {
           else (first +: again).sorted.apply(1)
         }
     }
-    // reference-scale CDC pipeline: 2M change events → curated. Envelopes
-    // are materialized to parquet OUTSIDE the timed window so the metric
-    // measures the engine's parse/merge/join path, not the JSON generator.
-    // The figure is the MEDIAN of 3 timed runs after one untimed warm-up:
-    // round-2 sweeps showed 10-19 s run-to-run variance dominated by cold
-    // page cache + shuffle-scratch IO, which a single sample can't
-    // average away (documented in the README).
-    val cdcDir = java.nio.file.Files.createTempDirectory("cdc-bench").toString
-    graft.queries.CdcBench.envelopes(spark, 2000000L)
-      .write.mode("overwrite").parquet(cdcDir)
-    def cdcRun(): Unit =
-      materialize(graft.queries.CdcBench.curatedFromEnvelopes(
-        spark.read.parquet(cdcDir)))
-    cdcRun() // warm-up: page cache + codegen, untimed
-    val cdcTimes = (1 to 3).map(_ => time(cdcRun()))
-    raw("cdc_pipeline_2m") = cdcTimes
-    results("cdc_pipeline_2m") = cdcTimes.sorted.apply(1)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

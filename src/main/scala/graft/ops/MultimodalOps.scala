@@ -100,6 +100,27 @@ object MultimodalOps {
 
   // ------------------------------------------------------------- encode
 
+  /** Per-thread ImageIO writer cache: `ImageIO.write` re-walks the
+    * service registry and instantiates a fresh writer per call, which
+    * dominates encode time for the small images these fixtures use.
+    * Same writer class, same default params → byte-identical output.
+    * Writers are not thread-safe, hence ThreadLocal (executor task
+    * threads each get their own). */
+  private val writerCache =
+    ThreadLocal.withInitial[scala.collection.mutable.HashMap[
+      String, javax.imageio.ImageWriter]](() =>
+      scala.collection.mutable.HashMap())
+
+  private def encodeVia(img: java.awt.image.BufferedImage,
+                        format: String): Array[Byte] = {
+    val writer = writerCache.get().getOrElseUpdate(format,
+      javax.imageio.ImageIO.getImageWritersByFormatName(format).next())
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try { writer.setOutput(ios); writer.write(img) } finally ios.close()
+    out.toByteArray
+  }
+
   /** Deterministic single-color image encoded through JDK ImageIO
     * (real PNG/JPEG/GIF/BMP containers). */
   def encodeImage(width: Int, height: Int, rgbSeed: Long, format: String): Array[Byte] = {
@@ -113,9 +134,7 @@ object MultimodalOps {
     g.setColor(new java.awt.Color(rgb))
     g.fillRect(0, 0, width, height)
     g.dispose()
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, out)
-    out.toByteArray
+    encodeVia(img, format)
   }
 
   /** Canonical 44-byte-header PCM16 mono WAV of `nSamples` silence. */
@@ -299,9 +318,7 @@ object MultimodalOps {
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, out)
-    out.toByteArray
+    encodeVia(img, format)
   }
 
   /** 64-bit perceptual average-hash of a decoded image: exact-integer

@@ -1514,7 +1514,9 @@ object LlmQueries {
       """WITH h AS (
         |  SELECT doc_id, '<html><body clAss="x"><p>'
         |    || replace(text, ' the ', ' <b>the</b> ')
-        |    || '</p><script type="text/javascript">var x = "<p>not text</p>";</script><style>p { color: red }</style>&amp;lt; &quot;q&quot; &#39;s&#39; &nbsp;&amp; &lt;tag&gt;</body></html>'
+        |    || '</p><script type="text/javascript">var x = "<p>not text</p>";'
+        |    || '</script><style>p { color: red }</style>&amp;lt; &quot;q&quot;'
+        |    || ' &#39;s&#39; &nbsp;&amp; &lt;tag&gt;</body></html>'
         |    AS html
         |  FROM documents),
         |c AS (
