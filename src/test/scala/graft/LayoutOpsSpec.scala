@@ -81,4 +81,28 @@ class LayoutOpsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(a,12000)"),
       s"box predicate not pushed to scan:\n$plan")
   }
+
+  test("FileZoneMap over a z-ordered table prunes candidates on BOTH columns") {
+    val df = spark.range(20000L).select(
+      (xxhash64(col("id")).bitwiseAND(lit(0x7FFFFFFFL)) % 100000L).as("a"),
+      (xxhash64(col("id"), lit(1)).bitwiseAND(lit(0x7FFFFFFFL)) % 100000L).as("b"))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder-zm").toString
+    val idx = java.nio.file.Files.createTempDirectory("zorder-idx").toString
+    graft.ops.LayoutOps.writeZOrdered(df, "a", "b", zDir, numFiles = 16)
+    graft.sinks.FileZoneMap.build(spark, zDir, Seq("a", "b"), idx)
+    // a selective range on EITHER interleaved column admits a file subset
+    // — the layout is what makes the zone map useful on both dimensions
+    val candA = graft.sinks.FileZoneMap.candidateFiles(spark, idx, "a", 0L, 9999L)
+    val candB = graft.sinks.FileZoneMap.candidateFiles(spark, idx, "b", 0L, 9999L)
+    assert(candA.size <= 8, s"zone map should prune on a (got ${candA.size}/16)")
+    assert(candB.size <= 8, s"zone map should prune on b (got ${candB.size}/16)")
+    // and the pruned read is answer-identical to the full-table predicate
+    val viaIndex = graft.sinks.FileZoneMap
+      .rangeLookup(spark, zDir, idx, "b", 0L, 9999L)
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("s")).head()
+    val direct = spark.read.parquet(zDir)
+      .filter(col("b") >= 0L && col("b") <= 9999L)
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("s")).head()
+    assert(viaIndex == direct)
+  }
 }
