@@ -1,0 +1,51 @@
+package graft
+
+/** Multi-executor parity gate: the representative query set below runs
+  * in a child JVM on `local-cluster[2,2,1536]` (separate executor
+  * processes — see [[ClusterParityDemo]]) and every result must equal
+  * the shared local[4] session's answer row-for-row.
+  *
+  * The set is chosen for serialization surface, not breadth: custom
+  * imperative aggregate buffers (count-min, SpaceSaving, KMV), the PQ
+  * codebook reference-object expressions, per-executor codec caches
+  * (multimodal ThreadLocals are exercised transitively by the minhash
+  * fixtures), iterative lineage cuts (PageRank), the CDC JSON
+  * round-trip, Expand-based CUBE, and the as-of join. Every query here
+  * is engineered order-independent, so cross-JVM equality is exact.
+  */
+class ClusterParitySpec extends SparkSpec {
+
+  private val names = Seq(
+    "q1_agg", "q4_join_multi", "q21_cdc_roundtrip", "q27_minhash_lsh",
+    "q44_asof_join", "q51_approx_stats", "q74_bpe_pairs", "q79_ann_pq",
+    "q89_pagerank", "q93_count_min", "q125_heavy_ivm", "q151_kmv_overlap",
+    "q136_line_dedup", "q156_cube")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("local-cluster answers equal local answers for the parity set") {
+    val outDir = tmpDir("cluster-parity")
+    val logF = java.nio.file.Files.createTempFile("cluster-parity", ".log")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val pb = new ProcessBuilder(
+      javaBin, "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.ClusterParityDemo", sfDir, outDir, names.mkString(","))
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logF.toFile)
+    val p = pb.start()
+    val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+    val log = java.nio.file.Files.readString(logF)
+    if (!done) { p.destroyForcibly(); fail(s"parity demo timed out; tail:\n${log.takeRight(2000)}") }
+    assert(p.exitValue() == 0,
+      s"parity demo exit ${p.exitValue()}; tail:\n${log.takeRight(3000)}")
+
+    names.foreach { name =>
+      val cluster = spark.read.parquet(s"$outDir/$name")
+        .toJSON.collect().sorted.toSeq
+      val local = SparkEntry.queries(name)(spark, sfDir)
+        .toJSON.collect().sorted.toSeq
+      assert(cluster == local, s"$name differs between local-cluster and local")
+    }
+  }
+}
