@@ -650,4 +650,37 @@ object TextOps {
       .orderBy(col("lift_e6").desc, col("c12").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** TF-IDF keyword extraction: the `topK` most characteristic terms per
+    * document, scored `tf · ln(N/df)` and rounded to 4 decimals — the
+    * classic per-document summary signal (search snippets, topic
+    * labeling, near-dup explanation).
+    *
+    * Shape at 100 TB: one (doc,term) count aggregate (map-side
+    * combined), a VOCABULARY-sized doc-frequency aggregate derived from
+    * it (never a second corpus pass), a 1-row corpus count broadcast,
+    * one term-keyed join of the doc-term table against the vocabulary
+    * (AQE broadcasts the vocab side when it fits), and a doc-partitioned
+    * row_number window — no global sort, nothing driver-side.
+    *
+    * Determinism contract: the window ranks by the ROUNDED score (then
+    * term) so engines that differ in `ln`'s last ulp still rank
+    * identically — same convention as [[bigramLmScores]]. */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    topK: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score4").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score4",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("score4"))
+  }
 }

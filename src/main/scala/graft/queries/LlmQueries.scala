@@ -282,6 +282,19 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** TF-IDF keyword extraction (q157): top-3 most characteristic terms
+    * per document over a bounded sub-corpus. The window ranks by the
+    * ROUNDED score then term, so DuckDB's ln and Java's ln agree on
+    * order even at last-ulp differences — same determinism convention
+    * as q80. */
+  def q157Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.tfidfTopTerms(
+      Tables.load(s, dir, "documents").filter($"doc_id" < 100),
+      "text", "doc_id", topK = 3)
+      .orderBy($"doc_id", $"rank")
+  }
+
   /** Multimodal: synthesize REAL media containers (ImageIO-encoded
     * PNG/JPEG/GIF, canonical WAV, stub video bytes), then run the
     * partition-batched extractor whose dims/format come from a REAL
@@ -1119,6 +1132,7 @@ object LlmQueries {
     "q82_sampled_agg" -> (q82SampledAgg _),
     "q81_semdedup" -> (q81SemDedup _),
     "q80_lm_score" -> (q80LmScore _),
+    "q157_tfidf" -> (q157Tfidf _),
     "q79_ann_pq" -> (q79AnnPq _),
     "q78_ann_int8" -> (q78AnnInt8 _),
     "q77_incremental_neardup" -> (q77IncrementalNearDedup _),
@@ -1674,6 +1688,26 @@ object LlmQueries {
          |  d.dup_of
          |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    "q157_tfidf" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS term FROM docs),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE length(term) > 0 GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score4
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score4,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score4 DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, score4 FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q80_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, TOKS AS toks FROM documents WHERE len(TOKS) >= 2),

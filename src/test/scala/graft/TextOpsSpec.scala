@@ -318,4 +318,30 @@ class TextOpsSpec extends SparkSpec {
     assert(df.select(TextOps.compressionRatio($"text")).collect()
       .zip(again).forall { case (a, b) => a == b })
   }
+
+  test("tfidfTopTerms scores and ranks by hand-checked tf·ln(N/df)") {
+    // N=3: "cat" in all docs (ln(1)=0, never characteristic), "fish"
+    // only in doc 1 (ln 3), "dog" in docs 2+3 (ln 1.5)
+    val df = Seq(
+      (1L, "cat fish fish"),
+      (2L, "cat dog"),
+      (3L, "cat dog dog dog")).toDF("id", "text")
+    val got = TextOps.tfidfTopTerms(df, "text", "id", topK = 2)
+      .orderBy($"id", $"rank")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    def s(tf: Int, ratio: Double) =
+      math.rint(tf * math.log(ratio) * 10000) / 10000
+    assert(got == Seq(
+      (1L, 1L, "fish", s(2, 3.0)),   // 2·ln(3/1)
+      (1L, 2L, "cat", 0.0),          // 1·ln(3/3)
+      (2L, 1L, "dog", s(1, 1.5)),    // 1·ln(3/2)
+      (2L, 2L, "cat", 0.0),
+      (3L, 1L, "dog", s(3, 1.5)),    // 3·ln(3/2)
+      (3L, 2L, "cat", 0.0)))
+    // empty and null docs contribute nothing and emit nothing
+    val e = TextOps.tfidfTopTerms(
+      Seq((1L, "a b"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("id", "text"), "text", "id")
+    assert(e.select($"id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+  }
 }
