@@ -662,7 +662,28 @@ object AnalyticsQueries {
       .orderBy($"zval", $"c_custkey").limit(200)
   }
 
+  /** Cohort retention matrix (q158): users bucketed by first-activity
+    * week (Monday-aligned weeks since 1970-01-05), counted once per
+    * (cohort, weeks-since-first) cell they were active in. Two shuffles
+    * total at any scale — the per-user first-activity aggregate and the
+    * cell distinct+count (the user⋈first join shuffles on the SAME
+    * user_id key, so it reuses the first aggregate's partitioning). */
+  def q158CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id", to_date($"ts").as("d"))
+    val first = ev.groupBy($"user_id").agg(min($"d").as("d0"))
+    ev.join(first, Seq("user_id"))
+      .select($"user_id",
+        floor(datediff($"d0", lit("1970-01-05")) / 7).as("cohort_week"),
+        floor(datediff($"d", $"d0") / 7).as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q158_cohort_retention" -> (q158CohortRetention _),
     "q155_zorder" -> (q155ZOrderKey _),
     "q126_quarantine" -> (q126Quarantine _),
     "q118_rolling_wau" -> (q118RollingWau _),
@@ -692,6 +713,18 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |first AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id),
+        |cells AS (
+        |  SELECT DISTINCT ev.user_id,
+        |    datediff('day', DATE '1970-01-05', d0) // 7 AS cohort_week,
+        |    datediff('day', d0, d) // 7 AS week_offset
+        |  FROM ev JOIN first USING (user_id))
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM cells
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q155_zorder" ->
       """WITH c AS (
         |  SELECT c_custkey,

@@ -32,7 +32,9 @@ class PlanAssertionsSpec extends SparkSpec {
       "q78_ann_int8" /* int8 coarse scan broadcasts the query batch */,
       "q79_ann_pq" /* PQ ADC coarse scan broadcasts the query tables */,
       "q80_lm_score" /* 1-row vocab scalar broadcast join */,
-      "q93_count_min" /* 1-row sketch matrix broadcast join */)
+      "q93_count_min" /* 1-row sketch matrix broadcast join */,
+      "q155_zorder" /* 1-row grid-bounds scalar broadcast join */,
+      "q157_tfidf" /* 1-row corpus-count scalar broadcast join */)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
