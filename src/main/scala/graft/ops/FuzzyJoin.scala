@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join without a cartesian product
+  * (PassJoin's segment-filter candidate generation — Li, Deng, Feng,
+  * VLDB 2011 — re-expressed as two explodes and one equi-join).
+  *
+  * Problem: all id pairs whose strings are within Levenshtein distance
+  * `k`. The naive plan is a cross join with a `levenshtein()` residual —
+  * a nested loop Catalyst cannot save, quadratic at any scale. The
+  * pigeonhole escape: partition a string into `k+1` contiguous segments;
+  * any `t` with `ed(s, t) ≤ k` must contain at least ONE of `s`'s
+  * segments as an exact substring (k edits can touch at most k
+  * segments), and that substring's position in `t` can drift at most
+  * `k` characters from its position in `s` (fewer than `|pos_t − pos_s|`
+  * edits cannot shift a block that far). So:
+  *
+  *  - index side: each string emits its `k+1` segments, keyed by
+  *    (string-length, segment-index, segment-text);
+  *  - probe side: each string emits, for every indexed length `l` within
+  *    `±k` of its own, every substring that could equal segment `i` of a
+  *    length-`l` string (positions `start_i(l) ± k`) — a constant
+  *    `O((2k+1)²(k+1))` fan-out per row, independent of corpus size;
+  *  - one equi-join on the 4-part key yields candidates, distinct'd and
+  *    then verified with the codegen'd `levenshtein(..., threshold)`
+  *    (Spark prunes the DP band at `k`, so verification is O(k·|s|) per
+  *    pair, not O(|s|²)).
+  *
+  * Every stage is an explode, an equi-shuffle, or a projection: the
+  * plan scales out on the join key like any hash join and AQE can split
+  * a hot block. Worst case is data-driven, not plan-driven: a corpus
+  * sharing a long common prefix (e.g. `Customer#0000…`) concentrates
+  * candidates in the shared-segment blocks and degrades toward
+  * verify-all-pairs WITHIN those blocks — the length and position
+  * constraints are what keep that block bounded, and the verify step
+  * still caps per-pair cost at O(k·|s|).
+  *
+  * Output: one row per unordered pair, `id1 < id2`, with both strings
+  * and the exact distance — deterministic, engine-portable (the DuckDB
+  * oracle is the brute-force quadratic form; q160 gates equality).
+  */
+object FuzzyJoin {
+
+  /** All unordered id pairs with `levenshtein(str1, str2) ≤ k`.
+    *
+    * @param df     input with an id column (orderable, unique) and a
+    *               non-null string column
+    * @param idCol  id column name
+    * @param strCol string column name
+    * @param k      maximum edit distance (≥ 1; 0 is plain dedup — use
+    *               [[DedupOps]])
+    * @return (id1, id2, str1, str2, dist) with id1 < id2, dist ≤ k
+    */
+  def selfEditDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                           k: Int): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1 (got $k); exact duplicates are DedupOps")
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .where(col("__s").isNotNull)
+    // ---- index side: the k+1 segments of each string ------------------
+    // Segment plan for a string of length L: the first (k+1 − L mod (k+1))
+    // segments have length L div (k+1), the rest one more — fully
+    // determined by L, so the probe side can reconstruct it from the
+    // length alone. seg_start/seg_len computed in one sequence explode.
+    val nseg = k + 1
+    val segs = base
+      .withColumn("__len", length(col("__s")))
+      .where(col("__len") >= nseg) // shorter strings: every segment ≥ 1 char
+      .select(col("__id"), col("__s"), col("__len"),
+        explode(expr(s"sequence(0, $k)")).as("__i"))
+      .withColumn("__base", expr(s"__len div $nseg"))
+      .withColumn("__rem", expr(s"__len % $nseg"))
+      // segment i starts after (i) bases plus the extra chars handed to
+      // the earlier long segments: long segments are the LAST `rem` ones
+      .withColumn("__seglen",
+        expr(s"__base + if(__i >= $nseg - __rem, 1, 0)"))
+      .withColumn("__segstart",
+        expr(s"__i * __base + greatest(0, __i - ($nseg - __rem))"))
+      .select(col("__id").as("__rid"), col("__s").as("__rs"),
+        col("__len").as("__rlen"), col("__i"),
+        expr("substring(__s, __segstart + 1, __seglen)").as("__seg"))
+    // ---- probe side: candidate substrings against each nearby length --
+    val probes = base
+      .withColumn("__len", length(col("__s")))
+      .select(col("__id"), col("__s"), col("__len"),
+        explode(expr(s"sequence(__len - $k, __len + $k)")).as("__l"))
+      .where(col("__l") >= nseg)
+      .select(col("__id"), col("__s"), col("__len"), col("__l"),
+        explode(expr(s"sequence(0, $k)")).as("__i"))
+      .withColumn("__base", expr(s"__l div $nseg"))
+      .withColumn("__rem", expr(s"__l % $nseg"))
+      .withColumn("__seglen",
+        expr(s"__base + if(__i >= $nseg - __rem, 1, 0)"))
+      .withColumn("__segstart",
+        expr(s"__i * __base + greatest(0, __i - ($nseg - __rem))"))
+      // position drift window ±k, clamped to the probe string's bounds
+      // (empty windows filtered BEFORE the explode: Spark's sequence()
+      // walks DESCENDING when start > stop instead of returning empty)
+      .withColumn("__plo", expr(s"greatest(0, __segstart - $k)"))
+      .withColumn("__phi", expr(s"least(__len - __seglen, __segstart + $k)"))
+      .where(col("__phi") >= col("__plo"))
+      .select(col("__id"), col("__s"), col("__l"), col("__i"),
+        col("__seglen"),
+        explode(expr("sequence(__plo, __phi)")).as("__p"))
+      .select(col("__id").as("__pid"), col("__s").as("__ps"),
+        col("__l").as("__rlen"), col("__i"),
+        expr("substring(__s, __p + 1, __seglen)").as("__seg"))
+    // ---- candidates: 4-part equi-join ---------------------------------
+    // Pair order canonicalized AFTER the join: a short string (< k+1
+    // chars) is never indexed, so its pairs arise in only one direction
+    // and an `indexed-id < probe-id` filter would drop half of them.
+    val candsLong = segs.join(probes, Seq("__rlen", "__i", "__seg"))
+      .where(col("__rid") =!= col("__pid"))
+      .select(
+        least(col("__rid"), col("__pid")).as("id1"),
+        greatest(col("__rid"), col("__pid")).as("id2"),
+        when(col("__rid") < col("__pid"), col("__rs")).otherwise(col("__ps"))
+          .as("str1"),
+        when(col("__rid") < col("__pid"), col("__ps")).otherwise(col("__rs"))
+          .as("str2"))
+    // ---- short×short pool: both ends under k+1 chars ------------------
+    // Neither end can be indexed (segments would be empty), so pigeonhole
+    // never fires; but ed ≥ |len diff| bounds partners to length ≤ 2k+1.
+    // Equi-join on the exploded partner length — blocks are length-of-
+    // tiny-string groups (vocabulary-bounded), never a nested loop.
+    val shorts = base.withColumn("__len", length(col("__s")))
+      .where(col("__len") < nseg)
+    val candsShort = shorts
+      .select(col("__id").as("__aid"), col("__s").as("__as"),
+        explode(expr(s"sequence(greatest(0, __len - $k), __len + $k)"))
+          .as("__blen"))
+      .join(shorts.select(col("__id").as("__bid"), col("__s").as("__bs"),
+        length(col("__s")).as("__blen")), Seq("__blen"))
+      .where(col("__aid") < col("__bid"))
+      .select(col("__aid").as("id1"), col("__bid").as("id2"),
+        col("__as").as("str1"), col("__bs").as("str2"))
+    // ---- verify: distinct candidates through the k-banded DP ----------
+    candsLong.unionByName(candsShort)
+      .distinct()
+      .withColumn("dist", levenshtein(col("str1"), col("str2"), k))
+      // threshold form returns -1 beyond the band
+      .where(col("dist") >= 0 && col("dist") <= k)
+      .select(col("id1"), col("id2"), col("str1"), col("str2"), col("dist"))
+  }
+}

@@ -137,4 +137,121 @@ object GraphOps {
     } finally if (small) sess.conf.set(aqeKey, aqeWas)
     ranks.select(col("node"), col("r"))
   }
+
+  /** Exact global triangle count by degree-ordered edge orientation
+    * (Schank–Wagner / Suri–Vassilvitskii "node-iterator++" as joins).
+    *
+    * The naive wedge join (every path u–v–w probed against the edge list)
+    * generates `Σ_v deg(v)²` wedges — quadratic in the hub degree, which
+    * is exactly what a power-law graph maximizes. Orienting every edge
+    * from its lower-(degree, id) endpoint to its higher one caps each
+    * node's OUT-degree at O(√m), so the wedge count is bounded by
+    * O(m^{3/2}) regardless of skew, and each triangle is generated
+    * exactly once (from its lowest-rank corner, with the other two
+    * corners in rank order).
+    *
+    * Plan shape: canonicalize+distinct (one shuffle), a node-sized degree
+    * aggregate joined back onto both endpoints (node-keyed shuffles, or
+    * broadcast when Catalyst sees the stats), the wedge self-join on the
+    * shared low corner, and one equi-join of wedges against oriented
+    * edges on BOTH endpoints. No cartesian anywhere; every join is
+    * equi-keyed, so AQE can re-split a residual hub block.
+    *
+    * @param edges undirected edge list as `src`, `dst` (orderable ids;
+    *              duplicates, self-loops, and both orientations tolerated)
+    * @return one row, `n_triangles` BIGINT
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // canonical undirected form: u < v, self-loops dropped, multi-edges
+    // collapsed. Checkpointed: degrees and both join sides re-read it.
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .cutLineage()
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // attach both endpoint degrees, then orient low-rank → high-rank
+    // where rank = (deg, id): `a` is the triangle corner that owns the
+    // wedge, and ties fall back to the id order the canonical form gives.
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val fwd = col("du") <= col("dv") // tie: u < v already holds
+    val oriented = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("a"),
+      when(fwd, col("v")).otherwise(col("u")).as("b"),
+      when(fwd, col("dv")).otherwise(col("du")).as("db"))
+      .cutLineage()
+    // wedges from the low corner: unordered high-pair (b, c) canonicalized
+    // by the SAME (deg, id) rank the orientation uses, so the closing edge
+    // is oriented b → c by construction and ONE equi-join probe finds it.
+    val o1 = oriented.select(col("a"), col("b"), col("db"))
+    val o2 = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val wedges = o1.join(o2, Seq("a"))
+      .where((col("db") < col("dc")) ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    wedges
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Single-source BFS distances by frontier iteration (capped hops).
+    *
+    * Per round: the frontier (nodes first reached last round) joins the
+    * edge list on `src`, the reached `dst`s are anti-joined against the
+    * visited set, and the survivors — min'd per node, because one round
+    * can reach a node through many frontier edges — become the next
+    * frontier at `dist+1`. Each round is therefore one edge-keyed join
+    * plus two node-keyed shuffles over FRONTIER-sized data; the visited
+    * set only ever grows to |V| rows of two BIGINTs.
+    *
+    * Contrast with the recursive-CTE form (q133's engine feature): the
+    * CTE's UNION dedups against the whole accumulated history every
+    * round and re-walks nodes at every distance they're reachable at
+    * (|V|·maxHops rows); the frontier form touches each node once. The
+    * CTE is the right tool for chain-walks; this is the right shape for
+    * a 100 TB graph.
+    *
+    * Unreachable nodes are absent from the output (standard BFS
+    * contract); `maxHops` bounds both the row count and the round count,
+    * and an empty frontier short-circuits (one count per round — the
+    * same driver-scalar-per-iteration budget PageRank's strategy pick
+    * spends once).
+    *
+    * @param edges   directed edges `src`, `dst`
+    * @param source  start node id
+    * @param maxHops inclusive distance cap (≥ 0)
+    * @return (node, dist) — BFS distance ≤ maxHops from `source`
+    */
+  def bfsDistances(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eCut = edges.select(col("src"), col("dst")).cutLineage()
+    var visited = Seq((source, 0L)).toDF("node", "dist")
+    var frontier = visited
+    var hop = 0L
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = eCut
+        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node"))
+        // one round reaches a node via many edges; collapse BEFORE the
+        // anti-join so the visited probe is node-distinct
+        .distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+        .cutLineage()
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.unionByName(next).cutLineage()
+        frontier = next
+      }
+    }
+    visited
+  }
 }

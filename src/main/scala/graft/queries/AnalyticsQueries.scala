@@ -682,7 +682,89 @@ object AnalyticsQueries {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** Exact triangle count (q159) over the part co-purchase graph (parts
+    * sharing a high-quantity order line). The self-join that builds the
+    * co-occurrence pairs is equi-keyed on the order — per-order fan-out
+    * is bounded by order width, never corpus size — and the counting
+    * itself is [[graft.ops.GraphOps.triangleCount]]'s degree-oriented
+    * wedge join (O(m^1.5) work bound). The oracle counts by the
+    * u<v<w enumeration instead — two independent algorithms, one exact
+    * integer. */
+  def q159Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").where($"l_quantity" >= 45)
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = li
+      .join(li.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .where($"l_partkey" =!= $"p2")
+      .select($"l_partkey".as("src"), $"p2".as("dst"))
+    graft.ops.GraphOps.triangleCount(pairs)
+  }
+
+  /** Edit-distance similarity self-join (q160): all customer-name pairs
+    * within Levenshtein distance 2, via [[graft.ops.FuzzyJoin]]'s
+    * PassJoin segment blocking — explode + equi-join + banded verify,
+    * no cartesian. The oracle is the brute-force quadratic form with
+    * DuckDB's levenshtein(), so the blocking's COMPLETENESS (not just
+    * precision) is what the hash gate checks. */
+  def q160FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = t(s, dir, "customer")
+      .where($"c_custkey" % 40 === 0)
+      .select($"c_custkey".as("id"), $"c_name".as("name"))
+    graft.ops.FuzzyJoin.selfEditDistanceJoin(names, "id", "name", k = 2)
+      .orderBy($"id1", $"id2")
+  }
+
+  /** Rolling-window anomaly detection (q161): daily event-type volumes
+    * flagged when they sit over 2σ from the trailing-7-observation mean.
+    * The z-test is cleared of division and square roots by multiplying
+    * through — `(w·n − s)² > 4·(w·ss − s²)` over integer count/sum/
+    * sum-of-squares window aggregates — so the flag is EXACT 64-bit
+    * arithmetic, bit-portable across engines, and the whole query is one
+    * date-grain aggregation plus one keyed window (no self-join against
+    * the trailing days). */
+  def q161RollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-7, -1)
+    daily.select($"event_type", $"d", $"n",
+        count(lit(1)).over(win).as("w"),
+        sum($"n").over(win).as("s"),
+        sum($"n" * $"n").over(win).as("ss"))
+      .where($"w" >= 4 &&
+        ($"w" * $"n" - $"s") * ($"w" * $"n" - $"s") >
+          lit(4) * ($"w" * $"ss" - $"s" * $"s"))
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
+        $"n", $"w".as("n_window"), $"s".as("win_sum"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Single-source BFS (q162): hop distances from one customer node over
+    * the symmetrized customer↔supplier trade graph, via
+    * [[graft.ops.GraphOps.bfsDistances]]'s frontier iteration. The
+    * oracle is DuckDB's recursive CTE over the same edges — the
+    * accumulate-and-dedup evaluation strategy the scaladoc contrasts
+    * with — so the two shapes must agree node-for-node. */
+  def q162Bfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val bi = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+    graft.ops.GraphOps.bfsDistances(bi, source = 2L, maxHops = 3)
+      .orderBy($"node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q159_triangles" -> (q159Triangles _),
+    "q160_fuzzy_join" -> (q160FuzzyJoin _),
+    "q161_rolling_anomaly" -> (q161RollingAnomaly _),
+    "q162_bfs" -> (q162Bfs _),
     "q158_cohort_retention" -> (q158CohortRetention _),
     "q155_zorder" -> (q155ZOrderKey _),
     "q126_quarantine" -> (q126Quarantine _),
@@ -713,6 +795,57 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+        |e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    "q160_fuzzy_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey % 40 = 0)
+        |SELECT a.id AS id1, b.id AS id2, a.s AS str1, b.s AS str2,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM c a JOIN c b
+        |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id1, id2""".stripMargin,
+    "q161_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |w AS (
+        |  SELECT event_type, d, n,
+        |    count(*) OVER win AS w,
+        |    sum(n) OVER win AS s,
+        |    sum(n * n) OVER win AS ss
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY d
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+        |  w AS n_window, CAST(s AS BIGINT) AS win_sum
+        |FROM w
+        |WHERE w >= 4 AND (w*n - s)*(w*n - s) > 4*(w*ss - s*s)
+        |ORDER BY event_type, day""".stripMargin,
+    "q162_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |walk(node, dist) AS (
+        |  SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT bi.dst, w.dist + 1 FROM walk w JOIN bi ON w.node = bi.src
+        |  WHERE w.dist < 3)
+        |SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
     "q158_cohort_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         |first AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id),

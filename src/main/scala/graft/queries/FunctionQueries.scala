@@ -421,7 +421,42 @@ object FunctionQueries {
       .orderBy($"p1", $"p2")
   }
 
+  /** Incremental JOIN maintenance (q163): orders ⋈ lineitem kept current
+    * across interleaved append batches on BOTH sides via
+    * [[graft.ops.IncrementalJoin]] — each append joins only its delta
+    * against the other side's key-clustered state (Δ-rule multiset IVM),
+    * with mid-stream output AND side-store compactions (result-invariant
+    * by contract) plus a replayed batch (exactly-once under crash-replay).
+    * The final read must equal the oracle's one-shot join — the maintained
+    * multiset is gated end to end without ever re-running the full join. */
+  def q163JoinIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalJoin
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val st = IncrementalJoin.stores(s,
+      java.nio.file.Files.createTempDirectory("q163join").toString)
+    val on = Seq("okey")
+    IncrementalJoin.appendLeft(st, orders.filter($"okey" % 3 === 0), on, 0L)
+    IncrementalJoin.appendRight(st, li.filter($"okey" % 2 === 0), on, 10L)
+    IncrementalJoin.appendLeft(st, orders.filter($"okey" % 3 === 1), on, 1L)
+    IncrementalJoin.compactOut(st)
+    IncrementalJoin.compactSides(st)
+    IncrementalJoin.appendRight(st, li.filter($"okey" % 2 === 1), on, 11L)
+    // crash-replay: batch 11 re-applied verbatim — dedup must absorb it
+    IncrementalJoin.appendRight(st, li.filter($"okey" % 2 === 1), on, 11L)
+    IncrementalJoin.appendLeft(st, orders.filter($"okey" % 3 === 2), on, 2L)
+    IncrementalJoin.current(st)
+      .groupBy($"o_orderstatus", $"l_returnflag")
+      .agg(sum($"n").as("n_pairs"), sum($"cents" * $"n").as("sum_cents"))
+      .orderBy($"o_orderstatus", $"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q163_join_ivm" -> (q163JoinIvm _),
     "q151_kmv_overlap" -> (q151KmvOverlap _),
     "q152_overlap_ivm" -> (q152OverlapIvm _),
     "q108_sketch_ivm" -> (q108SketchIvm _),
@@ -455,6 +490,14 @@ object FunctionQueries {
       |ORDER BY p1, p2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q163_join_ivm" ->
+      """SELECT o.o_orderstatus, l.l_returnflag,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderstatus, l.l_returnflag
+        |ORDER BY o.o_orderstatus, l.l_returnflag""".stripMargin,
     // q152 maintains q151's result incrementally — the IVM gate is that
     // the identical oracle holds for the store-answered matrix
     "q152_overlap_ivm" -> kmvOverlapOracle,

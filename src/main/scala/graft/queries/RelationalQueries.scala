@@ -407,6 +407,29 @@ object RelationalQueries {
       .orderBy($"status", $"priority")
   }
 
+  /** CUBE with GROUPING() disambiguation (q156): all four
+    * (returnflag × linestatus) granularities of the revenue aggregate
+    * from ONE Expand-based pass — the naive UNION-of-four-GROUP-BYs form
+    * scans the fact table 4×. Unlike q113's 'ALL' labels, this keeps the
+    * `grouping()` flags as first-class output columns — the portable way
+    * to tell a subtotal row from a genuinely NULL key (the coalesce
+    * trick is ambiguous the day a key column admits NULLs). Cents
+    * quantization keeps the sum exact across engines. */
+  def q156Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"l_extendedprice" * 100.0 + 0.5)).cast("long")
+          .as("rev_cents"),
+        grouping($"l_returnflag").cast("int").as("g_flag"),
+        grouping($"l_linestatus").cast("int").as("g_status"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"g_flag", $"g_status", $"n", $"rev_cents")
+      .orderBy($"g_flag", $"g_status", $"flag", $"status")
+  }
+
   /** Salted fact↔dim join (SkewOps.saltedBroadcastJoin): the skew-robust
     * formulation — dimension exploded salts×, fact salted — must produce
     * EXACTLY the plain join's rows; the oracle is the unsalted SQL join.
@@ -785,6 +808,7 @@ object RelationalQueries {
     "q61_pivot" -> (q61Pivot _),
     "q62_grouping_sets" -> (q62GroupingSets _),
     "q113_cube" -> (q113Cube _),
+    "q156_cube" -> (q156Cube _),
     "q67_salted_join" -> (q67SaltedJoin _),
     "q68_salted_agg" -> (q68SaltedAgg _),
     "q69_lateral" -> (q69Lateral _),
@@ -1074,6 +1098,17 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q156_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        | count(*) AS n,
+        | CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT)
+        |   AS rev_cents
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
     "q67_salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
         | CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS rev_cents

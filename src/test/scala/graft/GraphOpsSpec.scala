@@ -63,4 +63,74 @@ class GraphOpsSpec extends SparkSpec {
     // 2 receives 1's full rank each iteration: base + 85·r(1) div 100
     assert(out(2L) == 150000000L + 85L * 150000000L / 100L)
   }
+
+  // ------------------------------------------------------------ triangles
+
+  private def tri(edges: Seq[(Long, Long)]): Long =
+    GraphOps.triangleCount(edges.toDF("src", "dst")).collect()(0).getLong(0)
+
+  test("K4 has 4 triangles; removing one edge leaves 2") {
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(tri(k4) == 4L)
+    assert(tri(k4.filterNot(_ == (0L, 1L))) == 2L)
+  }
+
+  test("self-loops, duplicate edges, and reversed orientations are inert") {
+    val triangle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val noisy = triangle ++ triangle.map(_.swap) ++ triangle ++
+      Seq((1L, 1L), (2L, 2L))
+    assert(tri(triangle) == 1L)
+    assert(tri(noisy) == 1L)
+  }
+
+  test("triangle count matches brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (for {
+      u <- 0L until n.toLong; v <- 0L until n.toLong
+      if u < v && rnd.nextDouble() < 0.15
+    } yield (u, v)).toSeq
+    val es = edges.toSet
+    val expected = (for {
+      (u, v) <- edges; w <- 0L until n.toLong
+      if v < w && es.contains((u, w)) && es.contains((v, w))
+    } yield 1).size.toLong
+    assert(tri(edges) == expected)
+  }
+
+  test("star graphs (max skew, zero triangles) count zero") {
+    val star = (1L to 200L).map(i => (0L, i))
+    assert(tri(star) == 0L)
+  }
+
+  // ------------------------------------------------------------------ bfs
+
+  private def bfs(edges: Seq[(Long, Long)], src: Long, hops: Int): Map[Long, Long] =
+    GraphOps.bfsDistances(edges.toDF("src", "dst"), src, hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph: distances count hops and maxHops truncates") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(bfs(path, 0L, 10) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    assert(bfs(path, 0L, 2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("shortest path wins over longer alternatives; cycles terminate") {
+    // 0→1→2→0 cycle plus a 0→2 shortcut: d(2) = 1, not 2
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L))
+    assert(bfs(g, 0L, 5) == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("unreachable nodes are absent; isolated source is just itself") {
+    val g = Seq((0L, 1L), (5L, 6L)) // two components
+    assert(bfs(g, 0L, 4) == Map(0L -> 0L, 1L -> 1L))
+    assert(bfs(g, 9L, 4) == Map(9L -> 0L)) // 9 has no edges at all
+  }
+
+  test("frontier dedup: diamond reached through two parents appears once") {
+    val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+    assert(bfs(diamond, 0L, 3) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
 }

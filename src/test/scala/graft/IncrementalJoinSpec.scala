@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.IncrementalJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multiset delta-join IVM vs the one-shot join, under batch
+  * interleavings, duplicate rows, crash replays, and compactions. */
+class IncrementalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("k", "lv")
+  private def rightDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("k", "rv")
+
+  private def multiset(df: DataFrame): Set[(Long, String, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSet
+
+  private def currentSet(st: IncrementalJoin.Stores) =
+    multiset(IncrementalJoin.current(st).select($"k", $"lv", $"rv", $"n"))
+
+  private def oneShot(l: DataFrame, r: DataFrame) =
+    multiset(l.join(r, Seq("k"))
+      .groupBy($"k", $"lv", $"rv").agg(count(lit(1)).as("n"))
+      .select($"k", $"lv", $"rv", $"n"))
+
+  test("interleaved appends on both sides equal the one-shot join") {
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
+    val l1 = leftDf(1L -> "a", 2L -> "b")
+    val r1 = rightDf(1L -> "x", 3L -> "y")
+    val l2 = leftDf(3L -> "c", 1L -> "d")
+    val r2 = rightDf(2L -> "z", 1L -> "w")
+    IncrementalJoin.appendLeft(st, l1, Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, r1, Seq("k"), 10L)
+    IncrementalJoin.appendLeft(st, l2, Seq("k"), 1L)
+    IncrementalJoin.appendRight(st, r2, Seq("k"), 11L)
+    assert(currentSet(st) ==
+      oneShot(l1.unionByName(l2), r1.unionByName(r2)))
+  }
+
+  test("duplicate rows multiply: multiplicities are exact products") {
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
+    val l = leftDf(1L -> "a", 1L -> "a", 1L -> "a") // same row ×3
+    val r = rightDf(1L -> "x", 1L -> "x")           // same row ×2
+    IncrementalJoin.appendLeft(st, l, Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, r, Seq("k"), 10L)
+    assert(currentSet(st) == Set((1L, "a", "x", 6L)))
+  }
+
+  test("crash-replayed batches change nothing (exactly-once)") {
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
+    val l = leftDf(1L -> "a", 2L -> "b")
+    val r = rightDf(1L -> "x", 2L -> "y")
+    IncrementalJoin.appendLeft(st, l, Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, r, Seq("k"), 10L)
+    val before = currentSet(st)
+    IncrementalJoin.appendRight(st, r, Seq("k"), 10L) // replay
+    IncrementalJoin.appendLeft(st, l, Seq("k"), 0L)   // replay
+    assert(currentSet(st) == before)
+    assert(before == oneShot(l, r))
+  }
+
+  test("compactions are result-invariant and shrink the stores") {
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
+    val ls = (0 until 4).map(i => leftDf((1L to 5L).map(k => k -> s"l$i"): _*))
+    val rs = (0 until 4).map(i => rightDf((1L to 5L).map(k => k -> s"r$i"): _*))
+    ls.zipWithIndex.foreach { case (b, i) =>
+      IncrementalJoin.appendLeft(st, b, Seq("k"), i.toLong)
+      IncrementalJoin.appendRight(st, rs(i), Seq("k"), 100L + i)
+    }
+    val before = currentSet(st)
+    val filesBefore = st.out.dataFiles().size
+    IncrementalJoin.compactOut(st)
+    IncrementalJoin.compactSides(st)
+    assert(currentSet(st) == before)
+    assert(st.out.dataFiles().size <= filesBefore)
+    // appends continue working after compaction
+    val l5 = leftDf(5L -> "late")
+    IncrementalJoin.appendLeft(st, l5, Seq("k"), 50L)
+    assert(currentSet(st) ==
+      oneShot(ls.reduce(_ unionByName _).unionByName(l5),
+        rs.reduce(_ unionByName _)))
+  }
+
+  test("reading before both sides have data is refused") {
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
+    IncrementalJoin.appendLeft(st, leftDf(1L -> "a"), Seq("k"), 0L)
+    intercept[IllegalStateException] { IncrementalJoin.current(st) }
+  }
+
+  test("keys appearing on only one side never reach the output") {
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
+    IncrementalJoin.appendLeft(st, leftDf(1L -> "a", 9L -> "only-left"), Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, rightDf(1L -> "x", 8L -> "only-right"), Seq("k"), 10L)
+    assert(currentSet(st) == Set((1L, "a", "x", 1L)))
+  }
+}
