@@ -49,11 +49,15 @@ object IncrementalJoin {
   final case class Stores(left: AppendOnlyStore, right: AppendOnlyStore,
                           out: AppendOnlyStore)
 
-  /** Open the three stores under one root, all clustered on `__jk`. */
+  /** Open the three stores under one root, all clustered on `__jk`.
+    * One hex prefix char (16 buckets): a micro-batched store pays file
+    * COUNT on every state re-read, so fewer/bigger buckets beat the
+    * dedup-store default of 256 (same choice as the q90 agg store). */
   def stores(spark: org.apache.spark.sql.SparkSession, root: String): Stores =
-    Stores(new AppendOnlyStore(spark, s"$root/left", prefixCol = "__jk"),
-      new AppendOnlyStore(spark, s"$root/right", prefixCol = "__jk"),
-      new AppendOnlyStore(spark, s"$root/out", prefixCol = "__jk"))
+    Stores(
+      new AppendOnlyStore(spark, s"$root/left", prefixCol = "__jk", prefixChars = 1),
+      new AppendOnlyStore(spark, s"$root/right", prefixCol = "__jk", prefixChars = 1),
+      new AppendOnlyStore(spark, s"$root/out", prefixCol = "__jk", prefixChars = 1))
 
   private val Compacted = Long.MinValue
   private val Meta = Set("__mult", "__bid", "__lbid", "__rbid")
@@ -90,11 +94,16 @@ object IncrementalJoin {
   }
 
   /** Apply one LEFT-side batch: `Δout = ΔA ⋈ B_state`, then ΔA is added
-    * to the left state. Delta-sized shuffles throughout. */
+    * to the left state. Delta-sized shuffles throughout. The lineage cut
+    * only happens when the folded delta is consumed twice (delta join +
+    * state append) — the first batch on a side has no join to feed, and
+    * a materialization job for a single consumer is pure overhead. */
   def appendLeft(stores: Stores, batch: DataFrame, on: Seq[String],
                  batchId: Long): Unit = {
-    val d = fold(batch, on, batchId).cutLineage()
-    if (stores.right.exists)
+    val joins = stores.right.exists
+    val d = if (joins) fold(batch, on, batchId).cutLineage()
+            else fold(batch, on, batchId)
+    if (joins)
       stores.out.append(deltaJoin(d, state(stores.right), on, deltaIsLeft = true))
     stores.left.append(d)
   }
@@ -102,8 +111,10 @@ object IncrementalJoin {
   /** Apply one RIGHT-side batch: `Δout = A_state ⋈ ΔB`. */
   def appendRight(stores: Stores, batch: DataFrame, on: Seq[String],
                   batchId: Long): Unit = {
-    val d = fold(batch, on, batchId).cutLineage()
-    if (stores.left.exists)
+    val joins = stores.left.exists
+    val d = if (joins) fold(batch, on, batchId).cutLineage()
+            else fold(batch, on, batchId)
+    if (joins)
       stores.out.append(deltaJoin(d, state(stores.left), on, deltaIsLeft = false))
     stores.right.append(d)
   }
