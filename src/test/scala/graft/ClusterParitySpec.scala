@@ -19,7 +19,11 @@ class ClusterParitySpec extends SparkSpec {
     "q1_agg", "q4_join_multi", "q21_cdc_roundtrip", "q27_minhash_lsh",
     "q44_asof_join", "q51_approx_stats", "q74_bpe_pairs", "q79_ann_pq",
     "q89_pagerank", "q93_count_min", "q125_heavy_ivm", "q151_kmv_overlap",
-    "q136_line_dedup", "q156_cube")
+    "q136_line_dedup", "q156_cube",
+    // round-5 additions: store-backed join IVM (cross-executor append/
+    // read/compact cycles), degree-oriented wedge joins, and the
+    // PassJoin explode+equi-join blocking
+    "q163_join_ivm", "q159_triangles", "q160_fuzzy_join")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {
