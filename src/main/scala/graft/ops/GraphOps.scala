@@ -161,18 +161,30 @@ object GraphOps {
     *              duplicates, self-loops, and both orientations tolerated)
     * @return one row, `n_triangles` BIGINT
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    // canonical undirected form: u < v, self-loops dropped, multi-edges
-    // collapsed. Checkpointed: degrees and both join sides re-read it.
-    val e = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .cutLineage()
-    val deg = e.select(col("u").as("node"))
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangles(edges).agg(count(lit(1)).as("n_triangles"))
+
+  /** Canonical undirected edge list (u < v, no self-loops, deduped) —
+    * shared by [[triangles]] and [[clusteringCoefficient]]. */
+  private def canonicalEdges(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+    .where(col("u") =!= col("v"))
+    .distinct()
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Every triangle, one row each, as `(a, b, c)` — the mechanics (and
+    * scale bound) documented on [[triangleCount]]. Corner order is the
+    * orientation's (deg, id) rank: `a` lowest. */
+  def triangles(edges: DataFrame): DataFrame = {
+    // canonical undirected form, checkpointed: degrees and both join
+    // sides re-read it.
+    val e = canonicalEdges(edges).cutLineage()
+    val deg = degrees(e)
     // attach both endpoint degrees, then orient low-rank → high-rank
     // where rank = (deg, id): `a` is the triangle corner that owns the
     // wedge, and ties fall back to the id order the canonical form gives.
@@ -195,7 +207,34 @@ object GraphOps {
         (col("db") === col("dc") && col("b") < col("c")))
     wedges
       .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Per-node local clustering coefficient in exact integer arithmetic.
+    *
+    * `cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))` — reported as the
+    * micro-unit floor `cc_e6 = (2·T·10⁶) div (deg·(deg−1))` so the
+    * value is bit-portable (no float division). Each triangle row from
+    * [[triangles]] is exploded to its three corners (bounded 3× fan-out
+    * of triangle count, not edges) and counted per node; nodes of
+    * degree < 2 report 0 triangles and cc 0 (the standard convention),
+    * and every node appears — the degree frame, not the triangle set,
+    * drives the output.
+    *
+    * @return (node, deg, n_tri, cc_e6), one row per node
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges).cutLineage()
+    val perNode = triangles(e.select(col("u").as("src"), col("v").as("dst")))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    degrees(e)
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_e6",
+        when(col("deg") < 2, lit(0L)).otherwise(
+          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")))
   }
 
   /** Single-source BFS distances by frontier iteration (capped hops).

@@ -760,7 +760,26 @@ object AnalyticsQueries {
       .orderBy($"node")
   }
 
+  /** Per-node clustering coefficient (q164) on the q159 co-purchase
+    * graph: triangles per corner over the degree pair count, in exact
+    * micro-unit integer division ([[graft.ops.GraphOps
+    * .clusteringCoefficient]]) — no float ever divides, so the DuckDB
+    * twin (which enumerates triangles by a<b<c id order instead of the
+    * engine's degree-rank orientation) must agree bit-for-bit. */
+  def q164ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").where($"l_quantity" >= 45)
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = li
+      .join(li.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .where($"l_partkey" =!= $"p2")
+      .select($"l_partkey".as("src"), $"p2".as("dst"))
+    graft.ops.GraphOps.clusteringCoefficient(pairs)
+      .orderBy($"node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q164_clustering_coeff" -> (q164ClusteringCoeff _),
     "q159_triangles" -> (q159Triangles _),
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
     "q161_rolling_anomaly" -> (q161RollingAnomaly _),
@@ -795,6 +814,36 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_clustering_coeff" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+        |e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |pern AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL
+        |    SELECT b FROM tri UNION ALL
+        |    SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node, d.deg,
+        |  CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg < 2 THEN 0
+        |       ELSE (2 * coalesce(p.n_tri, 0) * 1000000)
+        |            // (d.deg * (d.deg - 1)) END AS cc_e6
+        |FROM deg d LEFT JOIN pern p USING (node)
+        |ORDER BY node""".stripMargin,
     "q159_triangles" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),

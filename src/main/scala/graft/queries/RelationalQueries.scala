@@ -170,6 +170,27 @@ object RelationalQueries {
       .orderBy($"nationkey")
   }
 
+  /** Native set operators (q165): INTERSECT and EXCEPT on the distinct
+    * customers active in adjacent years, tagged and unioned into one
+    * result. Catalyst plans both as hash SEMI/ANTI joins over the
+    * deduplicated key sets — never a sort-based set difference — so the
+    * shape is two key-partitioned shuffles, the same as q5/q6's
+    * explicit join forms; this gates the OPERATOR surface (a user
+    * writing `INTERSECT` must get the same plan quality as one writing
+    * the semi-join by hand). */
+  def q165SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def active(y: Int) = t(s, dir, "orders")
+      .where(year($"o_orderdate") === y)
+      .select($"o_custkey").distinct()
+    val y95 = active(1995)
+    val y96 = active(1996)
+    y95.intersect(y96).select(lit("both").as("tag"), $"o_custkey")
+      .unionByName(
+        y95.except(y96).select(lit("only_1995").as("tag"), $"o_custkey"))
+      .orderBy($"tag", $"o_custkey")
+  }
+
   // ------------------------------------------ scalar functions (SURVEY §2.7)
 
   /** JSON extraction (F1): `get_json_object` ≡ DuckDB json_extract_string.
@@ -809,6 +830,7 @@ object RelationalQueries {
     "q62_grouping_sets" -> (q62GroupingSets _),
     "q113_cube" -> (q113Cube _),
     "q156_cube" -> (q156Cube _),
+    "q165_set_ops" -> (q165SetOps _),
     "q67_salted_join" -> (q67SaltedJoin _),
     "q68_salted_agg" -> (q68SaltedAgg _),
     "q69_lateral" -> (q69Lateral _),
@@ -1109,6 +1131,19 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "q165_set_ops" ->
+      """WITH y95 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1995),
+        |y96 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1996)
+        |SELECT 'both' AS tag, o_custkey FROM
+        |  (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+        |UNION ALL
+        |SELECT 'only_1995' AS tag, o_custkey FROM
+        |  (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q67_salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
         | CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS rev_cents

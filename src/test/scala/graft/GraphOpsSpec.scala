@@ -103,6 +103,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(tri(star) == 0L)
   }
 
+  test("clustering coefficient: K4 is 1.0, paths are 0, mixed exact") {
+    def cc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      GraphOps.clusteringCoefficient(edges.toDF("src", "dst"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(cc(k4).values.toSet == Set((3L, 3L, 1000000L)))
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(cc(path).values.forall(_._3 == 0L))
+    // triangle 1-2-3 plus pendant 4 on node 3: deg(3)=3, T=1 → 333333
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val m = cc(mixed)
+    assert(m(1L) == ((2L, 1L, 1000000L)) && m(2L) == ((2L, 1L, 1000000L)))
+    assert(m(3L) == ((3L, 1L, 333333L)))
+    assert(m(4L) == ((1L, 0L, 0L))) // degree-1 node present, cc 0
+  }
+
   // ------------------------------------------------------------------ bfs
 
   private def bfs(edges: Seq[(Long, Long)], src: Long, hops: Int): Map[Long, Long] =
