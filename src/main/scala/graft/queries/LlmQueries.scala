@@ -365,8 +365,10 @@ object LlmQueries {
 
   /** Fuzzy string matching (levenshtein) — the alias-free fallback for the
     * site-name harmonization tier. All nation-name pairs within edit
-    * distance 5. At corpus scale the cross join needs a blocking key
-    * (first char, length band) — documented in FuzzyOps. */
+    * distance 5, over a 25-row broadcast dimension where a cross join is
+    * the RIGHT plan. At corpus scale this shape is banned; the blocked
+    * equivalent is [[graft.ops.FuzzyJoin.selfEditDistanceJoin]] (PassJoin
+    * segment candidates + banded verify, gated by q160). */
   def q38FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val a = Tables.load(s, dir, "nation").select($"n_name".as("name1"))

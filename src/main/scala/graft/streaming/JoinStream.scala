@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.IncrementalJoin
+
+/** Streaming maintenance twin for [[graft.ops.IncrementalJoin]] — the
+  * join member of the `maintain*AvailableNow` family (aggregates,
+  * distinct sketches, heavy hitters, quantiles, set overlap).
+  *
+  * Each side of the join is a file-stream directory (the CDC-topic twin
+  * this engine uses everywhere a broker would sit). A drain runs the
+  * side's new files through `AvailableNow` micro-batches; every batch
+  * applies one Δ-rule append — delta ⋈ other-side state — so stream-side
+  * work per batch is batch-sized, and the maintained join is read (and
+  * compacted) OFF the hot path, exactly like the agg stores.
+  *
+  * Sides drain SEQUENTIALLY, not concurrently: all three stores are
+  * single-writer (the engine-wide store contract), and the Δ-rule
+  * guarantees the final multiset is interleaving-invariant, so
+  * serializing the drains loses nothing but latency. Batch ids are
+  * namespaced per side (`rightIdOffset`) because the two checkpoints
+  * both count from zero; a crash-replayed micro-batch re-applies the
+  * same files under the same id and dedupes away inside the store
+  * (IncrementalJoinSpec / q163 gate the replay path).
+  *
+  * Restart-resume is inherited from the file source: a second drain
+  * against the same checkpoint processes ONLY files added since, with
+  * continuing batch ids — append-to-a-side-and-refresh costs one delta
+  * join, never a recompute (JoinStreamSpec gates this).
+  */
+object JoinStream {
+
+  /** Default namespace distance between the two sides' batch-id spaces. */
+  val RightIdOffset: Long = 1L << 32
+
+  /** Drain one side's new files into the maintained join.
+    *
+    * @param parquetDir    the side's topic-dir of parquet files
+    * @param schema        the side's row schema (file streams need it)
+    * @param stores        the three IVM stores (see [[IncrementalJoin.stores]])
+    * @param on            join-key column names (shared across sides)
+    * @param isLeft        which Δ-rule this side applies
+    * @param checkpointDir this side's OWN streaming checkpoint
+    * @param idOffset      added to every micro-batch id — keep the two
+    *                      sides' id spaces disjoint */
+  def drainSideAvailableNow(spark: SparkSession, parquetDir: String,
+                            schema: StructType,
+                            stores: IncrementalJoin.Stores,
+                            on: Seq[String], isLeft: Boolean,
+                            checkpointDir: String,
+                            idOffset: Long = 0L): Unit = {
+    val q = spark.readStream.schema(schema).parquet(parquetDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (isLeft)
+          IncrementalJoin.appendLeft(stores, batch, on, batchId + idOffset)
+        else
+          IncrementalJoin.appendRight(stores, batch, on, batchId + idOffset)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain left then right (sequential single-writer drains), returning
+    * the maintained join multiset. `checkpointRoot` holds one checkpoint
+    * per side, so repeated calls are incremental refreshes. */
+  def maintainJoinAvailableNow(spark: SparkSession,
+                               leftDir: String, leftSchema: StructType,
+                               rightDir: String, rightSchema: StructType,
+                               stores: IncrementalJoin.Stores,
+                               on: Seq[String],
+                               checkpointRoot: String): DataFrame = {
+    drainSideAvailableNow(spark, leftDir, leftSchema, stores, on,
+      isLeft = true, checkpointDir = s"$checkpointRoot/left")
+    drainSideAvailableNow(spark, rightDir, rightSchema, stores, on,
+      isLeft = false, checkpointDir = s"$checkpointRoot/right",
+      idOffset = RightIdOffset)
+    IncrementalJoin.current(stores)
+  }
+}
