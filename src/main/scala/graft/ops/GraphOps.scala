@@ -237,6 +237,51 @@ object GraphOps {
           expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")))
   }
 
+  /** k-core subgraph by iterative peeling: repeatedly drop every node of
+    * degree < k (with its edges) until the survivor set is stable — the
+    * standard dense-region extractor (and the graph-side spam/quality
+    * filter a link-graph curation pipeline runs before PageRank).
+    *
+    * Each round is the same two shuffles as one CC round: a node-sized
+    * degree aggregate and a two-sided semi-join of the edge list against
+    * the survivor set, lineage-cut per round. Convergence is decided by
+    * edge-count fixpoint — ONE driver scalar per round, carrying the
+    * previous count so each round pays exactly one count job. Peeling is
+    * monotone (the survivor set only shrinks), so a converged result is
+    * THE k-core regardless of round order; if `maxIter` rounds don't
+    * reach the fixpoint the op REFUSES rather than returning a
+    * part-peeled graph (same contract as the CC iteration guard).
+    *
+    * @return (node, deg) — nodes of the k-core with their degree WITHIN
+    *         the core (all ≥ k)
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxIter >= 1, "maxIter must be positive")
+    var e = canonicalEdges(edges).cutLineage()
+    var prevCount = e.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val keep = degrees(e).where(col("deg") >= k).select(col("node"))
+      val next = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .cutLineage()
+      val n = next.count()
+      converged = n == prevCount
+      prevCount = n
+      e = next
+    }
+    require(converged,
+      s"k-core peeling did not converge within $maxIter rounds — raise " +
+        s"maxIter (each round is two shuffles; rounds needed are bounded " +
+        s"by the longest peel chain, not graph size)")
+    degrees(e)
+  }
+
   /** Single-source BFS distances by frontier iteration (capped hops).
     *
     * Per round: the frontier (nodes first reached last round) joins the

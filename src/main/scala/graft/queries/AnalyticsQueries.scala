@@ -778,7 +778,88 @@ object AnalyticsQueries {
       .orderBy($"node")
   }
 
+  /** Window-function breadth (q166): first_value / nth_value / lag-with-
+    * default / dense_rank / a RANGE value-frame sum, all in one pass over
+    * a user-keyed sample. Engine-parity notes: every navigation function
+    * runs under the proven (ts_us, event_id) total order; the range frame
+    * orders by an INTEGER day number so both engines apply identical
+    * peer-row semantics (same-day rows all join the frame regardless of
+    * intra-day order); money quantized to cents before the frame sum.
+    * One exchange — every window shares the user_id partitioning. */
+  def q166WindowBreadth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .where($"user_id" % 97 === 0)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"),
+        datediff(to_date($"ts"), lit("1995-01-01").cast("date")).as("day_num"),
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wDay = Window.partitionBy($"user_id").orderBy($"day_num")
+    val wRange = Window.partitionBy($"user_id").orderBy($"day_num")
+      .rangeBetween(-2, Window.currentRow)
+    ev.select($"user_id", $"event_id",
+        first_value($"event_type").over(w).as("first_type"),
+        nth_value($"event_type", 2).over(w).as("second_type"),
+        lag($"event_type", 1, "none").over(w).as("prev_type"),
+        dense_rank().over(wDay).as("day_rank"),
+        sum($"cents").over(wRange).as("r3_cents"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** 3-core extraction (q167) on the q159 co-purchase graph via
+    * [[graft.ops.GraphOps.kCore]]'s iterative peel (two shuffles a
+    * round, one count scalar, REFUSES an unconverged result). The
+    * oracle unrolls 14 peel rounds as nested CTEs — more than the
+    * measured fixpoint depth (10 at sf0.1) — which is exact because
+    * peeling is monotone: once stable, further rounds are no-ops, so
+    * any round count ≥ the fixpoint depth yields THE k-core. */
+  def q167KCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").where($"l_quantity" >= 45)
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = li
+      .join(li.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .where($"l_partkey" =!= $"p2")
+      .select($"l_partkey".as("src"), $"p2".as("dst"))
+    graft.ops.GraphOps.kCore(pairs, k = 3, maxIter = 14)
+      .orderBy($"node")
+  }
+
+  /** The q167 oracle: `rounds` peel iterations unrolled as nested CTEs
+    * (DuckDB recursive CTEs cannot aggregate over the recursive
+    * relation, so fixpoint-with-degrees must be unrolled). Every CTE is
+    * `AS MATERIALIZED`: each round references its predecessor several
+    * times, and inlining would expand the plan — and the parquet scan
+    * count — exponentially in the round count. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY node),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM d$i WHERE deg >= $k)
+         |    AND v IN (SELECT node FROM d$i WHERE deg >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+       |                  greatest(a.l_partkey, b.l_partkey) AS v
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |$peels
+       |SELECT node, count(*) AS deg FROM (
+       |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY node
+       |ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q167_kcore" -> (q167KCore _),
+    "q166_window_breadth" -> (q166WindowBreadth _),
     "q164_clustering_coeff" -> (q164ClusteringCoeff _),
     "q159_triangles" -> (q159Triangles _),
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
@@ -814,6 +895,26 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_kcore" -> kCoreOracleSql(k = 3, rounds = 14),
+    "q166_window_breadth" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS day_num,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 97 = 0)
+        |SELECT user_id, event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  nth_value(event_type, 2) OVER w AS second_type,
+        |  lag(event_type, 1, 'none') OVER w AS prev_type,
+        |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY day_num)
+        |    AS INTEGER) AS day_rank,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day_num
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS r3_cents
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q164_clustering_coeff" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),

@@ -121,6 +121,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(m(4L) == ((1L, 0L, 0L))) // degree-1 node present, cc 0
   }
 
+  test("k-core: K4+tail peels to K4; a path has no 2-core; guard fires") {
+    def core(edges: Seq[(Long, Long)], k: Int, maxIter: Int = 20) =
+      GraphOps.kCore(edges.toDF("src", "dst"), k, maxIter)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)).toSeq
+    // tail 3-4-5 hangs off the clique: all of it peels out of the 3-core
+    val tailed = k4 ++ Seq((3L, 4L), (4L, 5L))
+    assert(core(tailed, 3) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a path has no 2-core (peels from both ends); a triangle is one
+    assert(core(Seq((0L, 1L), (1L, 2L), (2L, 3L)), 2) == Map.empty)
+    assert(core(Seq((0L, 1L), (1L, 2L), (2L, 0L)), 2) ==
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // a 7-node path needs 3 peel rounds for k=2: maxIter=1 must refuse
+    val chain = (0L until 6L).map(i => (i, i + 1))
+    val err = intercept[IllegalArgumentException] { core(chain, 2, maxIter = 1) }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
   // ------------------------------------------------------------------ bfs
 
   private def bfs(edges: Seq[(Long, Long)], src: Long, hops: Int): Map[Long, Long] =
