@@ -122,8 +122,19 @@ object IncrementalJoin {
   /** The current join as a value-multiset: all join columns plus `n`
     * (exact row multiplicity of the equivalent `A ⋈ B`). */
   def current(stores: Stores): DataFrame = {
-    if (!stores.out.exists)
-      throw new IllegalStateException("no batches applied to both sides yet")
+    if (!stores.out.exists) {
+      if (!(stores.left.exists && stores.right.exists))
+        throw new IllegalStateException("no batches applied to both sides yet")
+      // both sides populated but no key has ever matched: the join is
+      // EMPTY, not an error — synthesize the zero-row result with the
+      // join's schema (key columns are the sides' shared names, per the
+      // operator contract)
+      val l = state(stores.left).drop("__mult", "__bid", "__jk")
+      val r = state(stores.right).drop("__mult", "__bid", "__jk")
+      val on = l.columns.toSeq.filter(r.columns.contains(_))
+      return l.limit(0).join(r.limit(0), on)
+        .withColumn("n", lit(0L))
+    }
     val df = stores.out.read().drop("prefix")
     val valueCols = df.columns.filterNot(c => Meta.contains(c) || c == "__jk")
     df.dropDuplicates(valueCols ++ Seq("__lbid", "__rbid"))

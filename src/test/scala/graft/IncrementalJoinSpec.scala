@@ -90,6 +90,15 @@ class IncrementalJoinSpec extends SparkSpec {
     intercept[IllegalStateException] { IncrementalJoin.current(st) }
   }
 
+  test("disjoint key sets give an EMPTY join with the right schema, not an error") {
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
+    IncrementalJoin.appendLeft(st, leftDf(1L -> "a"), Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, rightDf(2L -> "x"), Seq("k"), 10L)
+    val out = IncrementalJoin.current(st)
+    assert(out.columns.toSet == Set("k", "lv", "rv", "n"))
+    assert(out.count() == 0)
+  }
+
   test("keys appearing on only one side never reach the output") {
     val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
     IncrementalJoin.appendLeft(st, leftDf(1L -> "a", 9L -> "only-left"), Seq("k"), 0L)
