@@ -144,7 +144,17 @@ object IncrementalJoin {
 
   /** Collapse each output value-group's accumulated contributions to one
     * row (generation swap; result-invariant under [[current]]). Run at
-    * ingest quiescence, single-writer — the store contract. */
+    * ingest quiescence, single-writer — the store contract.
+    *
+    * Compaction MOVES the replay boundary: collapsed rows lose their
+    * (lbid, rbid) stamps, so a crash-replay of a batch applied BEFORE
+    * the compaction regenerates pairs the dedup can no longer match and
+    * double-counts. Replays of batches applied after the last
+    * compaction stay exactly-once (q163 gates exactly this case). The
+    * operational contract is the usual one: compact only once the
+    * batches behind it are durably acknowledged and will never replay —
+    * identical to [[compactSides]]' and [[IncrementalAgg.compact]]'s
+    * quiescence requirement. */
   def compactOut(stores: Stores): Unit =
     stores.out.compactWith { df0 =>
       val df = df0.drop("prefix")

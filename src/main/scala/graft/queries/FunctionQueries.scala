@@ -450,11 +450,17 @@ object FunctionQueries {
     try {
       IncrementalJoin.appendLeft(st, orders.filter($"okey" % 2 === 0), on, 0L)
       IncrementalJoin.appendRight(st, li.filter($"okey" % 2 === 0), on, 10L)
-      IncrementalJoin.appendLeft(st, orders.filter($"okey" % 2 === 1), on, 1L)
       IncrementalJoin.compactOut(st)
+      IncrementalJoin.appendLeft(st, orders.filter($"okey" % 2 === 1), on, 1L)
       IncrementalJoin.appendRight(st, li.filter($"okey" % 2 === 1), on, 11L)
-      // crash-replay: batch 11 re-applied verbatim — dedup must absorb it
-      IncrementalJoin.appendRight(st, li.filter($"okey" % 2 === 1), on, 11L)
+      // STALE crash-replay of a POST-compaction batch: L1 re-applied
+      // after the right side moved on — its delta join now sees R10+R11
+      // and regenerates every (L1, R) pair under the same (lbid, rbid)
+      // stamps, so the read-side dedup (not byte-identical-append luck)
+      // absorbs it. Replays must postdate the last compaction — see the
+      // compactOut contract (a pre-compaction batch's stamps no longer
+      // exist to dedup against).
+      IncrementalJoin.appendLeft(st, orders.filter($"okey" % 2 === 1), on, 1L)
     } finally s.conf.set(aqeKey, aqeWas)
     IncrementalJoin.current(st)
       .groupBy($"o_orderstatus", $"l_returnflag")

@@ -90,6 +90,27 @@ class IncrementalJoinSpec extends SparkSpec {
     intercept[IllegalStateException] { IncrementalJoin.current(st) }
   }
 
+  test("replay boundary: post-compaction replays dedup; pre-compaction ones cannot") {
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
+    val l = leftDf(1L -> "a")
+    val r = rightDf(1L -> "x")
+    IncrementalJoin.appendLeft(st, l, Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, r, Seq("k"), 10L)
+    IncrementalJoin.compactOut(st)
+    // post-compaction batch replays exactly-once (stamps still present)
+    val l2 = leftDf(1L -> "b")
+    IncrementalJoin.appendLeft(st, l2, Seq("k"), 1L)
+    IncrementalJoin.appendLeft(st, l2, Seq("k"), 1L)
+    assert(currentSet(st) == oneShot(l.unionByName(l2), r))
+    // a PRE-compaction batch's stamps were collapsed away: replaying it
+    // double-counts — the documented compactOut quiescence boundary
+    IncrementalJoin.appendLeft(st, l, Seq("k"), 0L)
+    val over = IncrementalJoin.current(st)
+      .where(col("lv") === "a").select(col("n"))
+      .collect()(0).getLong(0)
+    assert(over == 2L) // (1,a,x) now counted twice — contract, not a bug
+  }
+
   test("disjoint key sets give an EMPTY join with the right schema, not an error") {
     val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
     IncrementalJoin.appendLeft(st, leftDf(1L -> "a"), Seq("k"), 0L)
