@@ -282,6 +282,54 @@ object GraphOps {
     degrees(e)
   }
 
+  /** Multi-source BFS: assign every reachable node to its NEAREST seed
+    * (hop distance; ties at equal distance broken by MINIMUM seed id) —
+    * the influence/partition-assignment primitive (nearest hub, nearest
+    * canonical document, Voronoi-ish graph cells).
+    *
+    * Same frontier shape as [[bfsDistances]] with a label riding along:
+    * each round expands the frontier through the edge list, takes
+    * `min(seed)` per newly-reached node, and anti-joins the visited set.
+    * min-of-mins equals the global minimum over all seeds reaching the
+    * node at that distance — each seed's shortest path runs through
+    * SOME frontier neighbor whose label is ≤ that seed — so the
+    * per-round local reduction reproduces the global tie-break exactly
+    * (q168's oracle recomputes it from the full path set).
+    *
+    * @param edges   directed edges `src`, `dst`
+    * @param seeds   (node, seed) — duplicate nodes collapse to min seed
+    * @param maxHops inclusive distance cap
+    * @return (node, seed, dist) for every node within `maxHops` of a seed
+    */
+  def nearestSeeds(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val eCut = edges.select(col("src"), col("dst")).cutLineage()
+    var visited = seeds
+      .groupBy(col("node")).agg(min(col("seed")).as("seed"))
+      .select(col("node"), col("seed"), lit(0L).as("dist"))
+      .cutLineage()
+    var frontier = visited
+    var hop = 0L
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = eCut
+        .join(frontier.select(col("node").as("src"), col("seed")), Seq("src"))
+        .select(col("dst").as("node"), col("seed"))
+        .groupBy(col("node")).agg(min(col("seed")).as("seed"))
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("seed"), lit(hop).as("dist"))
+        .cutLineage()
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.unionByName(next).cutLineage()
+        frontier = next
+      }
+    }
+    visited
+  }
+
   /** Single-source BFS distances by frontier iteration (capped hops).
     *
     * Per round: the frontier (nodes first reached last round) joins the

@@ -857,7 +857,55 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** Nearest-seed assignment (q168): every node of the trade graph
+    * labeled with its closest of five supplier hubs (min hop distance,
+    * ties to the smallest seed id) via
+    * [[graft.ops.GraphOps.nearestSeeds]]' multi-source frontier. The
+    * oracle recomputes the label from DuckDB's FULL path enumeration
+    * (recursive CTE → min dist per node → min seed at that dist), so
+    * the frontier's local min-of-mins reduction is gated against the
+    * global definition. */
+  def q168NearestSeeds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val bi = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = (1L to 5L).toDF("seed")
+      .select(($"seed" * 2 + 1).as("node"), $"seed")
+    graft.ops.GraphOps.nearestSeeds(bi, seeds, maxHops = 3)
+      .orderBy($"node")
+  }
+
+  /** Higher-order array functions (q169): transform / filter /
+    * aggregate / zip_with / reverse over per-document token-length
+    * arrays, all integer arithmetic. These are the codegen'd HOFs a
+    * user reaches for before ever writing a UDF — the engine's
+    * no-UDF-in-the-hot-path posture depends on them — and each has a
+    * DuckDB list_* twin, so the whole lambda surface is hash-gated.
+    * Split harmonization: regex split + drop-empties on both engines
+    * (bare split disagrees on leading/consecutive whitespace). */
+  def q169ArrayHofs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .where($"doc_id" < 200 && $"text".isNotNull)
+      .select($"doc_id",
+        expr("transform(filter(split(text, '\\\\s+'), w -> length(w) > 0), " +
+          "w -> length(w))").as("lens"))
+      .select($"doc_id",
+        size($"lens").as("n_words"),
+        size(expr("filter(lens, x -> x > 5)")).as("n_long"),
+        expr("aggregate(filter(lens, x -> x > 5), CAST(0 AS BIGINT), " +
+          "(a, x) -> a + x)").as("sum_long_chars"),
+        expr("aggregate(zip_with(lens, reverse(lens), (a, b) -> a + b), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("zip_sum"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q169_array_hofs" -> (q169ArrayHofs _),
+    "q168_nearest_seeds" -> (q168NearestSeeds _),
     "q167_kcore" -> (q167KCore _),
     "q166_window_breadth" -> (q166WindowBreadth _),
     "q164_clustering_coeff" -> (q164ClusteringCoeff _),
@@ -895,6 +943,42 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_array_hofs" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(regexp_split_to_array(text, '\s+'),
+        |                  w -> length(w) > 0),
+        |      w -> length(w)) AS lens
+        |  FROM documents WHERE doc_id < 200 AND text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(len(lens) AS INTEGER) AS n_words,
+        |  CAST(len(list_filter(lens, x -> x > 5)) AS INTEGER) AS n_long,
+        |  CAST(coalesce(list_sum(list_filter(lens, x -> x > 5)), 0)
+        |    AS BIGINT) AS sum_long_chars,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_zip(lens, list_reverse(lens)), x -> x[1] + x[2])), 0)
+        |    AS BIGINT) AS zip_sum
+        |FROM l ORDER BY doc_id""".stripMargin,
+    "q168_nearest_seeds" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |seeds AS (
+        |  SELECT s*2 + 1 AS node, CAST(s AS BIGINT) AS seed
+        |  FROM generate_series(1, 5) t(s)),
+        |walk(node, seed, dist) AS (
+        |  SELECT node, seed, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT bi.dst, w.seed, w.dist + 1
+        |  FROM walk w JOIN bi ON w.node = bi.src
+        |  WHERE w.dist < 3),
+        |best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+        |SELECT w.node, min(w.seed) AS seed, b.dist
+        |FROM walk w JOIN best b ON w.node = b.node AND w.dist = b.dist
+        |GROUP BY w.node, b.dist
+        |ORDER BY w.node""".stripMargin,
     "q167_kcore" -> kCoreOracleSql(k = 3, rounds = 14),
     "q166_window_breadth" ->
       """WITH ev AS (

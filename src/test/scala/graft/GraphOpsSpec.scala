@@ -164,6 +164,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(bfs(g, 9L, 4) == Map(9L -> 0L)) // 9 has no edges at all
   }
 
+  test("nearest seeds: distance wins, ties break to the smaller seed id") {
+    def near(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)], hops: Int) =
+      GraphOps.nearestSeeds(edges.toDF("src", "dst"),
+          seeds.toDF("node", "seed"), hops)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    // path 0-1-2-3-4, seeds at both ends (bidirectional edges)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val bi = path ++ path.map(_.swap)
+    val m = near(bi, Seq(0L -> 10L, 4L -> 20L), 4)
+    assert(m(0L) == ((10L, 0L)) && m(4L) == ((20L, 0L)))
+    assert(m(1L) == ((10L, 1L)) && m(3L) == ((20L, 1L)))
+    assert(m(2L) == ((10L, 2L))) // equidistant: min seed id wins
+    // duplicate seed rows collapse to the min; unreachable nodes absent
+    val m2 = near(Seq((0L, 1L)), Seq(0L -> 7L, 0L -> 3L), 2)
+    assert(m2 == Map(0L -> ((3L, 0L)), 1L -> ((3L, 1L))))
+  }
+
   test("frontier dedup: diamond reached through two parents appears once") {
     val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
     assert(bfs(diamond, 0L, 3) ==
