@@ -40,6 +40,12 @@ import org.apache.spark.sql.functions._
   * Output: one row per unordered pair, `id1 < id2`, with both strings
   * and the exact distance — deterministic, engine-portable (the DuckDB
   * oracle is the brute-force quadratic form; q160 gates equality).
+  *
+  * Unicode note: Spark's `length`/`substring`/`levenshtein` count
+  * UTF-16 code units, so a supplementary-plane character (outside the
+  * BMP) counts as 2 toward length and edit distance. The operator is
+  * internally consistent under that convention; engines that count
+  * code points (DuckDB) agree only on BMP text.
   */
 object FuzzyJoin {
 

@@ -305,7 +305,10 @@ object GraphOps {
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val eCut = edges.select(col("src"), col("dst")).cutLineage()
+    // a null seed id would silently vanish through every min(); drop it
+    // at the door so "no label" can't masquerade as a labeled node
     var visited = seeds
+      .where(col("node").isNotNull && col("seed").isNotNull)
       .groupBy(col("node")).agg(min(col("seed")).as("seed"))
       .select(col("node"), col("seed"), lit(0L).as("dist"))
       .cutLineage()

@@ -62,13 +62,21 @@ object IncrementalJoin {
   private val Compacted = Long.MinValue
   private val Meta = Set("__mult", "__bid", "__lbid", "__rbid")
 
+  private val Reserved = Set("__mult", "__bid", "__jk", "__lbid", "__rbid",
+    "prefix")
+
   /** Fold one batch to deterministic value-groups: all columns grouped,
     * multiplicity counted, batch id and join-key hash stamped. */
-  private def fold(batch: DataFrame, on: Seq[String], batchId: Long): DataFrame =
+  private def fold(batch: DataFrame, on: Seq[String], batchId: Long): DataFrame = {
+    val clash = batch.columns.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"batch columns ${clash.mkString(", ")} collide with the store's " +
+        s"bookkeeping columns (${Reserved.mkString(", ")}) — rename them")
     batch.groupBy(batch.columns.map(col): _*)
       .agg(count(lit(1)).as("__mult"))
       .withColumn("__bid", lit(batchId))
       .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
+  }
 
   /** A side's current state with crash-replay duplicates removed. */
   private def state(store: AppendOnlyStore): DataFrame = {
