@@ -139,6 +139,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("did not converge"))
   }
 
+  test("k-core and clustering coefficient match brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(13)
+    val n = 30
+    val edges = (for {
+      u <- 0L until n.toLong; v <- 0L until n.toLong
+      if u < v && rnd.nextDouble() < 0.2
+    } yield (u, v)).toSeq
+    // brute-force peel to the 3-core
+    var es = edges.toSet
+    var stable = false
+    while (!stable) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val next = es.filter(e => deg(e._1) >= 3 && deg(e._2) >= 3)
+      stable = next == es
+      es = next
+    }
+    val expectedCore = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val gotCore = GraphOps.kCore(edges.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCore == expectedCore)
+    // brute-force local clustering coefficient on the full graph
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expectedCc = adj.map { case (v, nb) =>
+      val deg = nb.size.toLong
+      val tri = (for (a <- nb.toSeq; b <- nb.toSeq
+                      if a < b && adj(a).contains(b)) yield 1).size.toLong
+      v -> ((deg, tri,
+        if (deg < 2) 0L else 2L * tri * 1000000L / (deg * (deg - 1))))
+    }
+    val gotCc = GraphOps.clusteringCoefficient(edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(gotCc == expectedCc)
+  }
+
   // ------------------------------------------------------------------ bfs
 
   private def bfs(edges: Seq[(Long, Long)], src: Long, hops: Int): Map[Long, Long] =
