@@ -333,6 +333,42 @@ object GraphOps {
     visited
   }
 
+  /** Hop-bounded single-source WEIGHTED shortest paths (distributed
+    * Bellman-Ford): after round h, `cost(v)` is the exact minimum total
+    * weight over all walks from the source to v using ≤ h edges.
+    *
+    * Each round is one relaxation — the cost frame joins the edge list
+    * on `src`, candidate costs `cost + w` union the standing frame, and
+    * ONE node-keyed min collapses them — so a round is one edge-keyed
+    * join plus one node-keyed aggregate, lineage-cut, nothing driver-
+    * side at all. The hop bound IS the iteration count (no convergence
+    * collect), which also makes the semantics well-defined for negative
+    * weights: min over ≤ maxHops-edge WALKS, exactly what the q170
+    * oracle's recursive enumeration computes. Integer weights keep the
+    * min exact and engine-portable.
+    *
+    * @param edges   directed weighted edges `src`, `dst`, `w` (integral)
+    * @param source  start node id
+    * @param maxHops relaxation rounds (= max edges per walk)
+    * @return (node, cost) for nodes reachable within `maxHops` edges
+    */
+  def ssspBounded(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eCut = edges.select(col("src"), col("dst"), col("w")).cutLineage()
+    var dist = Seq((source, 0L)).toDF("node", "cost")
+    (1 to maxHops).foreach { h =>
+      val cand = eCut
+        .join(dist.select(col("node").as("src"), col("cost")), Seq("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .cutLineage(eager = h != maxHops)
+    }
+    dist
+  }
+
   /** Single-source BFS distances by frontier iteration (capped hops).
     *
     * Per round: the frontier (nodes first reached last round) joins the

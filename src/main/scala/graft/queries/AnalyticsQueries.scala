@@ -903,7 +903,25 @@ object AnalyticsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Weighted shortest paths (q170): hop-bounded Bellman-Ford over the
+    * trade graph, edge weight = the pair's minimum traded quantity
+    * (deterministic integer). [[graft.ops.GraphOps.ssspBounded]]'s
+    * per-round relax-and-min must equal the oracle's full recursive
+    * walk enumeration min'd per node — the min-plus semiring done two
+    * ways. */
+  def q170Sssp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .agg(min($"l_quantity").cast("long").as("w"))
+    val bi = e.unionByName(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    graft.ops.GraphOps.ssspBounded(bi, source = 2L, maxHops = 3)
+      .orderBy($"node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q170_sssp" -> (q170Sssp _),
     "q169_array_hofs" -> (q169ArrayHofs _),
     "q168_nearest_seeds" -> (q168NearestSeeds _),
     "q167_kcore" -> (q167KCore _),
@@ -943,6 +961,22 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_sssp" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT o_custkey*2 AS src, l_suppkey*2 + 1 AS dst,
+        |         CAST(min(l_quantity) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |bi AS (SELECT src, dst, w FROM e0
+        |       UNION ALL SELECT dst, src, w FROM e0),
+        |walk(node, cost, hops) AS (
+        |  SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT bi.dst, w.cost + bi.w, w.hops + 1
+        |  FROM walk w JOIN bi ON w.node = bi.src
+        |  WHERE w.hops < 3)
+        |SELECT node, min(cost) AS cost FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
     "q169_array_hofs" ->
       """WITH l AS (
         |  SELECT doc_id,

@@ -221,6 +221,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(m2 == Map(0L -> ((3L, 0L)), 1L -> ((3L, 1L))))
   }
 
+  test("bounded weighted shortest paths: cheaper long route wins within the bound") {
+    def sssp(edges: Seq[(Long, Long, Long)], src: Long, hops: Int) =
+      GraphOps.ssspBounded(edges.toDF("src", "dst", "w"), src, hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0→3 direct costs 10; 0→1→2→3 costs 3 but needs 3 hops
+    val g = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+    assert(sssp(g, 0L, 1) == Map(0L -> 0L, 1L -> 1L, 3L -> 10L))
+    assert(sssp(g, 0L, 2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 10L))
+    assert(sssp(g, 0L, 3) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // parallel edges: the lighter one is chosen; cycles don't loop costs
+    val multi = Seq((0L, 1L, 5L), (0L, 1L, 2L), (1L, 0L, 1L))
+    assert(sssp(multi, 0L, 4) == Map(0L -> 0L, 1L -> 2L))
+  }
+
   test("frontier dedup: diamond reached through two parents appears once") {
     val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
     assert(bfs(diamond, 0L, 3) ==
