@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Lineage.LineageSyntax
@@ -16,48 +17,101 @@ import graft.sinks.AppendOnlyStore
   *     Δout = A_state ⋈ ΔB          (right append) }}}
   *
   * Each (a, b) pair materializes exactly once — in whichever side's
-  * append arrives second — so per-batch work is one delta-sized shuffle
-  * join against the other side's key-clustered state store, never
-  * history × history. At 100 TB that is the difference between joining a
-  * day's ingest against stored state and re-joining two full corpora per
-  * refresh (the `overwrite(recompute)` shape this engine bans).
+  * append arrives second — so per-batch work is one delta-sized join
+  * against the other side's state. At 100 TB that is the difference
+  * between joining a day's ingest against stored state and re-joining two
+  * full corpora per refresh (the `overwrite(recompute)` shape this engine
+  * bans).
+  *
+  * '''Scale shape (what actually moves per batch).''' The two SIDE
+  * states are plan-visible BUCKETED catalog tables on the join key
+  * ([[graft.sinks.BucketedTables]]' co-location machinery): a delta join
+  * scans the state in place — the bucketed scan already satisfies the
+  * join's required distribution, so Catalyst plans ZERO exchange on the
+  * state side — and shuffles only the delta into the state's bucket
+  * layout. The delta side carries a `SHUFFLE_HASH` hint, so it (the
+  * small side) is the hash-build and the state merely STREAMS past it:
+  * no state-side shuffle, no state-side sort. Per-batch shuffle bytes
+  * are delta-sized and stay flat while state grows without bound
+  * (gated by ShuffleBytesSpec across ≥10 batches).
+  *
+  * '''Exactly-once without a hot-path dedup.''' Every append is recorded
+  * in an applied-batch-id manifest (`<root>/_applied/<side>.<id>.done`,
+  * written only after the batch's output AND state rows are fully
+  * committed). A crash-replayed batch whose id is already in the
+  * manifest is an idempotent NO-OP — including replays of batches older
+  * than the last compaction, which the pre-manifest design could not
+  * absorb. Only the window between a batch's `.started` marker and its
+  * `.done` marker can leave partial rows behind; a retry inside that
+  * window flags the side DIRTY, and state reads `dropDuplicates` (one
+  * state-sized shuffle) until the next [[compactSides]] clears the flag.
+  * The happy path — every batch that did not crash mid-write — never
+  * pays a dedup shuffle.
   *
   * Multiset encoding: every stored row — state and output — is a VALUE
   * GROUP `(columns…, __mult)`: the batch's rows grouped by all columns
   * with their multiplicity counted. Duplicate input rows stay exact
-  * (output multiplicity is the product `__mult_l · __mult_r`), and every
-  * append is deterministic: a crash-replayed batch re-appends
-  * byte-identical rows, which the `(values, batch-id)` dedup in
-  * [[current]]/[[compactOut]] collapses — the same exactly-once-under-
-  * replay contract as [[IncrementalAgg]], with no rewrite of the store.
-  * Output rows carry BOTH origin batch ids (`__lbid`, `__rbid`), so an
-  * output group is unique per (values, lbid, rbid) and replay dedup
-  * never merges genuinely distinct contributions.
+  * (output multiplicity is the product `__mult_l · __mult_r`). Output
+  * rows carry BOTH origin batch ids (`__lbid`, `__rbid`), so an output
+  * group is unique per (values, lbid, rbid) and the read-side dedup in
+  * [[current]]/[[compactOut]] also absorbs any partial rows a mid-write
+  * crash left in the OUT store.
   *
-  * All three stores cluster on `__jk` (an md5 of the join-key tuple), so
-  * state scans arrive pre-bucketed by key prefix and a delta join reads
-  * the store once, hash-partitioned — the [[AppendOnlyStore]] layout
-  * contract.
+  * The OUT store stays an [[AppendOnlyStore]] clustered on `__jk` (an
+  * md5 of the join-key tuple): it is append-scan-compact only, never a
+  * join input, so key bucketing buys it nothing a prefix layout doesn't.
   *
   * Contract: join-key columns share names across sides (`on`); all other
-  * column names are disjoint. Appends are single-writer; each logical
-  * batch carries a unique id per side. Inner join only — outer variants
-  * need retraction rows, which an append-only store cannot express.
+  * column names are disjoint; `on` is the same on every call against one
+  * store set. Appends are single-writer; each logical batch carries a
+  * unique id per side (an id is reused ONLY to replay the same batch).
+  * Inner join only — outer variants need retraction rows; see
+  * [[IncrementalOuterJoin]] for the append-only LEFT OUTER construction
+  * layered on these same stores.
   */
 object IncrementalJoin {
 
-  final case class Stores(left: AppendOnlyStore, right: AppendOnlyStore,
-                          out: AppendOnlyStore)
+  /** Handles to one maintained join: two bucketed side tables (catalog
+    * names derived from `root`), the out store, and the manifest root. */
+  final case class Stores(spark: SparkSession, root: String, buckets: Int,
+                          leftTable: String, rightTable: String,
+                          out: AppendOnlyStore) {
+    private[ops] def fs: FileSystem =
+      new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private[ops] def marker(name: String): Path =
+      new Path(root, s"_applied/$name")
+    private[ops] def hasMarker(name: String): Boolean = fs.exists(marker(name))
+    private[ops] def touch(name: String): Unit = {
+      val p = marker(name)
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true); o.close()
+    }
+    private[ops] def clearMarker(name: String): Unit = {
+      val p = marker(name)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+    }
+    private[ops] def sideTable(isLeft: Boolean): String =
+      if (isLeft) leftTable else rightTable
+    private[ops] def sideName(isLeft: Boolean): String =
+      if (isLeft) "left" else "right"
+    def sideExists(isLeft: Boolean): Boolean =
+      spark.catalog.tableExists(sideTable(isLeft))
+  }
 
-  /** Open the three stores under one root, all clustered on `__jk`.
-    * One hex prefix char (16 buckets): a micro-batched store pays file
-    * COUNT on every state re-read, so fewer/bigger buckets beat the
-    * dedup-store default of 256 (same choice as the q90 agg store). */
-  def stores(spark: org.apache.spark.sql.SparkSession, root: String): Stores =
-    Stores(
-      new AppendOnlyStore(spark, s"$root/left", prefixCol = "__jk", prefixChars = 1),
-      new AppendOnlyStore(spark, s"$root/right", prefixCol = "__jk", prefixChars = 1),
-      new AppendOnlyStore(spark, s"$root/out", prefixCol = "__jk", prefixChars = 1))
+  /** Open the stores under one root. Side tables land in the session
+    * catalog (warehouse dir) under names derived from the root path, so
+    * re-opening the same root resumes the same maintained join. `buckets`
+    * fixes the side tables' bucket count at creation — size it to the
+    * expected STATE (state_bytes / bucket ≲ executor memory), not the
+    * deltas. */
+  def stores(spark: SparkSession, root: String, buckets: Int = 16): Stores = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    Stores(spark, root, buckets,
+      s"graft_ivm_${tag}_left", s"graft_ivm_${tag}_right",
+      new AppendOnlyStore(spark, s"$root/out", prefixCol = "__jk",
+        prefixChars = 1))
+  }
 
   private val Compacted = Long.MinValue
   private val Meta = Set("__mult", "__bid", "__lbid", "__rbid")
@@ -67,7 +121,7 @@ object IncrementalJoin {
 
   /** Fold one batch to deterministic value-groups: all columns grouped,
     * multiplicity counted, batch id and join-key hash stamped. */
-  private def fold(batch: DataFrame, on: Seq[String], batchId: Long): DataFrame = {
+  private[ops] def fold(batch: DataFrame, on: Seq[String], batchId: Long): DataFrame = {
     val clash = batch.columns.filter(Reserved.contains)
     require(clash.isEmpty,
       s"batch columns ${clash.mkString(", ")} collide with the store's " +
@@ -78,67 +132,112 @@ object IncrementalJoin {
       .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
   }
 
-  /** A side's current state with crash-replay duplicates removed. */
-  private def state(store: AppendOnlyStore): DataFrame = {
-    val df = store.read()
-    df.drop("prefix")
-      .dropDuplicates(df.columns.filter(c => c != "__mult" && c != "prefix"))
+  /** A side's current state: the bucketed table scan, served as-is on
+    * the happy path (zero exchange — its bucketing IS the join layout).
+    * Only a side flagged dirty by a mid-write crash retry pays the
+    * replay-dedup shuffle, and only until the next [[compactSides]]. */
+  private[ops] def sideState(st: Stores, isLeft: Boolean): DataFrame = {
+    val t = st.spark.table(st.sideTable(isLeft))
+    if (st.hasMarker(s"${st.sideName(isLeft)}.dirty"))
+      t.dropDuplicates(t.columns.filter(_ != "__mult"))
+    else t
   }
 
-  private def deltaJoin(delta: DataFrame, other: DataFrame,
+  private[ops] def deltaJoin(delta: DataFrame, other: DataFrame,
                         on: Seq[String], deltaIsLeft: Boolean): DataFrame = {
     val d = delta
       .withColumnRenamed("__mult", "__mult_d")
       .withColumnRenamed("__bid", "__bid_d")
     val o = other
-      .drop("__jk")
       .withColumnRenamed("__mult", "__mult_o")
       .withColumnRenamed("__bid", "__bid_o")
-    d.join(o, on)
+    // SHUFFLE_HASH on the DELTA side: the delta is the hash-build, the
+    // bucketed state scan streams — no sort and no exchange on state
+    // (a sort-merge join would local-sort the full state every batch)
+    d.hint("SHUFFLE_HASH").join(o, on)
       .withColumn("__mult", col("__mult_d") * col("__mult_o"))
       .withColumn("__lbid", if (deltaIsLeft) col("__bid_d") else col("__bid_o"))
       .withColumn("__rbid", if (deltaIsLeft) col("__bid_o") else col("__bid_d"))
       .drop("__mult_d", "__mult_o", "__bid_d", "__bid_o")
   }
 
-  /** Apply one LEFT-side batch: `Δout = ΔA ⋈ B_state`, then ΔA is added
-    * to the left state. Delta-sized shuffles throughout. The lineage cut
-    * only happens when the folded delta is consumed twice (delta join +
-    * state append) — the first batch on a side has no join to feed, and
-    * a materialization job for a single consumer is pure overhead. */
-  def appendLeft(stores: Stores, batch: DataFrame, on: Seq[String],
-                 batchId: Long): Unit = {
-    val joins = stores.right.exists
+  /** Append the folded delta to its side's bucketed table (created on
+    * first use). The delta is pre-clustered into the bucket layout — one
+    * delta-sized shuffle — so each task writes one bucket's file instead
+    * of every task touching every bucket. */
+  private[ops] def appendToTable(st: Stores, isLeft: Boolean, d: DataFrame,
+                            on: Seq[String]): Unit = {
+    val name = st.sideTable(isLeft)
+    val rows0 = d.drop("__jk")
+    // saveAsTable(Append) resolves by position on some paths — pin the
+    // existing table's column order explicitly
+    val rows =
+      if (st.spark.catalog.tableExists(name))
+        rows0.select(st.spark.table(name).columns.map(col).toSeq: _*)
+      else rows0
+    rows.repartition(st.buckets, on.map(col): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(st.buckets, on.head, on.tail: _*)
+      .saveAsTable(name)
+  }
+
+  private def appendSide(st: Stores, batch: DataFrame, on: Seq[String],
+                         batchId: Long, isLeft: Boolean): Unit = {
+    val side = st.sideName(isLeft)
+    if (st.hasMarker(s"$side.$batchId.done")) return // committed replay: no-op
+    if (st.hasMarker(s"$side.$batchId.started"))
+      // a prior attempt crashed mid-write: this side and the out store
+      // may hold a partial copy of this batch — dedup until compaction
+      st.touch(s"$side.dirty")
+    st.touch(s"$side.$batchId.started")
+    val joins = st.sideExists(!isLeft)
+    // the lineage cut only happens when the folded delta is consumed
+    // twice (delta join + state append) — the first batch on a side has
+    // no join to feed, and a materialization job for a single consumer
+    // is pure overhead
     val d = if (joins) fold(batch, on, batchId).cutLineage()
             else fold(batch, on, batchId)
     if (joins)
-      stores.out.append(deltaJoin(d, state(stores.right), on, deltaIsLeft = true))
-    stores.left.append(d)
+      st.out.append(deltaJoin(d, sideState(st, !isLeft), on,
+        deltaIsLeft = isLeft))
+    appendToTable(st, isLeft, d, on)
+    st.touch(s"$side.$batchId.done")
   }
+
+  /** The delta-join frame exactly as [[appendLeft]]/[[appendRight]] plan
+    * it — exposed so the plan-audit spec can assert the scale contract
+    * (bucketed state scan, zero state-side exchange, delta-side hash
+    * build) against the REAL construction, not a lookalike. */
+  private[graft] def planProbe(st: Stores, batch: DataFrame, on: Seq[String],
+                               deltaIsLeft: Boolean): DataFrame =
+    deltaJoin(fold(batch, on, Long.MaxValue), sideState(st, !deltaIsLeft),
+      on, deltaIsLeft)
+
+  /** Apply one LEFT-side batch: `Δout = ΔA ⋈ B_state`, then ΔA is added
+    * to the left state. Delta-sized shuffles throughout — the state is
+    * scanned, never exchanged. A batch id already in the manifest is an
+    * idempotent no-op. */
+  def appendLeft(stores: Stores, batch: DataFrame, on: Seq[String],
+                 batchId: Long): Unit =
+    appendSide(stores, batch, on, batchId, isLeft = true)
 
   /** Apply one RIGHT-side batch: `Δout = A_state ⋈ ΔB`. */
   def appendRight(stores: Stores, batch: DataFrame, on: Seq[String],
-                  batchId: Long): Unit = {
-    val joins = stores.left.exists
-    val d = if (joins) fold(batch, on, batchId).cutLineage()
-            else fold(batch, on, batchId)
-    if (joins)
-      stores.out.append(deltaJoin(d, state(stores.left), on, deltaIsLeft = false))
-    stores.right.append(d)
-  }
+                  batchId: Long): Unit =
+    appendSide(stores, batch, on, batchId, isLeft = false)
 
   /** The current join as a value-multiset: all join columns plus `n`
     * (exact row multiplicity of the equivalent `A ⋈ B`). */
   def current(stores: Stores): DataFrame = {
     if (!stores.out.exists) {
-      if (!(stores.left.exists && stores.right.exists))
+      if (!(stores.sideExists(true) && stores.sideExists(false)))
         throw new IllegalStateException("no batches applied to both sides yet")
       // both sides populated but no key has ever matched: the join is
       // EMPTY, not an error — synthesize the zero-row result with the
       // join's schema (key columns are the sides' shared names, per the
       // operator contract)
-      val l = state(stores.left).drop("__mult", "__bid", "__jk")
-      val r = state(stores.right).drop("__mult", "__bid", "__jk")
+      val l = stores.spark.table(stores.leftTable).drop("__mult", "__bid")
+      val r = stores.spark.table(stores.rightTable).drop("__mult", "__bid")
       val on = l.columns.toSeq.filter(r.columns.contains(_))
       return l.limit(0).join(r.limit(0), on)
         .withColumn("n", lit(0L))
@@ -154,15 +253,12 @@ object IncrementalJoin {
     * row (generation swap; result-invariant under [[current]]). Run at
     * ingest quiescence, single-writer — the store contract.
     *
-    * Compaction MOVES the replay boundary: collapsed rows lose their
-    * (lbid, rbid) stamps, so a crash-replay of a batch applied BEFORE
-    * the compaction regenerates pairs the dedup can no longer match and
-    * double-counts. Replays of batches applied after the last
-    * compaction stay exactly-once (q163 gates exactly this case). The
-    * operational contract is the usual one: compact only once the
-    * batches behind it are durably acknowledged and will never replay —
-    * identical to [[compactSides]]' and [[IncrementalAgg.compact]]'s
-    * quiescence requirement. */
+    * Compaction collapses the output rows' (lbid, rbid) stamps, but the
+    * applied-batch-id manifest outlives it: a replay of ANY committed
+    * batch — before or after the compaction — is an append-time no-op,
+    * so compaction no longer moves a replay-safety boundary (it did
+    * under the pre-manifest design, which could only dedup replays whose
+    * stamps still existed). */
   def compactOut(stores: Stores): Unit =
     stores.out.compactWith { df0 =>
       val df = df0.drop("prefix")
@@ -174,19 +270,30 @@ object IncrementalJoin {
         .withColumn("__rbid", lit(Compacted))
     }
 
-  /** Collapse the SIDE stores' per-batch groups to one row per value
-    * tuple. After a side compaction, replaying a pre-compaction batch id
-    * would double-count — run only at quiescence, the same single-writer
-    * boundary every store compaction in this engine assumes. */
-  def compactSides(stores: Stores): Unit =
-    Seq(stores.left, stores.right).filter(_.exists).foreach { st =>
-      st.compactWith { df0 =>
-        val df = df0.drop("prefix")
-        val valueCols = df.columns.filterNot(c => Meta.contains(c) || c == "__jk")
-        df.dropDuplicates(valueCols :+ "__bid")
-          .groupBy((valueCols :+ "__jk").map(col): _*)
-          .agg(sum(col("__mult")).as("__mult"))
-          .withColumn("__bid", lit(Compacted))
-      }
+  /** Collapse the SIDE tables' per-batch groups to one row per value
+    * tuple (small-files remedy + dirty-flag clear), preserving the
+    * bucketed layout: fold → staging table → atomic catalog rename.
+    * `on` must be the same join-key columns every append used. Run at
+    * quiescence, single-writer — the store contract. */
+  def compactSides(stores: Stores, on: Seq[String]): Unit =
+    Seq(true, false).filter(stores.sideExists).foreach { isLeft =>
+      val name = stores.sideTable(isLeft)
+      val t = stores.spark.table(name)
+      val valueCols = t.columns.filterNot(c => c == "__mult" || c == "__bid").toSeq
+      val stage = name + "__c"
+      stores.spark.sql(s"DROP TABLE IF EXISTS $stage")
+      t.dropDuplicates(valueCols :+ "__bid")
+        .groupBy(valueCols.map(col): _*)
+        .agg(sum(col("__mult")).as("__mult"))
+        .withColumn("__bid", lit(Compacted))
+        .repartition(stores.buckets, on.map(col): _*)
+        .write.format("parquet")
+        .bucketBy(stores.buckets, on.head, on.tail: _*)
+        .saveAsTable(stage)
+      stores.spark.sql(s"DROP TABLE $name")
+      stores.spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+      // compaction rewrote the side from a deduped fold: partial rows
+      // from any mid-write crash are gone, the happy path resumes
+      stores.clearMarker(s"${stores.sideName(isLeft)}.dirty")
     }
 }

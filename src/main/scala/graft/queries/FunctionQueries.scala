@@ -440,10 +440,11 @@ object FunctionQueries {
     val st = IncrementalJoin.stores(s,
       java.nio.file.Files.createTempDirectory("q163join").toString)
     val on = Seq("okey")
-    // every stage here is batch-sized and pre-shaped (fold shuffle, state
-    // join, 16-bucket store write) — AQE's runtime re-planning is pure
-    // job overhead at this stage size, the same measured trade PageRank
-    // makes; values are identical either way (IncrementalJoinSpec).
+    // every stage here is batch-sized and pre-shaped (fold shuffle,
+    // bucketed-state delta join, bucketed side append) — AQE's runtime
+    // re-planning is pure job overhead at this stage size, the same
+    // measured trade PageRank makes; values are identical either way
+    // (IncrementalJoinSpec).
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = s.conf.get(aqeKey, "true")
     s.conf.set(aqeKey, "false")
@@ -453,13 +454,12 @@ object FunctionQueries {
       IncrementalJoin.compactOut(st)
       IncrementalJoin.appendLeft(st, orders.filter($"okey" % 2 === 1), on, 1L)
       IncrementalJoin.appendRight(st, li.filter($"okey" % 2 === 1), on, 11L)
-      // STALE crash-replay of a POST-compaction batch: L1 re-applied
-      // after the right side moved on — its delta join now sees R10+R11
-      // and regenerates every (L1, R) pair under the same (lbid, rbid)
-      // stamps, so the read-side dedup (not byte-identical-append luck)
-      // absorbs it. Replays must postdate the last compaction — see the
-      // compactOut contract (a pre-compaction batch's stamps no longer
-      // exist to dedup against).
+      // STALE crash-replay: L1 re-applied after the right side moved on.
+      // The applied-batch-id manifest makes it an append-time no-op —
+      // exactly-once holds on BOTH sides of the compaction (the
+      // pre-manifest design could only absorb replays whose output
+      // stamps still existed; IncrementalJoinSpec pins both this path
+      // and the mid-write-crash dirty path).
       IncrementalJoin.appendLeft(st, orders.filter($"okey" % 2 === 1), on, 1L)
     } finally s.conf.set(aqeKey, aqeWas)
     IncrementalJoin.current(st)
@@ -468,8 +468,54 @@ object FunctionQueries {
       .orderBy($"o_orderstatus", $"l_returnflag")
   }
 
+  /** Incremental LEFT OUTER join maintenance (q171): orders ⟕ a sparse
+    * lineitem subset (quantity ≤ 2, so most orders stay unmatched) kept
+    * current across interleaved appends via
+    * [[graft.ops.IncrementalOuterJoin]] — the reference's own J1 shape
+    * (LEFT equi-join) as an IVM. The odd-key right batch arrives AFTER
+    * the odd-key left batch, so its keys' null-extended rows must be
+    * RETRACTED by signed multiplicity (not just absorbed); a mid-stream
+    * compaction and a replayed batch ride along. The final read must
+    * equal the oracle's one-shot LEFT JOIN. */
+  def q171JoinIvmOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{IncrementalJoin, IncrementalOuterJoin}
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_quantity" <= 2)
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val st = IncrementalOuterJoin.stores(s,
+      java.nio.file.Files.createTempDirectory("q171ojoin").toString)
+    val on = Seq("okey")
+    // same AQE scoping rationale as q163: batch-sized pre-shaped stages
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      IncrementalOuterJoin.appendLeft(st, orders.filter($"okey" % 2 === 0), on, 0L)
+      IncrementalOuterJoin.appendRight(st, li.filter($"okey" % 2 === 0), on, 10L)
+      IncrementalJoin.compactOut(st.inner)
+      IncrementalOuterJoin.compactUn(st)
+      IncrementalOuterJoin.appendLeft(st, orders.filter($"okey" % 2 === 1), on, 1L)
+      // this batch's keys are NEW matches for already-appended left rows:
+      // the retraction path runs at data scale, not just in the spec
+      IncrementalOuterJoin.appendRight(st, li.filter($"okey" % 2 === 1), on, 11L)
+      // stale replay: manifest makes it an append-time no-op
+      IncrementalOuterJoin.appendRight(st, li.filter($"okey" % 2 === 1), on, 11L)
+    } finally s.conf.set(aqeKey, aqeWas)
+    IncrementalOuterJoin.current(st)
+      .groupBy($"o_orderstatus",
+        coalesce($"l_returnflag", lit("~")).as("flag"))
+      .agg(sum($"n").as("n_pairs"),
+        sum(coalesce($"cents", lit(0L)) * $"n").as("sum_cents"))
+      .orderBy($"o_orderstatus", $"flag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q163_join_ivm" -> (q163JoinIvm _),
+    "q171_join_ivm_outer" -> (q171JoinIvmOuter _),
     "q151_kmv_overlap" -> (q151KmvOverlap _),
     "q152_overlap_ivm" -> (q152OverlapIvm _),
     "q108_sketch_ivm" -> (q108SketchIvm _),
@@ -503,6 +549,17 @@ object FunctionQueries {
       |ORDER BY p1, p2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q171_join_ivm_outer" ->
+      """SELECT o.o_orderstatus, COALESCE(l.l_returnflag, '~') AS flag,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(COALESCE(
+        |    CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT), 0))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o
+        |LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity <= 2) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q163_join_ivm" ->
       """SELECT o.o_orderstatus, l.l_returnflag,
         |  count(*) AS n_pairs,

@@ -73,7 +73,7 @@ class IncrementalJoinSpec extends SparkSpec {
     val before = currentSet(st)
     val filesBefore = st.out.dataFiles().size
     IncrementalJoin.compactOut(st)
-    IncrementalJoin.compactSides(st)
+    IncrementalJoin.compactSides(st, Seq("k"))
     assert(currentSet(st) == before)
     assert(st.out.dataFiles().size <= filesBefore)
     // appends continue working after compaction
@@ -90,25 +90,60 @@ class IncrementalJoinSpec extends SparkSpec {
     intercept[IllegalStateException] { IncrementalJoin.current(st) }
   }
 
-  test("replay boundary: post-compaction replays dedup; pre-compaction ones cannot") {
+  test("replays are no-ops on BOTH sides of a compaction (manifest, not stamps)") {
     val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
     val l = leftDf(1L -> "a")
     val r = rightDf(1L -> "x")
     IncrementalJoin.appendLeft(st, l, Seq("k"), 0L)
     IncrementalJoin.appendRight(st, r, Seq("k"), 10L)
     IncrementalJoin.compactOut(st)
-    // post-compaction batch replays exactly-once (stamps still present)
+    // post-compaction batch replays exactly-once
     val l2 = leftDf(1L -> "b")
     IncrementalJoin.appendLeft(st, l2, Seq("k"), 1L)
     IncrementalJoin.appendLeft(st, l2, Seq("k"), 1L)
     assert(currentSet(st) == oneShot(l.unionByName(l2), r))
-    // a PRE-compaction batch's stamps were collapsed away: replaying it
-    // double-counts — the documented compactOut quiescence boundary
+    // a PRE-compaction batch's output stamps were collapsed away, but the
+    // applied-batch-id manifest outlives compaction: the replay is an
+    // append-time no-op, never a double-count (the pre-manifest design
+    // documented this exact case as its replay-safety boundary)
     IncrementalJoin.appendLeft(st, l, Seq("k"), 0L)
     val over = IncrementalJoin.current(st)
       .where(col("lv") === "a").select(col("n"))
       .collect()(0).getLong(0)
-    assert(over == 2L) // (1,a,x) now counted twice — contract, not a bug
+    assert(over == 1L)
+  }
+
+  test("a retry after a mid-write crash dedups via the dirty flag until compaction") {
+    val root = tmpDir("ijoin")
+    val st = IncrementalJoin.stores(spark, root)
+    val l = leftDf(1L -> "a", 2L -> "b")
+    val r = rightDf(1L -> "x", 2L -> "y")
+    IncrementalJoin.appendLeft(st, l, Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, r, Seq("k"), 10L)
+    // simulate batch 1 crashing between its .started marker and .done:
+    // the side table holds the batch's rows but the manifest never
+    // committed it — exactly the partial-write window
+    val l2 = leftDf(1L -> "c")
+    IncrementalJoin.appendLeft(st, l2, Seq("k"), 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(root, "_applied/left.1.done"), false))
+    // the retry re-appends batch 1's rows (side now holds them twice) and
+    // must flag the side dirty so state reads dedup
+    IncrementalJoin.appendLeft(st, l2, Seq("k"), 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_applied/left.dirty")))
+    // a later RIGHT delta joins against the dirty left state: the dedup
+    // must keep the retried batch single-counted
+    val r2 = rightDf(1L -> "z")
+    IncrementalJoin.appendRight(st, r2, Seq("k"), 11L)
+    assert(currentSet(st) ==
+      oneShot(l.unionByName(l2), r.unionByName(r2)))
+    // side compaction rewrites from the deduped fold and clears the flag
+    IncrementalJoin.compactSides(st, Seq("k"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_applied/left.dirty")))
+    assert(currentSet(st) ==
+      oneShot(l.unionByName(l2), r.unionByName(r2)))
   }
 
   test("disjoint key sets give an EMPTY join with the right schema, not an error") {

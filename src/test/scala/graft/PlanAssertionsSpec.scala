@@ -46,6 +46,44 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected nested-loop plans: $offenders")
   }
 
+  test("join-IVM delta join: bucketed state scan, zero state-side exchange, delta builds the hash") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import graft.ops.IncrementalJoin
+    val st = IncrementalJoin.stores(spark,
+      java.nio.file.Files.createTempDirectory("ijoin-plan").toString)
+    import spark.implicits._
+    val l = (1L to 100L).map(k => (k, s"l$k")).toDF("k", "lv")
+    val r = (1L to 100L).map(k => (k, s"r$k")).toDF("k", "rv")
+    IncrementalJoin.appendLeft(st, l, Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, r, Seq("k"), 10L)
+    // AQE wraps the tree in a leaf AdaptiveSparkPlanExec; the q163 path
+    // runs AQE-off anyway (batch-sized stages), so audit that shape
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = IncrementalJoin.planProbe(st, l, Seq("k"), deltaIsLeft = true)
+        .queryExecution.executedPlan
+      val shj = exec.collect { case j: ShuffledHashJoinExec => j }
+      assert(shj.size == 1, s"expected one ShuffledHashJoin:\n$exec")
+      val j = shj.head
+      // delta is the join's left child and the hash-build side
+      assert(j.buildSide.toString == "BuildLeft", j.buildSide.toString)
+      // the STATE side: a bucketed table scan with no exchange anywhere
+      // under it — the layout investment that keeps per-batch shuffle
+      // bytes delta-sized while state grows without bound
+      assert(j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"state side re-shuffled:\n${j.right}")
+      val stateScans = j.right.collect { case s: FileSourceScanExec => s }
+      assert(stateScans.nonEmpty && stateScans.forall(_.bucketedScan),
+        s"state scan not bucketed:\n${j.right}")
+      // the DELTA side pays its (delta-sized) exchange into the layout
+      assert(j.left.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        s"delta side missing its exchange:\n${j.left}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("q2: both predicates push into the parquet scan; schema pruned") {
     val p = plan(RelationalQueries.q2FilterProject(spark, dir))
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45.0)")

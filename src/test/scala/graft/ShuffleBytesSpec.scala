@@ -191,6 +191,38 @@ class ShuffleBytesSpec extends SparkSpec {
       s"op=$opBytes raw=$rawBytes — set-then-expand lost its combine edge")
   }
 
+  test("join-IVM delta appends shuffle flat bytes while state grows 10×") {
+    // 10 rounds; each round appends a constant-size batch to BOTH sides
+    // on a round-disjoint key range (so per-round join fan-out is
+    // constant while the probed state grows 10×). The scale contract:
+    // a delta append shuffles the DELTA into the bucketed state layout
+    // and builds the hash from it — the state is scanned, never
+    // exchanged — so per-append shuffle bytes must stay flat. The
+    // pre-bucketed-table design re-shuffled the full other-side state
+    // on every batch (the round-5 verdict's one 100 TB blocker).
+    import graft.ops.IncrementalJoin
+    val root = java.nio.file.Files.createTempDirectory("ijoin-bytes").toString
+    val st = IncrementalJoin.stores(spark, root)
+    val on = Seq("k")
+    def sideBatch(round: Int, valCol: String): org.apache.spark.sql.DataFrame =
+      (0 until 2000).map { j =>
+        (round * 10000L + j % 500, s"${valCol}_${round}_$j" + "x" * 32)
+      }.toDF("k", valCol).localCheckpoint()
+    val perRound = (0 until 10).map { i =>
+      val (l, r) = (sideBatch(i, "lv"), sideBatch(i, "rv"))
+      shuffleBytes {
+        IncrementalJoin.appendRight(st, r, on, 100L + i)
+        IncrementalJoin.appendLeft(st, l, on, i.toLong)
+      }
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 2.0,
+      s"per-append shuffle grew with state: early=$early late=$late " +
+        s"(${perRound.mkString(",")})")
+  }
+
   test("coarse-histogram quantile selection shuffles bin counts, not the summary") {
     // 200k rows, 3 groups, ~50k distinct values: the q51 shape. The
     // coarse pass + one narrowing round must shuffle O(groups x bins)
