@@ -419,14 +419,32 @@ object SimilarityOps {
     * One shuffle keys vectors by cell; the per-cell self-join is
     * co-partitioned. Centroids default to the deterministic every-7th
     * seeds (SQL-replayable, q81's oracle); pass Lloyd-trained ones for
-    * production quality. */
+    * production quality.
+    *
+    * `maxCellSize` bounds the HOT cell: without it, one skewed cell (a
+    * near-duplicate-heavy corpus is exactly where cells collapse) puts
+    * |cell|² work in a single straggler task. When set, cells above the
+    * cap are recursively re-quantized with deterministically-seeded
+    * sub-centroids until every cell fits (≤ 8 rounds) — the
+    * keep-smallest rule composes unchanged, and the only semantic
+    * effect is MORE cell borders, the approximation the paper already
+    * accepts. A degenerate cell of near-identical vectors that refuses
+    * to split stops at the round bound (its pairs are all true dups —
+    * the quadratic cost there is the answer, not overhead). */
   def semDedup(corpus: DataFrame, threshold: Double, nlist: Int = 16,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               trained: Option[IndexedSeq[(Int, Seq[Float])]] = None): DataFrame = {
+               trained: Option[IndexedSeq[(Int, Seq[Float])]] = None,
+               maxCellSize: Option[Int] = None): DataFrame = {
     fused(corpus)
     val centroids = trained.getOrElse(seedCentroids(corpus, nlist, idCol, vecCol))
-    val assigned = assignCells(corpus, centroids, vecCol)
-      .select(col(idCol), col("cell"), col(vecCol))
+    val assigned0 = assignCells(corpus, centroids, vecCol)
+      .select(col(idCol), col("cell").cast("long").as("cell"), col(vecCol))
+    val assigned = maxCellSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxCellSize must be >= 2, got $cap")
+        splitHotCells(assigned0, cap, idCol, vecCol)
+      case None => assigned0
+    }
     val l = assigned.select(col("cell"), col(idCol).as("id1"), col(vecCol).as("v1"))
     val r = assigned.select(col("cell"), col(idCol).as("id2"), col(vecCol).as("v2"))
     val dups = l.join(r, Seq("cell"))
@@ -437,9 +455,64 @@ object SimilarityOps {
       .withColumnRenamed("id2", idCol)
     assigned.select(col(idCol), col("cell"))
       .join(dups, Seq(idCol), "left")
-      .select(col(idCol), col("cell").cast("long").as("cell"),
+      .select(col(idCol), col("cell"),
         col("dup_of").isNull.cast("long").as("keep"), col("dup_of"))
   }
+
+  /** Re-quantize every cell above `cap` with its own sub-centroids
+    * (seeded deterministically by id-hash order from the cell's members,
+    * ⌈|cell|/cap⌉ of them) and repeat until all cells fit or 8 rounds
+    * pass. Driver traffic per round is one (cell, count) summary plus
+    * the sub-centroid matrices — never vectors in bulk; the reassignment
+    * itself is one codegen'd argmax pass over only the oversized cells'
+    * rows. */
+  private def splitHotCells(assigned0: DataFrame, cap: Int,
+                            idCol: String, vecCol: String): DataFrame = {
+    import graft.ops.Lineage.LineageSyntax
+    var assigned = assigned0
+    var depth = 0
+    var prevOver = Set.empty[Long]
+    var over = hotCells(assigned, cap)
+    while (over.nonEmpty && depth < 8) {
+      // a cell that survived its own split unchanged cannot split further
+      // (near-identical members): stop re-trying it
+      val splittable = over.filterNot { case (c, _) => prevOver.contains(c) }
+      if (splittable.isEmpty) return assigned
+      assigned = assigned.cutLineage()
+      var nextId = over.map(_._1).max.max(
+        assigned.agg(max(col("cell"))).head().getLong(0)) + 1
+      val splits = splittable.map { case (c, n) =>
+        val subK = math.min(64, math.max(2, math.ceil(n.toDouble / cap).toInt))
+        val seeds = assigned.filter(col("cell") === c)
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))
+          .limit(subK)
+          .select(col(vecCol)).collect()
+          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+          .toIndexedSeq
+        val base = nextId
+        nextId += seeds.size
+        (c, base, seeds)
+      }
+      val reassigned = splits.foldLeft(col("cell")) {
+        case (acc, (c, base, subs)) =>
+          when(col("cell") === c,
+            lit(base) + array_max(cellScoresFor(subs)(col(vecCol)))
+              .getField("cid").cast("long"))
+            .otherwise(acc)
+      }
+      assigned = assigned.withColumn("cell", reassigned)
+      prevOver = over.map(_._1).toSet
+      over = hotCells(assigned, cap)
+      depth += 1
+    }
+    assigned
+  }
+
+  /** (cell, count) of cells above the cap — a cell-count-sized summary. */
+  private def hotCells(assigned: DataFrame, cap: Int): Seq[(Long, Long)] =
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
   // --------------------------------------------------- int8 quantization
 
