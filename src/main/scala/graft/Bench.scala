@@ -19,6 +19,51 @@ object Bench {
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Host-noise-immune signal: wall seconds on a shared VM vary ~8× on
+    // IO-heavy queries across boots (round-5 adjudication), so every
+    // sample also records executor CPU time and shuffle-write bytes via
+    // a job-group-scoped listener — figures the page cache and
+    // neighboring tenants cannot touch. They ride the committed artifact
+    // only; the stdout line stays the driver's fixed median contract.
+    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val groupCpu = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    val groupShuffle = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    def acc(m: java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.atomic.AtomicLong], g: String) =
+      m.computeIfAbsent(g,
+        _ => new java.util.concurrent.atomic.AtomicLong)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val g = Option(js.properties)
+            .map(_.getProperty("spark.jobGroup.id")).orNull
+          if (g != null && g.startsWith("bench-"))
+            js.stageIds.foreach(id => stageGroup.put(id, g))
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val g = stageGroup.get(sc.stageInfo.stageId)
+          if (g != null) {
+            acc(groupCpu, g).addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+            acc(groupShuffle, g)
+              .addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    var groupSeq = 0
+    // per-query per-sample (cpu seconds, shuffle bytes), parallel to raw
+    val rawCpu = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val rawShuffle = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
+    var currentQuery: String = ""
+    def recordSample(cpuS: Double, shufB: Long): Unit = {
+      rawCpu(currentQuery) = rawCpu.getOrElse(currentQuery, Seq.empty) :+ cpuS
+      rawShuffle(currentQuery) =
+        rawShuffle.getOrElse(currentQuery, Seq.empty) :+ shufB
+    }
+
     def time(f: => Unit): Double = {
       // Drop cached frames + GC first: several ops return `.cache()`d
       // results (the caller owns unpersist — here, nobody), so across
@@ -30,10 +75,26 @@ object Bench {
       // sample measures real work, never a prior sample's cache hit.
       spark.catalog.clearCache()
       System.gc()
+      groupSeq += 1
+      val group = s"bench-$groupSeq"
+      spark.sparkContext.setJobGroup(group, group)
       val t0 = System.nanoTime()
       try f catch { case e: Throwable =>
+        spark.sparkContext.clearJobGroup()
         System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      // listener events are async: spin briefly until the group's CPU
+      // figure stabilizes (typically one iteration)
+      var last = -1L
+      var spins = 0
+      def cpuNow = Option(groupCpu.get(group)).map(_.get).getOrElse(0L)
+      while (cpuNow != last && spins < 40) {
+        last = cpuNow; spins += 1; Thread.sleep(25)
+      }
+      recordSample(cpuNow / 1e9,
+        Option(groupShuffle.get(group)).map(_.get).getOrElse(0L))
+      wall
     }
 
     // warmup: pay JVM/codegen/scan-init once, outside any query's timing
@@ -51,6 +112,7 @@ object Bench {
     if (args.nonEmpty) {
       // isolated mode: 3 samples each, all reported — cold-vs-warm visible
       val samples = selected.sortBy(_._1).map { case (name, fn) =>
+        currentQuery = name
         val ts = (1 to 3).map(_ => time(materialize(fn(spark, sfDir))))
         s"\"" + name + "\":[" + ts.mkString(",") + "]"
       }
@@ -87,10 +149,12 @@ object Bench {
       materialize(graft.queries.CdcBench.curatedFromEnvelopes(
         spark.read.parquet(cdcDir)))
     cdcRun() // warm-up: page cache + codegen, untimed
+    currentQuery = "cdc_pipeline_2m"
     val cdcTimes = (1 to 3).map(_ => time(cdcRun()))
     raw("cdc_pipeline_2m") = cdcTimes
     results("cdc_pipeline_2m") = cdcTimes.sorted.apply(1)
     selected.sortBy(_._1).foreach { case (name, fn) =>
+      currentQuery = name
       val first = time(materialize(fn(spark, sfDir)))
       results(name) =
         if (first < 0) { raw(name) = Seq(first); first }
@@ -137,8 +201,22 @@ object Bench {
       // only — it is the driver's fixed one-line contract)
       val rawJson = raw.map { case (k, v) =>
         s"\"" + k + "\":[" + v.mkString(",") + "]" }.mkString("{", ",", "}")
+      // per-query median executor-CPU seconds and shuffle-write bytes —
+      // the cross-boot-stable signal (wall time on this VM is not); raw
+      // per-sample CPU rides along for outlier forensics
+      def medianCpu(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+      val cpuJson = rawCpu.map { case (k, v) =>
+        s"\"" + k + "\":" + f"${medianCpu(v)}%.3f" }.mkString("{", ",", "}")
+      val shufJson = rawShuffle.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v.isEmpty) -1L else v.sorted.apply(v.size / 2))
+      }.mkString("{", ",", "}")
+      val cpuRawJson = rawCpu.map { case (k, v) =>
+        s"\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(out,
-        json.dropRight(1) + s""","samples":$rawJson}""" + "\n")
+        json.dropRight(1) + s""","cpu_s":$cpuJson,"shuffle_bytes":$shufJson""" +
+          s""","samples":$rawJson,"cpu_samples":$cpuRawJson}""" + "\n")
       System.err.println(s"[bench] full results written to $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }

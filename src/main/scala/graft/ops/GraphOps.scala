@@ -233,8 +233,13 @@ object GraphOps {
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("cc_e6",
+        // the numerator in DECIMAL(38,0): 2·T·10⁶ wraps Int64 silently
+        // once a node corners ~4.6·10¹² triangles (deg ≳ 3·10⁶ in a
+        // dense neighborhood); 128-bit exact keeps the division right at
+        // any real degree (deg² ≤ ~10³⁸ ⇒ deg up to ~10¹⁹)
         when(col("deg") < 2, lit(0L)).otherwise(
-          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")))
+          expr("cast((2 * cast(n_tri as decimal(38,0)) * 1000000)" +
+            " div (deg * (deg - 1)) as bigint)")))
   }
 
   /** k-core subgraph by iterative peeling: repeatedly drop every node of

@@ -75,32 +75,43 @@ object LayoutOps {
   private def exactDiv(num: Column, den: Column): Column =
     ((num - pmod(num, den)) / den).cast("long")
 
-  /** Z-order-cluster `df` by two LONG columns and write parquet:
-    * scales both onto a 16-bit grid using their actual min/max (one
-    * scalar aggregation — driver gets 4 longs, never data), computes the
-    * interleaved z-value, range-partitions on it into `numFiles` output
-    * tasks and sorts within each — so every written file covers one
-    * compact z-range and its footer min/max are tight on BOTH columns.
+  /** Z-order-cluster `df` by 2-4 LONG columns and write parquet: scales
+    * each onto a grid using its actual min/max (one scalar aggregation —
+    * the driver gets 2·d longs, never data), computes the interleaved
+    * z-value, range-partitions on it into `numFiles` output tasks and
+    * sorts within each — so every written file covers one compact
+    * z-range and its footer min/max are tight on EVERY listed column.
+    * Grid bits split the 63-bit z-value budget evenly across columns
+    * (16 bits each for 2-D — the [[zValue2]] fast path — 21 for 3-D,
+    * 15 for 4-D).
     *
     * Scale shape: one pass for bounds (partial-agg'd), one range
     * exchange (sampled boundaries, AQE-compatible), one in-task sort,
     * one write. No driver collect of data, no global single-task sort. */
-  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+  def writeZOrdered(df: DataFrame, cols: Seq[String],
                     path: String, numFiles: Int): Unit = {
-    val b = df.agg(min(col(colA)).as("a0"), max(col(colA)).as("a1"),
-        min(col(colB)).as("b0"), max(col(colB)).as("b1"))
-      .head()
-    val (a0, a1, b0, b1) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    val z = zValue2(
-      scaleToGrid(col(colA), lit(a0), lit(a1)),
-      scaleToGrid(col(colB), lit(b0), lit(b1)))
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order supports 2-4 columns, got ${cols.size}")
+    val bits = if (cols.size == 2) 16 else 63 / cols.size // 16 / 21 / 15
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    val gridded = cols.zipWithIndex.map { case (c, i) =>
+      scaleToGrid(col(c), lit(b.getLong(2 * i)), lit(b.getLong(2 * i + 1)), bits)
+    }
+    val z =
+      if (cols.size == 2) zValue2(gridded(0), gridded(1))
+      else zValueN(gridded, bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** 2-column convenience overload (the original q155 surface). */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    path: String, numFiles: Int): Unit =
+    writeZOrdered(df, Seq(colA, colB), path, numFiles)
 
   /** Linear-clustered control twin of [[writeZOrdered]]: same exchange
     * and sort, ordered by `colA` alone. Perfect skipping on `colA`,

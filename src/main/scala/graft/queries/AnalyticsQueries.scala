@@ -720,10 +720,15 @@ object AnalyticsQueries {
     * flagged when they sit over 2σ from the trailing-7-observation mean.
     * The z-test is cleared of division and square roots by multiplying
     * through — `(w·n − s)² > 4·(w·ss − s²)` over integer count/sum/
-    * sum-of-squares window aggregates — so the flag is EXACT 64-bit
+    * sum-of-squares window aggregates — so the flag is EXACT integer
     * arithmetic, bit-portable across engines, and the whole query is one
     * date-grain aggregation plus one keyed window (no self-join against
-    * the trailing days). */
+    * the trailing days). The multiplied-through products wrap Int64 once
+    * daily counts pass ~3·10⁹ (and DuckDB would raise instead — a silent
+    * cross-engine divergence), so both sides compute them in 128-bit
+    * exact types: DECIMAL(38,0) here, HUGEINT in the oracle — exact for
+    * daily counts up to ~10¹⁷ (beyond the square of any real event
+    * volume; (7·10¹⁷)² ≈ 5·10³⁵ < 10³⁸). */
   def q161RollingAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = t(s, dir, "events")
@@ -731,15 +736,17 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"))
     val win = Window.partitionBy($"event_type").orderBy($"d")
       .rowsBetween(-7, -1)
+    val dec = "decimal(38,0)"
     daily.select($"event_type", $"d", $"n",
         count(lit(1)).over(win).as("w"),
-        sum($"n").over(win).as("s"),
-        sum($"n" * $"n").over(win).as("ss"))
-      .where($"w" >= 4 &&
-        ($"w" * $"n" - $"s") * ($"w" * $"n" - $"s") >
-          lit(4) * ($"w" * $"ss" - $"s" * $"s"))
+        sum($"n".cast(dec)).over(win).as("s"),
+        sum($"n".cast(dec) * $"n").over(win).as("ss"))
+      .where($"w" >= 4 && {
+        val diff = $"w".cast(dec) * $"n" - $"s"
+        diff * diff > lit(4) * ($"w".cast(dec) * $"ss" - $"s" * $"s")
+      })
       .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
-        $"n", $"w".as("n_window"), $"s".as("win_sum"))
+        $"n", $"w".as("n_window"), $"s".cast("long").as("win_sum"))
       .orderBy($"event_type", $"day")
   }
 
@@ -1092,15 +1099,17 @@ object AnalyticsQueries {
         |w AS (
         |  SELECT event_type, d, n,
         |    count(*) OVER win AS w,
-        |    sum(n) OVER win AS s,
-        |    sum(n * n) OVER win AS ss
+        |    sum(CAST(n AS HUGEINT)) OVER win AS s,
+        |    sum(CAST(n AS HUGEINT) * n) OVER win AS ss
         |  FROM daily
         |  WINDOW win AS (PARTITION BY event_type ORDER BY d
         |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
         |  w AS n_window, CAST(s AS BIGINT) AS win_sum
         |FROM w
-        |WHERE w >= 4 AND (w*n - s)*(w*n - s) > 4*(w*ss - s*s)
+        |WHERE w >= 4
+        |  AND (CAST(w AS HUGEINT)*n - s)*(CAST(w AS HUGEINT)*n - s)
+        |    > 4*(CAST(w AS HUGEINT)*ss - s*s)
         |ORDER BY event_type, day""".stripMargin,
     "q162_bfs" ->
       """WITH RECURSIVE e AS (

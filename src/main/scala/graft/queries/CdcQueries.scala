@@ -174,7 +174,69 @@ object CdcQueries {
       .orderBy($"lang", $"loaded_batch")
   }
 
+  /** Full CDC→curated pipeline through the STREAMING path (q172): the
+    * q21 envelope set is laid out as a partitioned topic twin (4
+    * `partition=N` dirs of .jsonl), drained by
+    * [[graft.streaming.CdcStream.ingestAvailableNow]] in several
+    * micro-batches (`maxFilesPerTrigger` bounds each), merge-upserted
+    * into a snapshot table, then shredded and joined to the customer
+    * dimension. q21 gates the envelope operators one-by-one and
+    * CdcStreamSpec gates the stream pieces in isolation; this gate
+    * proves the WHOLE chain (stream → merge → shred → dimension join)
+    * is batch/stream-equivalent against the one-shot relational oracle. */
+  def q172CdcStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.load(s, dir, "orders")
+    val after = struct($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val envelope = ord.select(
+      to_json(struct(
+        struct(
+          when($"o_orderkey" % 97 === 0, lit(null).cast(orderRow)).otherwise(after)
+            .as("after"),
+          when($"o_orderkey" % 97 === 0, lit("d")).otherwise(lit("c")).as("op"),
+          unix_millis($"o_orderdate".cast(TimestampType)).as("ts_ms")
+        ).as("payload"))).as("value"),
+      pmod($"o_orderkey", lit(4)).as("partition"))
+    val topic = java.nio.file.Files.createTempDirectory("q172topic").toString
+    // ONE partitioned write lays out all four topic partitions
+    // (partition=N dirs), then the data files take the .jsonl extension
+    // the topic-twin source contract requires
+    envelope.repartition(col("partition"))
+      .write.mode("overwrite").partitionBy("partition").text(topic)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(topic), true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-") && !f.getName.endsWith(".jsonl"))
+        fs.rename(f, new org.apache.hadoop.fs.Path(f.getParent,
+          f.getName + ".jsonl"))
+    }
+    val lake = java.nio.file.Files.createTempDirectory("q172lake").toString
+    val table = new graft.sinks.SnapshotTable(s, s"$lake/raw_orders")
+    // unpartitioned raw table: orders' ts_ms spans ~7 years of distinct
+    // dates, so the default date partitioning would write thousands of
+    // one-row directories per merge — the date-layout semantics are
+    // already gated by q13/q21; THIS gate is about the streaming chain
+    val nBatches = graft.streaming.CdcStream.ingestAvailableNow(
+      s, topic, table, "o_orderkey",
+      checkpointDir = s"$lake/_checkpoint",
+      partitionBy = Seq.empty,
+      maxFilesPerTrigger = Some(2))
+    require(nBatches >= 2,
+      s"expected a multi-micro-batch drain, got $nBatches batches")
+    val cust = Tables.load(s, dir, "customer").select($"c_custkey", $"c_name")
+    Debezium.shred(table.read().select("nested_data"), orderRow)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        floor($"o_totalprice" * 100.0 + 0.5).as("price_cents"))
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"price_cents", $"c_name")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q172_cdc_stream" -> (q172CdcStream _),
     "q154_sql_project" -> (q154SqlProject _),
     "q21_cdc_roundtrip" -> (q21CdcRoundtrip _),
     "q134_variant_shred" -> (q134VariantShred _),
@@ -184,6 +246,13 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_cdc_stream" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+        |  CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+        |  c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 97 <> 0
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q154_sql_project" ->
       """WITH raw AS (
         |  SELECT doc_id, text, lang, source, n_chars,

@@ -23,7 +23,11 @@ class ClusterParitySpec extends SparkSpec {
     // round-5 additions: store-backed join IVM (cross-executor append/
     // read/compact cycles), degree-oriented wedge joins, and the
     // PassJoin explode+equi-join blocking
-    "q163_join_ivm", "q159_triangles", "q160_fuzzy_join")
+    "q163_join_ivm", "q159_triangles", "q160_fuzzy_join",
+    // round-6 additions: signed-multiset outer IVM (retraction appends
+    // + bucketed-table state across executor JVMs) and the end-to-end
+    // CDC stream (file stream → merge sink → shred → broadcast join)
+    "q171_join_ivm_outer", "q172_cdc_stream")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

@@ -82,6 +82,39 @@ class LayoutOpsSpec extends SparkSpec {
       s"box predicate not pushed to scan:\n$plan")
   }
 
+  test("3-column z-order prunes files on EVERY interleaved column") {
+    // three independent uniform dimensions; the single-column sort twin
+    // proves the pruning comes from the interleave, not the data
+    val n = 20000
+    val df = spark.range(n.toLong).select(
+      (xxhash64(col("id")).bitwiseAND(lit(0x7FFFFFFFL)) % 100000L).as("a"),
+      (xxhash64(col("id"), lit(1)).bitwiseAND(lit(0x7FFFFFFFL)) % 100000L).as("b"),
+      (xxhash64(col("id"), lit(2)).bitwiseAND(lit(0x7FFFFFFFL)) % 100000L).as("c"))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    val lDir = java.nio.file.Files.createTempDirectory("linear3").toString
+    LayoutOps.writeZOrdered(df, Seq("a", "b", "c"), zDir, numFiles = 64)
+    LayoutOps.writeLinearOrdered(df, "a", lDir, numFiles = 64)
+    assert(spark.read.parquet(zDir).count() == n)
+    // a selective box on each NON-leading dimension: the a-sorted layout
+    // cannot prune there; the 3-D interleave must on all three
+    Seq("a", "b", "c").foreach { c =>
+      val box = Map(c -> (0L, 10000L))
+      val (zHit, zTot) = LayoutOps.filesOverlappingBox(spark, zDir, box)
+      assert(zTot == 64, s"$c: $zTot files")
+      assert(zHit * 2 <= zTot,
+        s"z-order should skip >= half the files on $c (got $zHit/$zTot)")
+      if (c != "a") {
+        val (lHit, lTot) = LayoutOps.filesOverlappingBox(spark, lDir, box)
+        assert(lHit == lTot,
+          s"control: linear layout should not prune on $c (got $lHit/$lTot)")
+      }
+    }
+    // the 3-D box compounds the pruning
+    val box3 = Map("a" -> (0L, 10000L), "b" -> (0L, 10000L), "c" -> (0L, 10000L))
+    val (z3, _) = LayoutOps.filesOverlappingBox(spark, zDir, box3)
+    assert(z3 <= 8, s"3-D box should touch <= 8 of 64 files (got $z3)")
+  }
+
   test("FileZoneMap over a z-ordered table prunes candidates on BOTH columns") {
     val df = spark.range(20000L).select(
       (xxhash64(col("id")).bitwiseAND(lit(0x7FFFFFFFL)) % 100000L).as("a"),
