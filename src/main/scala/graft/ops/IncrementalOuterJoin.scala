@@ -99,52 +99,108 @@ object IncrementalOuterJoin {
     in.touch(s"right.$batchId.started")
     val d = IncrementalJoin.fold(batch, on, batchId).cutLineage()
     val leftExists = in.sideExists(true)
-    if (leftExists)
+    if (leftExists) {
       in.out.append(IncrementalJoin.deltaJoin(d,
         IncrementalJoin.sideState(in, isLeft = true), on,
         deltaIsLeft = false))
-    if (leftExists) {
-      val dKeys = d.select(on.map(col): _*).distinct()
-      val newKeys =
-        if (in.sideExists(false)) {
-          // keys of this delta already present in the right state BEFORE
-          // this batch (excluding rows a crashed attempt of THIS id may
-          // have partially committed): state streams past the delta-built
-          // hash, output is at most delta-key-sized
-          val prior = IncrementalJoin.sideState(in, isLeft = false)
-            .filter(col("__bid") =!= batchId)
-            .join(dKeys.hint("SHUFFLE_HASH"), on, "left_semi")
-            .select(on.map(col): _*).distinct()
-          dKeys.join(prior.hint("SHUFFLE_HASH"), on, "left_anti")
-        } else dKeys
-      val retract = IncrementalJoin.sideState(in, isLeft = true)
-        .join(newKeys.hint("SHUFFLE_HASH"), on, "left_semi")
-        .withColumn("__mult", -col("__mult"))
-        .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
-        .withColumn("__tbid", lit(batchId))
-      st.un.append(retract)
+      val newKeys = newlyMatchedKeys(in, d, ownIsLeft = false, on, batchId)
+      st.un.append(retraction(in, targetIsLeft = true, newKeys, on, batchId))
     }
     IncrementalJoin.appendToTable(in, isLeft = false, d, on)
     in.touch(s"right.$batchId.done")
   }
+
+  /** Keys of the folded delta `d` that were NOT present in the delta's
+    * OWN side state before this batch — the keys whose arrival flips the
+    * other side's groups from unmatched to matched. Rows a crashed
+    * attempt of THIS batch id may have partially committed are excluded
+    * from the prior-state probe, so they cannot masquerade as
+    * pre-existing matches. The state streams past the delta-built hash;
+    * both derived key sets are delta-key-sized. */
+  private[ops] def newlyMatchedKeys(in: IncrementalJoin.Stores, d: DataFrame,
+                                    ownIsLeft: Boolean, on: Seq[String],
+                                    batchId: Long): DataFrame = {
+    val dKeys = d.select(on.map(col): _*).distinct()
+    if (in.sideExists(ownIsLeft)) {
+      val prior = IncrementalJoin.sideState(in, ownIsLeft)
+        .filter(col("__bid") =!= batchId)
+        .join(dKeys.hint("SHUFFLE_HASH"), on, "left_semi")
+        .select(on.map(col): _*).distinct()
+      dKeys.join(prior.hint("SHUFFLE_HASH"), on, "left_anti")
+    } else dKeys
+  }
+
+  /** `-mult` retraction rows for the target side's groups whose key is
+    * in `newKeys` — state streaming past a delta-sized hash build. */
+  private[ops] def retraction(in: IncrementalJoin.Stores, targetIsLeft: Boolean,
+                              newKeys: DataFrame, on: Seq[String],
+                              triggerBatchId: Long): DataFrame =
+    IncrementalJoin.sideState(in, targetIsLeft)
+      .join(newKeys.hint("SHUFFLE_HASH"), on, "left_semi")
+      .withColumn("__mult", -col("__mult"))
+      .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
+      .withColumn("__tbid", lit(triggerBatchId))
 
   /** Collapse the un store's signed contributions to one netted row per
     * value group, dropping fully-retracted (net-0) groups — the
     * generation-swap compaction of the signed multiset. Result-invariant
     * under [[current]]; replay safety rests on the manifest (same
     * contract as [[IncrementalJoin.compactOut]]). Run at quiescence. */
-  def compactUn(st: Stores): Unit =
-    st.un.compactWith { df0 =>
+  def compactUn(st: Stores): Unit = compactUnStore(st.un)
+
+  /** [[compactUn]] for any signed unmatched store (shared with the full
+    * outer variant's two stores). Same sign-qualified dedup identity as
+    * [[netUnmatched]]. */
+  private[ops] def compactUnStore(un: AppendOnlyStore): Unit =
+    un.compactWith { df0 =>
       val df = df0.drop("prefix")
       val valueCols = df.columns
         .filterNot(c => UnMeta.contains(c) || c == "__jk").toSeq
-      df.dropDuplicates(valueCols ++ Seq("__bid", "__tbid"))
+      df.withColumn("__sgn", signum(col("__mult")))
+        .dropDuplicates(valueCols ++ Seq("__bid", "__tbid", "__sgn"))
+        .drop("__sgn")
         .groupBy((valueCols :+ "__jk").map(col): _*)
         .agg(sum(col("__mult")).as("__mult"))
         .filter(col("__mult") =!= 0)
         .withColumn("__bid", lit(Long.MinValue))
         .withColumn("__tbid", lit(Long.MinValue))
     }
+
+  /** The un store's live signed multiset, netted per value group:
+    * (valueCols…, n) with n > 0. None when the store holds nothing.
+    *
+    * The replay-dedup identity includes the SIGN of `__mult`: batch ids
+    * are only unique per SIDE, so a `+` row (values, L, L) and a `-`
+    * retraction (values, L, R) can share stamps when a right batch id
+    * numerically equals a left one — the sign is what still separates
+    * them (two same-sign events can never share (values, bid, tbid):
+    * one + per group per batch, one retraction per key transition). */
+  private[ops] def netUnmatched(un: AppendOnlyStore): Option[DataFrame] = {
+    if (!un.exists) return None
+    val unDf = un.read().drop("prefix", "__jk")
+    val valueCols = unDf.columns.filterNot(UnMeta.contains).toSeq
+    Some(unDf
+      .withColumn("__sgn", signum(col("__mult")))
+      .dropDuplicates(valueCols ++ Seq("__bid", "__tbid", "__sgn"))
+      .groupBy(valueCols.map(col): _*)
+      .agg(sum(col("__mult")).as("n"))
+      .filter(col("n") > 0))
+  }
+
+  /** Null-extend `net` with the columns of `sideTable` it lacks (typed
+    * from the table's schema) and align to `inner`'s column order. */
+  private[ops] def nullExtendTo(inner: DataFrame, net: DataFrame,
+                                spark: org.apache.spark.sql.SparkSession,
+                                sideTable: String): DataFrame = {
+    val have = net.columns.toSet
+    val missing: Seq[StructField] = spark.table(sideTable)
+      .drop("__mult", "__bid").schema.fields.toSeq
+      .filterNot(f => have.contains(f.name))
+    val extended = missing.foldLeft(net) { (df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    extended.select(inner.columns.map(col).toSeq: _*)
+  }
 
   /** The current LEFT OUTER join as a value-multiset: left ∪ right
     * columns plus `n`; unmatched left groups carry NULL right columns. */
@@ -155,20 +211,96 @@ object IncrementalOuterJoin {
         "one right batch first (an empty one is fine)")
     require(in.sideExists(true), "no left batches applied yet")
     val inner = IncrementalJoin.current(in)
-    if (!st.un.exists) return inner
-    val unDf = st.un.read().drop("prefix", "__jk")
-    val valueCols = unDf.columns.filterNot(UnMeta.contains).toSeq
-    val net = unDf
-      .dropDuplicates(valueCols ++ Seq("__bid", "__tbid"))
-      .groupBy(valueCols.map(col): _*)
-      .agg(sum(col("__mult")).as("n"))
-      .filter(col("n") > 0)
-    val rightOnly: Seq[StructField] = in.spark.table(in.rightTable)
-      .drop("__mult", "__bid").schema.fields.toSeq
-      .filterNot(f => valueCols.contains(f.name))
-    val nullExtended = rightOnly.foldLeft(net) { (df, f) =>
-      df.withColumn(f.name, lit(null).cast(f.dataType))
+    netUnmatched(st.un) match {
+      case Some(net) =>
+        inner.unionByName(nullExtendTo(inner, net, in.spark, in.rightTable))
+      case None => inner
     }
-    inner.unionByName(nullExtended.select(inner.columns.map(col).toSeq: _*))
+  }
+}
+
+/** Incremental FULL OUTER join maintenance: [[IncrementalOuterJoin]]'s
+  * signed-unmatched construction applied SYMMETRICALLY — one signed
+  * store per side. A side's delta appends `+mult` for its own unmatched
+  * groups, and retracts the OTHER side's unmatched groups whose key it
+  * just brought for the first time. Same Δ-rule inner core, same
+  * manifest exactly-once, same all-states-stream plan shape. */
+object IncrementalFullOuterJoin {
+
+  final case class Stores(inner: IncrementalJoin.Stores,
+                          unLeft: AppendOnlyStore, unRight: AppendOnlyStore)
+
+  def stores(spark: org.apache.spark.sql.SparkSession, root: String,
+             buckets: Int = 16): Stores =
+    Stores(IncrementalJoin.stores(spark, root, buckets),
+      new AppendOnlyStore(spark, s"$root/un_left", prefixCol = "__jk",
+        prefixChars = 1),
+      new AppendOnlyStore(spark, s"$root/un_right", prefixCol = "__jk",
+        prefixChars = 1))
+
+  private def appendSide(st: Stores, batch: DataFrame, on: Seq[String],
+                         batchId: Long, isLeft: Boolean): Unit = {
+    val in = st.inner
+    val side = in.sideName(isLeft)
+    if (in.hasMarker(s"$side.$batchId.done")) return
+    if (in.hasMarker(s"$side.$batchId.started")) in.touch(s"$side.dirty")
+    in.touch(s"$side.$batchId.started")
+    val d = IncrementalJoin.fold(batch, on, batchId).cutLineage()
+    val (ownUn, otherUn) =
+      if (isLeft) (st.unLeft, st.unRight) else (st.unRight, st.unLeft)
+    val unmatched =
+      if (in.sideExists(!isLeft)) {
+        val dOut = IncrementalJoin.deltaJoin(d,
+          IncrementalJoin.sideState(in, !isLeft), on,
+          deltaIsLeft = isLeft).cutLineage()
+        in.out.append(dOut)
+        val matchedKeys = dOut.select(on.map(col): _*).distinct()
+        d.join(matchedKeys.hint("SHUFFLE_HASH"), on, "left_anti")
+      } else d
+    ownUn.append(unmatched.withColumn("__tbid", lit(batchId)))
+    if (in.sideExists(!isLeft)) {
+      val newKeys = IncrementalOuterJoin.newlyMatchedKeys(
+        in, d, ownIsLeft = isLeft, on, batchId)
+      otherUn.append(IncrementalOuterJoin.retraction(
+        in, targetIsLeft = !isLeft, newKeys, on, batchId))
+    }
+    IncrementalJoin.appendToTable(in, isLeft, d, on)
+    in.touch(s"$side.$batchId.done")
+  }
+
+  def appendLeft(st: Stores, batch: DataFrame, on: Seq[String],
+                 batchId: Long): Unit =
+    appendSide(st, batch, on, batchId, isLeft = true)
+
+  def appendRight(st: Stores, batch: DataFrame, on: Seq[String],
+                  batchId: Long): Unit =
+    appendSide(st, batch, on, batchId, isLeft = false)
+
+  /** Compact both signed unmatched stores (netted, zero-groups dropped)
+    * — see [[IncrementalOuterJoin.compactUn]]. Run at quiescence. */
+  def compactUn(st: Stores): Unit = {
+    IncrementalOuterJoin.compactUnStore(st.unLeft)
+    IncrementalOuterJoin.compactUnStore(st.unRight)
+  }
+
+  /** The current FULL OUTER join as a value-multiset: inner pairs, plus
+    * unmatched-left groups with NULL right columns, plus unmatched-right
+    * groups with NULL left columns. */
+  def current(st: Stores): DataFrame = {
+    val in = st.inner
+    require(in.sideExists(true) && in.sideExists(false),
+      "full-outer read needs both sides' schemas — apply at least one " +
+        "batch per side (empty ones are fine)")
+    val inner = IncrementalJoin.current(in)
+    val withLeft = IncrementalOuterJoin.netUnmatched(st.unLeft) match {
+      case Some(net) => inner.unionByName(
+        IncrementalOuterJoin.nullExtendTo(inner, net, in.spark, in.rightTable))
+      case None => inner
+    }
+    IncrementalOuterJoin.netUnmatched(st.unRight) match {
+      case Some(net) => withLeft.unionByName(
+        IncrementalOuterJoin.nullExtendTo(inner, net, in.spark, in.leftTable))
+      case None => withLeft
+    }
   }
 }

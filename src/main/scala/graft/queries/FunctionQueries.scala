@@ -513,9 +513,47 @@ object FunctionQueries {
       .orderBy($"o_orderstatus", $"flag")
   }
 
+  /** Incremental FULL OUTER join maintenance (q173): a pruned orders
+    * side (every third order dropped, so some lineitems lack a parent)
+    * full-outer a sparse lineitem side (quantity ≤ 2, so most orders
+    * lack a line) — BOTH signed unmatched stores carry live rows and
+    * both retract on late matches, across interleaved appends with a
+    * replayed batch. Oracle = the one-shot FULL OUTER JOIN. */
+  def q173JoinIvmFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalFullOuterJoin
+    val orders = Tables.load(s, dir, "orders")
+      .filter($"o_orderkey" % 3 =!= 0)
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_quantity" <= 2)
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val st = IncrementalFullOuterJoin.stores(s,
+      java.nio.file.Files.createTempDirectory("q173fjoin").toString)
+    val on = Seq("okey")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      IncrementalFullOuterJoin.appendLeft(st, orders.filter($"okey" % 2 === 0), on, 0L)
+      IncrementalFullOuterJoin.appendRight(st, li.filter($"okey" % 2 === 0), on, 10L)
+      IncrementalFullOuterJoin.appendLeft(st, orders.filter($"okey" % 2 === 1), on, 1L)
+      IncrementalFullOuterJoin.appendRight(st, li.filter($"okey" % 2 === 1), on, 11L)
+      IncrementalFullOuterJoin.appendLeft(st, orders.filter($"okey" % 2 === 1), on, 1L) // replay
+    } finally s.conf.set(aqeKey, aqeWas)
+    IncrementalFullOuterJoin.current(st)
+      .groupBy(coalesce($"o_orderstatus", lit("~")).as("st"),
+        coalesce($"l_returnflag", lit("~")).as("flag"))
+      .agg(sum($"n").as("n_pairs"),
+        sum(coalesce($"cents", lit(0L)) * $"n").as("sum_cents"))
+      .orderBy($"st", $"flag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q163_join_ivm" -> (q163JoinIvm _),
     "q171_join_ivm_outer" -> (q171JoinIvmOuter _),
+    "q173_join_ivm_full" -> (q173JoinIvmFull _),
     "q151_kmv_overlap" -> (q151KmvOverlap _),
     "q152_overlap_ivm" -> (q152OverlapIvm _),
     "q108_sketch_ivm" -> (q108SketchIvm _),
@@ -549,6 +587,18 @@ object FunctionQueries {
       |ORDER BY p1, p2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q173_join_ivm_full" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_quantity <= 2)
+        |SELECT COALESCE(o.o_orderstatus, '~') AS st,
+        |  COALESCE(l.l_returnflag, '~') AS flag,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(COALESCE(
+        |    CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT), 0))
+        |    AS BIGINT) AS sum_cents
+        |FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q171_join_ivm_outer" ->
       """SELECT o.o_orderstatus, COALESCE(l.l_returnflag, '~') AS flag,
         |  count(*) AS n_pairs,

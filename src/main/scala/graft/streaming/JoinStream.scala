@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
-import graft.ops.IncrementalJoin
+import graft.ops.{IncrementalJoin, IncrementalOuterJoin}
 
 /** Streaming maintenance twin for [[graft.ops.IncrementalJoin]] — the
   * join member of the `maintain*AvailableNow` family (aggregates,
@@ -82,5 +82,54 @@ object JoinStream {
       isLeft = false, checkpointDir = s"$checkpointRoot/right",
       idOffset = RightIdOffset)
     IncrementalJoin.current(stores)
+  }
+
+  /** [[drainSideAvailableNow]] for the LEFT OUTER variant: every
+    * micro-batch applies [[IncrementalOuterJoin]]'s Δ-rule (inner pairs
+    * + signed unmatched maintenance). Same checkpointing, same
+    * batch-id-namespace contract, same replay story (the manifest makes
+    * re-applied micro-batches no-ops). */
+  def drainOuterSideAvailableNow(spark: SparkSession, parquetDir: String,
+                                 schema: StructType,
+                                 stores: IncrementalOuterJoin.Stores,
+                                 on: Seq[String], isLeft: Boolean,
+                                 checkpointDir: String,
+                                 idOffset: Long = 0L): Unit = {
+    val q = spark.readStream.schema(schema).parquet(parquetDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (isLeft)
+          IncrementalOuterJoin.appendLeft(stores, batch, on, batchId + idOffset)
+        else
+          IncrementalOuterJoin.appendRight(stores, batch, on, batchId + idOffset)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** LEFT OUTER twin of [[maintainJoinAvailableNow]]: drains both sides
+    * through the outer Δ-rule and returns the maintained left-outer
+    * multiset (unmatched lefts null-extended). The RIGHT side drains
+    * FIRST so its schema lands before left rows decide their
+    * matched/unmatched split — order is otherwise immaterial (the
+    * signed-multiset rule is interleaving-invariant). A right topic
+    * with no files yet yields no batches, so the read still requires at
+    * least one drained right file ([[IncrementalOuterJoin.current]]'s
+    * documented schema contract). */
+  def maintainLeftOuterAvailableNow(spark: SparkSession,
+                                    leftDir: String, leftSchema: StructType,
+                                    rightDir: String, rightSchema: StructType,
+                                    stores: IncrementalOuterJoin.Stores,
+                                    on: Seq[String],
+                                    checkpointRoot: String): DataFrame = {
+    drainOuterSideAvailableNow(spark, rightDir, rightSchema, stores, on,
+      isLeft = false, checkpointDir = s"$checkpointRoot/right",
+      idOffset = RightIdOffset)
+    drainOuterSideAvailableNow(spark, leftDir, leftSchema, stores, on,
+      isLeft = true, checkpointDir = s"$checkpointRoot/left")
+    IncrementalOuterJoin.current(stores)
   }
 }

@@ -54,4 +54,47 @@ class JoinStreamSpec extends SparkSpec {
       s"$lDir/*", lSchema, s"$rDir/*", rSchema, st, Seq("k"), s"$root/ckpt")
     assert(multiset(third) == multiset(second))
   }
+
+  private def multisetOuter(df: DataFrame): Set[(Long, String, Option[String], Long)] =
+    df.select(col("k"), col("lv"), col("rv"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getLong(3))).toSet
+
+  private def oneShotOuter(l: DataFrame, r: DataFrame) =
+    multisetOuter(l.join(r, Seq("k"), "left")
+      .groupBy(col("k"), col("lv"), col("rv"))
+      .agg(count(lit(1)).as("n")))
+
+  test("LEFT OUTER drain: unmatched rows null-extend, a later right file retracts them") {
+    val root = tmpDir("joinstream-outer")
+    val (lDir, rDir) = (s"$root/left", s"$root/right")
+    Files.createDirectories(Paths.get(lDir))
+    Files.createDirectories(Paths.get(rDir))
+    val st = graft.ops.IncrementalOuterJoin.stores(spark, s"$root/stores")
+    val lSchema = Seq((1L, "x")).toDF("k", "lv").schema
+    val rSchema = Seq((1L, "x")).toDF("k", "rv").schema
+
+    val l1 = Seq(1L -> "a", 2L -> "b").toDF("k", "lv")
+    val r1 = Seq(1L -> "x").toDF("k", "rv")
+    l1.coalesce(1).write.parquet(s"$lDir/f1")
+    r1.coalesce(1).write.parquet(s"$rDir/f1")
+    val first = JoinStream.maintainLeftOuterAvailableNow(spark,
+      s"$lDir/*", lSchema, s"$rDir/*", rSchema, st, Seq("k"), s"$root/ckpt")
+    assert(multisetOuter(first) == oneShotOuter(l1, r1))
+    assert(multisetOuter(first).contains((2L, "b", None, 1L)))
+
+    // a later right file matches key 2: the null row must retract at
+    // stream cadence, through the same checkpointed incremental drain
+    val r2 = Seq(2L -> "z").toDF("k", "rv")
+    r2.coalesce(1).write.parquet(s"$rDir/f2")
+    val second = JoinStream.maintainLeftOuterAvailableNow(spark,
+      s"$lDir/*", lSchema, s"$rDir/*", rSchema, st, Seq("k"), s"$root/ckpt")
+    assert(multisetOuter(second) == oneShotOuter(l1, r1.unionByName(r2)))
+    assert(!multisetOuter(second).exists(t => t._1 == 2L && t._3.isEmpty))
+
+    // idle re-drain: no-op
+    val third = JoinStream.maintainLeftOuterAvailableNow(spark,
+      s"$lDir/*", lSchema, s"$rDir/*", rSchema, st, Seq("k"), s"$root/ckpt")
+    assert(multisetOuter(third) == multisetOuter(second))
+  }
 }
