@@ -149,4 +149,70 @@ object FuzzyJoin {
       .where(col("dist") >= 0 && col("dist") <= k)
       .select(col("id1"), col("id2"), col("str1"), col("str2"), col("dist"))
   }
+
+  /** EXACT Jaccard set-similarity self-join via prefix filtering
+    * (AllPairs/PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08 — as
+    * explodes + equi-joins). Unlike the MinHash/LSH path
+    * ([[DedupOps]]), which trades recall for cost, this is COMPLETE:
+    * every unordered pair with `jaccard ≥ minJaccardE6/10⁶` is returned,
+    * with the similarity as an exact integer micro-unit.
+    *
+    * Pigeonhole: order every set's tokens by global rarity (frequency
+    * asc, token asc — rarest first). `jaccard(A,B) ≥ t` forces
+    * `|A∩B| ≥ ⌈t·|A|⌉`, and a set sharing ≥ o tokens with A must share
+    * at least one of A's first `|A| − o + 1` tokens. So only the PREFIX
+    * tokens generate candidates — and because prefixes are drawn from
+    * the rare end of the vocabulary, prefix blocks are small where a
+    * raw token inverted index would put every stop-word pair in one
+    * block. `o` is computed in integer arithmetic
+    * (`⌈tE6·s / 10⁶⌉` via long ceil-division) — a float `ceil(0.6·s)`
+    * rounds up at exact multiples (0.6·5 → 3.0000000000000004) and
+    * silently SHORTENS the prefix below the completeness bound.
+    *
+    * Plan shape: token explode → vocabulary-frequency join → per-set
+    * rank window (set-sized partitions) → prefix equi-self-join →
+    * distinct pairs → intersection count via two id-keyed joins →
+    * size join + integer threshold. Every join is an equi-join; no
+    * stage is quadratic in the corpus.
+    *
+    * @param sets         (id, token array) — tokens deduplicated here
+    * @param minJaccardE6 inclusive threshold in micro-units (600000 = 0.6)
+    * @return (id1, id2, inter, un, jac_e6), id1 < id2, exact integers
+    */
+  def jaccardSelfJoin(sets: DataFrame, idCol: String, tokCol: String,
+                      minJaccardE6: Long): DataFrame = {
+    require(minJaccardE6 >= 1 && minJaccardE6 <= 1000000,
+      s"minJaccardE6 must be in [1, 1000000]: $minJaccardE6")
+    val id = col(idCol)
+    val toks = sets
+      .select(id, explode(array_distinct(col(tokCol))).as("token"))
+      .where(col("token").isNotNull && col("token") =!= "")
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("__tf"), col("token"))
+    val ranked = toks.join(freq, "token")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__s", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(id)))
+    // o = ceil(tE6 * s / 1e6) in longs (the Column `/` is double
+    // division — `div` keeps it integral); prefix = first (s - o + 1)
+    val prefix = ranked.where(col("__rn") <= expr(
+      s"__s - ((__s * ${minJaccardE6}L + 999999L) div 1000000L) + 1L"))
+    val cand = prefix.select(col("token"), id.as("id1"))
+      .join(prefix.select(col("token"), id.as("id2")), "token")
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val sizes = toks.groupBy(id).agg(count(lit(1)).as("__sz"))
+    val inter = cand
+      .join(toks.select(id.as("id1"), col("token")), "id1")
+      .join(toks.select(id.as("id2"), col("token")), Seq("id2", "token"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(id.as("id1"), col("__sz").as("__s1")), "id1")
+      .join(sizes.select(id.as("id2"), col("__sz").as("__s2")), "id2")
+      .withColumn("un", col("__s1") + col("__s2") - col("inter"))
+      .withColumn("jac_e6", expr("(inter * 1000000) div un"))
+      .where(col("jac_e6") >= minJaccardE6)
+      .select(col("id1"), col("id2"), col("inter"), col("un"), col("jac_e6"))
+  }
 }

@@ -95,4 +95,36 @@ object TemporalJoins {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: pairs of intervals (per key) with
+    * `aStart <= bEnd && bStart <= aEnd`, both endpoints inclusive — the
+    * interval×interval generalization of [[rangeJoin]].
+    *
+    * Both sides explode into the buckets they span and meet by EQUI join
+    * on (key, bucket); since BOTH sides replicate, an overlapping pair
+    * meets in every shared bucket, so each pair is kept ONLY in the
+    * bucket of `max(aStart, bStart)` — a point that lies inside both
+    * intervals whenever they overlap, hence exactly one surviving copy
+    * per pair and completeness by construction (no heuristic loss). Cost
+    * is the classic replication trade: rows × (span/bucketWidth); pick
+    * `bucketWidth` ≈ the median interval length. Equi-join shape means
+    * hash partitioning, AQE skew splitting, and never a nested loop —
+    * the plan DuckDB's IEJoin gets from a specialized operator, from
+    * composition. */
+  def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                          b: DataFrame, bStart: String, bEnd: String,
+                          keys: Seq[String], bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val ab = a.withColumn("__bucket", explode(sequence(
+      floor(col(aStart) / bucketWidth).cast("long"),
+      floor(col(aEnd) / bucketWidth).cast("long"))))
+    val bb = b.withColumn("__bucket", explode(sequence(
+      floor(col(bStart) / bucketWidth).cast("long"),
+      floor(col(bEnd) / bucketWidth).cast("long"))))
+    ab.join(bb, ("__bucket" +: keys).toSeq)
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bucket") ===
+        floor(greatest(col(aStart), col(bStart)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -756,6 +756,33 @@ object AnalyticsQueries {
     * oracle is DuckDB's recursive CTE over the same edges — the
     * accumulate-and-dedup evaluation strategy the scaladoc contrasts
     * with — so the two shapes must agree node-for-node. */
+  /** Interval-overlap join (q174): click intervals × purchase intervals
+    * per user (each event padded to a 30-minute window), via
+    * [[graft.ops.TemporalJoins.intervalOverlapJoin]]'s bucketized
+    * equi-join — complete by construction (a pair survives exactly in
+    * the bucket of max(start)), never a nested loop. The oracle is the
+    * raw inequality join DuckDB runs through its specialized IEJoin —
+    * two different algorithms, one exact pair multiset. */
+  def q174IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val halfHourUs = 1800000000L
+    def side(tpe: String, idAs: String, sAs: String, eAs: String) =
+      t(s, dir, "events").filter($"event_type" === tpe)
+        .select($"user_id", $"event_id".as(idAs),
+          unix_micros($"ts").as(sAs),
+          (unix_micros($"ts") + halfHourUs).as(eAs))
+    val pairs = graft.ops.TemporalJoins.intervalOverlapJoin(
+      side("click", "a_id", "s1", "e1"),
+      "s1", "e1",
+      side("purchase", "b_id", "s2", "e2"),
+      "s2", "e2",
+      keys = Seq("user_id"), bucketWidth = halfHourUs.toDouble)
+    pairs.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"b_id" - $"a_id").as("id_gap"))
+      .orderBy($"user_id")
+  }
+
   def q162Bfs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "orders")
@@ -937,6 +964,7 @@ object AnalyticsQueries {
     "q159_triangles" -> (q159Triangles _),
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
     "q161_rolling_anomaly" -> (q161RollingAnomaly _),
+    "q174_interval_overlap" -> (q174IntervalOverlap _),
     "q162_bfs" -> (q162Bfs _),
     "q158_cohort_retention" -> (q158CohortRetention _),
     "q155_zorder" -> (q155ZOrderKey _),
@@ -1092,6 +1120,23 @@ object AnalyticsQueries {
         |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id1, id2""".stripMargin,
+    "q174_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id AS a_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s1,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e1
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, event_id AS b_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s2,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e2
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, count(*) AS n_pairs,
+        |  CAST(sum(b.b_id - a.a_id) AS BIGINT) AS id_gap
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a.s1 <= b.e2 AND b.s2 <= a.e1
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin,
     "q161_rolling_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n

@@ -73,6 +73,23 @@ object LlmQueries {
       .orderBy($"id1", $"id2")
   }
 
+  /** EXACT set-similarity self-join (q175): every document pair with
+    * 2-gram-shingle Jaccard ≥ 0.5, via
+    * [[graft.ops.FuzzyJoin.jaccardSelfJoin]]'s AllPairs/PPJoin prefix
+    * filtering — COMPLETE by the pigeonhole bound, unlike the
+    * recall-bounded MinHash path (q27). The oracle enumerates pairs
+    * from the raw inverted index with no prefix filter and no df cap,
+    * so the hash gate checks that prefix filtering loses NOTHING, in
+    * exact integer micro-units. */
+  def q175JaccardJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.load(s, dir, "documents")
+      .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+    graft.ops.FuzzyJoin.jaccardSelfJoin(sets, "doc_id", "sh",
+        minJaccardE6 = 500000L)
+      .orderBy($"id1", $"id2")
+  }
+
   /** Documents plus planted exact duplicates (every 10th doc re-emitted
     * under doc_id+100000 with identical text) — shared by the dedup
     * queries so the DuckDB oracle can reproduce the exact same corpus. */
@@ -1166,6 +1183,7 @@ object LlmQueries {
     "q24_lang_id" -> (q24LangId _),
     "q25_exact_dedup" -> (q25ExactDedup _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
+    "q175_jaccard_join" -> (q175JaccardJoin _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_simhash" -> (q28Simhash _),
     "q29_cosine_topk" -> (q29CosineTopK _),
@@ -2212,6 +2230,29 @@ object LlmQueries {
          |SELECT doc_id, fingerprint, dup_count
          |FROM g WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+    "q175_jaccard_join" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) < 2 THEN [$normSql]
+         |         ELSE list_distinct(list_transform(
+         |           range(0, len($toksSql) - 1),
+         |           i -> concat_ws(' ', $toksSql[i+1], $toksSql[i+2])))
+         |    END AS sh
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+         |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id1, id2, inter,
+         |  s1.n + s2.n - inter AS un,
+         |  (inter * 1000000) // (s1.n + s2.n - inter) AS jac_e6
+         |FROM inter
+         | JOIN sizes s1 ON s1.doc_id = id1
+         | JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE (inter * 1000000) // (s1.n + s2.n - inter) >= 500000
+         |ORDER BY id1, id2""".stripMargin,
     "q26_ngram_jaccard" ->
       s"""WITH $jaccard2gramCtes
          |SELECT id1, id2,

@@ -94,4 +94,59 @@ class FuzzyJoinSpec extends SparkSpec {
       FuzzyJoin.selfEditDistanceJoin(Seq((1L, "a")).toDF("id", "s"), "id", "s", 0)
     }
   }
+
+  private def jaccardBrute(rows: Seq[(Long, Seq[String])], tE6: Long) =
+    (for {
+      (i1, t1) <- rows; (i2, t2) <- rows if i1 < i2
+      inter = (t1.distinct.toSet intersect t2.distinct.toSet).size.toLong
+      un = (t1.distinct.toSet union t2.distinct.toSet).size.toLong
+      if un > 0 && inter * 1000000L / un >= tE6
+    } yield (i1, i2, inter, un, inter * 1000000L / un)).toSet
+
+  private def jaccardRun(rows: Seq[(Long, Seq[String])], tE6: Long) =
+    FuzzyJoin.jaccardSelfJoin(rows.toDF("id", "toks"), "id", "toks", tE6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("jaccard self-join equals brute force on a seeded random corpus") {
+    // small vocab forces heavy token sharing — exactly where the prefix
+    // filter must stay COMPLETE, not just selective
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val base = (0L until 60L).map(i =>
+      i -> Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))))
+    // planted near-dups: copies with one token changed
+    val dups = base.take(8).map { case (i, t) =>
+      (1000L + i) -> (t.drop(1) :+ "w_changed")
+    }
+    val rows = base ++ dups
+    Seq(300000L, 500000L, 800000L, 1000000L).foreach { t =>
+      assert(jaccardRun(rows, t) == jaccardBrute(rows, t), s"tE6=$t")
+    }
+    assert(jaccardBrute(rows, 500000L).nonEmpty)
+  }
+
+  test("jaccard: exact duplicates pair at 1e6; empty/blank tokens ignored") {
+    val rows = Seq[(Long, Seq[String])](
+      1L -> Seq("a", "b", "c"),
+      2L -> Seq("c", "b", "a", "a", ""),   // same set after dedup/blank-drop
+      3L -> Seq("x", "y"))
+    val got = jaccardRun(rows, 1000000L)
+    assert(got == Set((1L, 2L, 3L, 3L, 1000000L)))
+  }
+
+  test("jaccard: float-ceil prefix shortening would lose pairs; integer ceil does not") {
+    // |A| = 5, t = 0.6: o = ceil(3.0) = 3 exactly — a double 0.6*5
+    // rounds to 3.0000000000000004, ceil 4, prefix one too short; the
+    // pair below shares ONLY its 3rd-ranked prefix token, so it
+    // survives iff the bound is computed in integer arithmetic
+    val common = Seq("u1", "u2", "u3") // rare: appear in exactly these two
+    val rows = Seq[(Long, Seq[String])](
+      1L -> (common ++ Seq("zz", "zz2")),
+      2L -> (common ++ Seq("zz3", "zz4")),
+      // pad the vocab so the shared tokens are not the globally rarest
+      3L -> Seq("zz", "zz2", "zz3", "zz4"))
+    val got = jaccardRun(rows, 428571L) // 3/7 = 0.42857…
+    assert(got.contains((1L, 2L, 3L, 7L, 428571L)), got.toString)
+  }
 }

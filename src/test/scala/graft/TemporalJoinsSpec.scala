@@ -55,4 +55,33 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.toSet == naive.toSet)
     assert(got.nonEmpty)
   }
+
+  test("interval-overlap join equals the naive join at any bucket width, no dup pairs") {
+    // nested, disjoint, shared-endpoint, and spanning intervals mixed:
+    // pair (a,b) overlaps iff aS <= bE && bS <= aE (inclusive ends)
+    val rnd = new scala.util.Random(31)
+    val a = (1 to 120).map { i =>
+      val s = rnd.nextInt(400).toLong
+      (i % 3, i.toLong, s, s + 1 + rnd.nextInt(60).toLong)
+    }.toDF("k", "aid", "s1", "e1")
+    val b = (1 to 150).map { i =>
+      val s = rnd.nextInt(400).toLong
+      (i % 3, 1000L + i, s, s + 1 + rnd.nextInt(25).toLong)
+    }.toDF("k", "bid", "s2", "e2")
+    val naive = a.as("a").join(b.as("b"),
+        $"a.k" === $"b.k" && $"s1" <= $"e2" && $"s2" <= $"e1")
+      .select($"aid", $"bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    // width smaller than, comparable to, and larger than interval spans:
+    // the dedup-to-max(start)-bucket rule must hold for all of them
+    Seq(7.0, 30.0, 500.0).foreach { w =>
+      val got = TemporalJoins.intervalOverlapJoin(a, "s1", "e1",
+          b, "s2", "e2", Seq("k"), bucketWidth = w)
+        .select($"aid", $"bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length,
+        s"width $w: duplicates from the two-sided explode")
+      assert(got.toSet == naive.toSet, s"width $w: pair set diverged")
+    }
+  }
 }
