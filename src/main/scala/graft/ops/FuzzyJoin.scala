@@ -198,9 +198,16 @@ object FuzzyJoin {
     // division — `div` keeps it integral); prefix = first (s - o + 1)
     val prefix = ranked.where(col("__rn") <= expr(
       s"__s - ((__s * ${minJaccardE6}L + 999999L) div 1000000L) + 1L"))
-    val cand = prefix.select(col("token"), id.as("id1"))
-      .join(prefix.select(col("token"), id.as("id2")), "token")
-      .where(col("id1") < col("id2"))
+    // length filter (lossless): jaccard >= t forces
+    // inter <= min(s1,s2), union >= max(s1,s2) => t <= min/max, so any
+    // pair whose sizes differ by more than the threshold factor is
+    // provably below t and never reaches verification
+    val cand = prefix.select(col("token"), id.as("id1"), col("__s").as("__s1"))
+      .join(prefix.select(col("token"), id.as("id2"), col("__s").as("__s2")),
+        "token")
+      .where(col("id1") < col("id2") &&
+        col("__s1") * 1000000L >= col("__s2") * minJaccardE6 &&
+        col("__s2") * 1000000L >= col("__s1") * minJaccardE6)
       .select(col("id1"), col("id2")).distinct()
     val sizes = toks.groupBy(id).agg(count(lit(1)).as("__sz"))
     val inter = cand
