@@ -2,19 +2,30 @@
 """Dev tool: compare two bench artifacts (bench/bench_r*.json or the
 driver's BENCH_r*.json tail captures) query by query.
 
-Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold]
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold] [--cpu]
 
 Prints per-query ratios over `threshold` (default 1.5), the common-query
 geomean, and queries present on only one side. Tolerates the driver's
 truncated tail captures by best-effort parsing the partial JSON line.
+
+--cpu compares the `cpu_s` (executor CPU seconds) field instead of wall
+seconds — the host-noise-immune signal bench artifacts carry from round
+6. A query that regressed in wall time but not CPU is a host/IO effect,
+not an engine change (the round-5 cross-boot ambiguity this resolves).
 """
 import sys, json, math, re
 
 
-def load(path):
+def load(path, field="queries"):
     text = open(path).read()
     try:
         d = json.loads(text)
+        if field != "queries":
+            if field in d:
+                return {k: v for k, v in d[field].items()
+                        if isinstance(v, (int, float)) and v >= 0}
+            print(f"note: {path} has no '{field}' field (pre-round-6 "
+                  "artifact?) — falling back to wall seconds")
         if "queries" in d:
             return {k: v for k, v in d["queries"].items()
                     if isinstance(v, (int, float)) and v >= 0}
@@ -33,7 +44,9 @@ def load(path):
 
 
 def main(argv):
-    old, new = load(argv[0]), load(argv[1])
+    field = "cpu_s" if "--cpu" in argv else "queries"
+    argv = [a for a in argv if a != "--cpu"]
+    old, new = load(argv[0], field), load(argv[1], field)
     thr = float(argv[2]) if len(argv) > 2 else 1.5
     common = sorted(set(old) & set(new))
     if not common:
