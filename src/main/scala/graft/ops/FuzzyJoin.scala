@@ -202,12 +202,29 @@ object FuzzyJoin {
     // inter <= min(s1,s2), union >= max(s1,s2) => t <= min/max, so any
     // pair whose sizes differ by more than the threshold factor is
     // provably below t and never reaches verification
-    val cand = prefix.select(col("token"), id.as("id1"), col("__s").as("__s1"))
-      .join(prefix.select(col("token"), id.as("id2"), col("__s").as("__s2")),
-        "token")
+    //
+    // positional filter (PPJoin, also lossless): a shared token at
+    // prefix positions (rn1, rn2) bounds the total overlap by
+    // min(rn1-1, rn2-1) + 1 + min(s1-rn1, s2-rn2) — tokens strictly
+    // before the match positions plus the match plus whatever remains
+    // after. jaccard >= t forces overlap >= α = ⌈tE6·(s1+s2)/(10⁶+tE6)⌉
+    // (from i ≥ t·(s1+s2−i)), so a token whose bound is below α cannot
+    // witness a qualifying pair. Completeness: a qualifying pair's
+    // FIRST shared token has zero shared-before contribution, so its
+    // bound ≥ the true overlap ≥ α — at least one witness always
+    // survives, and the pair-level distinct needs only one.
+    val cand = prefix.select(col("token"), id.as("id1"),
+        col("__s").as("__s1"), col("__rn").as("__rn1"))
+      .join(prefix.select(col("token"), id.as("id2"),
+        col("__s").as("__s2"), col("__rn").as("__rn2")), "token")
       .where(col("id1") < col("id2") &&
         col("__s1") * 1000000L >= col("__s2") * minJaccardE6 &&
         col("__s2") * 1000000L >= col("__s1") * minJaccardE6)
+      .where(
+        least(col("__rn1"), col("__rn2")) +
+          least(col("__s1") - col("__rn1"), col("__s2") - col("__rn2")) >=
+        expr(s"((${minJaccardE6}L * (__s1 + __s2) + ${1000000L + minJaccardE6 - 1}L)" +
+          s" div ${1000000L + minJaccardE6}L)"))
       .select(col("id1"), col("id2")).distinct()
     val sizes = toks.groupBy(id).agg(count(lit(1)).as("__sz"))
     val inter = cand
