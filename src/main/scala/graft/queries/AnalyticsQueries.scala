@@ -756,6 +756,29 @@ object AnalyticsQueries {
     * oracle is DuckDB's recursive CTE over the same edges — the
     * accumulate-and-dedup evaluation strategy the scaladoc contrasts
     * with — so the two shapes must agree node-for-node. */
+  /** Trigram-index substring search (q176): documents re-laid into a
+    * 16-file table, a [[graft.sinks.FileTrigramIndex]] built over it,
+    * and a `%needle%` search answered through the index path — the
+    * result must equal the oracle's plain LIKE over the full table.
+    * NOTE on this corpus: the synthetic ~30-word vocabulary saturates
+    * every file with every trigram of any vocab phrase (only the
+    * CONTIGUITY is rare), so here the index admits all files and the
+    * gate is pure index-path/residual correctness; the file-PRUNING
+    * behavior is gated in FileTrigramIndexSpec on planted rare terms. */
+  def q176TrigramSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val data = java.nio.file.Files.createTempDirectory("q176data").toString
+    val idx = java.nio.file.Files.createTempDirectory("q176idx").toString
+    docs.repartition(16, $"doc_id").write.mode("overwrite").parquet(data)
+    val nFiles = graft.sinks.FileTrigramIndex.build(s, data, "text", idx)
+    require(nFiles == 16, s"expected the 16-file layout, got $nFiles")
+    graft.sinks.FileTrigramIndex.containsLookup(
+        s, data, idx, "text", "column agg join")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Interval-overlap join (q174): click intervals × purchase intervals
     * per user (each event padded to a 30-minute window), via
     * [[graft.ops.TemporalJoins.intervalOverlapJoin]]'s bucketized
@@ -965,6 +988,7 @@ object AnalyticsQueries {
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
     "q161_rolling_anomaly" -> (q161RollingAnomaly _),
     "q174_interval_overlap" -> (q174IntervalOverlap _),
+    "q176_trigram_search" -> (q176TrigramSearch _),
     "q162_bfs" -> (q162Bfs _),
     "q158_cohort_retention" -> (q158CohortRetention _),
     "q155_zorder" -> (q155ZOrderKey _),
@@ -1120,6 +1144,10 @@ object AnalyticsQueries {
         |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id1, id2""".stripMargin,
+    "q176_trigram_search" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE text LIKE '%column agg join%'
+        |ORDER BY doc_id""".stripMargin,
     "q174_interval_overlap" ->
       """WITH a AS (
         |  SELECT user_id, event_id AS a_id,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
-import graft.ops.{IncrementalJoin, IncrementalOuterJoin}
+import graft.ops.{IncrementalFullOuterJoin, IncrementalJoin, IncrementalOuterJoin}
 
 /** Streaming maintenance twin for [[graft.ops.IncrementalJoin]] — the
   * join member of the `maintain*AvailableNow` family (aggregates,
@@ -131,5 +131,40 @@ object JoinStream {
     drainOuterSideAvailableNow(spark, leftDir, leftSchema, stores, on,
       isLeft = true, checkpointDir = s"$checkpointRoot/left")
     IncrementalOuterJoin.current(stores)
+  }
+
+  /** FULL OUTER twin: both sides drain through
+    * [[IncrementalFullOuterJoin]]'s symmetric signed Δ-rule. Both sides
+    * need at least one drained file before the first read (both schemas
+    * feed the null extensions). */
+  def maintainFullOuterAvailableNow(spark: SparkSession,
+                                    leftDir: String, leftSchema: StructType,
+                                    rightDir: String, rightSchema: StructType,
+                                    stores: IncrementalFullOuterJoin.Stores,
+                                    on: Seq[String],
+                                    checkpointRoot: String): DataFrame = {
+    def drain(dir: String, schema: StructType, isLeft: Boolean,
+              ckpt: String, idOffset: Long): Unit = {
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (isLeft)
+            IncrementalFullOuterJoin.appendLeft(stores, batch, on,
+              batchId + idOffset)
+          else
+            IncrementalFullOuterJoin.appendRight(stores, batch, on,
+              batchId + idOffset)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain(leftDir, leftSchema, isLeft = true,
+      s"$checkpointRoot/left", idOffset = 0L)
+    drain(rightDir, rightSchema, isLeft = false,
+      s"$checkpointRoot/right", idOffset = RightIdOffset)
+    IncrementalFullOuterJoin.current(stores)
   }
 }

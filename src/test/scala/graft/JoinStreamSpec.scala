@@ -97,4 +97,40 @@ class JoinStreamSpec extends SparkSpec {
       s"$lDir/*", lSchema, s"$rDir/*", rSchema, st, Seq("k"), s"$root/ckpt")
     assert(multisetOuter(third) == multisetOuter(second))
   }
+
+  private def multisetFull(df: DataFrame): Set[(Long, Option[String], Option[String], Long)] =
+    df.select(col("k"), col("lv"), col("rv"), col("n"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getLong(3))).toSet
+
+  test("FULL OUTER drain: both directions null-extend and retract at stream cadence") {
+    val root = tmpDir("joinstream-full")
+    val (lDir, rDir) = (s"$root/left", s"$root/right")
+    Files.createDirectories(Paths.get(lDir))
+    Files.createDirectories(Paths.get(rDir))
+    val st = graft.ops.IncrementalFullOuterJoin.stores(spark, s"$root/stores")
+    val lSchema = Seq((1L, "x")).toDF("k", "lv").schema
+    val rSchema = Seq((1L, "x")).toDF("k", "rv").schema
+
+    val l1 = Seq(1L -> "a", 2L -> "b").toDF("k", "lv")
+    val r1 = Seq(1L -> "x", 3L -> "y").toDF("k", "rv")
+    l1.coalesce(1).write.parquet(s"$lDir/f1")
+    r1.coalesce(1).write.parquet(s"$rDir/f1")
+    val first = JoinStream.maintainFullOuterAvailableNow(spark,
+      s"$lDir/*", lSchema, s"$rDir/*", rSchema, st, Seq("k"), s"$root/ckpt")
+    assert(multisetFull(first) == Set(
+      (1L, Some("a"), Some("x"), 1L),
+      (2L, Some("b"), None, 1L),
+      (3L, None, Some("y"), 1L)))
+
+    // new files match both dangling keys: both null rows retract
+    Seq(3L -> "c").toDF("k", "lv").coalesce(1).write.parquet(s"$lDir/f2")
+    Seq(2L -> "z").toDF("k", "rv").coalesce(1).write.parquet(s"$rDir/f2")
+    val second = JoinStream.maintainFullOuterAvailableNow(spark,
+      s"$lDir/*", lSchema, s"$rDir/*", rSchema, st, Seq("k"), s"$root/ckpt")
+    assert(multisetFull(second) == Set(
+      (1L, Some("a"), Some("x"), 1L),
+      (2L, Some("b"), Some("z"), 1L),
+      (3L, Some("c"), Some("y"), 1L)))
+  }
 }
