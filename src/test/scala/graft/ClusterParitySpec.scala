@@ -24,10 +24,13 @@ class ClusterParitySpec extends SparkSpec {
     // read/compact cycles), degree-oriented wedge joins, and the
     // PassJoin explode+equi-join blocking
     "q163_join_ivm", "q159_triangles", "q160_fuzzy_join",
-    // round-6 additions: signed-multiset outer IVM (retraction appends
-    // + bucketed-table state across executor JVMs) and the end-to-end
-    // CDC stream (file stream → merge sink → shred → broadcast join)
-    "q171_join_ivm_outer", "q172_cdc_stream")
+    // round-6 additions: signed-multiset outer IVMs (retraction appends
+    // + bucketed-table state across executor JVMs), the end-to-end
+    // CDC stream (file stream → merge sink → shred → broadcast join),
+    // and the prefix-filtered set-similarity join (window ranks +
+    // multi-stage equi-joins over the wire)
+    "q171_join_ivm_outer", "q172_cdc_stream", "q173_join_ivm_full",
+    "q175_jaccard_join")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {
