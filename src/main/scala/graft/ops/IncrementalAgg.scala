@@ -73,6 +73,52 @@ object IncrementalAgg {
                   batchId: Long): Unit =
     store.append(partials(batch, spec, batchId))
 
+  /** [[partials]] for a SIGNED batch: `deltaCol` carries each row's
+    * signed multiplicity (+1 insert, −1 delete — a takedown wave maps
+    * each removed row to the previously-inserted values with −1). Counts
+    * become `sum(delta)` and sums `sum(col · delta)` — the distributive
+    * aggregates are linear in the input multiset, so retractions flow
+    * through the same partial rows and the read-side re-fold nets them.
+    *
+    * min/max are NOT retractable from partials (deleting the current
+    * minimum needs the runner-up, which the partial discarded) — a spec
+    * carrying minCols/maxCols is REFUSED here rather than silently
+    * drifting; recompute such aggregates from the raw table after a
+    * delete wave, or maintain them without deletes. */
+  def partialsSigned(batch: DataFrame, spec: Spec, batchId: Long,
+                     deltaCol: String): DataFrame = {
+    require(spec.minCols.isEmpty && spec.maxCols.isEmpty,
+      "min/max partials are not retractable — a signed batch cannot " +
+        "maintain minCols/maxCols (deleting the current extremum needs " +
+        "the discarded runner-up); drop them from the Spec or recompute")
+    require(batch.columns.contains(deltaCol),
+      s"signed batch lacks its multiplicity column '$deltaCol'")
+    val dl = col(deltaCol).cast("long")
+    val aggs =
+      // the product is cast back to the column's own type so the partial
+      // row schema matches unsigned appendBatch partials exactly (decimal
+      // multiplication would otherwise widen the precision and split the
+      // store's parquet schema)
+      spec.sumCols.map(c =>
+        sum((col(c) * dl).cast(batch.schema(c).dataType)).as(s"__sum_$c")) ++
+        spec.sumCols.map(c =>
+          sum(when(col(c).isNotNull, dl).otherwise(0L)).as(s"__cnt_$c"))
+    batch.groupBy(spec.keyCols.map(col): _*)
+      .agg(sum(dl).as("__cnt"), aggs: _*)
+      .withColumn("__agg_key", aggKey(spec))
+      .withColumn("__batch_id", lit(batchId))
+  }
+
+  /** Maintain the aggregate with one SIGNED batch (delete/update waves as
+    * negative multiplicities) — same exactly-once replay contract as
+    * [[appendBatch]]. Keys whose row count nets to zero vanish from
+    * [[current]]; retracting more than was inserted is a contract
+    * violation that stays visible as a negative `n_rows` rather than
+    * being silently clamped. */
+  def appendDelta(store: AppendOnlyStore, batch: DataFrame, spec: Spec,
+                  batchId: Long, deltaCol: String = "__delta"): Unit =
+    store.append(partialsSigned(batch, spec, batchId, deltaCol))
+
   /** All stored partials with crash-replay duplicates removed. */
   private def dedupedPartials(store: AppendOnlyStore, spec: Spec): DataFrame =
     store.read().dropDuplicates(spec.keyCols :+ "__batch_id")
@@ -85,11 +131,14 @@ object IncrementalAgg {
 
   /** The current aggregate: re-fold all stored partials. Output columns:
     * keys ++ `n_rows` ++ `sum_<col>` ++ `cnt_<col>` (non-null count —
-    * avg's denominator) ++ `min_<col>` ++ `max_<col>`. */
+    * avg's denominator) ++ `min_<col>` ++ `max_<col>`. Keys whose signed
+    * partials net to zero rows have been fully deleted and vanish;
+    * negative nets (over-retraction, a contract violation) stay visible. */
   def current(store: AppendOnlyStore, spec: Spec): DataFrame =
     dedupedPartials(store, spec)
       .groupBy(spec.keyCols.map(col): _*)
       .agg(sum(col("__cnt")).as("n_rows"), refoldAggs(spec): _*)
+      .filter(col("n_rows") =!= 0)
 
   /** Collapse each key's partials to a single row (generation-swapped;
     * see [[AppendOnlyStore.compactWith]]). Result-invariant: [[current]]
@@ -106,6 +155,7 @@ object IncrementalAgg {
       df.dropDuplicates(spec.keyCols :+ "__batch_id")
         .groupBy(spec.keyCols.map(col): _*)
         .agg(sum(col("__cnt")).as("__cnt"), folded: _*)
+        .filter(col("__cnt") =!= 0) // fully-retracted keys leave the store
         .withColumn("__agg_key", aggKey(spec))
         .withColumn("__batch_id", lit(CompactedBatchId))
     }

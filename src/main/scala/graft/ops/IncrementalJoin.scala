@@ -96,6 +96,32 @@ object IncrementalJoin {
       if (isLeft) "left" else "right"
     def sideExists(isLeft: Boolean): Boolean =
       spark.catalog.tableExists(sideTable(isLeft))
+
+    /** Batch ids with a `.started` marker but no `.done` twin — appends
+      * that crashed mid-write and were never retried to completion. The
+      * manifest only no-ops COMMITTED replays: compacting while one of
+      * these exists would fold the crashed attempt's partial rows into
+      * `Compacted` stamps, so the eventual retry's rows no longer dedup
+      * against them and the multisets double-count. Every compaction
+      * entry point refuses while this is non-empty. */
+    private[ops] def inFlightBatches: Seq[String] = {
+      val dir = new Path(root, "_applied")
+      if (!fs.exists(dir)) return Nil
+      val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      val done = names.filter(_.endsWith(".done"))
+        .map(_.stripSuffix(".done")).toSet
+      names.filter(_.endsWith(".started"))
+        .map(_.stripSuffix(".started")).filterNot(done.contains).sorted
+    }
+
+    private[ops] def requireQuiescent(what: String): Unit = {
+      val inFlight = inFlightBatches
+      require(inFlight.isEmpty,
+        s"refusing to $what: batches started but never committed " +
+          s"(${inFlight.mkString(", ")}) — retry each to completion " +
+          "(same batch id) before compacting, or the retry's rows would " +
+          "no longer dedup against the crashed attempt's partials")
+    }
   }
 
   /** Open the stores under one root. Side tables land in the session
@@ -128,6 +154,26 @@ object IncrementalJoin {
         s"bookkeeping columns (${Reserved.mkString(", ")}) — rename them")
     batch.groupBy(batch.columns.map(col): _*)
       .agg(count(lit(1)).as("__mult"))
+      .withColumn("__bid", lit(batchId))
+      .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
+  }
+
+  /** [[fold]] for a SIGNED batch: `deltaCol` carries each row's signed
+    * multiplicity (+1 an insert, −1 a delete, ±n pre-aggregated groups —
+    * a Debezium `op='d'` envelope maps to one −1 row). Groups netting to
+    * zero inside the batch are dropped at the fold. */
+  private[ops] def foldSigned(batch: DataFrame, on: Seq[String],
+                              batchId: Long, deltaCol: String): DataFrame = {
+    require(batch.columns.contains(deltaCol),
+      s"signed batch lacks its multiplicity column '$deltaCol'")
+    val valueCols = batch.columns.filter(_ != deltaCol)
+    val clash = valueCols.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"batch columns ${clash.mkString(", ")} collide with the store's " +
+        s"bookkeeping columns (${Reserved.mkString(", ")}) — rename them")
+    batch.groupBy(valueCols.map(col): _*)
+      .agg(sum(col(deltaCol).cast("long")).as("__mult"))
+      .filter(col("__mult") =!= 0)
       .withColumn("__bid", lit(batchId))
       .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
   }
@@ -182,7 +228,8 @@ object IncrementalJoin {
   }
 
   private def appendSide(st: Stores, batch: DataFrame, on: Seq[String],
-                         batchId: Long, isLeft: Boolean): Unit = {
+                         batchId: Long, isLeft: Boolean,
+                         deltaCol: Option[String] = None): Unit = {
     val side = st.sideName(isLeft)
     if (st.hasMarker(s"$side.$batchId.done")) return // committed replay: no-op
     if (st.hasMarker(s"$side.$batchId.started"))
@@ -195,8 +242,11 @@ object IncrementalJoin {
     // twice (delta join + state append) — the first batch on a side has
     // no join to feed, and a materialization job for a single consumer
     // is pure overhead
-    val d = if (joins) fold(batch, on, batchId).cutLineage()
-            else fold(batch, on, batchId)
+    val d0 = deltaCol match {
+      case Some(dc) => foldSigned(batch, on, batchId, dc)
+      case None => fold(batch, on, batchId)
+    }
+    val d = if (joins) d0.cutLineage() else d0
     if (joins)
       st.out.append(deltaJoin(d, sideState(st, !isLeft), on,
         deltaIsLeft = isLeft))
@@ -226,6 +276,29 @@ object IncrementalJoin {
                   batchId: Long): Unit =
     appendSide(stores, batch, on, batchId, isLeft = false)
 
+  /** Apply one SIGNED left-side batch — the general-delta form of
+    * [[appendLeft]] for delete/update waves (takedown and
+    * right-to-be-forgotten passes a training-data lakehouse must absorb
+    * without recompute; the reference's own CDC models simply DROP
+    * deletes — `raw_provider_postgres.sql:22` — this engine maintains
+    * through them). `deltaCol` carries each row's signed multiplicity: a
+    * delete is the previously-inserted row with −1, an update is a −1/+1
+    * pair. The Δ-rules are bilinear (`Δout = ΔA ⋈ B`, output
+    * multiplicity a product), so negative input multiplicities flow
+    * through the SAME delta-join machinery — per-batch cost and plan
+    * shape are identical to the append-only path; netting happens at the
+    * existing read-side fold. Contract: never retract more than was
+    * inserted (per value group) — violations surface as negative `n` in
+    * [[current]], which is kept visible rather than silently clamped. */
+  def appendLeftDelta(stores: Stores, batch: DataFrame, on: Seq[String],
+                      batchId: Long, deltaCol: String = "__delta"): Unit =
+    appendSide(stores, batch, on, batchId, isLeft = true, Some(deltaCol))
+
+  /** [[appendLeftDelta]] for the right side. */
+  def appendRightDelta(stores: Stores, batch: DataFrame, on: Seq[String],
+                       batchId: Long, deltaCol: String = "__delta"): Unit =
+    appendSide(stores, batch, on, batchId, isLeft = false, Some(deltaCol))
+
   /** The current join as a value-multiset: all join columns plus `n`
     * (exact row multiplicity of the equivalent `A ⋈ B`). */
   def current(stores: Stores): DataFrame = {
@@ -244,9 +317,13 @@ object IncrementalJoin {
     }
     val df = stores.out.read().drop("prefix")
     val valueCols = df.columns.filterNot(c => Meta.contains(c) || c == "__jk")
+    // groups netting to 0 (a signed delta fully retracted them) vanish;
+    // negative nets — retractions exceeding insertions, a contract
+    // violation — stay VISIBLE rather than being silently clamped
     df.dropDuplicates(valueCols ++ Seq("__lbid", "__rbid"))
       .groupBy(valueCols.map(col): _*)
       .agg(sum(col("__mult")).as("n"))
+      .filter(col("n") =!= 0)
   }
 
   /** Collapse each output value-group's accumulated contributions to one
@@ -259,23 +336,27 @@ object IncrementalJoin {
     * so compaction no longer moves a replay-safety boundary (it did
     * under the pre-manifest design, which could only dedup replays whose
     * stamps still existed). */
-  def compactOut(stores: Stores): Unit =
+  def compactOut(stores: Stores): Unit = {
+    stores.requireQuiescent("compact the out store")
     stores.out.compactWith { df0 =>
       val df = df0.drop("prefix")
       val valueCols = df.columns.filterNot(c => Meta.contains(c) || c == "__jk")
       df.dropDuplicates(valueCols ++ Seq("__lbid", "__rbid"))
         .groupBy((valueCols :+ "__jk").map(col): _*)
         .agg(sum(col("__mult")).as("__mult"))
+        .filter(col("__mult") =!= 0)
         .withColumn("__lbid", lit(Compacted))
         .withColumn("__rbid", lit(Compacted))
     }
+  }
 
   /** Collapse the SIDE tables' per-batch groups to one row per value
     * tuple (small-files remedy + dirty-flag clear), preserving the
     * bucketed layout: fold → staging table → atomic catalog rename.
     * `on` must be the same join-key columns every append used. Run at
     * quiescence, single-writer — the store contract. */
-  def compactSides(stores: Stores, on: Seq[String]): Unit =
+  def compactSides(stores: Stores, on: Seq[String]): Unit = {
+    stores.requireQuiescent("compact the side states")
     Seq(true, false).filter(stores.sideExists).foreach { isLeft =>
       val name = stores.sideTable(isLeft)
       val t = stores.spark.table(name)
@@ -285,6 +366,7 @@ object IncrementalJoin {
       t.dropDuplicates(valueCols :+ "__bid")
         .groupBy(valueCols.map(col): _*)
         .agg(sum(col("__mult")).as("__mult"))
+        .filter(col("__mult") =!= 0)
         .withColumn("__bid", lit(Compacted))
         .repartition(stores.buckets, on.map(col): _*)
         .write.format("parquet")
@@ -296,4 +378,5 @@ object IncrementalJoin {
       // from any mid-write crash are gone, the happy path resumes
       stores.clearMarker(s"${stores.sideName(isLeft)}.dirty")
     }
+  }
 }

@@ -60,12 +60,23 @@ object IncrementalOuterJoin {
       new AppendOnlyStore(spark, s"$root/un", prefixCol = "__jk",
         prefixChars = 1))
 
-  private val UnMeta = Set("__mult", "__bid", "__tbid")
+  private val UnMeta = Set("__mult", "__bid", "__tbid", "__tside")
 
   /** Apply one LEFT-side batch: inner Δ-rule output for the matched part,
-    * a `+mult` unmatched group for the rest. */
+    * a `+mult` unmatched group for the rest.
+    *
+    * Once ANY signed batch has been applied to this store, physical row
+    * presence in a side state no longer implies net presence, so the
+    * fast path's derive-matched-keys-from-the-join-output shortcut is
+    * unsound — the call transparently routes through the netting signed
+    * path with every row at +1 (the `signed` marker makes the switch
+    * permanent and crash-safe). */
   def appendLeft(st: Stores, batch: DataFrame, on: Seq[String],
                  batchId: Long): Unit = {
+    if (st.inner.hasMarker("signed")) {
+      appendLeftDelta(st, batch.withColumn("__delta", lit(1)), on, batchId)
+      return
+    }
     val in = st.inner
     if (in.hasMarker(s"left.$batchId.done")) return
     if (in.hasMarker(s"left.$batchId.started")) in.touch("left.dirty")
@@ -79,20 +90,28 @@ object IncrementalOuterJoin {
         in.out.append(dOut)
         // a delta key reaches dOut iff the right state holds it, so the
         // matched-key set is derivable from the (delta-sized) join output
-        // — no second probe of the state
+        // — no second probe of the state (valid under APPEND-ONLY inputs,
+        // where physical presence implies net presence; the signed path
+        // below must net instead)
         val matchedKeys = dOut.select(on.map(col): _*).distinct()
         d.join(matchedKeys.hint("SHUFFLE_HASH"), on, "left_anti")
       } else d
-    st.un.append(unmatched.withColumn("__tbid", lit(batchId)))
+    st.un.append(unmatched.withColumn("__tbid", lit(batchId))
+      .withColumn("__tside", lit("L")))
     IncrementalJoin.appendToTable(in, isLeft = true, d, on)
     in.touch(s"left.$batchId.done")
   }
 
   /** Apply one RIGHT-side batch: inner Δ-rule output, plus `-mult`
     * retractions for every left group whose key this batch matched for
-    * the first time. */
+    * the first time. Routes through the signed path once the store has
+    * seen any signed batch — see [[appendLeft]]. */
   def appendRight(st: Stores, batch: DataFrame, on: Seq[String],
                   batchId: Long): Unit = {
+    if (st.inner.hasMarker("signed")) {
+      appendRightDelta(st, batch.withColumn("__delta", lit(1)), on, batchId)
+      return
+    }
     val in = st.inner
     if (in.hasMarker(s"right.$batchId.done")) return
     if (in.hasMarker(s"right.$batchId.started")) in.touch("right.dirty")
@@ -131,57 +150,210 @@ object IncrementalOuterJoin {
   }
 
   /** `-mult` retraction rows for the target side's groups whose key is
-    * in `newKeys` — state streaming past a delta-sized hash build. */
+    * in `newKeys` — state streaming past a delta-sized hash build.
+    * `triggerSide` is the side of the batch that CAUSED the wave (always
+    * the opposite of the target) — part of the un rows' replay-dedup
+    * identity, so a trigger batch id that numerically collides with a
+    * target-side batch id can never alias. */
   private[ops] def retraction(in: IncrementalJoin.Stores, targetIsLeft: Boolean,
                               newKeys: DataFrame, on: Seq[String],
                               triggerBatchId: Long): DataFrame =
+    unWave(in, targetIsLeft, newKeys, on, triggerBatchId, negate = true)
+
+  /** A signed wave over the target side's state groups for `keys`:
+    * negated (retraction — the keys just became matched) or as-is
+    * (re-add — the keys just became unmatched AGAIN, the transition only
+    * signed input deltas can cause). */
+  private[ops] def unWave(in: IncrementalJoin.Stores, targetIsLeft: Boolean,
+                          keys: DataFrame, on: Seq[String],
+                          triggerBatchId: Long, negate: Boolean): DataFrame =
     IncrementalJoin.sideState(in, targetIsLeft)
-      .join(newKeys.hint("SHUFFLE_HASH"), on, "left_semi")
-      .withColumn("__mult", -col("__mult"))
+      .join(keys.hint("SHUFFLE_HASH"), on, "left_semi")
+      .withColumn("__mult", if (negate) -col("__mult") else col("__mult"))
       .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
       .withColumn("__tbid", lit(triggerBatchId))
+      .withColumn("__tside", lit(if (targetIsLeft) "R" else "L"))
+
+  /** Delta keys whose `sideIsLeft` state NETS above zero — the matched
+    * keys under SIGNED state, where physical row presence no longer
+    * implies net presence (an inserted-then-fully-deleted key leaves
+    * +/− groups behind until compaction). Delta-key-bounded: the state
+    * streams past the delta-built hash, and the per-key sum aggregates
+    * only the rows that survived the semi-join. */
+  private[ops] def netPresentKeys(in: IncrementalJoin.Stores,
+                                  sideIsLeft: Boolean, keys: DataFrame,
+                                  on: Seq[String]): DataFrame =
+    IncrementalJoin.sideState(in, sideIsLeft)
+      .join(keys.hint("SHUFFLE_HASH"), on, "left_semi")
+      .groupBy(on.map(col): _*)
+      .agg(sum(col("__mult")).as("__net"))
+      .filter(col("__net") > 0)
+      .select(on.map(col): _*)
+
+  /** Per-delta-key BEFORE/AFTER net counts on the delta's own side — the
+    * transition signal signed inputs need (`before=0, after>0` flips the
+    * other side's groups to matched; `before>0, after=0` flips them back
+    * to unmatched — the case append-only inputs can never produce).
+    * Rows a crashed attempt of this batch id partially committed are
+    * excluded from `before`, same masquerade protection as
+    * [[newlyMatchedKeys]]. */
+  private[ops] def keyTransitions(in: IncrementalJoin.Stores, d: DataFrame,
+                                  ownIsLeft: Boolean, on: Seq[String],
+                                  batchId: Long): DataFrame = {
+    val dNet = d.groupBy(on.map(col): _*).agg(sum(col("__mult")).as("__dnet"))
+    if (!in.sideExists(ownIsLeft))
+      return dNet.withColumn("__before", lit(0L))
+        .withColumn("__after", col("__dnet"))
+    val before = IncrementalJoin.sideState(in, ownIsLeft)
+      .filter(col("__bid") =!= batchId)
+      .join(dNet.select(on.map(col): _*).hint("SHUFFLE_HASH"), on, "left_semi")
+      .groupBy(on.map(col): _*)
+      .agg(sum(col("__mult")).as("__before"))
+    dNet.join(before.hint("SHUFFLE_HASH"), on, "left")
+      .na.fill(0L, Seq("__before"))
+      .withColumn("__after", col("__before") + col("__dnet"))
+  }
+
+  /** The shared SIGNED append: inner Δ-rule output, this side's own
+    * unmatched contribution (when `ownUn` is tracked), and the transition
+    * waves this side's net change causes on the OTHER side's unmatched
+    * store (when `otherUn` is tracked) — retraction for keys whose net
+    * went 0→positive, re-add for keys whose net went positive→0. A key's
+    * net going NEGATIVE (retracting more than was inserted) is refused
+    * loudly before anything is committed. */
+  private[ops] def signedAppendSide(in: IncrementalJoin.Stores,
+      batch: DataFrame, on: Seq[String], batchId: Long, isLeft: Boolean,
+      deltaCol: String, ownUn: Option[AppendOnlyStore],
+      otherUn: Option[AppendOnlyStore]): Unit = {
+    val side = in.sideName(isLeft)
+    if (in.hasMarker(s"$side.$batchId.done")) return
+    if (in.hasMarker(s"$side.$batchId.started")) in.touch(s"$side.dirty")
+    // the signed marker FIRST — from here on the append-only fast paths
+    // must route through netting even if this very batch crashes mid-way
+    in.touch("signed")
+    in.touch(s"$side.$batchId.started")
+    val d = IncrementalJoin.foldSigned(batch, on, batchId, deltaCol)
+      .cutLineage()
+    val otherExists = in.sideExists(!isLeft)
+
+    // transition waves FIRST (they read the other side's un semantics off
+    // this side's state BEFORE this batch lands in it) — and the
+    // over-retraction refusal must fire before ANY store write, so the
+    // cut + guard lead. Computed unconditionally: a net key count going
+    // negative poisons every later matched-ness decision, so it is
+    // refused loudly on every signed append, not only wave-emitting ones.
+    val trans = keyTransitions(in, d, isLeft, on, batchId).cutLineage()
+    val bad = trans.filter(col("__after") < 0).limit(1).collect()
+    require(bad.isEmpty,
+      s"signed $side batch $batchId retracts more than was inserted " +
+        s"for key ${bad.headOption.map(_.toString).getOrElse("")} — " +
+        "net key count would go negative; deltas must never delete " +
+        "rows that were not inserted")
+
+    if (otherExists)
+      in.out.append(IncrementalJoin.deltaJoin(d,
+        IncrementalJoin.sideState(in, !isLeft), on, deltaIsLeft = isLeft))
+
+    ownUn.foreach { un =>
+      val unmatched =
+        if (otherExists) {
+          val dk = d.select(on.map(col): _*).distinct()
+          val matched = netPresentKeys(in, !isLeft, dk, on)
+          d.join(matched.hint("SHUFFLE_HASH"), on, "left_anti")
+        } else d
+      un.append(unmatched.withColumn("__tbid", lit(batchId))
+        .withColumn("__tside", lit(if (isLeft) "L" else "R")))
+    }
+
+    otherUn.foreach { un =>
+      if (otherExists) {
+        val nowMatched = trans
+          .filter(col("__before") <= 0 && col("__after") > 0)
+          .select(on.map(col): _*)
+        val nowUnmatched = trans
+          .filter(col("__before") > 0 && col("__after") <= 0)
+          .select(on.map(col): _*)
+        un.append(unWave(in, !isLeft, nowMatched, on, batchId,
+          negate = true))
+        un.append(unWave(in, !isLeft, nowUnmatched, on, batchId,
+          negate = false))
+      }
+    }
+
+    IncrementalJoin.appendToTable(in, isLeft, d, on)
+    in.touch(s"$side.$batchId.done")
+  }
+
+  /** Apply one SIGNED left-side batch (deletes/updates as negative
+    * multiplicities in `deltaCol`) — the general-delta form of
+    * [[appendLeft]]. Left net changes never flip matched-ness (the un
+    * store tracks LEFT groups, whose matched-ness depends on the RIGHT
+    * side), so the only new work vs the append-only path is netting the
+    * matched-key probe. */
+  def appendLeftDelta(st: Stores, batch: DataFrame, on: Seq[String],
+                      batchId: Long, deltaCol: String = "__delta"): Unit =
+    signedAppendSide(st.inner, batch, on, batchId, isLeft = true, deltaCol,
+      ownUn = Some(st.un), otherUn = None)
+
+  /** Apply one SIGNED right-side batch. A right delete wave can make a
+    * key's net count reach zero — every left group with that key becomes
+    * unmatched AGAIN and its null-extended row is RE-ADDED to the signed
+    * store (the transition direction append-only inputs can never take). */
+  def appendRightDelta(st: Stores, batch: DataFrame, on: Seq[String],
+                       batchId: Long, deltaCol: String = "__delta"): Unit =
+    signedAppendSide(st.inner, batch, on, batchId, isLeft = false, deltaCol,
+      ownUn = None, otherUn = Some(st.un))
 
   /** Collapse the un store's signed contributions to one netted row per
     * value group, dropping fully-retracted (net-0) groups — the
     * generation-swap compaction of the signed multiset. Result-invariant
     * under [[current]]; replay safety rests on the manifest (same
-    * contract as [[IncrementalJoin.compactOut]]). Run at quiescence. */
-  def compactUn(st: Stores): Unit = compactUnStore(st.un)
+    * contract as [[IncrementalJoin.compactOut]]). Run at quiescence —
+    * refused while any batch is started-but-uncommitted, since folding a
+    * crashed attempt's partial rows into compacted stamps would defeat
+    * the retry's dedup. */
+  def compactUn(st: Stores): Unit = {
+    st.inner.requireQuiescent("compact the unmatched store")
+    compactUnStore(st.un)
+  }
 
   /** [[compactUn]] for any signed unmatched store (shared with the full
-    * outer variant's two stores). Same sign-qualified dedup identity as
-    * [[netUnmatched]]. */
+    * outer variant's two stores). Same sign-and-trigger-side-qualified
+    * dedup identity as [[netUnmatched]]. */
   private[ops] def compactUnStore(un: AppendOnlyStore): Unit =
     un.compactWith { df0 =>
       val df = df0.drop("prefix")
       val valueCols = df.columns
         .filterNot(c => UnMeta.contains(c) || c == "__jk").toSeq
       df.withColumn("__sgn", signum(col("__mult")))
-        .dropDuplicates(valueCols ++ Seq("__bid", "__tbid", "__sgn"))
+        .dropDuplicates(valueCols ++ Seq("__bid", "__tbid", "__tside", "__sgn"))
         .drop("__sgn")
         .groupBy((valueCols :+ "__jk").map(col): _*)
         .agg(sum(col("__mult")).as("__mult"))
         .filter(col("__mult") =!= 0)
         .withColumn("__bid", lit(Long.MinValue))
         .withColumn("__tbid", lit(Long.MinValue))
+        .withColumn("__tside", lit("C"))
     }
 
   /** The un store's live signed multiset, netted per value group:
     * (valueCols…, n) with n > 0. None when the store holds nothing.
     *
-    * The replay-dedup identity includes the SIGN of `__mult`: batch ids
-    * are only unique per SIDE, so a `+` row (values, L, L) and a `-`
-    * retraction (values, L, R) can share stamps when a right batch id
-    * numerically equals a left one — the sign is what still separates
-    * them (two same-sign events can never share (values, bid, tbid):
-    * one + per group per batch, one retraction per key transition). */
+    * The replay-dedup identity includes the TRIGGER SIDE and the SIGN of
+    * `__mult`: batch ids are only unique per SIDE, so a `+` row
+    * (values, L, L) and a `-` retraction (values, L, R) can share
+    * numeric stamps when a right batch id equals a left one — `__tside`
+    * separates events by the side that caused them, and the sign keeps
+    * legacy (pre-`__tside`) reasoning intact. Two same-side events can
+    * never share (values, bid, tbid): one + per group per own-side
+    * batch, and at most one transition wave per key per trigger batch. */
   private[ops] def netUnmatched(un: AppendOnlyStore): Option[DataFrame] = {
     if (!un.exists) return None
     val unDf = un.read().drop("prefix", "__jk")
     val valueCols = unDf.columns.filterNot(UnMeta.contains).toSeq
     Some(unDf
       .withColumn("__sgn", signum(col("__mult")))
-      .dropDuplicates(valueCols ++ Seq("__bid", "__tbid", "__sgn"))
+      .dropDuplicates(valueCols ++ Seq("__bid", "__tbid", "__tside", "__sgn"))
       .groupBy(valueCols.map(col): _*)
       .agg(sum(col("__mult")).as("n"))
       .filter(col("n") > 0))
@@ -241,6 +413,14 @@ object IncrementalFullOuterJoin {
   private def appendSide(st: Stores, batch: DataFrame, on: Seq[String],
                          batchId: Long, isLeft: Boolean): Unit = {
     val in = st.inner
+    if (in.hasMarker("signed")) {
+      // a signed batch has touched this store: physical presence no
+      // longer implies net presence — route through the netting path
+      // (see [[IncrementalOuterJoin.appendLeft]])
+      appendSideDelta(st, batch.withColumn("__delta", lit(1)), on, batchId,
+        isLeft, "__delta")
+      return
+    }
     val side = in.sideName(isLeft)
     if (in.hasMarker(s"$side.$batchId.done")) return
     if (in.hasMarker(s"$side.$batchId.started")) in.touch(s"$side.dirty")
@@ -257,7 +437,8 @@ object IncrementalFullOuterJoin {
         val matchedKeys = dOut.select(on.map(col): _*).distinct()
         d.join(matchedKeys.hint("SHUFFLE_HASH"), on, "left_anti")
       } else d
-    ownUn.append(unmatched.withColumn("__tbid", lit(batchId)))
+    ownUn.append(unmatched.withColumn("__tbid", lit(batchId))
+      .withColumn("__tside", lit(if (isLeft) "L" else "R")))
     if (in.sideExists(!isLeft)) {
       val newKeys = IncrementalOuterJoin.newlyMatchedKeys(
         in, d, ownIsLeft = isLeft, on, batchId)
@@ -268,6 +449,15 @@ object IncrementalFullOuterJoin {
     in.touch(s"$side.$batchId.done")
   }
 
+  private def appendSideDelta(st: Stores, batch: DataFrame, on: Seq[String],
+                              batchId: Long, isLeft: Boolean,
+                              deltaCol: String): Unit = {
+    val (ownUn, otherUn) =
+      if (isLeft) (st.unLeft, st.unRight) else (st.unRight, st.unLeft)
+    IncrementalOuterJoin.signedAppendSide(st.inner, batch, on, batchId,
+      isLeft, deltaCol, ownUn = Some(ownUn), otherUn = Some(otherUn))
+  }
+
   def appendLeft(st: Stores, batch: DataFrame, on: Seq[String],
                  batchId: Long): Unit =
     appendSide(st, batch, on, batchId, isLeft = true)
@@ -276,9 +466,26 @@ object IncrementalFullOuterJoin {
                   batchId: Long): Unit =
     appendSide(st, batch, on, batchId, isLeft = false)
 
+  /** Apply one SIGNED left-side batch (deletes/updates as negative
+    * multiplicities in `deltaCol`). BOTH unmatched stores are in play:
+    * the delta's own net-unmatched groups land in `unLeft`, and its key
+    * transitions drive retraction (0→present) or re-add (present→0)
+    * waves over `unRight` — full-outer is the symmetric composition of
+    * the two one-sided constructions. */
+  def appendLeftDelta(st: Stores, batch: DataFrame, on: Seq[String],
+                      batchId: Long, deltaCol: String = "__delta"): Unit =
+    appendSideDelta(st, batch, on, batchId, isLeft = true, deltaCol)
+
+  /** [[appendLeftDelta]] for the right side. */
+  def appendRightDelta(st: Stores, batch: DataFrame, on: Seq[String],
+                       batchId: Long, deltaCol: String = "__delta"): Unit =
+    appendSideDelta(st, batch, on, batchId, isLeft = false, deltaCol)
+
   /** Compact both signed unmatched stores (netted, zero-groups dropped)
-    * — see [[IncrementalOuterJoin.compactUn]]. Run at quiescence. */
+    * — see [[IncrementalOuterJoin.compactUn]]. Run at quiescence —
+    * refused while any batch is started-but-uncommitted. */
   def compactUn(st: Stores): Unit = {
+    st.inner.requireQuiescent("compact the unmatched stores")
     IncrementalOuterJoin.compactUnStore(st.unLeft)
     IncrementalOuterJoin.compactUnStore(st.unRight)
   }
