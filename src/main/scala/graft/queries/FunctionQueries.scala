@@ -550,7 +550,174 @@ object FunctionQueries {
       .orderBy($"st", $"flag")
   }
 
+  /** SIGNED-delta join IVM (q177): q163's maintained orders ⋈ lineitem,
+    * now absorbing DELETE and UPDATE waves — the takedown /
+    * right-to-be-forgotten shape a 100 TB training-data lakehouse must
+    * process without recompute (the reference's CDC models simply DROP
+    * deletes — `models/raw_provider_postgres.sql:22`; this engine
+    * maintains through them). A delete is the previously-inserted row at
+    * −1, an update a −old/+new pair; the Δ-rules are bilinear so signed
+    * batches ride the same bucketed-state delta-join plan. Waves land on
+    * BOTH sides, interleaved with a mid-stream compaction and a replayed
+    * signed batch. Oracle = the one-shot join over the NET inputs. */
+  def q177JoinIvmDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalJoin
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val st = IncrementalJoin.stores(s,
+      java.nio.file.Files.createTempDirectory("q177join").toString)
+    val on = Seq("okey")
+    // same AQE scoping rationale as q163: batch-sized pre-shaped stages
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      val plus = lit(1L).as("__delta")
+      // inserts (as signed batches at +1, split across both sides)
+      IncrementalJoin.appendLeftDelta(st,
+        orders.filter($"okey" % 2 === 0).select($"okey", $"o_orderstatus", plus), on, 0L)
+      IncrementalJoin.appendRightDelta(st,
+        li.filter($"okey" % 2 === 0).select($"okey", $"l_returnflag", $"cents", plus), on, 10L)
+      IncrementalJoin.appendLeftDelta(st,
+        orders.filter($"okey" % 2 === 1).select($"okey", $"o_orderstatus", plus), on, 1L)
+      IncrementalJoin.appendRightDelta(st,
+        li.filter($"okey" % 2 === 1).select($"okey", $"l_returnflag", $"cents", plus), on, 11L)
+      // takedown wave on the left: every fifth-residue order is deleted —
+      // the delete rows are the previously-inserted VALUES at −1
+      IncrementalJoin.appendLeftDelta(st,
+        orders.filter($"okey" % 5 === 2)
+          .select($"okey", $"o_orderstatus", lit(-1L).as("__delta")), on, 2L)
+      // mid-stream compaction (quiescent): net-0 groups leave the stores
+      IncrementalJoin.compactSides(st, on)
+      IncrementalJoin.compactOut(st)
+      // takedown wave on the right, AFTER the compaction
+      IncrementalJoin.appendRightDelta(st,
+        li.filter($"okey" % 7 === 3)
+          .select($"okey", $"l_returnflag", $"cents", lit(-1L).as("__delta")), on, 12L)
+      // update wave: surviving 13-residue orders flip status to 'X' as a
+      // −old/+new pair in ONE batch
+      val upd = orders.filter($"okey" % 13 === 5 && $"okey" % 5 =!= 2)
+      IncrementalJoin.appendLeftDelta(st,
+        upd.select($"okey", $"o_orderstatus", lit(-1L).as("__delta"))
+          .unionByName(upd.select($"okey", lit("X").as("o_orderstatus"),
+            lit(1L).as("__delta"))), on, 3L)
+      // crash-replay of the signed update wave: manifest no-op
+      IncrementalJoin.appendLeftDelta(st,
+        upd.select($"okey", $"o_orderstatus", lit(-1L).as("__delta"))
+          .unionByName(upd.select($"okey", lit("X").as("o_orderstatus"),
+            lit(1L).as("__delta"))), on, 3L)
+    } finally s.conf.set(aqeKey, aqeWas)
+    IncrementalJoin.current(st)
+      .groupBy($"o_orderstatus", $"l_returnflag")
+      .agg(sum($"n").as("n_pairs"), sum($"cents" * $"n").as("sum_cents"))
+      .orderBy($"o_orderstatus", $"l_returnflag")
+  }
+
+  /** SIGNED-delta aggregate IVM (q178): per-nation supplier balance
+    * sums maintained through insert batches, a takedown wave, an update
+    * wave (−old/+new), a replay, and a compaction — answered from
+    * partials alone. Sums maintained in integer cents (bit-portable);
+    * fully-deleted keys must VANISH, not read as zero. Oracle = one-shot
+    * aggregate over the net inputs. */
+  def q178AggIvmDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalAgg
+    val sup = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey".as("sk"), $"s_nationkey".as("nation"),
+        floor($"s_acctbal" * 100.0 + 0.5).cast("long").as("cents"))
+    val spec = IncrementalAgg.Spec(Seq("nation"), Seq("cents"))
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q178agg").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    IncrementalAgg.appendBatch(store,
+      sup.filter($"sk" % 2 === 0).select($"nation", $"cents"), spec, 0L)
+    IncrementalAgg.appendBatch(store,
+      sup.filter($"sk" % 2 === 1).select($"nation", $"cents"), spec, 1L)
+    // takedown: delete every 4-residue-1 supplier's previously-inserted row
+    IncrementalAgg.appendDelta(store,
+      sup.filter($"sk" % 4 === 1)
+        .select($"nation", $"cents", lit(-1L).as("__delta")), spec, 2L)
+    IncrementalAgg.compact(store, spec)
+    // update wave: surviving 5-residue-2 suppliers get +1000 cents
+    val upd = sup.filter($"sk" % 5 === 2 && $"sk" % 4 =!= 1)
+    IncrementalAgg.appendDelta(store,
+      upd.select($"nation", $"cents", lit(-1L).as("__delta"))
+        .unionByName(upd.select($"nation", ($"cents" + 1000L).as("cents"),
+          lit(1L).as("__delta"))), spec, 3L)
+    // replay of the signed wave: partial rows dedup on (key, batch_id)
+    IncrementalAgg.appendDelta(store,
+      upd.select($"nation", $"cents", lit(-1L).as("__delta"))
+        .unionByName(upd.select($"nation", ($"cents" + 1000L).as("cents"),
+          lit(1L).as("__delta"))), spec, 3L)
+    IncrementalAgg.current(store, spec)
+      .select($"nation", $"n_rows", $"sum_cents".as("sum_cents"),
+        $"cnt_cents".as("n_vals"))
+      .orderBy($"nation")
+  }
+
+  /** SIGNED-delta LEFT OUTER join IVM (q179): q171's orders ⟕ sparse
+    * lineitem, but a right DELETE wave removes every lineitem of
+    * 3-residue orders — those orders' null-extended rows must be
+    * RE-ADDED (the unmatched-again transition append-only inputs can
+    * never take), exercised here at data scale with a replay and both
+    * store compactions. Oracle = one-shot LEFT JOIN over net inputs. */
+  def q179OuterIvmDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{IncrementalJoin, IncrementalOuterJoin}
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_quantity" <= 2)
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val st = IncrementalOuterJoin.stores(s,
+      java.nio.file.Files.createTempDirectory("q179ojoin").toString)
+    val on = Seq("okey")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      val plus = lit(1L).as("__delta")
+      IncrementalOuterJoin.appendLeftDelta(st,
+        orders.select($"okey", $"o_orderstatus", plus), on, 0L)
+      IncrementalOuterJoin.appendRightDelta(st,
+        li.select($"okey", $"l_returnflag", $"cents", plus), on, 10L)
+      // the re-unmatched wave: delete ALL lines of 3-residue orders — their
+      // left groups flip back to unmatched and the null rows re-appear
+      IncrementalOuterJoin.appendRightDelta(st,
+        li.filter($"okey" % 3 === 0)
+          .select($"okey", $"l_returnflag", $"cents",
+            lit(-1L).as("__delta")), on, 11L)
+      // replay the delete wave (manifest no-op), then compact everything
+      IncrementalOuterJoin.appendRightDelta(st,
+        li.filter($"okey" % 3 === 0)
+          .select($"okey", $"l_returnflag", $"cents",
+            lit(-1L).as("__delta")), on, 11L)
+      IncrementalJoin.compactSides(st.inner, on)
+      IncrementalJoin.compactOut(st.inner)
+      IncrementalOuterJoin.compactUn(st)
+      // a post-compaction left wave deletes 7-residue-4 orders outright
+      // (matched AND unmatched groups shrink through the signed path)
+      IncrementalOuterJoin.appendLeftDelta(st,
+        orders.filter($"okey" % 7 === 4)
+          .select($"okey", $"o_orderstatus", lit(-1L).as("__delta")), on, 1L)
+    } finally s.conf.set(aqeKey, aqeWas)
+    IncrementalOuterJoin.current(st)
+      .groupBy($"o_orderstatus",
+        coalesce($"l_returnflag", lit("~")).as("flag"))
+      .agg(sum($"n").as("n_pairs"),
+        sum(coalesce($"cents", lit(0L)) * $"n").as("sum_cents"))
+      .orderBy($"o_orderstatus", $"flag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_join_ivm_deletes" -> (q177JoinIvmDeletes _),
+    "q178_agg_ivm_deletes" -> (q178AggIvmDeletes _),
+    "q179_outer_ivm_deletes" -> (q179OuterIvmDeletes _),
     "q163_join_ivm" -> (q163JoinIvm _),
     "q171_join_ivm_outer" -> (q171JoinIvmOuter _),
     "q173_join_ivm_full" -> (q173JoinIvmFull _),
@@ -587,6 +754,48 @@ object FunctionQueries {
       |ORDER BY p1, p2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the IVM-with-deletes gates: the oracle is the one-shot query over
+    // the NET input multisets (inserts minus takedowns, updates applied)
+    "q177_join_ivm_deletes" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey,
+        |    CASE WHEN o_orderkey % 13 = 5 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 2),
+        |l AS (
+        |  SELECT l_orderkey AS okey, l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_orderkey % 7 <> 3)
+        |SELECT o.o_orderstatus, l.l_returnflag,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o JOIN l ON o.okey = l.okey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q178_agg_ivm_deletes" ->
+      """WITH s AS (
+        |  SELECT s_nationkey AS nation,
+        |    CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)
+        |      + CASE WHEN s_suppkey % 5 = 2 THEN 1000 ELSE 0 END AS cents
+        |  FROM supplier WHERE s_suppkey % 4 <> 1)
+        |SELECT nation, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(cents) AS n_vals
+        |FROM s GROUP BY nation ORDER BY nation""".stripMargin,
+    "q179_outer_ivm_deletes" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS okey, l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_quantity <= 2 AND l_orderkey % 3 <> 0),
+        |o AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 7 <> 4)
+        |SELECT o.o_orderstatus, COALESCE(l.l_returnflag, '~') AS flag,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(COALESCE(cents, 0)) AS BIGINT) AS sum_cents
+        |FROM o LEFT JOIN l ON o.okey = l.okey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q173_join_ivm_full" ->
       """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
         |     l AS (SELECT * FROM lineitem WHERE l_quantity <= 2)
