@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     e.injectOptimizerRule(_ => graft.plans.MaterializedAggRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MaterializedJoinRewrite)
     e.injectFunction((
       FunctionIdentifier(CosineSimilarity.fnName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.fnName),

@@ -377,6 +377,14 @@ object IncrementalJoin {
       // compaction rewrote the side from a deduped fold: partial rows
       // from any mid-write crash are gone, the happy path resumes
       stores.clearMarker(s"${stores.sideName(isLeft)}.dirty")
+      // refresh optimizer statistics on the freshly-folded state (row
+      // count + join-key NDVs): when maintained state feeds a LARGER
+      // query (the MaterializedJoinRewrite path, or a user joining
+      // current() onward), CBO needs real sizes to pick broadcast/SHJ —
+      // without them a compacted kilobyte-sized state is costed at
+      // defaults. One metadata-priced scan per compaction, reused by
+      // every read until the next one.
+      graft.catalog.TableStats.analyze(stores.spark, name, on)
     }
   }
 }

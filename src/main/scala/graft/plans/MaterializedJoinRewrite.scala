@@ -1,0 +1,327 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType,
+  LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types._
+
+/** Materialized-JOIN rewrite: an aggregate over the equi-join of two
+  * REGISTERED raw scans is answered from the incrementally-maintained
+  * [[graft.ops.IncrementalJoin]] state (or an outer variant) instead of
+  * re-joining the raw tables — the chained composition a real
+  * incremental pipeline runs: `SELECT k, agg(x) FROM A JOIN B GROUP BY
+  * k` served end-to-end from maintained state.
+  *
+  * The maintained state is a VALUE-GROUP multiset — `(columns…, n)`
+  * with `n` the exact row multiplicity of `A ⋈ B` — so every rewrite is
+  * an exact re-weighting, not a partial-merge approximation:
+  *
+  *  - `count(*)`        → `sum(n)`
+  *  - `count(c)`        → `sum(n)` over groups with `c` non-null
+  *  - `sum(c)`          → `sum(c · n)`
+  *  - `avg(c)`          → `sum(c · n) / sum(n | c non-null)`
+  *  - `min(c)`/`max(c)` → `min(c)`/`max(c)` (multiplicity-invariant)
+  *  - `count(DISTINCT c)` → `count(DISTINCT c)` over the groups — EXACT,
+  *    because every distinct joined value survives as a group (the
+  *    agg-store rewrite can never serve this; the join store can)
+  *
+  * Any column of the joined output may group; arbitrary deterministic
+  * row-level predicates over the join result are servable because all
+  * rows of a value group are identical — a predicate either keeps or
+  * drops the whole group. Predicates the optimizer (or the user) placed
+  * BELOW the join are accepted exactly when pushdown there is
+  * semantics-preserving for the registered join type (inner: both
+  * sides; left outer: preserved/left side only; full outer: neither) —
+  * the same legality that makes them equivalent to a filter over the
+  * join result, hence over the state.
+  *
+  * Conservative like [[MaterializedAggRewrite]]: the join type and
+  * equi-key set must match the registration exactly, every referenced
+  * column must exist in the maintained state, and anything else leaves
+  * the plan untouched. A registration carries a `fresh` thunk — the
+  * staleness guard: when it returns false (e.g. the maintenance loop
+  * knows raw appends are not yet applied) the rewrite declines and the
+  * query runs against the raw tables.
+  *
+  * At 100 TB this replaces the two fact scans AND the join shuffle with
+  * a scan of the (compacted) state multiset — the join IVM's payoff made
+  * visible to ordinary queries.
+  */
+object MaterializedJoinRewrite extends Rule[LogicalPlan] {
+
+  /** @param on      equi-join key column names (shared across sides —
+    *                the [[graft.ops.IncrementalJoin]] contract)
+    * @param joinType the maintained join's type: Inner, LeftOuter or
+    *                FullOuter — the query's join type must match
+    * @param current builds the state multiset (valueCols… ++ `n`) —
+    *                normally `() => IncrementalJoin.current(st)` or an
+    *                outer variant's `current`
+    * @param fresh   staleness guard: return false to decline serving
+    *                (raw-side appends not yet maintained) */
+  final case class JoinMv(on: Seq[String], joinType: JoinType,
+                          current: () => DataFrame,
+                          fresh: () => Boolean = () => true)
+
+  private val registry = new ConcurrentHashMap[(String, String), JoinMv]()
+  private val rewriting = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  private def canon(p: String): String =
+    new Path(p).toUri.getPath.stripSuffix("/")
+
+  /** Register the maintained join of the raw tables rooted at
+    * `leftPath` ⋈ `rightPath`. Side order is the registration's side
+    * order; a query joining the same scans in either order matches. */
+  def register(leftPath: String, rightPath: String, mv: JoinMv): Unit =
+    registry.put((canon(leftPath), canon(rightPath)), mv)
+
+  def deregister(leftPath: String, rightPath: String): Unit =
+    registry.remove((canon(leftPath), canon(rightPath)))
+
+  def clear(): Unit = registry.clear()
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty || rewriting.get()) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groups, aggExprs, child, _) =>
+        matchJoin(child).flatMap { case (mv, preds) =>
+          rewrite(groups, aggExprs, mv, preds)
+        }.getOrElse(agg)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** The scan root under attribute-only Projects and deterministic
+    * Filters (collected). Returns (rootPath, filters). */
+  private def scanUnder(p: LogicalPlan): Option[(String, Seq[Expression])] =
+    p match {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.toSeq match {
+              case Seq(rp) => Some((canon(rp.toString), Nil))
+              case _ => None
+            }
+          case _ => None
+        }
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        scanUnder(child)
+      case Filter(pred, child) if pred.deterministic =>
+        scanUnder(child).map { case (rp, ps) => (rp, pred +: ps) }
+      case _ => None
+    }
+
+  /** A registered join directly under the aggregate (through
+    * attribute-only Projects — plus the FULL OUTER USING-join's
+    * `coalesce(lk, rk) AS k` aliases — and deterministic Filters, all
+    * collected and re-applied over the state). */
+  private def matchJoin(p: LogicalPlan)
+      : Option[(JoinMv, Seq[Expression])] = p match {
+    case j @ Join(_, _, _, Some(_), _) => matchJoinNode(j, Nil)
+    case Filter(pred, child) if pred.deterministic =>
+      matchJoin(child).map { case (mv, preds) => (mv, pred +: preds) }
+    case Project(pl, child) if pl.forall {
+        case _: AttributeReference => true
+        // full-outer USING join key: coalesce of the two side keys under
+        // the key's own name — equals the state's key column by
+        // construction (it carries the non-null side's key)
+        case Alias(Coalesce(Seq(a: AttributeReference, b: AttributeReference)), nm)
+          => a.name == nm && b.name == nm
+        case _ => false
+      } => matchJoin(child)
+    case _ => None
+  }
+
+  private def matchJoinNode(j: Join, above: Seq[Expression])
+      : Option[(JoinMv, Seq[Expression])] = {
+    val Join(l, r, jt, Some(cond), _) = j
+    for {
+      (lRoot, lPreds) <- scanUnder(l)
+      (rRoot, rPreds) <- scanUnder(r)
+      (mv, flipped) <- Option(registry.get((lRoot, rRoot))).map((_, false))
+        .orElse(Option(registry.get((rRoot, lRoot))).map((_, true)))
+      if jtMatches(jt, mv.joinType, flipped)
+      if keysMatch(cond, l, r, mv.on)
+      if belowPredsLegal(mv.joinType, flipped, lPreds, rPreds)
+      if mv.fresh()
+    } yield (mv, above ++ lPreds ++ rPreds)
+  }
+
+  /** Inner and full-outer are symmetric; a flipped left-outer
+    * registration would need the query's RIGHT OUTER twin — not matched
+    * (conservative). */
+  private def jtMatches(queryJt: JoinType, mvJt: JoinType,
+                        flipped: Boolean): Boolean =
+    (queryJt, mvJt) match {
+      case (Inner, Inner) => true
+      case (FullOuter, FullOuter) => true
+      case (LeftOuter, LeftOuter) => !flipped
+      case _ => false
+    }
+
+  /** Below-join predicates commute with the join (and therefore with
+    * the state multiset) exactly when pushdown to that side is
+    * semantics-preserving: inner — both sides; left outer — the
+    * preserved (left) side only; full outer — neither. */
+  private def belowPredsLegal(mvJt: JoinType, flipped: Boolean,
+                              lPreds: Seq[Expression],
+                              rPreds: Seq[Expression]): Boolean =
+    mvJt match {
+      case Inner => true
+      case LeftOuter => rPreds.isEmpty // !flipped guaranteed by jtMatches
+      case FullOuter => lPreds.isEmpty && rPreds.isEmpty
+      case _ => false
+    }
+
+  /** The join condition must be exactly the registered equi-key set:
+    * one same-named attribute pair per key, nothing else. */
+  private def keysMatch(cond: Expression, l: LogicalPlan, r: LogicalPlan,
+                        on: Seq[String]): Boolean = {
+    val lOut = l.outputSet
+    val rOut = r.outputSet
+    val names = splitConjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+        if a.name == b.name &&
+          ((lOut.contains(a) && rOut.contains(b)) ||
+            (rOut.contains(a) && lOut.contains(b))) => Some(a.name)
+      case _ => None
+    }
+    names.forall(_.isDefined) &&
+      names.flatten.toSet == on.toSet && names.size == on.size
+  }
+
+  private def rewrite(groups: Seq[Expression],
+                      aggExprs: Seq[NamedExpression],
+                      mv: JoinMv,
+                      preds: Seq[Expression]): Option[LogicalPlan] = {
+    val groupAttrs = groups.collect { case a: AttributeReference => a }
+    if (groupAttrs.size != groups.size) return None
+
+    // phase 1: classify every aggregate call; collect every referenced
+    // column name — all must exist in the state multiset
+    sealed trait Re
+    case object CountRows extends Re
+    case class CountCol(c: String) extends Re
+    case class SumTimesN(c: String) extends Re
+    case class MinOf(c: String) extends Re
+    case class MaxOf(c: String) extends Re
+    case class AvgOf(c: String) extends Re
+    case class DistinctOf(c: String) extends Re
+    val aggRefs = scala.collection.mutable.LinkedHashMap[ExprId, Re]()
+    def toRe(ae: AggregateExpression): Option[Re] = ae match {
+      case AggregateExpression(Count(Seq(lt: Literal)), _, false, None, _)
+        if lt.value != null => Some(CountRows)
+      case AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _) =>
+        Some(CountCol(a.name))
+      case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _) =>
+        Some(DistinctOf(a.name))
+      case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _) =>
+        Some(SumTimesN(a.name))
+      case AggregateExpression(Min(a: AttributeReference), _, false, None, _) =>
+        Some(MinOf(a.name))
+      case AggregateExpression(Max(a: AttributeReference), _, false, None, _) =>
+        Some(MaxOf(a.name))
+      case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
+        if ae.dataType == DoubleType => Some(AvgOf(a.name))
+      case _ => None
+    }
+    def scanOk(e: Expression): Boolean = e match {
+      case ae: AggregateExpression =>
+        toRe(ae) match {
+          case Some(re) => aggRefs(ae.resultId) = re; true
+          case None => false
+        }
+      case a: AttributeReference => groupAttrs.exists(_.exprId == a.exprId)
+      case other => other.children.forall(scanOk)
+    }
+    val shapeOk = aggExprs.forall {
+      case a: AttributeReference => groupAttrs.exists(_.exprId == a.exprId)
+      case al: Alias => scanOk(al.child)
+      case _ => false
+    }
+    if (!shapeOk) return None
+    val refs = aggRefs.values.toSeq
+
+    rewriting.set(true)
+    try {
+      val refold = mv.current().queryExecution.optimizedPlan
+      val byName = refold.output.map(a => a.name -> a).toMap
+      val n = byName.getOrElse("n", return None)
+      val needed = groupAttrs.map(_.name) ++
+        preds.flatMap(_.references.map(_.name)) ++
+        refs.collect {
+          case CountCol(c) => c
+          case SumTimesN(c) => c
+          case MinOf(c) => c
+          case MaxOf(c) => c
+          case AvgOf(c) => c
+          case DistinctOf(c) => c
+        }
+      if (!needed.forall(byName.contains)) return None
+
+      val filtered = preds.foldLeft(refold: LogicalPlan) { (p, pred) =>
+        Filter(pred.transform { case a: AttributeReference => byName(a.name) },
+          p)
+      }
+
+      /** `col · n` with types the analyzer would have produced: integral
+        * columns widen to long BEFORE the product (so int×int cannot
+        * overflow), fractionals to double, decimals multiply by a
+        * decimal-cast n (BinaryArithmetic computes the widened result
+        * type itself). */
+      def product(c: Attribute): Expression = c.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Multiply(Cast(c, LongType), n)
+        case _: DecimalType => Multiply(c, Cast(n, DecimalType(20, 0)))
+        case _ => Multiply(Cast(c, DoubleType), Cast(n, DoubleType))
+      }
+      def nonNullN(c: Attribute): Expression =
+        If(IsNotNull(c), n, Literal(0L))
+
+      def build(e: Expression): Expression = e match {
+        case ae: AggregateExpression =>
+          val raw: Expression = aggRefs(ae.resultId) match {
+            case CountRows => Sum(n).toAggregateExpression()
+            case CountCol(c) =>
+              Sum(nonNullN(byName(c))).toAggregateExpression()
+            case SumTimesN(c) =>
+              Sum(product(byName(c))).toAggregateExpression()
+            case MinOf(c) => Min(byName(c)).toAggregateExpression()
+            case MaxOf(c) => Max(byName(c)).toAggregateExpression()
+            case AvgOf(c) => Divide(
+              Cast(Sum(product(byName(c))).toAggregateExpression(),
+                DoubleType),
+              Cast(Sum(nonNullN(byName(c))).toAggregateExpression(),
+                DoubleType))
+            case DistinctOf(c) =>
+              Count(Seq(byName(c))).toAggregateExpression(isDistinct = true)
+          }
+          if (raw.dataType == ae.dataType) raw else Cast(raw, ae.dataType)
+        case a: AttributeReference => byName(a.name)
+        case other => other.withNewChildren(other.children.map(build))
+      }
+      val out: Seq[NamedExpression] = aggExprs.map {
+        case a: AttributeReference =>
+          Alias(byName(a.name), a.name)(exprId = a.exprId)
+        case al: Alias => Alias(build(al.child), al.name)(exprId = al.exprId)
+        case _ => return None // unreachable given shapeOk
+      }
+      val groupExprs: Seq[Expression] = groupAttrs.map(a => byName(a.name))
+      Some(Aggregate(groupExprs, out, filtered))
+    } finally rewriting.set(false)
+  }
+}

@@ -714,7 +714,67 @@ object FunctionQueries {
       .orderBy($"o_orderstatus", $"flag")
   }
 
+  /** Chained IVM serving (q180): a maintained orders ⋈ lineitem
+    * ([[graft.ops.IncrementalJoin]], batched appends) is REGISTERED as
+    * the materialized form of the two raw parquet paths, and the gated
+    * query is the ORDINARY aggregate-over-join a user writes —
+    * [[graft.plans.MaterializedJoinRewrite]] answers it from the state
+    * multiset (count→Σn, sum→Σ(x·n), exact countDistinct over groups);
+    * the raw scans never run, asserted in-query. This is the end-to-end
+    * composition a real incremental pipeline serves: maintain the join
+    * once, answer every downstream aggregate from keys×batches-sized
+    * state. Oracle = the plain join+GROUP BY over the raw tables. */
+  def q180JoinMvChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalJoin
+    val oDir = java.nio.file.Files.createTempDirectory("q180o").toString
+    val lDir = java.nio.file.Files.createTempDirectory("q180l").toString
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+      .write.mode("overwrite").parquet(oDir)
+    Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+      .write.mode("overwrite").parquet(lDir)
+    val st = IncrementalJoin.stores(s,
+      java.nio.file.Files.createTempDirectory("q180st").toString)
+    val on = Seq("okey")
+    val o = s.read.parquet(oDir)
+    val l = s.read.parquet(lDir)
+    IncrementalJoin.appendLeft(st, o.filter($"okey" % 2 === 0), on, 0L)
+    IncrementalJoin.appendRight(st, l.filter($"okey" % 2 === 0), on, 10L)
+    IncrementalJoin.appendLeft(st, o.filter($"okey" % 2 === 1), on, 1L)
+    IncrementalJoin.appendRight(st, l.filter($"okey" % 2 === 1), on, 11L)
+    IncrementalJoin.compactSides(st, on)
+    IncrementalJoin.compactOut(st)
+    graft.plans.MaterializedJoinRewrite.register(oDir, lDir,
+      graft.plans.MaterializedJoinRewrite.JoinMv(on,
+        org.apache.spark.sql.catalyst.plans.Inner,
+        () => IncrementalJoin.current(st)))
+    try {
+      val res = s.read.parquet(oDir).join(s.read.parquet(lDir), on)
+        .groupBy($"o_orderstatus", $"l_returnflag")
+        .agg(count(lit(1)).as("n_pairs"), sum($"cents").as("sum_cents"),
+          countDistinct($"okey").as("n_orders"))
+        .orderBy($"o_orderstatus", $"l_returnflag")
+      // the chain is only proven if the rewrite actually served: the
+      // optimized plan must scan NO raw path — fail loudly otherwise
+      val raw = res.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten.filter(p => p.startsWith(oDir) || p.startsWith(lDir))
+      require(raw.isEmpty,
+        s"q180: the join-MV rewrite did not serve — raw scans survive: $raw")
+      res
+    } finally graft.plans.MaterializedJoinRewrite.deregister(oDir, lDir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_join_mv_chain" -> (q180JoinMvChain _),
     "q177_join_ivm_deletes" -> (q177JoinIvmDeletes _),
     "q178_agg_ivm_deletes" -> (q178AggIvmDeletes _),
     "q179_outer_ivm_deletes" -> (q179OuterIvmDeletes _),
@@ -754,6 +814,15 @@ object FunctionQueries {
       |ORDER BY p1, p2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q180_join_mv_chain" ->
+      """SELECT o.o_orderstatus, l.l_returnflag,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // the IVM-with-deletes gates: the oracle is the one-shot query over
     // the NET input multisets (inserts minus takedowns, updates applied)
     "q177_join_ivm_deletes" ->

@@ -155,6 +155,35 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("compactSides publishes optimizer statistics for the state tables") {
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
+    IncrementalJoin.appendLeft(st, leftDf((1L to 50L).map(k => k -> s"l$k"): _*),
+      Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, rightDf((1L to 50L).map(k => k -> s"r$k"): _*),
+      Seq("k"), 10L)
+    // before compaction the catalog has no ANALYZE stats: row counts are
+    // invisible in every mode (size alone is file-derived)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try assert(graft.catalog.TableStats.rowCount(spark, st.leftTable).isEmpty)
+    finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    IncrementalJoin.compactSides(st, Seq("k"))
+    // after: real size + CBO-visible row count and key NDVs …
+    assert(graft.catalog.TableStats.sizeInBytes(spark, st.leftTable) <
+      1000000L)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try assert(graft.catalog.TableStats.rowCount(spark, st.leftTable)
+      .contains(BigInt(50)))
+    finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // … so a join of maintained state against a big frame picks a
+    // BROADCAST of the state from stats alone — no hint anywhere
+    val big = spark.range(0, 100000).select(col("id").as("k"))
+    val joined = big.join(spark.table(st.leftTable).drop("__bid", "__mult"),
+      Seq("k"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"expected a stats-driven broadcast in:\n$phys")
+  }
+
   test("keys appearing on only one side never reach the output") {
     val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
     IncrementalJoin.appendLeft(st, leftDf(1L -> "a", 9L -> "only-left"), Seq("k"), 0L)

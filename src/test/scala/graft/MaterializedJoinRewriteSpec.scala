@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IncrementalJoin, IncrementalOuterJoin}
+import graft.plans.MaterializedJoinRewrite
+
+/** The join-MV rewrite must (a) answer registered aggregate-over-join
+  * queries from the maintained join state with identical results, (b)
+  * actually stop scanning the raw tables, (c) honor the staleness
+  * guard, and (d) leave every non-matching shape untouched. */
+class MaterializedJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two raw tables on disk + a maintained join over ALL their rows.
+    * k ∈ 0..19; left has dup rows (multiplicity 2 for k%5==0), right is
+    * sparse (k%3!=0 only) so the inner join drops keys. */
+  private def fixture(): (String, String, IncrementalJoin.Stores) = {
+    val aDir = tmpDir("jmv-a")
+    val bDir = tmpDir("jmv-b")
+    val left = (0L until 20L).flatMap { k =>
+      val base = Seq((k, s"g${k % 4}", k * 10 + 1))
+      if (k % 5 == 0) base ++ base else base
+    }.toDF("k", "grp", "lv")
+    val right = (0L until 20L).filter(_ % 3 != 0)
+      .map(k => (k, k.toDouble / 2.0)).toDF("k", "rv")
+    left.write.mode("overwrite").parquet(aDir)
+    right.write.mode("overwrite").parquet(bDir)
+    val st = IncrementalJoin.stores(spark, tmpDir("jmv-st"))
+    val a = spark.read.parquet(aDir)
+    val b = spark.read.parquet(bDir)
+    IncrementalJoin.appendLeft(st, a.filter($"k" < 10), Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, b, Seq("k"), 10L)
+    IncrementalJoin.appendLeft(st, a.filter($"k" >= 10), Seq("k"), 1L)
+    (aDir, bDir, st)
+  }
+
+  private def registered[T](aDir: String, bDir: String,
+                            st: IncrementalJoin.Stores,
+                            fresh: () => Boolean = () => true)(f: => T): T = {
+    MaterializedJoinRewrite.register(aDir, bDir, MaterializedJoinRewrite.JoinMv(
+      Seq("k"), org.apache.spark.sql.catalyst.plans.Inner,
+      () => IncrementalJoin.current(st), fresh))
+    try f finally MaterializedJoinRewrite.clear()
+  }
+
+  private def rows(df: DataFrame) =
+    df.collect().map(_.toSeq.toList).toSet
+
+  /** Root paths of every parquet scan left in the optimized plan. */
+  private def scanPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath).toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.toSet
+
+  private def scansRaw(df: DataFrame, dir: String): Boolean =
+    scanPaths(df).exists(_.startsWith(dir))
+
+  test("aggregate over the registered join answers from state, same result") {
+    val (aDir, bDir, st) = fixture()
+    def query() = spark.read.parquet(aDir)
+      .join(spark.read.parquet(bDir), Seq("k"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), sum($"lv").as("sum_lv"),
+        min($"rv").as("min_rv"), max($"lv").as("max_lv"),
+        countDistinct($"k").as("n_keys"))
+      .orderBy($"grp")
+    val want = rows(query())
+    registered(aDir, bDir, st) {
+      val df = query()
+      // the raw scans are GONE: the plan reads the state store instead
+      assert(!scansRaw(df, aDir) && !scansRaw(df, bDir),
+        s"raw scan survived: ${scanPaths(df)}")
+      assert(rows(df) == want)
+    }
+  }
+
+  test("count(c), avg(c) re-weight by multiplicity exactly") {
+    val (aDir, bDir, st) = fixture()
+    def query() = spark.read.parquet(aDir)
+      .join(spark.read.parquet(bDir), Seq("k"))
+      .groupBy($"grp")
+      .agg(count($"rv").as("n_rv"), avg($"lv").as("avg_lv"))
+      .orderBy($"grp")
+    val want = rows(query())
+    registered(aDir, bDir, st) { assert(rows(query()) == want) }
+  }
+
+  test("filters over the join (above or pushed below) re-apply over state") {
+    val (aDir, bDir, st) = fixture()
+    def query() = spark.read.parquet(aDir)
+      .join(spark.read.parquet(bDir), Seq("k"))
+      .filter($"lv" > 40 && $"rv" < 9.0) // non-key columns — pushed below
+      .groupBy($"grp")
+      .agg(sum($"lv").as("sum_lv"), count(lit(1)).as("n"))
+      .orderBy($"grp")
+    val want = rows(query())
+    registered(aDir, bDir, st) {
+      val df = query()
+      assert(!scansRaw(df, aDir))
+      assert(rows(df) == want)
+    }
+  }
+
+  test("flipped scan order still hits (inner join is symmetric)") {
+    val (aDir, bDir, st) = fixture()
+    def query() = spark.read.parquet(bDir)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .groupBy($"grp").agg(sum($"lv").as("s"))
+      .orderBy($"grp")
+    val want = rows(query())
+    registered(aDir, bDir, st) {
+      val df = query()
+      assert(!scansRaw(df, aDir))
+      assert(rows(df) == want)
+    }
+  }
+
+  test("staleness guard: fresh=false declines, raw plan runs, result intact") {
+    val (aDir, bDir, st) = fixture()
+    def query() = spark.read.parquet(aDir)
+      .join(spark.read.parquet(bDir), Seq("k"))
+      .groupBy($"grp").agg(sum($"lv").as("s")).orderBy($"grp")
+    val want = rows(query())
+    registered(aDir, bDir, st, fresh = () => false) {
+      val df = query()
+      assert(scansRaw(df, aDir), "stale registration must NOT serve")
+      assert(rows(df) == want)
+    }
+  }
+
+  test("non-matching shapes stay untouched") {
+    val (aDir, bDir, st) = fixture()
+    registered(aDir, bDir, st) {
+      // different join keys
+      val wrongKeys = spark.read.parquet(aDir)
+        .join(spark.read.parquet(bDir).withColumnRenamed("k", "k2"),
+          $"k" === $"k2")
+        .groupBy($"grp").agg(sum($"lv").as("s"))
+      assert(scansRaw(wrongKeys, aDir))
+      // unregistered pair
+      val cDir = tmpDir("jmv-c")
+      (0L until 5L).map(k => (k, k)).toDF("k", "cv")
+        .write.mode("overwrite").parquet(cDir)
+      val wrongPair = spark.read.parquet(aDir)
+        .join(spark.read.parquet(cDir), Seq("k"))
+        .groupBy($"grp").agg(sum($"lv").as("s"))
+      assert(scansRaw(wrongPair, aDir))
+      // percentile over the join: not servable, untouched
+      val pct = spark.read.parquet(aDir)
+        .join(spark.read.parquet(bDir), Seq("k"))
+        .groupBy($"grp").agg(expr("percentile_approx(lv, 0.5)").as("p"))
+      assert(scansRaw(pct, aDir))
+      // left-outer query over an Inner registration: untouched
+      val lo = spark.read.parquet(aDir)
+        .join(spark.read.parquet(bDir), Seq("k"), "left")
+        .groupBy($"grp").agg(sum($"lv").as("s"))
+      assert(scansRaw(lo, aDir))
+    }
+  }
+
+  test("LEFT OUTER registration serves left joins; right-side filters bail") {
+    val aDir = tmpDir("jmv-a")
+    val bDir = tmpDir("jmv-b")
+    val left = (0L until 12L).map(k => (k, s"g${k % 3}", k + 100L))
+      .toDF("k", "grp", "lv")
+    val right = (0L until 12L).filter(_ % 4 == 0)
+      .map(k => (k, k * 2.0)).toDF("k", "rv")
+    left.write.mode("overwrite").parquet(aDir)
+    right.write.mode("overwrite").parquet(bDir)
+    val st = IncrementalOuterJoin.stores(spark, tmpDir("jmv-ost"))
+    IncrementalOuterJoin.appendLeft(st, spark.read.parquet(aDir), Seq("k"), 0L)
+    IncrementalOuterJoin.appendRight(st, spark.read.parquet(bDir), Seq("k"), 10L)
+    MaterializedJoinRewrite.register(aDir, bDir, MaterializedJoinRewrite.JoinMv(
+      Seq("k"), org.apache.spark.sql.catalyst.plans.LeftOuter,
+      () => IncrementalOuterJoin.current(st)))
+    try {
+      def query() = spark.read.parquet(aDir)
+        .join(spark.read.parquet(bDir), Seq("k"), "left")
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"), count($"rv").as("n_matched"),
+          sum($"lv").as("sum_lv"))
+        .orderBy($"grp")
+      val want = rows(query())
+      val df = query()
+      assert(!scansRaw(df, aDir))
+      assert(rows(df) == want)
+      // left-side filter commutes (preserved side) — still hits
+      def filtered() = spark.read.parquet(aDir).filter($"lv" > 103)
+        .join(spark.read.parquet(bDir), Seq("k"), "left")
+        .groupBy($"grp").agg(count(lit(1)).as("n")).orderBy($"grp")
+      val wantF = rows(filtered())
+      val dfF = filtered()
+      assert(!scansRaw(dfF, aDir))
+      assert(rows(dfF) == wantF)
+      // right-side filter does NOT commute with a left outer join — bail
+      val bad = spark.read.parquet(aDir)
+        .join(spark.read.parquet(bDir).filter($"rv" > 4.0), Seq("k"), "left")
+        .groupBy($"grp").agg(count(lit(1)).as("n"))
+      assert(scansRaw(bad, aDir))
+    } finally MaterializedJoinRewrite.clear()
+  }
+}
