@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Lineage.LineageSyntax
+
 /** Edit-distance similarity self-join without a cartesian product
   * (PassJoin's segment-filter candidate generation — Li, Deng, Feng,
   * VLDB 2011 — re-expressed as two explodes and one equi-join).
@@ -190,53 +192,100 @@ object FuzzyJoin {
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__tf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(id).orderBy(col("__tf"), col("token"))
+    // the explode → vocabulary join → rank window pipeline feeds FOUR
+    // consumers (both prefix branches, the verification arrays); without
+    // a lineage cut each one re-tokenizes the corpus — measured 4-5× the
+    // whole query's staged cost on the saturated sf0.1 corpus
     val ranked = toks.join(freq, "token")
       .withColumn("__rn", row_number().over(w))
       .withColumn("__s", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(id)))
+      .cutLineage()
     // o = ceil(tE6 * s / 1e6) in longs (the Column `/` is double
-    // division — `div` keeps it integral); prefix = first (s - o + 1)
+    // division — `div` keeps it integral); probe prefix = first
+    // (s - o + 1). The INDEX prefix is shorter: processing pairs in
+    // (size, id) order, the smaller side's partner is at least as large,
+    // so overlap ≥ α ≥ ⌈2·t·s/(1+t)⌉ in the smaller side's OWN size —
+    // its first shared token sits within the first
+    // s − ⌈2·tE6·s/(10⁶+tE6)⌉ + 1 tokens (Bayardo WWW'07 / Xiao WWW'08
+    // index-prefix asymmetry; at t=0.5 that is s/3 vs s/2 — a ~⅓ cut in
+    // join fan-out on saturated vocabularies, and completeness holds by
+    // the bound above)
     val prefix = ranked.where(col("__rn") <= expr(
       s"__s - ((__s * ${minJaccardE6}L + 999999L) div 1000000L) + 1L"))
+    val indexPrefix = ranked.where(col("__rn") <= expr(
+      s"__s - ((__s * ${2L * minJaccardE6}L + ${1000000L + minJaccardE6 - 1}L)" +
+        s" div ${1000000L + minJaccardE6}L) + 1L"))
     // length filter (lossless): jaccard >= t forces
     // inter <= min(s1,s2), union >= max(s1,s2) => t <= min/max, so any
     // pair whose sizes differ by more than the threshold factor is
     // provably below t and never reaches verification
     //
-    // positional filter (PPJoin, also lossless): a shared token at
-    // prefix positions (rn1, rn2) bounds the total overlap by
-    // min(rn1-1, rn2-1) + 1 + min(s1-rn1, s2-rn2) — tokens strictly
-    // before the match positions plus the match plus whatever remains
-    // after. jaccard >= t forces overlap >= α = ⌈tE6·(s1+s2)/(10⁶+tE6)⌉
-    // (from i ≥ t·(s1+s2−i)), so a token whose bound is below α cannot
-    // witness a qualifying pair. Completeness: a qualifying pair's
-    // FIRST shared token has zero shared-before contribution, so its
-    // bound ≥ the true overlap ≥ α — at least one witness always
-    // survives, and the pair-level distinct needs only one.
-    val cand = prefix.select(col("token"), id.as("id1"),
+    // positional filter (PPJoin, lossless, applied in its TIGHT
+    // first-shared-token form): the candidate aggregation keeps, per
+    // pair, the join witness with the SMALLEST __rn1 — because the
+    // per-set rank order is the restriction of one GLOBAL total order
+    // (freq asc, token asc), that witness is the globally-first shared
+    // token, which simultaneously minimizes __rn2. No shared token
+    // precedes it in EITHER set, so the true overlap is bounded by
+    // 1 + min(s1−rn1, s2−rn2). jaccard ≥ t forces overlap ≥
+    // α = ⌈tE6·(s1+s2)/(10⁶+tE6)⌉ (from i ≥ t·(s1+s2−i)); pairs whose
+    // tight bound misses α are provably below threshold. This dominates
+    // the classic any-witness disjunctive filter: one bound per pair,
+    // and the strongest lossless one.
+    // pair orientation is (size, id) lexicographic — side 1 (smaller)
+    // contributes only its short INDEX prefix, side 2 its probe prefix;
+    // ids are re-normalized to id1 < id2 at the end. The per-witness
+    // weak positional bound (match position + best-case remainder)
+    // prunes witnesses BEFORE the pair shuffle: it is ≥ the tight
+    // first-token bound, so a qualifying pair's first witness always
+    // survives it.
+    val alphaSql =
+      s"((${minJaccardE6}L * (__s1 + __s2) + ${1000000L + minJaccardE6 - 1}L)" +
+        s" div ${1000000L + minJaccardE6}L)"
+    val candAll = indexPrefix.select(col("token"), id.as("id1"),
         col("__s").as("__s1"), col("__rn").as("__rn1"))
       .join(prefix.select(col("token"), id.as("id2"),
         col("__s").as("__s2"), col("__rn").as("__rn2")), "token")
-      .where(col("id1") < col("id2") &&
-        col("__s1") * 1000000L >= col("__s2") * minJaccardE6 &&
-        col("__s2") * 1000000L >= col("__s1") * minJaccardE6)
+      .where((col("__s1") < col("__s2")) ||
+        (col("__s1") === col("__s2") && col("id1") < col("id2")))
+      .where(col("__s2") * minJaccardE6 <= col("__s1") * 1000000L)
       .where(
         least(col("__rn1"), col("__rn2")) +
           least(col("__s1") - col("__rn1"), col("__s2") - col("__rn2")) >=
+        expr(alphaSql))
+    // the pair aggregation replaces the old `.distinct()` — same single
+    // shuffle, but it carries the first-witness positions for the tight
+    // bound (partial-aggregable min_by; no Window, no second pass)
+    val cand = candAll
+      .groupBy(col("id1"), col("id2"), col("__s1"), col("__s2"))
+      .agg(min_by(struct(col("__rn1"), col("__rn2")), col("__rn1"))
+        .as("__f"))
+      .where(
+        lit(1L) + least(col("__s1") - col("__f.__rn1"),
+          col("__s2") - col("__f.__rn2")) >=
         expr(s"((${minJaccardE6}L * (__s1 + __s2) + ${1000000L + minJaccardE6 - 1}L)" +
           s" div ${1000000L + minJaccardE6}L)"))
-      .select(col("id1"), col("id2")).distinct()
-    val sizes = toks.groupBy(id).agg(count(lit(1)).as("__sz"))
-    val inter = cand
-      .join(toks.select(id.as("id1"), col("token")), "id1")
-      .join(toks.select(id.as("id2"), col("token")), Seq("id2", "token"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(id.as("id1"), col("__sz").as("__s1")), "id1")
-      .join(sizes.select(id.as("id2"), col("__sz").as("__s2")), "id2")
+      .select(col("id1"), col("id2"), col("__s1"), col("__s2"))
+    // verification: two id-keyed joins fetch each side's DEDUPLICATED
+    // token array once and the exact intersection is computed per row
+    // (codegen'd array_intersect over arrays that are distinct by
+    // construction) — candidate-count × set-size work, rather than the
+    // old corpus-wide re-explode whose join fan-out scaled with every
+    // candidate id's full token list
+    // arrays re-fold from the CUT ranked frame, not from a re-explode
+    val arrs = ranked.groupBy(id).agg(collect_list(col("token")).as("__arr"))
+    cand
+      .join(arrs.select(id.as("id1"), col("__arr").as("__a1")), "id1")
+      .join(arrs.select(id.as("id2"), col("__arr").as("__a2")), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("__a1"), col("__a2"))).cast("long"))
       .withColumn("un", col("__s1") + col("__s2") - col("inter"))
       .withColumn("jac_e6", expr("(inter * 1000000) div un"))
       .where(col("jac_e6") >= minJaccardE6)
-      .select(col("id1"), col("id2"), col("inter"), col("un"), col("jac_e6"))
+      // pairs were oriented by (size, id) — normalize to id1 < id2
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        col("inter"), col("un"), col("jac_e6"))
   }
 }

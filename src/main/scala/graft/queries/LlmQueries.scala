@@ -83,12 +83,15 @@ object LlmQueries {
     * exact integer micro-units. */
   def q175JaccardJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // bounded sub-corpus (the q157 convention): this synthetic corpus
-    // draws from a ~30-word vocabulary, so even the RAREST shingles have
-    // df in the hundreds and every pair of documents shares most tokens
-    // — adversarial for any prefix filter; real corpora are far sparser
+    // FULL corpus (the r6 `doc_id < 1500` bound is lifted): this
+    // synthetic corpus draws from a ~30-word vocabulary, so even the
+    // RAREST shingles have df in the hundreds and every document pair
+    // shares most tokens — adversarial for any prefix filter; real
+    // corpora are far sparser. The tight first-shared-token positional
+    // bound plus array-intersect verification (r7) keep the unbounded
+    // run inside the sweep budget where the r6 any-witness filter +
+    // re-explode verification took ~118 s.
     val sets = Tables.load(s, dir, "documents")
-      .filter($"doc_id" < 1500)
       .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
     graft.ops.FuzzyJoin.jaccardSelfJoin(sets, "doc_id", "sh",
         minJaccardE6 = 500000L)
@@ -2243,7 +2246,7 @@ object LlmQueries {
          |           range(0, len($toksSql) - 1),
          |           i -> concat_ws(' ', $toksSql[i+1], $toksSql[i+2])))
          |    END AS sh
-         |  FROM documents WHERE doc_id < 1500),
+         |  FROM documents),
          |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
          |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
          |inter AS (
