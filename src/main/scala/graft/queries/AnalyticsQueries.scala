@@ -779,6 +779,39 @@ object AnalyticsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Trigram-index pruning, live in the driver gate (q181): q176 proves
+    * index-path result equality but its vocab-saturated corpus admits
+    * every file; THIS leg plants a rare marker (`zqxhatchv`) into the
+    * contiguous doc_id < 100 block and lays the corpus out by doc_id
+    * RANGE, so the marker's trigrams exist only in the file(s) holding
+    * that block. The search must (a) admit few files — asserted
+    * in-query, loudly — and (b) return exactly the planted rows, which
+    * the oracle derives from the planting rule alone. A pruning bug
+    * that drops an admitted file loses rows and breaks the hash; a bug
+    * that stops pruning trips the file-count require. */
+  def q181TrigramPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val data = java.nio.file.Files.createTempDirectory("q181data").toString
+    val idx = java.nio.file.Files.createTempDirectory("q181idx").toString
+    docs.select($"doc_id", $"n_chars",
+        when($"doc_id" < 100,
+          concat($"text", lit(" zqxhatchv marker"))).otherwise($"text")
+          .as("text"))
+      .repartitionByRange(16, $"doc_id")
+      .write.mode("overwrite").parquet(data)
+    graft.sinks.FileTrigramIndex.build(s, data, "text", idx)
+    val admitted = graft.sinks.FileTrigramIndex.candidateFiles(
+      s, idx, "zqxhatchv")
+    require(admitted.nonEmpty && admitted.size <= 6,
+      s"q181: expected the planted block to prune to ≤6 of 16 files, " +
+        s"got ${admitted.size}")
+    graft.sinks.FileTrigramIndex.containsLookup(
+        s, data, idx, "text", "zqxhatchv")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Interval-overlap join (q174): click intervals × purchase intervals
     * per user (each event padded to a 30-minute window), via
     * [[graft.ops.TemporalJoins.intervalOverlapJoin]]'s bucketized
@@ -989,6 +1022,7 @@ object AnalyticsQueries {
     "q161_rolling_anomaly" -> (q161RollingAnomaly _),
     "q174_interval_overlap" -> (q174IntervalOverlap _),
     "q176_trigram_search" -> (q176TrigramSearch _),
+    "q181_trigram_pruned" -> (q181TrigramPruned _),
     "q162_bfs" -> (q162Bfs _),
     "q158_cohort_retention" -> (q158CohortRetention _),
     "q155_zorder" -> (q155ZOrderKey _),
@@ -1147,6 +1181,12 @@ object AnalyticsQueries {
     "q176_trigram_search" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE text LIKE '%column agg join%'
+        |ORDER BY doc_id""".stripMargin,
+    // the planted-marker rule IS the oracle: only doc_id < 100 rows
+    // received the marker, and the base vocabulary cannot contain it
+    "q181_trigram_pruned" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
     "q174_interval_overlap" ->
       """WITH a AS (

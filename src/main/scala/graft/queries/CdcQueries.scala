@@ -203,9 +203,11 @@ object CdcQueries {
     // the topic-twin source contract requires
     envelope.repartition(col("partition"))
       .write.mode("overwrite").partitionBy("partition").text(topic)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(topic), true)
+    // the topic's OWN filesystem, not fs.defaultFS — on a deployment
+    // whose default is hdfs:// the temp dir is still local
+    val topicPath = new org.apache.hadoop.fs.Path(topic)
+    val fs = topicPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(topicPath, true)
     while (it.hasNext) {
       val f = it.next().getPath
       if (f.getName.startsWith("part-") && !f.getName.endsWith(".jsonl"))

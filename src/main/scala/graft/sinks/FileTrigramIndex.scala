@@ -32,18 +32,33 @@ import org.apache.spark.sql.functions._
   */
 object FileTrigramIndex {
 
-  /** One pass: per-file distinct lowercased trigrams of `column` →
-    * (file_path, gram) parquet. Returns the number of indexed files. */
-  def build(spark: SparkSession, dataDir: String, column: String,
-            indexDir: String): Long = {
-    val t = lower(col(column))
-    spark.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file_path"), t.as("__t"))
+  /** Index rows for every data file under `src`: the per-file distinct
+    * grams, PLUS one null-gram sentinel per file. The sentinel records
+    * "this file was seen" even when every row is too short (or null) to
+    * produce a trigram — without it such files would re-enter every
+    * [[refresh]] as apparently-new and be re-scanned in full each time.
+    * Lookups are unaffected: `isin` never matches a null gram, and a
+    * file whose rows are all sub-trigram cannot contain any needle of
+    * length ≥ 3, so skipping it stays sound. */
+  private def indexRows(src: DataFrame): DataFrame = {
+    val grams = src
       .where(length(col("__t")) >= 3)
       .select(col("file_path"),
         explode(array_distinct(transform(sequence(lit(1), length(col("__t")) - 2),
           i => col("__t").substr(i, lit(3))))).as("gram"))
       .distinct()
+    val seen = src.select(col("file_path")).distinct()
+      .withColumn("gram", lit(null).cast("string"))
+    grams.unionByName(seen)
+  }
+
+  /** One pass: per-file distinct lowercased trigrams of `column` →
+    * (file_path, gram) parquet. Returns the number of indexed files. */
+  def build(spark: SparkSession, dataDir: String, column: String,
+            indexDir: String): Long = {
+    indexRows(spark.read.parquet(dataDir)
+        .select(col("_metadata.file_path").as("file_path"),
+          lower(col(column)).as("__t")))
       .write.mode("overwrite").parquet(indexDir)
     import spark.implicits._
     spark.read.parquet(indexDir).select($"file_path").distinct().count()
@@ -55,18 +70,17 @@ object FileTrigramIndex {
               indexDir: String): Long = {
     import spark.implicits._
     val known = spark.read.parquet(indexDir).select($"file_path").distinct()
-    val fresh = spark.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file_path"),
-        lower(col(column)).as("__t"))
-      .join(broadcast(known), Seq("file_path"), "left_anti")
-      .where(length(col("__t")) >= 3)
-      .select(col("file_path"),
-        explode(array_distinct(transform(sequence(lit(1), length(col("__t")) - 2),
-          i => col("__t").substr(i, lit(3))))).as("gram"))
-      .distinct()
-    val n = fresh.select($"file_path").distinct().count()
-    if (n > 0) fresh.write.mode("append").parquet(indexDir)
-    n
+    val fresh = indexRows(spark.read.parquet(dataDir)
+        .select(col("_metadata.file_path").as("file_path"),
+          lower(col(column)).as("__t"))
+        .join(broadcast(known), Seq("file_path"), "left_anti"))
+      // evaluated twice (count, then write) — pin it once
+      .persist()
+    try {
+      val n = fresh.select($"file_path").distinct().count()
+      if (n > 0) fresh.write.mode("append").parquet(indexDir)
+      n
+    } finally { fresh.unpersist(); () }
   }
 
   /** Files whose gram set contains EVERY trigram of `needle` — the

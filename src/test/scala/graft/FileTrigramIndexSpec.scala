@@ -82,4 +82,25 @@ class FileTrigramIndexSpec extends SparkSpec {
     assert(FileTrigramIndex.containsLookup(spark, data, idx, "text", "first era")
       .count() == 100L)
   }
+
+  test("gram-less files are remembered by a sentinel, not re-scanned forever") {
+    val data = tmpDir("trgm-data3")
+    val idx = tmpDir("trgm-idx3")
+    (0L until 50L).map(i => (i, s"normal content row$i"))
+      .toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(data)
+    // a file whose every row is sub-trigram (or null): no gram can exist
+    Seq((100L, "ab"), (101L, "x"), (102L, null.asInstanceOf[String]))
+      .toDF("id", "text").coalesce(1)
+      .write.mode("append").parquet(data)
+    assert(FileTrigramIndex.build(spark, data, "text", idx) == 2L)
+    // the gram-less file must NOT look new on refresh — before the
+    // sentinel fix it re-entered (and was re-scanned) every time
+    assert(FileTrigramIndex.refresh(spark, data, "text", idx) == 0L)
+    // soundness: a ≥3-char needle can never live in sub-trigram rows, so
+    // skipping the gram-less file keeps lookups exact
+    assert(FileTrigramIndex.containsLookup(spark, data, idx, "text", "row4")
+      .count() ==
+      spark.read.parquet(data).filter($"text".contains("row4")).count())
+  }
 }
