@@ -34,13 +34,24 @@ object Bench {
         String, java.util.concurrent.atomic.AtomicLong], g: String) =
       m.computeIfAbsent(g,
         _ => new java.util.concurrent.atomic.AtomicLong)
+    // Streaming attribution: foreachBatch / stream-drain micro-batches
+    // run on StreamExecution threads under the QUERY's own job group,
+    // never the bench group — keyed on group alone their CPU lands
+    // nowhere (the r6 artifact under-reported exactly the IO-heavy
+    // streaming queries the signal was built to adjudicate). Samples run
+    // strictly serially, so ANY job that starts while a sample is active
+    // belongs to that sample: jobs without a bench group fall back to
+    // the currently-active one.
+    @volatile var activeGroup: String = null
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val g = Option(js.properties)
+          val g0 = Option(js.properties)
             .map(_.getProperty("spark.jobGroup.id")).orNull
-          if (g != null && g.startsWith("bench-"))
+          val g = if (g0 != null && g0.startsWith("bench-")) g0
+                  else activeGroup
+          if (g != null)
             js.stageIds.foreach(id => stageGroup.put(id, g))
         }
         override def onStageCompleted(
@@ -78,19 +89,30 @@ object Bench {
       groupSeq += 1
       val group = s"bench-$groupSeq"
       spark.sparkContext.setJobGroup(group, group)
+      activeGroup = group
       val t0 = System.nanoTime()
       try f catch { case e: Throwable =>
+        activeGroup = null
         spark.sparkContext.clearJobGroup()
-        System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0 }
+        System.err.println(s"[bench] failed: ${e.getMessage}")
+        // a failed sample still records a placeholder, keeping the
+        // samples / cpu_samples / shuffle arrays per-query parallel
+        recordSample(-1.0, -1L)
+        return -1.0 }
       val wall = (System.nanoTime() - t0) / 1e9
+      activeGroup = null
       spark.sparkContext.clearJobGroup()
-      // listener events are async: spin briefly until the group's CPU
-      // figure stabilizes (typically one iteration)
+      // listener events are async: spin until the group's CPU figure is
+      // stable across THREE consecutive polls (a lagging bus can hold a
+      // figure — including 0 — flat for one poll and then move)
       var last = -1L
+      var stable = 0
       var spins = 0
       def cpuNow = Option(groupCpu.get(group)).map(_.get).getOrElse(0L)
-      while (cpuNow != last && spins < 40) {
-        last = cpuNow; spins += 1; Thread.sleep(25)
+      while (stable < 3 && spins < 80) {
+        val now = cpuNow
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        spins += 1; Thread.sleep(25)
       }
       recordSample(cpuNow / 1e9,
         Option(groupShuffle.get(group)).map(_.get).getOrElse(0L))
@@ -116,8 +138,11 @@ object Bench {
         val ts = (1 to 3).map(_ => time(materialize(fn(spark, sfDir))))
         s"\"" + name + "\":[" + ts.mkString(",") + "]"
       }
+      val cpuS = rawCpu.map { case (k, v) =>
+        s"\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
       println(s"""{"metric":"isolated","samples":${
-        samples.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+        samples.mkString("{", ",", "}")},"cpu_samples":$cpuS,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
