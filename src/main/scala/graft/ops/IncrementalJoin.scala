@@ -142,8 +142,16 @@ object IncrementalJoin {
   private val Compacted = Long.MinValue
   private val Meta = Set("__mult", "__bid", "__lbid", "__rbid")
 
+  /** The side tables' partition column: the row's BUCKET id (both are
+    * `pmod(hash(keys), buckets)`, so each `__bg=<b>` directory holds
+    * exactly bucket b's files). Partitioning by it costs nothing at
+    * read time — the bucketed scan merges per-bucket across dirs — and
+    * buys [[compactSides]] single-bucket rewrites via dynamic partition
+    * overwrite instead of state-sized full-table swaps. */
+  private[ops] val BucketGroupCol = "__bg"
+
   private val Reserved = Set("__mult", "__bid", "__jk", "__lbid", "__rbid",
-    "prefix")
+    "prefix", BucketGroupCol)
 
   /** Fold one batch to deterministic value-groups: all columns grouped,
     * multiplicity counted, batch id and join-key hash stamped. */
@@ -181,9 +189,12 @@ object IncrementalJoin {
   /** A side's current state: the bucketed table scan, served as-is on
     * the happy path (zero exchange — its bucketing IS the join layout).
     * Only a side flagged dirty by a mid-write crash retry pays the
-    * replay-dedup shuffle, and only until the next [[compactSides]]. */
+    * replay-dedup shuffle, and only until the next [[compactSides]].
+    * The `__bg` partition column (the bucket id, doubled as a partition
+    * key so compaction can rewrite single buckets) is internal layout —
+    * dropped before any consumer sees the state. */
   private[ops] def sideState(st: Stores, isLeft: Boolean): DataFrame = {
-    val t = st.spark.table(st.sideTable(isLeft))
+    val t = st.spark.table(st.sideTable(isLeft)).drop(BucketGroupCol)
     if (st.hasMarker(s"${st.sideName(isLeft)}.dirty"))
       t.dropDuplicates(t.columns.filter(_ != "__mult"))
     else t
@@ -214,7 +225,8 @@ object IncrementalJoin {
   private[ops] def appendToTable(st: Stores, isLeft: Boolean, d: DataFrame,
                             on: Seq[String]): Unit = {
     val name = st.sideTable(isLeft)
-    val rows0 = d.drop("__jk")
+    val rows0 = d.drop("__jk").withColumn(BucketGroupCol,
+      pmod(hash(on.map(col): _*), lit(st.buckets)))
     // saveAsTable(Append) resolves by position on some paths — pin the
     // existing table's column order explicitly
     val rows =
@@ -223,6 +235,7 @@ object IncrementalJoin {
       else rows0
     rows.repartition(st.buckets, on.map(col): _*)
       .write.mode("append").format("parquet")
+      .partitionBy(BucketGroupCol)
       .bucketBy(st.buckets, on.head, on.tail: _*)
       .saveAsTable(name)
   }
