@@ -65,14 +65,29 @@ object Bench {
         }
       })
     var groupSeq = 0
-    // per-query per-sample (cpu seconds, shuffle bytes), parallel to raw
+    // per-query per-sample (cpu seconds, shuffle bytes, GC seconds),
+    // parallel to raw
     val rawCpu = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val rawShuffle = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
+    val rawGc = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     var currentQuery: String = ""
-    def recordSample(cpuS: Double, shufB: Long): Unit = {
+    def recordSample(cpuS: Double, shufB: Long, gcS: Double): Unit = {
       rawCpu(currentQuery) = rawCpu.getOrElse(currentQuery, Seq.empty) :+ cpuS
       rawShuffle(currentQuery) =
         rawShuffle.getOrElse(currentQuery, Seq.empty) :+ shufB
+      rawGc(currentQuery) = rawGc.getOrElse(currentQuery, Seq.empty) :+ gcS
+    }
+    // Whole-JVM GC wall-time during a sample: the r7 q175 adjudication
+    // needed exactly this signal — [302 s, 11 s, 310 s] reps on
+    // byte-identical code+data are a GC storm if gc_samples tracks the
+    // inflation, a plan flip if it doesn't. Collector-wide and
+    // local[n]-accurate (one JVM); costs one MXBean poll per sample.
+    def gcMillis: Long = {
+      var t = 0L
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      while (it.hasNext) t += math.max(0L, it.next().getCollectionTime)
+      t
     }
 
     def time(f: => Unit): Double = {
@@ -90,6 +105,7 @@ object Bench {
       val group = s"bench-$groupSeq"
       spark.sparkContext.setJobGroup(group, group)
       activeGroup = group
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try f catch { case e: Throwable =>
         activeGroup = null
@@ -97,9 +113,21 @@ object Bench {
         System.err.println(s"[bench] failed: ${e.getMessage}")
         // a failed sample still records a placeholder, keeping the
         // samples / cpu_samples / shuffle arrays per-query parallel
-        recordSample(-1.0, -1L)
+        recordSample(-1.0, -1L, -1.0)
         return -1.0 }
       val wall = (System.nanoTime() - t0) / 1e9
+      val gcS = (gcMillis - gc0) / 1e3
+      // a stream the query leaked past its own materialization would
+      // keep spawning micro-batch jobs AFTER this sample ends; with the
+      // active-group fallback those jobs would be charged to the NEXT
+      // sample (the r7 cpu-attribution ambiguity). Stop and drain them
+      // while THIS group is still the active fallback: their CPU lands
+      // on the query that started them, and wall (captured above) stays
+      // the query's own contract.
+      spark.streams.active.foreach { s =>
+        try { s.stop(); s.awaitTermination() }
+        catch { case _: Throwable => () }
+      }
       activeGroup = null
       spark.sparkContext.clearJobGroup()
       // listener events are async: spin until the group's CPU figure is
@@ -115,7 +143,7 @@ object Bench {
         spins += 1; Thread.sleep(25)
       }
       recordSample(cpuNow / 1e9,
-        Option(groupShuffle.get(group)).map(_.get).getOrElse(0L))
+        Option(groupShuffle.get(group)).map(_.get).getOrElse(0L), gcS)
       wall
     }
 
@@ -132,8 +160,23 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.toSeq.filter(q => args.contains(q._1))
       else SparkEntry.queries.toSeq
     if (args.nonEmpty) {
-      // isolated mode: 3 samples each, all reported — cold-vs-warm visible
-      val samples = selected.sortBy(_._1).map { case (name, fn) =>
+      // isolated mode: 3 samples each, all reported — cold-vs-warm
+      // visible. "cdc_pipeline_2m" is accepted by name so the sweep-only
+      // pipeline is A/B-able against its in-sweep figure (the r7
+      // 10.5→66.3 s adjudication had no isolated twin to compare).
+      val cdcSel = args.contains("cdc_pipeline_2m")
+      val cdcSamples = if (!cdcSel) Seq.empty[String] else {
+        val cdcDir =
+          java.nio.file.Files.createTempDirectory("cdc-bench").toString
+        graft.queries.CdcBench.envelopes(spark, 2000000L)
+          .write.mode("overwrite").parquet(cdcDir)
+        currentQuery = "cdc_pipeline_2m"
+        val ts = (1 to 3).map(_ => time(materialize(
+          graft.queries.CdcBench.curatedFromEnvelopes(
+            spark.read.parquet(cdcDir)))))
+        Seq(s"\"cdc_pipeline_2m\":[" + ts.mkString(",") + "]")
+      }
+      val samples = cdcSamples ++ selected.sortBy(_._1).map { case (name, fn) =>
         currentQuery = name
         val ts = (1 to 3).map(_ => time(materialize(fn(spark, sfDir))))
         s"\"" + name + "\":[" + ts.mkString(",") + "]"
@@ -141,8 +184,11 @@ object Bench {
       val cpuS = rawCpu.map { case (k, v) =>
         s"\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
+      val gcS = rawGc.map { case (k, v) =>
+        s"\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
       println(s"""{"metric":"isolated","samples":${
-        samples.mkString("{", ",", "}")},"cpu_samples":$cpuS,"sf":"$sfDir"}""")
+        samples.mkString("{", ",", "}")},"cpu_samples":$cpuS,"gc_samples":$gcS,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -239,9 +285,13 @@ object Bench {
       val cpuRawJson = rawCpu.map { case (k, v) =>
         s"\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
+      val gcRawJson = rawGc.map { case (k, v) =>
+        s"\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(out,
         json.dropRight(1) + s""","cpu_s":$cpuJson,"shuffle_bytes":$shufJson""" +
-          s""","samples":$rawJson,"cpu_samples":$cpuRawJson}""" + "\n")
+          s""","samples":$rawJson,"cpu_samples":$cpuRawJson""" +
+          s""","gc_samples":$gcRawJson}""" + "\n")
       System.err.println(s"[bench] full results written to $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }

@@ -171,11 +171,21 @@ object FuzzyJoin {
     * rounds up at exact multiples (0.6·5 → 3.0000000000000004) and
     * silently SHORTENS the prefix below the completeness bound.
     *
-    * Plan shape: token explode → vocabulary-frequency join → per-set
+    * Plan shape: token explode → vocabulary-frequency count → global
+    * token-id assignment (distributed sort + `zipWithIndex`) → per-set
     * rank window (set-sized partitions) → prefix equi-self-join →
-    * distinct pairs → intersection count via two id-keyed joins →
-    * size join + integer threshold. Every join is an equi-join; no
-    * stage is quadratic in the corpus.
+    * pair aggregation with the witness-count positional bound →
+    * intersection count via two id-keyed joins over sorted-int arrays.
+    * Every join is an equi-join; no stage is quadratic in the corpus.
+    *
+    * Everything downstream of the token-id join is NUMERIC: candidates
+    * shuffle as fixed-width ints, and verification is a zero-allocation
+    * two-pointer merge ([[graft.functions.SortedIntersectCount]]) over
+    * sorted token-id arrays. The r7 string-array formulation
+    * (`array_intersect` over `array<string>`) allocated gigabytes of
+    * per-batch garbage on a saturated corpus — the GC-storm trigger
+    * behind its bimodal in-sweep cost ([302 s, 11 s, 310 s] on
+    * byte-identical reps; r7 verdict). Cost is now heap-state-invariant.
     *
     * @param sets         (id, token array) — tokens deduplicated here
     * @param minJaccardE6 inclusive threshold in micro-units (600000 = 0.6)
@@ -185,18 +195,34 @@ object FuzzyJoin {
                       minJaccardE6: Long): DataFrame = {
     require(minJaccardE6 >= 1 && minJaccardE6 <= 1000000,
       s"minJaccardE6 must be in [1, 1000000]: $minJaccardE6")
+    val spark = sets.sparkSession
+    graft.functions.SortedIntersectCount.register(spark)
     val id = col(idCol)
     val toks = sets
       .select(id, explode(array_distinct(col(tokCol))).as("token"))
       .where(col("token").isNotNull && col("token") =!= "")
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__tf"))
+    // the global total order (frequency asc, token asc) as a dense LONG
+    // token id: a distributed range-partitioned sort + zipWithIndex over
+    // the VOCABULARY (distinct tokens, not the corpus) — never a
+    // single-partition window. Per-set rank order under __tid is
+    // identical to rank order under (__tf, token), so every downstream
+    // comparison runs on fixed-width longs instead of shingle strings.
+    val ord = freq.orderBy(col("__tf"), col("token"))
+    val tids = spark.createDataFrame(
+      ord.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getString(0), i) },
+      new org.apache.spark.sql.types.StructType()
+        .add("token", org.apache.spark.sql.types.StringType)
+        .add("__tid", org.apache.spark.sql.types.LongType))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(id).orderBy(col("__tf"), col("token"))
-    // the explode → vocabulary join → rank window pipeline feeds FOUR
+      .partitionBy(id).orderBy(col("__tid"))
+    // the explode → token-id join → rank window pipeline feeds THREE
     // consumers (both prefix branches, the verification arrays); without
     // a lineage cut each one re-tokenizes the corpus — measured 4-5× the
     // whole query's staged cost on the saturated sf0.1 corpus
-    val ranked = toks.join(freq, "token")
+    val ranked = toks.join(tids, "token")
+      .select(id, col("__tid"))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__s", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(id)))
@@ -221,65 +247,61 @@ object FuzzyJoin {
     // pair whose sizes differ by more than the threshold factor is
     // provably below t and never reaches verification
     //
-    // positional filter (PPJoin, lossless, applied in its TIGHT
-    // first-shared-token form): the candidate aggregation keeps, per
-    // pair, the join witness with the SMALLEST __rn1 — because the
-    // per-set rank order is the restriction of one GLOBAL total order
-    // (freq asc, token asc), that witness is the globally-first shared
-    // token, which simultaneously minimizes __rn2. No shared token
-    // precedes it in EITHER set, so the true overlap is bounded by
-    // 1 + min(s1−rn1, s2−rn2). jaccard ≥ t forces overlap ≥
-    // α = ⌈tE6·(s1+s2)/(10⁶+tE6)⌉ (from i ≥ t·(s1+s2−i)); pairs whose
-    // tight bound misses α are provably below threshold. This dominates
-    // the classic any-witness disjunctive filter: one bound per pair,
-    // and the strongest lossless one.
+    // positional filter (PPJoin, lossless, applied in its WITNESS-COUNT
+    // form): the pair aggregation counts every shared prefix token
+    // (witness) and keeps the LAST witness's positions. Because the
+    // per-set rank order is the restriction of one GLOBAL total order,
+    // any shared token that is NOT a witness must rank globally AFTER
+    // the last witness (if it ranked before, both its ranks would be
+    // inside the prefixes and it would be a witness itself), so the true
+    // overlap is bounded by c + min(s1−maxrn1, s2−maxrn2). jaccard ≥ t
+    // forces overlap ≥ α = ⌈tE6·(s1+s2)/(10⁶+tE6)⌉ (from
+    // i ≥ t·(s1+s2−i)); pairs whose bound misses α are provably below
+    // threshold. This bound DOMINATES the r7 first-witness form: the
+    // c−1 later witnesses occupy ranks between the first and the last,
+    // so 1 + min(s1−minrn1, s2−minrn2) ≥ c + min(s1−maxrn1, s2−maxrn2)
+    // — and it needs no per-witness pre-filter, whose row cut the count
+    // bound more than repays at the aggregation.
     // pair orientation is (size, id) lexicographic — side 1 (smaller)
     // contributes only its short INDEX prefix, side 2 its probe prefix;
-    // ids are re-normalized to id1 < id2 at the end. The per-witness
-    // weak positional bound (match position + best-case remainder)
-    // prunes witnesses BEFORE the pair shuffle: it is ≥ the tight
-    // first-token bound, so a qualifying pair's first witness always
-    // survives it.
+    // ids are re-normalized to id1 < id2 at the end.
     val alphaSql =
       s"((${minJaccardE6}L * (__s1 + __s2) + ${1000000L + minJaccardE6 - 1}L)" +
         s" div ${1000000L + minJaccardE6}L)"
-    val candAll = indexPrefix.select(col("token"), id.as("id1"),
+    val candAll = indexPrefix.select(col("__tid"), id.as("id1"),
         col("__s").as("__s1"), col("__rn").as("__rn1"))
-      .join(prefix.select(col("token"), id.as("id2"),
-        col("__s").as("__s2"), col("__rn").as("__rn2")), "token")
+      .join(prefix.select(col("__tid"), id.as("id2"),
+        col("__s").as("__s2"), col("__rn").as("__rn2")), "__tid")
       .where((col("__s1") < col("__s2")) ||
         (col("__s1") === col("__s2") && col("id1") < col("id2")))
       .where(col("__s2") * minJaccardE6 <= col("__s1") * 1000000L)
-      .where(
-        least(col("__rn1"), col("__rn2")) +
-          least(col("__s1") - col("__rn1"), col("__s2") - col("__rn2")) >=
-        expr(alphaSql))
-    // the pair aggregation replaces the old `.distinct()` — same single
-    // shuffle, but it carries the first-witness positions for the tight
-    // bound (partial-aggregable min_by; no Window, no second pass)
+    // one pair-keyed shuffle, partial-aggregable (map-side combine folds
+    // each pair's witnesses before the exchange; no Window, no second
+    // pass); every column is a fixed-width long
     val cand = candAll
       .groupBy(col("id1"), col("id2"), col("__s1"), col("__s2"))
-      .agg(min_by(struct(col("__rn1"), col("__rn2")), col("__rn1"))
-        .as("__f"))
+      .agg(count(lit(1)).as("__c"),
+        max(col("__rn1")).as("__m1"), max(col("__rn2")).as("__m2"))
       .where(
-        lit(1L) + least(col("__s1") - col("__f.__rn1"),
-          col("__s2") - col("__f.__rn2")) >=
-        expr(s"((${minJaccardE6}L * (__s1 + __s2) + ${1000000L + minJaccardE6 - 1}L)" +
-          s" div ${1000000L + minJaccardE6}L)"))
+        col("__c") + least(col("__s1") - col("__m1"),
+          col("__s2") - col("__m2")) >= expr(alphaSql))
       .select(col("id1"), col("id2"), col("__s1"), col("__s2"))
-    // verification: two id-keyed joins fetch each side's DEDUPLICATED
-    // token array once and the exact intersection is computed per row
-    // (codegen'd array_intersect over arrays that are distinct by
-    // construction) — candidate-count × set-size work, rather than the
-    // old corpus-wide re-explode whose join fan-out scaled with every
-    // candidate id's full token list
-    // arrays re-fold from the CUT ranked frame, not from a re-explode
-    val arrs = ranked.groupBy(id).agg(collect_list(col("token")).as("__arr"))
+    // verification: two id-keyed joins fetch each side's SORTED token-id
+    // array once; the exact intersection size is a zero-allocation
+    // two-pointer merge over primitive long buffers (native codegen'd
+    // [[graft.functions.SortedIntersectCount]]) — candidate-count ×
+    // set-size compute with no per-row garbage, where the r7
+    // array_intersect-over-strings build hashed ~100 shingle strings
+    // per pair and let heap state set the query's cost
+    // arrays re-fold from the CUT ranked frame, not from a re-explode;
+    // sort_array gives ascending __tid — the merge precondition
+    val arrs = ranked.groupBy(id)
+      .agg(sort_array(collect_list(col("__tid"))).as("__arr"))
     cand
       .join(arrs.select(id.as("id1"), col("__arr").as("__a1")), "id1")
       .join(arrs.select(id.as("id2"), col("__arr").as("__a2")), "id2")
       .withColumn("inter",
-        size(array_intersect(col("__a1"), col("__a2"))).cast("long"))
+        graft.functions.SortedIntersectCount(col("__a1"), col("__a2")))
       .withColumn("un", col("__s1") + col("__s2") - col("inter"))
       .withColumn("jac_e6", expr("(inter * 1000000) div un"))
       .where(col("jac_e6") >= minJaccardE6)

@@ -322,8 +322,10 @@ object IncrementalJoin {
       // EMPTY, not an error — synthesize the zero-row result with the
       // join's schema (key columns are the sides' shared names, per the
       // operator contract)
-      val l = stores.spark.table(stores.leftTable).drop("__mult", "__bid")
-      val r = stores.spark.table(stores.rightTable).drop("__mult", "__bid")
+      val l = stores.spark.table(stores.leftTable)
+        .drop("__mult", "__bid", BucketGroupCol)
+      val r = stores.spark.table(stores.rightTable)
+        .drop("__mult", "__bid", BucketGroupCol)
       val on = l.columns.toSeq.filter(r.columns.contains(_))
       return l.limit(0).join(r.limit(0), on)
         .withColumn("n", lit(0L))
@@ -364,32 +366,70 @@ object IncrementalJoin {
   }
 
   /** Collapse the SIDE tables' per-batch groups to one row per value
-    * tuple (small-files remedy + dirty-flag clear), preserving the
-    * bucketed layout: fold → staging table → atomic catalog rename.
+    * tuple (small-files remedy + dirty-flag clear) — INCREMENTALLY, one
+    * bucket directory at a time.
+    *
+    * The side tables are partitioned on `__bg` (the bucket id) exactly so
+    * this can be a per-bucket rewrite: the fold touches only buckets
+    * whose uncompacted-row share exceeds `minUncompactedShare`, and the
+    * write is a DYNAMIC PARTITION OVERWRITE of those `__bg=<b>`
+    * directories — untouched buckets' files are left byte-identical
+    * (spec-gated). At 100 TB this is the difference between a
+    * state-sized rewrite at every quiescence window and a job
+    * proportional to the ingest since the last compaction.
+    *
+    * A side flagged DIRTY by a mid-write crash retry may hold partial
+    * rows in ANY bucket, so the dirty flag forces a full sweep (every
+    * bucket with uncompacted rows is rewritten with the replay-dedup
+    * fold) and is cleared only after it.
+    *
     * `on` must be the same join-key columns every append used. Run at
     * quiescence, single-writer — the store contract. */
-  def compactSides(stores: Stores, on: Seq[String]): Unit = {
+  def compactSides(stores: Stores, on: Seq[String],
+                   minUncompactedShare: Double = 0.0): Unit = {
     stores.requireQuiescent("compact the side states")
     Seq(true, false).filter(stores.sideExists).foreach { isLeft =>
       val name = stores.sideTable(isLeft)
-      val t = stores.spark.table(name)
-      val valueCols = t.columns.filterNot(c => c == "__mult" || c == "__bid").toSeq
-      val stage = name + "__c"
-      stores.spark.sql(s"DROP TABLE IF EXISTS $stage")
-      t.dropDuplicates(valueCols :+ "__bid")
-        .groupBy(valueCols.map(col): _*)
-        .agg(sum(col("__mult")).as("__mult"))
-        .filter(col("__mult") =!= 0)
-        .withColumn("__bid", lit(Compacted))
-        .repartition(stores.buckets, on.map(col): _*)
-        .write.format("parquet")
-        .bucketBy(stores.buckets, on.head, on.tail: _*)
-        .saveAsTable(stage)
-      stores.spark.sql(s"DROP TABLE $name")
-      stores.spark.sql(s"ALTER TABLE $stage RENAME TO $name")
-      // compaction rewrote the side from a deduped fold: partial rows
-      // from any mid-write crash are gone, the happy path resumes
-      stores.clearMarker(s"${stores.sideName(isLeft)}.dirty")
+      val spark = stores.spark
+      val t = spark.table(name)
+      val dirty = stores.hasMarker(s"${stores.sideName(isLeft)}.dirty")
+      // per-bucket compaction debt: ≤ `buckets` rows, driver-safe
+      val debt = t.groupBy(col(BucketGroupCol)).agg(
+          count(lit(1)).as("total"),
+          sum(when(col("__bid") =!= Compacted, 1L).otherwise(0L)).as("raw"))
+        .collect()
+      val targets = debt.filter { r =>
+        val raw = r.getAs[Long]("raw")
+        raw > 0 && (dirty ||
+          raw.toDouble / r.getAs[Long]("total") >= minUncompactedShare)
+      }.map(_.getAs[Int](BucketGroupCol)).toSeq
+      if (targets.nonEmpty) {
+        val valueCols =
+          t.columns.filterNot(c => c == "__mult" || c == "__bid").toSeq
+        val folded = t
+          .filter(col(BucketGroupCol).isin(targets: _*))
+          .dropDuplicates(valueCols :+ "__bid")
+          .groupBy(valueCols.map(col): _*)
+          .agg(sum(col("__mult")).as("__mult"))
+          .filter(col("__mult") =!= 0)
+          .withColumn("__bid", lit(Compacted))
+          // insertInto resolves by POSITION: pin the table's column
+          // order (data columns first, the __bg partition column last)
+          .select(t.columns.map(col).toSeq: _*)
+          .repartition(stores.buckets, on.map(col): _*)
+        val mode = "spark.sql.sources.partitionOverwriteMode"
+        val saved = spark.conf.getOption(mode)
+        spark.conf.set(mode, "dynamic")
+        try folded.write.mode("overwrite").insertInto(name)
+        finally saved match {
+          case Some(v) => spark.conf.set(mode, v)
+          case None => spark.conf.unset(mode)
+        }
+      }
+      // a full sweep (dirty ⇒ every bucket holding uncompacted rows was
+      // rewritten with the dedup fold) removes any mid-write partials —
+      // the happy path resumes
+      if (dirty) stores.clearMarker(s"${stores.sideName(isLeft)}.dirty")
       // refresh optimizer statistics on the freshly-folded state (row
       // count + join-key NDVs): when maintained state feeds a LARGER
       // query (the MaterializedJoinRewrite path, or a user joining
@@ -397,7 +437,7 @@ object IncrementalJoin {
       // without them a compacted kilobyte-sized state is costed at
       // defaults. One metadata-priced scan per compaction, reused by
       // every read until the next one.
-      graft.catalog.TableStats.analyze(stores.spark, name, on)
+      graft.catalog.TableStats.analyze(spark, name, on)
     }
   }
 }

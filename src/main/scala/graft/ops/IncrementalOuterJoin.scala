@@ -366,7 +366,8 @@ object IncrementalOuterJoin {
                                 sideTable: String): DataFrame = {
     val have = net.columns.toSet
     val missing: Seq[StructField] = spark.table(sideTable)
-      .drop("__mult", "__bid").schema.fields.toSeq
+      .drop("__mult", "__bid", IncrementalJoin.BucketGroupCol)
+      .schema.fields.toSeq
       .filterNot(f => have.contains(f.name))
     val extended = missing.foldLeft(net) { (df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType))

@@ -30,7 +30,13 @@ class ClusterParitySpec extends SparkSpec {
     // and the prefix-filtered set-similarity join (window ranks +
     // multi-stage equi-joins over the wire)
     "q171_join_ivm_outer", "q172_cdc_stream", "q173_join_ivm_full",
-    "q175_jaccard_join")
+    "q175_jaccard_join",
+    // round-8 additions: the SIGNED-delta IVM family — negative
+    // multiplicities ride the same multiset stores, but their
+    // serialization across executor JVMs (signed folds, retraction
+    // rows, post-compaction appends) was untested until here
+    "q177_join_ivm_deletes", "q178_agg_ivm_deletes",
+    "q179_outer_ivm_deletes")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

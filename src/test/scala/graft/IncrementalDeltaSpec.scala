@@ -118,6 +118,35 @@ class IncrementalDeltaSpec extends SparkSpec {
     assert(before == innerOneShot(Seq(l1, l2), Seq(r1)))
   }
 
+  test("inner: REAL (non-replay) signed batches land after compactSides") {
+    // the r7 regression shipped exactly here: appendToTable partitioned
+    // the side tables by __bg while compactSides staged without the
+    // partition spec, so the FIRST real append after a compaction threw
+    // AnalysisException — every existing post-compaction append was a
+    // replay no-op and never exercised the write path
+    val st = IncrementalJoin.stores(spark, tmpDir("sdelta"))
+    val l1 = sl((1L, "a", 2L), (2L, "b", 1L))
+    val r1 = sr((1L, "x", 1L), (2L, "y", 1L))
+    IncrementalJoin.appendLeftDelta(st, l1, Seq("k"), 0L)
+    IncrementalJoin.appendRightDelta(st, r1, Seq("k"), 10L)
+    IncrementalJoin.compactOut(st)
+    IncrementalJoin.compactSides(st, Seq("k"))
+    // fresh batch ids, fresh rows, BOTH sides, both signed and unsigned
+    val l2 = sl((1L, "a", -1L), (3L, "c", 1L))
+    val r2 = sr((3L, "z", 1L))
+    IncrementalJoin.appendLeftDelta(st, l2, Seq("k"), 1L)
+    IncrementalJoin.appendRightDelta(st, r2, Seq("k"), 11L)
+    IncrementalJoin.appendLeft(st, Seq(2L -> "b2").toDF("k", "lv"), Seq("k"), 2L)
+    assert(innerSet(st) == innerOneShot(
+      Seq(l1, l2, sl((2L, "b2", 1L))), Seq(r1, r2)))
+    // and again after a SECOND compaction (compact → append → compact → append)
+    IncrementalJoin.compactOut(st)
+    IncrementalJoin.compactSides(st, Seq("k"))
+    IncrementalJoin.appendRightDelta(st, sr((2L, "y", -1L)), Seq("k"), 12L)
+    assert(innerSet(st) == innerOneShot(
+      Seq(l1, l2, sl((2L, "b2", 1L))), Seq(r1, r2, sr((2L, "y", -1L)))))
+  }
+
   test("inner: over-retraction stays VISIBLE as a negative n, never clamped") {
     val st = IncrementalJoin.stores(spark, tmpDir("sdelta"))
     IncrementalJoin.appendLeftDelta(st, sl((1L, "a", 1L)), Seq("k"), 0L)

@@ -84,6 +84,69 @@ class IncrementalJoinSpec extends SparkSpec {
         rs.reduce(_ unionByName _)))
   }
 
+  test("per-bucket compaction leaves untouched buckets' files byte-identical") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    def hashes(spark: org.apache.spark.sql.SparkSession, table: String)
+        : Map[String, String] = {
+      val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(loc, true)
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && !f.getPath.getName.startsWith("_")) {
+          val in = fs.open(f.getPath)
+          val bytes = new Array[Byte](f.getLen.toInt)
+          in.readFully(bytes); in.close()
+          b += f.getPath.toString ->
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map("%02x".format(_)).mkString
+        }
+      }
+      b.result()
+    }
+    def bucketOf(path: String): String =
+      "__bg=(\\d+)".r.findFirstMatchIn(path).map(_.group(1)).getOrElse("?")
+
+    val st = IncrementalJoin.stores(spark, tmpDir("ijoin"), buckets = 8)
+    val l1 = leftDf((1L to 40L).map(k => k -> s"l$k"): _*)
+    val r1 = rightDf((1L to 40L).map(k => k -> s"r$k"): _*)
+    IncrementalJoin.appendLeft(st, l1, Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, r1, Seq("k"), 10L)
+    IncrementalJoin.compactSides(st, Seq("k")) // everything folded once
+    // one narrow batch: only the buckets holding k=1's hash gain debt
+    val l2 = leftDf(1L -> "late")
+    IncrementalJoin.appendLeft(st, l2, Seq("k"), 1L)
+    val touched = spark.table(st.leftTable)
+      .filter(col("__bid") =!= Long.MinValue)
+      .select(col("__bg")).distinct().collect()
+      .map(_.getInt(0).toString).toSet
+    assert(touched.nonEmpty && touched.size < 8,
+      s"test premise: the narrow batch must touch a strict subset, got $touched")
+    val before = currentSet(st)
+    val leftBefore = hashes(spark, st.leftTable)
+    val rightBefore = hashes(spark, st.rightTable)
+    IncrementalJoin.compactSides(st, Seq("k"))
+    val leftAfter = hashes(spark, st.leftTable)
+    // untouched left buckets: every pre-compaction file survives byte-identical
+    leftBefore.filter { case (p, _) => !touched.contains(bucketOf(p)) }
+      .foreach { case (p, h) =>
+        assert(leftAfter.get(p).contains(h),
+          s"untouched bucket file $p was rewritten by per-bucket compaction")
+      }
+    // the RIGHT side had no debt at all: zero files rewritten
+    assert(hashes(spark, st.rightTable) == rightBefore)
+    // touched buckets really were folded (their old files are gone)
+    assert(leftBefore.keys.exists(p =>
+      touched.contains(bucketOf(p)) && !leftAfter.contains(p)))
+    // and the fold is result-invariant, with appends continuing after it
+    assert(currentSet(st) == before)
+    IncrementalJoin.appendLeft(st, leftDf(2L -> "post"), Seq("k"), 2L)
+    assert(currentSet(st) == oneShot(
+      l1.unionByName(l2).unionByName(leftDf(2L -> "post")), r1))
+  }
+
   test("reading before both sides have data is refused") {
     val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
     IncrementalJoin.appendLeft(st, leftDf(1L -> "a"), Seq("k"), 0L)
