@@ -191,23 +191,28 @@ object FuzzyJoin {
     * @param minJaccardE6 inclusive threshold in micro-units (600000 = 0.6)
     * @return (id1, id2, inter, un, jac_e6), id1 < id2, exact integers
     */
-  def jaccardSelfJoin(sets: DataFrame, idCol: String, tokCol: String,
-                      minJaccardE6: Long): DataFrame = {
-    require(minJaccardE6 >= 1 && minJaccardE6 <= 1000000,
-      s"minJaccardE6 must be in [1, 1000000]: $minJaccardE6")
+  /** The shared front half of the set-similarity self-joins: explode to
+    * distinct (id, token), then materialize the GLOBAL rarest-first
+    * total order (frequency asc, token asc) as a dense LONG token id —
+    * a distributed range-partitioned sort + zipWithIndex over the
+    * VOCABULARY (distinct tokens, not the corpus), never a
+    * single-partition window. Per-set rank order under `__tid` is
+    * identical to rank order under (__tf, token), so every downstream
+    * join, filter, and aggregation runs on fixed-width longs instead of
+    * shingle strings.
+    *
+    * Returns `(id, __tid, __rn, __s)` — token id, the token's rank
+    * within its set, the set size — lineage-cut (the frame feeds three
+    * consumers; without the cut each re-tokenizes the corpus, measured
+    * 4-5× the whole query's staged cost on the saturated sf0.1 corpus). */
+  private def rankedByRarity(sets: DataFrame, idCol: String,
+                             tokCol: String): DataFrame = {
     val spark = sets.sparkSession
-    graft.functions.SortedIntersectCount.register(spark)
     val id = col(idCol)
     val toks = sets
       .select(id, explode(array_distinct(col(tokCol))).as("token"))
       .where(col("token").isNotNull && col("token") =!= "")
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__tf"))
-    // the global total order (frequency asc, token asc) as a dense LONG
-    // token id: a distributed range-partitioned sort + zipWithIndex over
-    // the VOCABULARY (distinct tokens, not the corpus) — never a
-    // single-partition window. Per-set rank order under __tid is
-    // identical to rank order under (__tf, token), so every downstream
-    // comparison runs on fixed-width longs instead of shingle strings.
     val ord = freq.orderBy(col("__tf"), col("token"))
     val tids = spark.createDataFrame(
       ord.rdd.zipWithIndex.map { case (r, i) =>
@@ -217,16 +222,22 @@ object FuzzyJoin {
         .add("__tid", org.apache.spark.sql.types.LongType))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(id).orderBy(col("__tid"))
-    // the explode → token-id join → rank window pipeline feeds THREE
-    // consumers (both prefix branches, the verification arrays); without
-    // a lineage cut each one re-tokenizes the corpus — measured 4-5× the
-    // whole query's staged cost on the saturated sf0.1 corpus
-    val ranked = toks.join(tids, "token")
+    toks.join(tids, "token")
       .select(id, col("__tid"))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__s", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(id)))
       .cutLineage()
+  }
+
+  def jaccardSelfJoin(sets: DataFrame, idCol: String, tokCol: String,
+                      minJaccardE6: Long): DataFrame = {
+    require(minJaccardE6 >= 1 && minJaccardE6 <= 1000000,
+      s"minJaccardE6 must be in [1, 1000000]: $minJaccardE6")
+    val spark = sets.sparkSession
+    graft.functions.SortedIntersectCount.register(spark)
+    val id = col(idCol)
+    val ranked = rankedByRarity(sets, idCol, tokCol)
     // o = ceil(tE6 * s / 1e6) in longs (the Column `/` is double
     // division — `div` keeps it integral); probe prefix = first
     // (s - o + 1). The INDEX prefix is shorter: processing pairs in
@@ -309,5 +320,72 @@ object FuzzyJoin {
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"),
         col("inter"), col("un"), col("jac_e6"))
+  }
+
+  /** EXACT Jaccard CONTAINMENT self-join: every ORDERED pair (a, b),
+    * a ≠ b, with `|A∩B| / |A| ≥ minContainE6/10⁶` — the asymmetric
+    * near-dup relation [[jaccardSelfJoin]] cannot express. Containment
+    * is what catches excerpts, quotes, and subset documents: a 50-token
+    * quote inside a 5,000-token article has Jaccard ≈ 0.01 but
+    * containment 1.0 — a training-data dedup that only checks Jaccard
+    * ships the duplicate.
+    *
+    * Same numeric machinery as [[jaccardSelfJoin]] ([[rankedByRarity]]
+    * token ids, witness-count positional bound, zero-allocation sorted
+    * intersection), with containment's own bounds:
+    *
+    *  - probe prefix (the contained side A): `o ≥ ⌈t·|A|⌉` shared
+    *    tokens forces one inside A's first `|A| − ⌈t·|A|⌉ + 1`
+    *    (pigeonhole, integer ceil);
+    *  - index side B contributes ALL its tokens — containment places NO
+    *    lower bound tied to |B|'s own size (a b-side prefix shortened by
+    *    `⌈t·min|A|⌉ − 1` is valid but worthless when the smallest probe
+    *    set has a handful of tokens, and it would cost a driver-side
+    *    min; completeness first);
+    *  - size filter (lossless): `inter ≤ |B|` forces `t·|A| ≤ |B|`;
+    *  - witness-count bound (lossless, same global-order argument as
+    *    the Jaccard form — any shared non-witness token ranks globally
+    *    after the last witness): `c + min(|A|−maxrnA, |B|−maxrnB) ≥
+    *    α = ⌈tE6·|A|/10⁶⌉`.
+    *
+    * @param sets          (id, token array) — tokens deduplicated here
+    * @param minContainE6  inclusive threshold in micro-units
+    * @return (id_a, id_b, inter, s_a, cont_e6): A = id_a's set is the
+    *         contained side; exact integers, ordered pairs
+    */
+  def containmentSelfJoin(sets: DataFrame, idCol: String, tokCol: String,
+                          minContainE6: Long): DataFrame = {
+    require(minContainE6 >= 1 && minContainE6 <= 1000000,
+      s"minContainE6 must be in [1, 1000000]: $minContainE6")
+    graft.functions.SortedIntersectCount.register(sets.sparkSession)
+    val id = col(idCol)
+    val ranked = rankedByRarity(sets, idCol, tokCol)
+    val probe = ranked.where(col("__rn") <= expr(
+      s"__s - ((__s * ${minContainE6}L + 999999L) div 1000000L) + 1L"))
+    val alphaSql = s"((__sa * ${minContainE6}L + 999999L) div 1000000L)"
+    val cand = probe.select(col("__tid"), id.as("id_a"),
+        col("__s").as("__sa"), col("__rn").as("__rna"))
+      .join(ranked.select(col("__tid"), id.as("id_b"),
+        col("__s").as("__sb"), col("__rn").as("__rnb")), "__tid")
+      .where(col("id_a") =!= col("id_b"))
+      .where(col("__sa") * minContainE6 <= col("__sb") * 1000000L)
+      .groupBy(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("__c"),
+        max(col("__rna")).as("__ma"), max(col("__rnb")).as("__mb"))
+      .where(
+        col("__c") + least(col("__sa") - col("__ma"),
+          col("__sb") - col("__mb")) >= expr(alphaSql))
+      .select(col("id_a"), col("id_b"), col("__sa"))
+    val arrs = ranked.groupBy(id)
+      .agg(sort_array(collect_list(col("__tid"))).as("__arr"))
+    cand
+      .join(arrs.select(id.as("id_a"), col("__arr").as("__aa")), "id_a")
+      .join(arrs.select(id.as("id_b"), col("__arr").as("__ab")), "id_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("__aa"), col("__ab")))
+      .withColumn("cont_e6", expr("(inter * 1000000) div __sa"))
+      .where(col("cont_e6") >= minContainE6)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("__sa").as("s_a"), col("cont_e6"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -237,7 +237,77 @@ object CdcQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** CDC deletes maintained THROUGH a join, streaming (q182): a
+    * Debezium topic twin carrying three waves — inserts for every
+    * order, an update wave (`o_orderkey % 5 = 0` re-statused to 'X',
+    * before-image = the inserted row), a delete wave
+    * (`o_orderkey % 7 = 0`, before-image = current state) — is drained
+    * by [[graft.streaming.JoinStream.drainCdcSignedAvailableNow]] into
+    * [[graft.ops.IncrementalJoin]] as SIGNED deltas (c→+after,
+    * u→−before+after, d→−before) against a customer dimension appended
+    * once on the other side. The reference's CDC raw layer DROPS
+    * deletes (`raw_provider_postgres.sql:22`), so a takedown never
+    * reaches its joins; here the maintained multiset nets deleted
+    * orders to zero and updated orders to exactly their new image, at
+    * delta cost per micro-batch — the oracle is the one-shot join over
+    * the FINAL table state. Signed deltas commute, so the gate holds
+    * under ANY file-to-micro-batch carving (`maxFilesPerTrigger=1`
+    * forces ≥3). */
+  def q182CdcSignedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val row = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType)))
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    val base = struct($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    val updated = struct($"o_orderkey", $"o_custkey",
+      lit("X").as("o_orderstatus"))
+    def env(before: Column, after: Column, op: String, wave: Int) =
+      to_json(struct(struct(
+        before.as("before"), after.as("after"),
+        lit(op).as("op"), lit(wave.toLong).as("ts_ms")).as("payload")))
+    val nullRow = lit(null).cast(row)
+    val inserts = ord.select(
+      env(nullRow, base, "c", 0).as("value"), lit(0).as("partition"))
+    val updates = ord.where($"o_orderkey" % 5 === 0).select(
+      env(base, updated, "u", 1).as("value"), lit(1).as("partition"))
+    val deletes = ord.where($"o_orderkey" % 7 === 0).select(
+      env(when($"o_orderkey" % 5 === 0, updated).otherwise(base),
+        nullRow, "d", 2).as("value"), lit(2).as("partition"))
+    val topic = java.nio.file.Files.createTempDirectory("q182topic").toString
+    inserts.unionByName(updates).unionByName(deletes)
+      .repartition(col("partition"))
+      .write.mode("overwrite").partitionBy("partition").text(topic)
+    val topicPath = new org.apache.hadoop.fs.Path(topic)
+    val fs = topicPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(topicPath, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-") && !f.getName.endsWith(".jsonl"))
+        fs.rename(f, new org.apache.hadoop.fs.Path(f.getParent,
+          f.getName + ".jsonl"))
+    }
+    val root = java.nio.file.Files.createTempDirectory("q182ivm").toString
+    val st = graft.ops.IncrementalJoin.stores(s, root)
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    graft.ops.IncrementalJoin.appendRight(st, cust, Seq("o_custkey"), 0L)
+    val nBatches = graft.streaming.JoinStream.drainCdcSignedAvailableNow(
+      s, topic, row, st, Seq("o_custkey"), isLeft = true,
+      checkpointDir = s"$root/_checkpoint",
+      maxFilesPerTrigger = Some(1))
+    require(nBatches >= 3,
+      s"expected one micro-batch per wave file at least, got $nBatches")
+    graft.ops.IncrementalJoin.current(st)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"c_mktsegment", $"n")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q182_cdc_signed_join" -> (q182CdcSignedJoin _),
     "q172_cdc_stream" -> (q172CdcStream _),
     "q154_sql_project" -> (q154SqlProject _),
     "q21_cdc_roundtrip" -> (q21CdcRoundtrip _),
@@ -248,6 +318,14 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q182_cdc_signed_join" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CASE WHEN o.o_orderkey % 5 = 0 THEN 'X' ELSE o.o_orderstatus
+        |    END AS o_orderstatus,
+        |  c.c_mktsegment, CAST(1 AS BIGINT) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 7 <> 0
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q172_cdc_stream" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
         |  CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,

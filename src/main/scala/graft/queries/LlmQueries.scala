@@ -98,6 +98,22 @@ object LlmQueries {
       .orderBy($"id1", $"id2")
   }
 
+  /** EXACT containment self-join (q183): every ORDERED document pair
+    * where ≥ 0.8 of the first document's 2-gram shingles appear in the
+    * second — the asymmetric excerpt/quote/subset relation Jaccard
+    * misses (a short quote inside a long article has tiny Jaccard but
+    * containment ~1). Oracle = the unfiltered inverted-index
+    * enumeration, so the gate proves the probe-prefix + witness-count
+    * bounds lose NOTHING, in exact integer micro-units. */
+  def q183ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.load(s, dir, "documents")
+      .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+    graft.ops.FuzzyJoin.containmentSelfJoin(sets, "doc_id", "sh",
+        minContainE6 = 800000L)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Documents plus planted exact duplicates (every 10th doc re-emitted
     * under doc_id+100000 with identical text) — shared by the dedup
     * queries so the DuckDB oracle can reproduce the exact same corpus. */
@@ -1192,6 +1208,7 @@ object LlmQueries {
     "q25_exact_dedup" -> (q25ExactDedup _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q175_jaccard_join" -> (q175JaccardJoin _),
+    "q183_containment_join" -> (q183ContainmentJoin _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_simhash" -> (q28Simhash _),
     "q29_cosine_topk" -> (q29CosineTopK _),
@@ -2261,6 +2278,26 @@ object LlmQueries {
          | JOIN sizes s2 ON s2.doc_id = id2
          |WHERE (inter * 1000000) // (s1.n + s2.n - inter) >= 500000
          |ORDER BY id1, id2""".stripMargin,
+    "q183_containment_join" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) < 2 THEN [$normSql]
+         |         ELSE list_distinct(list_transform(
+         |           range(0, len($toksSql) - 1),
+         |           i -> concat_ws(' ', $toksSql[i+1], $toksSql[i+2])))
+         |    END AS sh
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+         |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, inter, s1.n AS s_a,
+         |  (inter * 1000000) // s1.n AS cont_e6
+         |FROM inter JOIN sizes s1 ON s1.doc_id = id_a
+         |WHERE (inter * 1000000) // s1.n >= 800000
+         |ORDER BY id_a, id_b""".stripMargin,
     "q26_ngram_jaccard" ->
       s"""WITH $jaccard2gramCtes
          |SELECT id1, id2,

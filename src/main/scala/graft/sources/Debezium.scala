@@ -120,6 +120,58 @@ object Debezium {
     }.drop("_r")
   }
 
+  /** Debezium envelopes → a SIGNED delta batch for the IVM family
+    * (`appendLeftDelta`/`appendRightDelta`/`IncrementalAgg.appendDelta`).
+    *
+    * The op-code mapping is the textbook multiset-delta reading of a CDC
+    * stream: `c`/`r` (insert/snapshot-read) emit the after-image at +1,
+    * `u` emits the before-image at −1 AND the after-image at +1, `d`
+    * emits the before-image at −1. The reference's own CDC models simply
+    * DROP deletes (`raw_provider_postgres.sql:22` filters to
+    * after-image-present); this transform is the seam that lets every
+    * maintained join/aggregate downstream absorb takedown and
+    * right-to-be-forgotten waves at delta cost instead of recompute.
+    *
+    * Signed deltas COMMUTE (the stores net by summation), so the result
+    * is invariant to envelope ordering ACROSS batches — a delete
+    * processed before its insert nets the same multiset. The only
+    * contract is Debezium's own: `u`/`d` before-images are the
+    * previously-observed row (guaranteed by any REPLICA IDENTITY FULL
+    * source).
+    *
+    * Input: a `value: string` frame of envelope JSON (one per row, the
+    * topic-twin/Kafka column contract). Output: the row schema's columns
+    * plus `deltaCol` (±1 long). Malformed envelopes are the caller's
+    * concern ([[splitMalformed]]); rows whose needed image is null
+    * (a `d` with no before-image — a REPLICA IDENTITY DEFAULT source)
+    * are REFUSED at runtime rather than silently dropped, because
+    * dropping them re-creates the reference's delete-blindness. */
+  def signedDeltas(cdc: DataFrame, row: StructType,
+                   deltaCol: String = "__delta"): DataFrame = {
+    val env = cdc
+      .select(from_json(col("value"), envelopeSchema(row))
+        .getField("payload").as("p"))
+      .filter(col("p").isNotNull && col("p.op").isNotNull)
+    // the guard lives INSIDE the always-selected delta value (an
+    // assert_true in its own pruned-away column would never evaluate):
+    // a missing needed image raises instead of silently vanishing
+    def img(image: Column, sign: Long) = struct(image.as("r"),
+      when(image.isNotNull, lit(sign)).otherwise(
+        raise_error(lit("CDC envelope lacks the image its op needs " +
+          "(op=u/d with null before — REPLICA IDENTITY DEFAULT " +
+          "source?); refusing to drop deletes silently")).cast("long"))
+        .as("d"))
+    val pairs = env.select(
+      explode(
+        when(col("p.op") === "u",
+          array(img(col("p.before"), -1L), img(col("p.after"), 1L)))
+        .when(col("p.op") === "d", array(img(col("p.before"), -1L)))
+        .otherwise(array(img(col("p.after"), 1L))))
+        .as("e"))
+    pairs.select(row.fields.toIndexedSeq.map(f => col(s"e.r.${f.name}")) :+
+      col("e.d").as(deltaCol): _*)
+  }
+
   /** Latest-per-key compaction (ST4/K3): the newest version of each key
     * wins, ordered by the CDC timestamp with explicit tiebreaks — the
     * scale-safe realization of `incremental_strategy='merge'`.

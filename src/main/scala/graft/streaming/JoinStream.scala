@@ -167,4 +167,47 @@ object JoinStream {
       s"$checkpointRoot/right", idOffset = RightIdOffset)
     IncrementalFullOuterJoin.current(stores)
   }
+
+  /** Drain a Debezium envelope TOPIC (the `.jsonl` topic-twin layout,
+    * same contract as [[CdcStream.ingestAvailableNow]]) into one side of
+    * a maintained join as SIGNED deltas: every micro-batch maps its
+    * envelopes through [[graft.sources.Debezium.signedDeltas]]
+    * (c/r → +after, u → −before +after, d → −before) and applies one
+    * signed Δ-rule append. This is the seam the reference's CDC models
+    * lack — their raw layer DROPS deletes, so a takedown never reaches
+    * downstream joins; here a delete wave flows through at delta cost
+    * and [[IncrementalJoin.current]] nets it away exactly.
+    *
+    * Because signed deltas commute, the maintained multiset is invariant
+    * to how the file source carves the backlog into micro-batches AND to
+    * envelope arrival order across batches — replay safety comes from
+    * the store's applied-batch-id manifest, exactly like the unsigned
+    * drains. */
+  def drainCdcSignedAvailableNow(spark: SparkSession, topicDir: String,
+                                 rowSchema: StructType,
+                                 stores: IncrementalJoin.Stores,
+                                 on: Seq[String], isLeft: Boolean,
+                                 checkpointDir: String,
+                                 idOffset: Long = 0L,
+                                 maxFilesPerTrigger: Option[Int] = None): Long = {
+    var batches = 0L
+    val q = CdcStream.readJsonlStream(spark, topicDir, maxFilesPerTrigger)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val signed = graft.sources.Debezium.signedDeltas(batch, rowSchema)
+        if (isLeft)
+          IncrementalJoin.appendLeftDelta(stores, signed, on,
+            batchId + idOffset)
+        else
+          IncrementalJoin.appendRightDelta(stores, signed, on,
+            batchId + idOffset)
+        batches += 1
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
 }

@@ -80,4 +80,50 @@ class DebeziumSpec extends SparkSpec {
       if (p.id % 5 == 0) assert(!names(p.id).startsWith("Stale"))
     }
   }
+
+  test("signedDeltas: c→+after, u→−before+after, d→−before; nets to final state") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val row = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    def env(op: String, before: String, after: String) =
+      s"""{"payload": {"before": $before, "after": $after, "op": "$op", "ts_ms": 1}}"""
+    val cdc = Seq(
+      env("c", "null", """{"id": 1, "v": "a"}"""),
+      env("c", "null", """{"id": 2, "v": "b"}"""),
+      env("r", "null", """{"id": 3, "v": "c"}"""),
+      env("u", """{"id": 1, "v": "a"}""", """{"id": 1, "v": "a2"}"""),
+      env("d", """{"id": 2, "v": "b"}""", "null")
+    ).toDF("value")
+    val signed = Debezium.signedDeltas(cdc, row)
+    assert(signed.columns.toSeq == Seq("id", "v", "__delta"))
+    val got = signed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == Map(
+      (1L, "a", 1L) -> 1, (2L, "b", 1L) -> 1, (3L, "c", 1L) -> 1,
+      (1L, "a", -1L) -> 1, (1L, "a2", 1L) -> 1, (2L, "b", -1L) -> 1))
+    // net state = (1,a2), (3,c) — exactly what a signed store would hold
+    val net = signed.groupBy($"id", $"v").agg(sum($"__delta").as("m"))
+      .filter($"m" =!= 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(net == Set((1L, "a2", 1L), (3L, "c", 1L)))
+  }
+
+  test("signedDeltas REFUSES a delete lacking its before-image (never drops it)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val row = StructType(Seq(StructField("id", LongType)))
+    val cdc = Seq(
+      """{"payload": {"before": null, "after": null, "op": "d", "ts_ms": 1}}"""
+    ).toDF("value")
+    val e = intercept[Exception] {
+      Debezium.signedDeltas(cdc, row).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("refusing to drop deletes")),
+      s"unexpected error: $e")
+  }
 }

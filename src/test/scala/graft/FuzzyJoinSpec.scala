@@ -135,6 +135,52 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L, 3L, 1000000L)))
   }
 
+  private def containBrute(rows: Seq[(Long, Seq[String])], tE6: Long) =
+    (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia != ib
+      sa = ta.distinct.toSet; sb = tb.distinct.toSet
+      inter = (sa intersect sb).size.toLong
+      if sa.nonEmpty && inter * 1000000L / sa.size >= tE6
+    } yield (ia, ib, inter, sa.size.toLong, inter * 1000000L / sa.size)).toSet
+
+  private def containRun(rows: Seq[(Long, Seq[String])], tE6: Long) =
+    FuzzyJoin.containmentSelfJoin(rows.toDF("id", "toks"), "id", "toks", tE6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("containment self-join equals brute force; catches subsets Jaccard misses") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val base = (0L until 50L).map(i =>
+      i -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    // planted excerpts: tiny strict subsets of larger docs — containment
+    // 1.0 by construction, Jaccard small when the host is much larger
+    val excerpts = base.filter(_._2.distinct.size >= 6).take(6).map {
+      case (i, t) => (2000L + i) -> t.distinct.take(3)
+    }
+    val rows = base ++ excerpts
+    Seq(600000L, 800000L, 1000000L).foreach { t =>
+      assert(containRun(rows, t) == containBrute(rows, t), s"tE6=$t")
+    }
+    // every planted excerpt is found at containment 1.0 against its host
+    val found = containRun(rows, 1000000L)
+    excerpts.foreach { case (eid, _) =>
+      assert(found.exists { case (a, _, _, _, c) => a == eid && c == 1000000L },
+        s"excerpt $eid not recovered")
+    }
+    // ...and the jaccard join at 0.5 does NOT pair a 3-token excerpt
+    // with a host twice its size (the asymmetric relation is the point)
+    val hostOf = excerpts.map { case (eid, t) =>
+      eid -> base.find(_._2.distinct.startsWith(t)).map(_._1)
+    }.collect { case (e, Some(h)) => e -> h }
+    val jac = jaccardRun(rows, 500000L)
+    hostOf.filter { case (_, h) =>
+      rows.toMap.apply(h).distinct.size > 6 }.take(2).foreach { case (e, h) =>
+        val (lo, hi) = (math.min(e, h), math.max(e, h))
+        assert(!jac.exists { case (a, b, _, _, _) => a == lo && b == hi },
+          s"jaccard unexpectedly paired excerpt $e with host $h") }
+  }
+
   test("jaccard: float-ceil prefix shortening would lose pairs; integer ceil does not") {
     // |A| = 5, t = 0.6: o = ceil(3.0) = 3 exactly — a double 0.6*5
     // rounds to 3.0000000000000004, ceil 4, prefix one too short; the

@@ -133,4 +133,47 @@ class JoinStreamSpec extends SparkSpec {
       (2L, Some("b"), Some("z"), 1L),
       (3L, Some("c"), Some("y"), 1L)))
   }
+
+  test("CDC signed drain: deletes/updates flow through the join at stream cadence") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("joinstream-cdc")
+    val topic = s"$root/topic"
+    Files.createDirectories(Paths.get(topic))
+    val row = StructType(Seq(StructField("k", LongType),
+      StructField("lv", StringType)))
+    def env(op: String, before: String, after: String) =
+      s"""{"payload": {"before": $before, "after": $after, "op": "$op", "ts_ms": 1}}"""
+    def writeWave(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(topic, name), lines.mkString("\n").getBytes)
+
+    val st = IncrementalJoin.stores(spark, s"$root/stores")
+    IncrementalJoin.appendRight(st,
+      Seq(1L -> "x", 2L -> "y", 3L -> "z").toDF("k", "rv"), Seq("k"), 0L)
+    writeWave("w0.jsonl", Seq(
+      env("c", "null", """{"k": 1, "lv": "a"}"""),
+      env("c", "null", """{"k": 2, "lv": "b"}"""),
+      env("c", "null", """{"k": 3, "lv": "c"}""")))
+    val n1 = JoinStream.drainCdcSignedAvailableNow(spark, topic, row, st,
+      Seq("k"), isLeft = true, checkpointDir = s"$root/ckpt")
+    assert(n1 >= 1)
+    assert(multiset(IncrementalJoin.current(st)) == Set(
+      (1L, "a", "x", 1L), (2L, "b", "y", 1L), (3L, "c", "z", 1L)))
+
+    // a later file carries an update AND a delete; the resumed drain
+    // processes ONLY it, and the maintained join nets exactly
+    writeWave("w1.jsonl", Seq(
+      env("u", """{"k": 1, "lv": "a"}""", """{"k": 1, "lv": "a2"}"""),
+      env("d", """{"k": 2, "lv": "b"}""", "null")))
+    val n2 = JoinStream.drainCdcSignedAvailableNow(spark, topic, row, st,
+      Seq("k"), isLeft = true, checkpointDir = s"$root/ckpt")
+    assert(n2 >= 1)
+    assert(multiset(IncrementalJoin.current(st)) == Set(
+      (1L, "a2", "x", 1L), (3L, "c", "z", 1L)))
+
+    // an idle re-drain applies nothing and changes nothing
+    JoinStream.drainCdcSignedAvailableNow(spark, topic, row, st,
+      Seq("k"), isLeft = true, checkpointDir = s"$root/ckpt")
+    assert(multiset(IncrementalJoin.current(st)) == Set(
+      (1L, "a2", "x", 1L), (3L, "c", "z", 1L)))
+  }
 }
