@@ -122,20 +122,62 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     * generation keep their files until the next compact. */
   def compact(): Unit = compactWith(_.dropDuplicates(prefixCol))
 
-  /** [[compact]] with a caller-supplied fold applied to the full store
+  /** [[compact]] with a caller-supplied fold applied to the store
     * contents before the rewrite — e.g. re-aggregating partial-aggregate
     * rows down to one per key ([[graft.ops.IncrementalAgg]]) instead of
     * the dedup-state default `dropDuplicates`. The fold must preserve the
     * `prefixCol` column and the store's row semantics (folding rows of a
     * key into fewer rows of the same key is fine; moving rows across
-    * `prefixCol` values is not). */
-  def compactWith(fold: DataFrame => DataFrame): Unit = {
+    * `prefixCol` values is not).
+    *
+    * INCREMENTAL per-prefix compaction: only prefixes holding more than
+    * `maxFilesUntouched` files are folded through the cluster (read →
+    * fold → shuffle → write); every other prefix's directory is copied
+    * into the new generation verbatim at the storage layer — no decode,
+    * no shuffle, no executor compute. A prefix folded once stays a
+    * single file until new appends touch it, so steady-state compaction
+    * cost is proportional to the ingest since the last quiescence
+    * window, not to accumulated store size (the same posture as
+    * [[graft.ops.IncrementalJoin.compactSides]]' `__bg` rewrites; at
+    * 100 TB the copy is a storage-layer transfer — on S3 a server-side
+    * COPY — while the old full fold was a full-store decode+shuffle).
+    * Correctness needs no full fold: every consumer's read path already
+    * folds/dedups lazily (that is what makes appends cheap), so leaving
+    * a single-file prefix unfolded is result-invariant by the store
+    * contract. A store whose every prefix is already compact no-ops
+    * entirely — no new generation, no pointer churn.
+    *
+    * The fold operates per key and keys never cross prefixes, so
+    * restricting its input to the dirty prefixes cannot change what it
+    * computes for them. */
+  def compactWith(fold: DataFrame => DataFrame,
+                  maxFilesUntouched: Int = 1): Unit = {
     val cur = currentGen
     val next = cur + 1
-    fold(read())
+    val curDir = genDir(cur)
+    // group the current generation's files by their prefix directory
+    val byPrefix = dataFiles().map(new Path(_))
+      .groupBy(_.getParent.getName)
+    val dirty = byPrefix.filter(_._2.size > maxFilesUntouched).keySet
+    if (dirty.isEmpty) return // fully compact already: generation stands
+    val clean = byPrefix.keySet -- dirty
+    val dirtyFiles = byPrefix.filter(kv => dirty.contains(kv._1))
+      .values.flatten.map(_.toString).toSeq
+    val in = spark.read.option("basePath", curDir.toString)
+      .parquet(dirtyFiles: _*)
+    fold(in)
       .withColumn("prefix", substring(col(prefixCol), 1, prefixChars))
       .repartition(col("prefix"))
-      .write.mode("overwrite").partitionBy("prefix").parquet(genDir(next).toString)
+      .write.mode("overwrite").partitionBy("prefix")
+      .parquet(genDir(next).toString)
+    clean.foreach { p =>
+      val ok = org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(curDir, p), fs, new Path(genDir(next), p),
+        false, true, spark.sparkContext.hadoopConfiguration)
+      if (!ok) throw new IllegalStateException(
+        s"per-prefix compaction: copying untouched prefix $p into " +
+          s"generation $next failed at $root")
+    }
     publishGen(next)
     val stale = genDir(cur - 1) // resolves to the legacy dir for gen 0
     if (cur > 0 && fs.exists(stale)) fs.delete(stale, true)
