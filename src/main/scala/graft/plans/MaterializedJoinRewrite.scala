@@ -94,8 +94,20 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
     if (registry.isEmpty || rewriting.get()) plan
     else plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
-        matchJoin(child).flatMap { case (mv, preds) =>
-          rewrite(groups, aggExprs, mv, preds)
+        matchJoin(child).flatMap { case (mv, preds, unsafeKeys) =>
+          // OUTER-join key ambiguity guard: a non-USING outer join
+          // exposes BOTH sides' key columns under the same name, and the
+          // state carries only the preserved/coalesced one — resolving a
+          // null-producing side's key byName would silently substitute a
+          // non-null column for one that is NULL on unmatched rows
+          // (e.g. GROUP BY B.k in A LEFT JOIN B). Decline whenever the
+          // aggregate, grouping, or collected predicates reference such
+          // a key attribute; the USING/coalesce forms reference fresh
+          // aliases and pass untouched.
+          val refs = AttributeSet(groups.flatMap(_.references) ++
+            aggExprs.flatMap(_.references) ++ preds.flatMap(_.references))
+          if (unsafeKeys.exists(refs.contains)) None
+          else rewrite(groups, aggExprs, mv, preds)
         }.getOrElse(agg)
     }
   }
@@ -130,10 +142,10 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
     * `coalesce(lk, rk) AS k` aliases — and deterministic Filters, all
     * collected and re-applied over the state). */
   private def matchJoin(p: LogicalPlan)
-      : Option[(JoinMv, Seq[Expression])] = p match {
+      : Option[(JoinMv, Seq[Expression], Seq[Attribute])] = p match {
     case j @ Join(_, _, _, Some(_), _) => matchJoinNode(j, Nil)
     case Filter(pred, child) if pred.deterministic =>
-      matchJoin(child).map { case (mv, preds) => (mv, pred +: preds) }
+      matchJoin(child).map { case (mv, preds, uk) => (mv, pred +: preds, uk) }
     case Project(pl, child) if pl.forall {
         case _: AttributeReference => true
         // full-outer USING join key: coalesce of the two side keys under
@@ -147,7 +159,7 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
   }
 
   private def matchJoinNode(j: Join, above: Seq[Expression])
-      : Option[(JoinMv, Seq[Expression])] = {
+      : Option[(JoinMv, Seq[Expression], Seq[Attribute])] = {
     val Join(l, r, jt, Some(cond), _) = j
     for {
       (lRoot, lPreds) <- scanUnder(l)
@@ -158,7 +170,20 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
       if keysMatch(cond, l, r, mv.on)
       if belowPredsLegal(mv.joinType, flipped, lPreds, rPreds)
       if mv.fresh()
-    } yield (mv, above ++ lPreds ++ rPreds)
+    } yield {
+      // key attributes whose byName resolution into the state would be
+      // WRONG: the null-producing side(s)' join keys (NULL on unmatched
+      // rows; the state's key column never is). LeftOuter: the right
+      // side (a flipped LeftOuter never matches). FullOuter: both sides
+      // — only the coalesced USING alias is servable.
+      val unsafeKeys: Seq[Attribute] = mv.joinType match {
+        case LeftOuter => r.output.filter(a => mv.on.contains(a.name))
+        case FullOuter =>
+          (l.output ++ r.output).filter(a => mv.on.contains(a.name))
+        case _ => Nil
+      }
+      (mv, above ++ lPreds ++ rPreds, unsafeKeys)
+    }
   }
 
   /** Inner and full-outer are symmetric; a flipped left-outer

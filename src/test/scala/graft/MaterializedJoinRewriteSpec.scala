@@ -204,6 +204,24 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
         .join(spark.read.parquet(bDir).filter($"rv" > 4.0), Seq("k"), "left")
         .groupBy($"grp").agg(count(lit(1)).as("n"))
       assert(scansRaw(bad, aDir))
+
+      // OUTER KEY AMBIGUITY: a non-USING left join exposes BOTH k
+      // columns; B.k is NULL on unmatched rows while the state's single
+      // key never is — byName resolution would silently group by the
+      // wrong column. Must DECLINE, and the raw answer keeps the NULL
+      // group the state could never produce.
+      val a = spark.read.parquet(aDir)
+      val b = spark.read.parquet(bDir)
+      val byRightKey = a.join(b, a("k") === b("k"), "left")
+        .groupBy(b("k")).agg(count(lit(1)).as("n"))
+      assert(scansRaw(byRightKey, aDir),
+        "grouping on the null-producing side's key must decline the rewrite")
+      assert(byRightKey.collect().exists(_.isNullAt(0)),
+        "raw evaluation must retain the unmatched NULL key group")
+      // ...while grouping on the PRESERVED side's key still serves
+      val byLeftKey = a.join(b, a("k") === b("k"), "left")
+        .groupBy(a("k")).agg(count(lit(1)).as("n"))
+      assert(!scansRaw(byLeftKey, aDir))
     } finally MaterializedJoinRewrite.clear()
   }
 }
