@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sinks.AppendOnlyStore
+
+/** CHAINED incremental view maintenance: a maintained JOIN whose
+  * per-batch Δ-output feeds a maintained AGGREGATE downstream — the
+  * two-stage pipeline (`SELECT k, agg(x) FROM A ⋈ B GROUP BY k`) kept
+  * current end-to-end at delta cost per batch on either input.
+  *
+  * This is the STORE-level composition [[graft.plans
+  * .MaterializedJoinRewrite]] only simulates at query time: the rewrite
+  * re-aggregates the join state on every read (state-sized), while this
+  * chain maintains the aggregate itself, so a read folds per-key
+  * partials whose count is bounded by compaction cadence — the shape a
+  * dashboard-over-100 TB needs.
+  *
+  * '''The Δ-rule composes.''' The join's per-batch output is a SIGNED
+  * value-group multiset (`columns…, __mult` — products of input
+  * multiplicities, negative under delete waves). Distributive
+  * aggregates are linear in multiplicity, so that Δ-output IS a valid
+  * signed input batch for [[IncrementalAgg.appendDelta]]: `count += Σ
+  * __mult`, `sum(c) += Σ c·__mult`, per key. No stage ever sees raw
+  * history.
+  *
+  * '''Exactly-once, once.''' The join's applied-batch-id manifest
+  * no-ops a replayed batch BEFORE the tap fires, so a replay reaches
+  * neither the out store nor the downstream aggregate — the chain
+  * inherits the join's replay boundary instead of stacking a second
+  * one. A crash INSIDE the window (after the out-append or tap, before
+  * the done-marker) re-taps identical partial rows on retry, which the
+  * agg store's (keys, batch-id) dedup absorbs. The downstream batch-id
+  * space interleaves sides as `2·id` / `2·id + 1` (ids must stay below
+  * 2⁶²; both sides of one logical id stay distinct without coordinating
+  * the caller's two id sequences).
+  *
+  * Single-writer per chain, like every store in this engine. min/max
+  * specs are refused by [[IncrementalAgg.partialsSigned]] (not
+  * retractable) — chain them only on append-only inputs via a separate
+  * unsigned aggregate.
+  */
+object ChainedIvm {
+
+  /** One maintained chain: the join stores + the downstream agg store
+    * and its spec. `spec` columns refer to JOIN-OUTPUT columns. */
+  final case class Stores(join: IncrementalJoin.Stores, on: Seq[String],
+                          agg: AppendOnlyStore, spec: IncrementalAgg.Spec)
+
+  /** Open a chain under one root (join state under `<root>/join`, the
+    * downstream aggregate under `<root>/agg`). */
+  def stores(spark: SparkSession, root: String, on: Seq[String],
+             spec: IncrementalAgg.Spec, buckets: Int = 16): Stores =
+    Stores(IncrementalJoin.stores(spark, s"$root/join", buckets), on,
+      new AppendOnlyStore(spark, s"$root/agg",
+        prefixCol = "__agg_key", prefixChars = 1), spec)
+
+  private def tap(c: Stores, downstreamId: Long): DataFrame => Unit =
+    dOut => {
+      val signed = dOut.drop("__jk", "__lbid", "__rbid")
+        .withColumnRenamed("__mult", "__delta")
+      IncrementalAgg.appendDelta(c.agg, signed, c.spec, downstreamId)
+    }
+
+  private def append(c: Stores, batch: DataFrame, batchId: Long,
+                     isLeft: Boolean, deltaCol: Option[String]): Unit = {
+    require(batchId >= 0 && batchId < (1L << 62),
+      s"chained batch ids must be in [0, 2^62): $batchId")
+    val dsId = 2L * batchId + (if (isLeft) 0L else 1L)
+    IncrementalJoin.appendSide(c.join, batch, c.on, batchId, isLeft,
+      deltaCol, Some(tap(c, dsId)))
+  }
+
+  /** One LEFT-side batch through the whole chain: `Δout = ΔA ⋈ B_state`
+    * lands in the join's out store AND as signed partials in the
+    * downstream aggregate. */
+  def appendLeft(c: Stores, batch: DataFrame, batchId: Long): Unit =
+    append(c, batch, batchId, isLeft = true, None)
+
+  /** One RIGHT-side batch through the whole chain. */
+  def appendRight(c: Stores, batch: DataFrame, batchId: Long): Unit =
+    append(c, batch, batchId, isLeft = false, None)
+
+  /** SIGNED left-side batch (delete/update waves): the retractions flow
+    * through the join Δ-rule into negative downstream partials. */
+  def appendLeftDelta(c: Stores, batch: DataFrame, batchId: Long,
+                      deltaCol: String = "__delta"): Unit =
+    append(c, batch, batchId, isLeft = true, Some(deltaCol))
+
+  /** SIGNED right-side batch. */
+  def appendRightDelta(c: Stores, batch: DataFrame, batchId: Long,
+                       deltaCol: String = "__delta"): Unit =
+    append(c, batch, batchId, isLeft = false, Some(deltaCol))
+
+  /** The maintained aggregate — folds the agg store's partials only;
+    * never touches the join state, let alone raw inputs. */
+  def currentAgg(c: Stores): DataFrame = IncrementalAgg.current(c.agg, c.spec)
+
+  /** The maintained join multiset (same as an un-chained read). */
+  def currentJoin(c: Stores): DataFrame = IncrementalJoin.current(c.join)
+
+  /** Compact every store in the chain (quiescence, single-writer). */
+  def compact(c: Stores): Unit = {
+    IncrementalJoin.compactOut(c.join)
+    IncrementalJoin.compactSides(c.join, c.on)
+    IncrementalAgg.compact(c.agg, c.spec)
+  }
+}

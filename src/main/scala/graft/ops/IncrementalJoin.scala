@@ -240,9 +240,10 @@ object IncrementalJoin {
       .saveAsTable(name)
   }
 
-  private def appendSide(st: Stores, batch: DataFrame, on: Seq[String],
-                         batchId: Long, isLeft: Boolean,
-                         deltaCol: Option[String] = None): Unit = {
+  private[ops] def appendSide(st: Stores, batch: DataFrame, on: Seq[String],
+                              batchId: Long, isLeft: Boolean,
+                              deltaCol: Option[String] = None,
+                              tap: Option[DataFrame => Unit] = None): Unit = {
     val side = st.sideName(isLeft)
     if (st.hasMarker(s"$side.$batchId.done")) return // committed replay: no-op
     if (st.hasMarker(s"$side.$batchId.started"))
@@ -260,9 +261,18 @@ object IncrementalJoin {
       case None => fold(batch, on, batchId)
     }
     val d = if (joins) d0.cutLineage() else d0
-    if (joins)
-      st.out.append(deltaJoin(d, sideState(st, !isLeft), on,
-        deltaIsLeft = isLeft))
+    if (joins) {
+      val dOut0 = deltaJoin(d, sideState(st, !isLeft), on,
+        deltaIsLeft = isLeft)
+      // a tap is a second consumer of the delta-join frame — cut it so
+      // the join isn't recomputed per consumer ([[ChainedIvm]] feeds
+      // downstream maintained aggregates from exactly this Δ-output; a
+      // replayed batch returns above before the tap runs, so the join's
+      // manifest is the whole CHAIN's exactly-once boundary)
+      val dOut = if (tap.isDefined) dOut0.cutLineage() else dOut0
+      st.out.append(dOut)
+      tap.foreach(_(dOut))
+    }
     appendToTable(st, isLeft, d, on)
     st.touch(s"$side.$batchId.done")
   }

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.AppendOnlyStore
+
+/** RETRACTABLE extrema maintenance: per-key `min`/`max` (and exact
+  * distinct-value counts) kept current under SIGNED input deltas —
+  * the aggregate family [[IncrementalAgg.partialsSigned]] deliberately
+  * REFUSES, closed here with the state it actually requires.
+  *
+  * Why refusal was right there: min/max are not subtractable. Deleting
+  * the current minimum needs the runner-up, which a folded
+  * `(key, min)` partial has already discarded. The minimal state that
+  * CAN answer it is the per-key VALUE MULTISET — net multiplicity per
+  * distinct (key, value) pair — and that is exactly what this store
+  * keeps: batches fold to `(key, value, Σδ)` partials (one batch-sized
+  * shuffle, map-side combined), reads fold partials to net value
+  * groups, drop groups netting zero, and take min/max over the
+  * positive groups — so a takedown wave that deletes every copy of the
+  * current minimum surfaces the runner-up EXACTLY, with no recompute.
+  *
+  * Scale posture: state ∝ distinct (key, value) pairs after
+  * compaction — the information-theoretic floor for exact retractable
+  * extrema (any correct structure must distinguish "minimum has one
+  * copy" from "two"). For heavy-duplication columns (status codes,
+  * bucketed measures) this is far below row count; for near-unique
+  * columns it degrades to input size, the honest cost of exactness —
+  * the KLL quantile sketches ([[QuantileSketchAgg]]) are the bounded
+  * alternative when approximate extremes suffice. Same store contract
+  * as every IVM sibling: append-only partials stamped with the logical
+  * batch id, (key, value, batch) dedup makes crash-replays no-ops,
+  * generation-swapped [[compact]] bounds read amplification by
+  * compaction cadence.
+  *
+  * Over-retraction (deleting more copies than exist) is a caller
+  * contract violation and stays VISIBLE as a negative `n_rows` net,
+  * mirroring [[IncrementalJoin]]'s negative-`n` posture — extrema are
+  * then computed over the positive groups only, never silently over
+  * phantom values.
+  */
+object MinMaxAgg {
+
+  /** @param keyCols grouping keys (null-safe via JSON-struct hash)
+    * @param valCol  the column whose retractable extrema are maintained
+    *                (null values are skipped, min/max semantics) */
+  final case class Spec(keyCols: Seq[String], valCol: String)
+
+  private def aggKey(spec: Spec) =
+    md5(to_json(struct(spec.keyCols.map(col): _*)))
+
+  private val CompactedBatchId = Long.MinValue
+
+  /** Fold one signed batch to `(keys, value, Σδ)` net rows. */
+  def partials(batch: DataFrame, spec: Spec, batchId: Long,
+               deltaCol: Option[String]): DataFrame = {
+    val dl = deltaCol match {
+      case Some(c) =>
+        require(batch.columns.contains(c),
+          s"signed batch lacks its multiplicity column '$c'")
+        col(c).cast("long")
+      case None => lit(1L)
+    }
+    batch.filter(col(spec.valCol).isNotNull)
+      .groupBy((spec.keyCols :+ spec.valCol).map(col): _*)
+      .agg(sum(dl).as("__net"))
+      .filter(col("__net") =!= 0) // a −old/+new pair netting 0 in-batch
+      .withColumn("__agg_key", aggKey(spec))
+      .withColumn("__batch_id", lit(batchId))
+  }
+
+  /** Unsigned append: every row at multiplicity +1. */
+  def appendBatch(store: AppendOnlyStore, batch: DataFrame, spec: Spec,
+                  batchId: Long): Unit =
+    store.append(partials(batch, spec, batchId, None))
+
+  /** Signed append: deletes/updates as negative multiplicities. */
+  def appendDelta(store: AppendOnlyStore, batch: DataFrame, spec: Spec,
+                  batchId: Long, deltaCol: String = "__delta"): Unit =
+    store.append(partials(batch, spec, batchId, Some(deltaCol)))
+
+  /** Net value groups: `(keys, value, net)` with crash-replay
+    * duplicates removed and zero nets dropped. The multiset itself —
+    * [[current]]'s input, and directly useful for "all distinct values
+    * per key" serving. */
+  def currentGroups(store: AppendOnlyStore, spec: Spec): DataFrame =
+    store.read()
+      .dropDuplicates((spec.keyCols :+ spec.valCol) :+ "__batch_id")
+      .groupBy((spec.keyCols :+ spec.valCol).map(col): _*)
+      .agg(sum(col("__net")).as("net"))
+      .filter(col("net") =!= 0)
+
+  /** The maintained extrema: per key `n_rows` (net row count — negative
+    * under over-retraction, visibly), `n_vals` (exact distinct values),
+    * `min_<valCol>` / `max_<valCol>` over positively-present values.
+    * Keys whose groups all net to zero have been fully deleted and
+    * vanish. */
+  def current(store: AppendOnlyStore, spec: Spec): DataFrame = {
+    val v = col(spec.valCol)
+    val pos = col("net") > 0
+    currentGroups(store, spec)
+      .groupBy(spec.keyCols.map(col): _*)
+      .agg(sum(col("net")).as("n_rows"),
+        count(when(pos, true)).as("n_vals"),
+        min(when(pos, v)).as(s"min_${spec.valCol}"),
+        max(when(pos, v)).as(s"max_${spec.valCol}"))
+  }
+
+  /** Exact top-`k` values per key (descending by default) straight off
+    * the value groups — the serving shape "k largest outstanding
+    * balances per nation", maintained under deletes for free because
+    * the state is the full value multiset. */
+  def topK(store: AppendOnlyStore, spec: Spec, k: Int,
+           ascending: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(spec.valCol)
+    val w = Window.partitionBy(spec.keyCols.map(col): _*)
+      .orderBy(if (ascending) v.asc else v.desc)
+    currentGroups(store, spec)
+      .filter(col("net") > 0)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Collapse each (key, value) group's partials to one net row
+    * (generation-swapped; result-invariant — zero nets leave the
+    * store). Single-writer, at ingest quiescence, like every sibling. */
+  def compact(store: AppendOnlyStore, spec: Spec): Unit =
+    store.compactWith { df =>
+      df.dropDuplicates((spec.keyCols :+ spec.valCol) :+ "__batch_id")
+        .groupBy((spec.keyCols :+ spec.valCol).map(col): _*)
+        .agg(sum(col("__net")).as("__net"))
+        .filter(col("__net") =!= 0)
+        .withColumn("__agg_key", aggKey(spec))
+        .withColumn("__batch_id", lit(CompactedBatchId))
+    }
+}

@@ -306,7 +306,79 @@ object CdcQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** CDC → join MV → dashboard aggregate, streaming (q185): q182's
+    * three-wave Debezium topic (inserts for every order, `%5` updates
+    * re-statused to 'X', `%7` deletes) drained by [[graft.streaming
+    * .JoinStream.drainCdcChainAvailableNow]] into a [[graft.ops
+    * .ChainedIvm]] — each micro-batch's signed deltas ride the join
+    * Δ-rule against the customer dimension AND flow on into the
+    * maintained per-(mktsegment, status) revenue aggregate, so the
+    * dashboard read at the end folds per-key partials only: it never
+    * touches join state, raw orders, or the topic. This is the full
+    * pipeline the reference runs as Debezium → Kafka → Trino models →
+    * dbt marts, kept current END-TO-END at delta cost per micro-batch,
+    * WITH the deletes its raw layer drops. Oracle = the one-shot
+    * aggregate over the final table state. */
+  def q185CdcChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val row = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("price_cents", LongType)))
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("price_cents"))
+    val base = struct($"o_orderkey", $"o_custkey", $"o_orderstatus",
+      $"price_cents")
+    val updated = struct($"o_orderkey", $"o_custkey",
+      lit("X").as("o_orderstatus"), $"price_cents")
+    def env(before: Column, after: Column, op: String, wave: Int) =
+      to_json(struct(struct(
+        before.as("before"), after.as("after"),
+        lit(op).as("op"), lit(wave.toLong).as("ts_ms")).as("payload")))
+    val nullRow = lit(null).cast(row)
+    val inserts = ord.select(
+      env(nullRow, base, "c", 0).as("value"), lit(0).as("partition"))
+    val updates = ord.where($"o_orderkey" % 5 === 0).select(
+      env(base, updated, "u", 1).as("value"), lit(1).as("partition"))
+    val deletes = ord.where($"o_orderkey" % 7 === 0).select(
+      env(when($"o_orderkey" % 5 === 0, updated).otherwise(base),
+        nullRow, "d", 2).as("value"), lit(2).as("partition"))
+    val topic = java.nio.file.Files.createTempDirectory("q185topic").toString
+    inserts.unionByName(updates).unionByName(deletes)
+      .repartition(col("partition"))
+      .write.mode("overwrite").partitionBy("partition").text(topic)
+    val topicPath = new org.apache.hadoop.fs.Path(topic)
+    val fs = topicPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(topicPath, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-") && !f.getName.endsWith(".jsonl"))
+        fs.rename(f, new org.apache.hadoop.fs.Path(f.getParent,
+          f.getName + ".jsonl"))
+    }
+    val root = java.nio.file.Files.createTempDirectory("q185chain").toString
+    val chain = graft.ops.ChainedIvm.stores(s, root, Seq("o_custkey"),
+      graft.ops.IncrementalAgg.Spec(
+        Seq("c_mktsegment", "o_orderstatus"), Seq("price_cents")))
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    graft.ops.ChainedIvm.appendRight(chain, cust, 0L)
+    val nBatches = graft.streaming.JoinStream.drainCdcChainAvailableNow(
+      s, topic, row, chain, isLeft = true,
+      checkpointDir = s"$root/_checkpoint",
+      maxFilesPerTrigger = Some(1))
+    require(nBatches >= 3,
+      s"expected one micro-batch per wave file at least, got $nBatches")
+    graft.ops.ChainedIvm.currentAgg(chain)
+      .select($"c_mktsegment", $"o_orderstatus",
+        $"n_rows".as("n_orders"), $"sum_price_cents".as("sum_cents"))
+      .orderBy($"c_mktsegment", $"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_cdc_chain" -> (q185CdcChain _),
     "q182_cdc_signed_join" -> (q182CdcSignedJoin _),
     "q172_cdc_stream" -> (q172CdcStream _),
     "q154_sql_project" -> (q154SqlProject _),
@@ -318,6 +390,17 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_cdc_chain" ->
+      """SELECT c.c_mktsegment,
+        |  CASE WHEN o.o_orderkey % 5 = 0 THEN 'X' ELSE o.o_orderstatus
+        |    END AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 7 <> 0
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q182_cdc_signed_join" ->
       """SELECT o.o_orderkey, o.o_custkey,
         |  CASE WHEN o.o_orderkey % 5 = 0 THEN 'X' ELSE o.o_orderstatus

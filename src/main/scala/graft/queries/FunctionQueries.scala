@@ -714,6 +714,116 @@ object FunctionQueries {
       .orderBy($"o_orderstatus", $"flag")
   }
 
+  /** CHAINED IVM (q184): q177's signed-wave scenario, but the
+    * `GROUP BY` is maintained DOWNSTREAM of the join — every batch's
+    * Δ-join output feeds [[graft.ops.ChainedIvm]]'s aggregate store, so
+    * the final read folds per-key partials and never touches join state
+    * (plan-gated in ChainedIvmSpec). This is the two-stage pipeline
+    * (CDC → join MV → dashboard aggregate) kept current end-to-end at
+    * delta cost; contrast q177, whose read re-aggregates the whole join
+    * multiset, and q180, which rewrites the query against it at serve
+    * time. Oracle = the one-shot query over the NET inputs (same
+    * derivation as q177's). */
+  def q184ChainedIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{ChainedIvm, IncrementalAgg}
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val c = ChainedIvm.stores(s,
+      java.nio.file.Files.createTempDirectory("q184chain").toString,
+      Seq("okey"),
+      IncrementalAgg.Spec(Seq("o_orderstatus", "l_returnflag"),
+        Seq("cents")))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      val plus = lit(1L).as("__delta")
+      ChainedIvm.appendLeftDelta(c,
+        orders.filter($"okey" % 2 === 0)
+          .select($"okey", $"o_orderstatus", plus), 0L)
+      ChainedIvm.appendRightDelta(c,
+        li.filter($"okey" % 2 === 0)
+          .select($"okey", $"l_returnflag", $"cents", plus), 10L)
+      ChainedIvm.appendLeftDelta(c,
+        orders.filter($"okey" % 2 === 1)
+          .select($"okey", $"o_orderstatus", plus), 1L)
+      ChainedIvm.appendRightDelta(c,
+        li.filter($"okey" % 2 === 1)
+          .select($"okey", $"l_returnflag", $"cents", plus), 11L)
+      // left takedown wave, then a WHOLE-CHAIN compaction (join sides,
+      // join out store, downstream agg store)
+      ChainedIvm.appendLeftDelta(c,
+        orders.filter($"okey" % 5 === 2)
+          .select($"okey", $"o_orderstatus", lit(-1L).as("__delta")), 2L)
+      ChainedIvm.compact(c)
+      // right takedown AFTER the compaction, and an update wave as a
+      // −old/+new pair — both must flow join → agg as signed partials
+      ChainedIvm.appendRightDelta(c,
+        li.filter($"okey" % 7 === 3)
+          .select($"okey", $"l_returnflag", $"cents",
+            lit(-1L).as("__delta")), 12L)
+      val upd = orders.filter($"okey" % 13 === 5 && $"okey" % 5 =!= 2)
+      val updBatch = upd
+        .select($"okey", $"o_orderstatus", lit(-1L).as("__delta"))
+        .unionByName(upd.select($"okey",
+          lit("X").as("o_orderstatus"), lit(1L).as("__delta")))
+      ChainedIvm.appendLeftDelta(c, updBatch, 3L)
+      // crash-replay of the signed update wave: the JOIN manifest stops
+      // it before the tap, so the aggregate sees nothing either
+      ChainedIvm.appendLeftDelta(c, updBatch, 3L)
+    } finally s.conf.set(aqeKey, aqeWas)
+    ChainedIvm.currentAgg(c)
+      .select($"o_orderstatus", $"l_returnflag",
+        $"n_rows".as("n_pairs"), $"sum_cents")
+      .orderBy($"o_orderstatus", $"l_returnflag")
+  }
+
+  /** RETRACTABLE extrema IVM (q186): per-nation supplier-balance
+    * min/max maintained through a takedown wave that deletes EVERY
+    * holder of the current minimum — the runner-up must surface, the
+    * transition subtractable-aggregate IVM cannot make (and the reason
+    * [[graft.ops.IncrementalAgg.partialsSigned]] refuses min/max). The
+    * state is the per-key value multiset ([[graft.ops.MinMaxAgg]]) —
+    * the information-theoretic floor for exact retractable extrema.
+    * Update wave (−old/+new), replay, and a mid-stream compaction ride
+    * along. Oracle = one-shot extrema over the net inputs. */
+  def q186MinMaxIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.MinMaxAgg
+    val sup = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey".as("sk"), $"s_nationkey".as("nation"),
+        floor($"s_acctbal" * 100.0 + 0.5).cast("long").as("cents"))
+    val spec = MinMaxAgg.Spec(Seq("nation"), "cents")
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q186minmax").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    MinMaxAgg.appendBatch(store,
+      sup.filter($"sk" % 2 === 0).select($"nation", $"cents"), spec, 0L)
+    MinMaxAgg.appendBatch(store,
+      sup.filter($"sk" % 2 === 1).select($"nation", $"cents"), spec, 1L)
+    // takedown: delete EVERY supplier sitting at its nation's minimum
+    val mins = sup.groupBy($"nation").agg(min($"cents").as("mn"))
+    val withMin = sup.join(mins, "nation")
+    MinMaxAgg.appendDelta(store,
+      withMin.filter($"cents" === $"mn")
+        .select($"nation", $"cents", lit(-1L).as("__delta")), spec, 2L)
+    MinMaxAgg.compact(store, spec)
+    // update wave on survivors: 5-residue-2 suppliers get +1000 cents
+    val upd = withMin.filter($"cents" =!= $"mn" && $"sk" % 5 === 2)
+    val updBatch = upd
+      .select($"nation", $"cents", lit(-1L).as("__delta"))
+      .unionByName(upd.select($"nation",
+        ($"cents" + 1000L).as("cents"), lit(1L).as("__delta")))
+    MinMaxAgg.appendDelta(store, updBatch, spec, 3L)
+    // crash-replay of the signed wave: (key, value, batch) dedup
+    MinMaxAgg.appendDelta(store, updBatch, spec, 3L)
+    MinMaxAgg.current(store, spec).orderBy($"nation")
+  }
+
   /** Chained IVM serving (q180): a maintained orders ⋈ lineitem
     * ([[graft.ops.IncrementalJoin]], batched appends) is REGISTERED as
     * the materialized form of the two raw parquet paths, and the gated
@@ -775,6 +885,8 @@ object FunctionQueries {
 
   val queries: Map[String, Q] = Map(
     "q180_join_mv_chain" -> (q180JoinMvChain _),
+    "q184_chained_ivm" -> (q184ChainedIvm _),
+    "q186_minmax_ivm" -> (q186MinMaxIvm _),
     "q177_join_ivm_deletes" -> (q177JoinIvmDeletes _),
     "q178_agg_ivm_deletes" -> (q178AggIvmDeletes _),
     "q179_outer_ivm_deletes" -> (q179OuterIvmDeletes _),
@@ -821,6 +933,38 @@ object FunctionQueries {
         |    AS BIGINT) AS sum_cents,
         |  count(DISTINCT o.o_orderkey) AS n_orders
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q186_minmax_ivm" ->
+      """WITH s0 AS (
+        |  SELECT s_suppkey AS sk, s_nationkey AS nation,
+        |    CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM supplier),
+        |mn AS (SELECT nation, min(cents) AS m FROM s0 GROUP BY nation),
+        |fin AS (
+        |  SELECT s0.nation,
+        |    cents + CASE WHEN sk % 5 = 2 THEN 1000 ELSE 0 END AS cents
+        |  FROM s0 JOIN mn ON s0.nation = mn.nation WHERE cents <> m)
+        |SELECT nation, count(*) AS n_rows,
+        |  count(DISTINCT cents) AS n_vals,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM fin GROUP BY nation ORDER BY nation""".stripMargin,
+    // q184 reads the DOWNSTREAM maintained aggregate; the net-input
+    // derivation is q177's, so the oracle is structurally the same query
+    "q184_chained_ivm" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey,
+        |    CASE WHEN o_orderkey % 13 = 5 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 2),
+        |l AS (
+        |  SELECT l_orderkey AS okey, l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_orderkey % 7 <> 3)
+        |SELECT o.o_orderstatus, l.l_returnflag,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o JOIN l ON o.okey = l.okey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     // the IVM-with-deletes gates: the oracle is the one-shot query over

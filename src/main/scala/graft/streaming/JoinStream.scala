@@ -210,4 +210,44 @@ object JoinStream {
     q.awaitTermination()
     batches
   }
+
+  /** Drain a Debezium topic twin into a CHAINED IVM
+    * ([[graft.ops.ChainedIvm]]): each micro-batch's signed deltas flow
+    * through the join Δ-rule AND on into the downstream maintained
+    * aggregate in one append — CDC topic → join MV → dashboard
+    * aggregate, current end-to-end at delta cost per micro-batch.
+    *
+    * Exactly-once for the WHOLE chain rides the join's applied-batch-id
+    * manifest: a checkpoint-replayed micro-batch re-presents the same
+    * files under the same id and is a no-op before the downstream tap
+    * fires (ChainedIvmSpec). Same commutativity argument as the
+    * un-chained signed drain: the final chain state is invariant to the
+    * file-to-micro-batch carving. */
+  def drainCdcChainAvailableNow(spark: SparkSession, topicDir: String,
+                                rowSchema: StructType,
+                                chain: graft.ops.ChainedIvm.Stores,
+                                isLeft: Boolean,
+                                checkpointDir: String,
+                                idOffset: Long = 0L,
+                                maxFilesPerTrigger: Option[Int] = None): Long = {
+    var batches = 0L
+    val q = CdcStream.readJsonlStream(spark, topicDir, maxFilesPerTrigger)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val signed = graft.sources.Debezium.signedDeltas(batch, rowSchema)
+        if (isLeft)
+          graft.ops.ChainedIvm.appendLeftDelta(chain, signed,
+            batchId + idOffset)
+        else
+          graft.ops.ChainedIvm.appendRightDelta(chain, signed,
+            batchId + idOffset)
+        batches += 1
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
 }

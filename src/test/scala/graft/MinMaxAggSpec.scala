@@ -1,0 +1,112 @@
+package graft
+
+import graft.ops.MinMaxAgg
+import graft.sinks.AppendOnlyStore
+import org.apache.spark.sql.DataFrame
+
+/** Retractable min/max via the value-multiset store, vs one-shot
+  * aggregates over the net inputs — the runner-up surfacing case
+  * subtractable-aggregate IVM cannot do. */
+class MinMaxAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = MinMaxAgg.Spec(Seq("k"), "v")
+  private def store() = new AppendOnlyStore(spark, tmpDir("minmax"),
+    prefixCol = "__agg_key", prefixChars = 1)
+
+  private def df(rows: (String, java.lang.Long)*): DataFrame =
+    rows.toDF("k", "v")
+  private def sdf(rows: (String, Long, Long)*): DataFrame =
+    rows.toDF("k", "v", "__delta")
+
+  private def cur(st: AppendOnlyStore) =
+    MinMaxAgg.current(st, spec).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("deleting every copy of the minimum surfaces the runner-up") {
+    val st = store()
+    MinMaxAgg.appendBatch(st, df("a" -> 1L, "a" -> 1L, "a" -> 5L,
+      "a" -> 9L, "b" -> 3L), spec, 0L)
+    assert(cur(st) == Set(("a", 4L, 3L, 1L, 9L), ("b", 1L, 1L, 3L, 3L)))
+    // one copy of the min gone: min UNCHANGED (a copy remains)
+    MinMaxAgg.appendDelta(st, sdf(("a", 1L, -1L)), spec, 1L)
+    assert(cur(st) == Set(("a", 3L, 3L, 1L, 9L), ("b", 1L, 1L, 3L, 3L)))
+    // last copy gone: the runner-up 5 surfaces as the new min
+    MinMaxAgg.appendDelta(st, sdf(("a", 1L, -1L)), spec, 2L)
+    assert(cur(st) == Set(("a", 2L, 2L, 5L, 9L), ("b", 1L, 1L, 3L, 3L)))
+    // delete the max too: both ends move inward
+    MinMaxAgg.appendDelta(st, sdf(("a", 9L, -1L)), spec, 3L)
+    assert(cur(st) == Set(("a", 1L, 1L, 5L, 5L), ("b", 1L, 1L, 3L, 3L)))
+    // fully-deleted key vanishes
+    MinMaxAgg.appendDelta(st, sdf(("b", 3L, -1L)), spec, 4L)
+    assert(cur(st) == Set(("a", 1L, 1L, 5L, 5L)))
+  }
+
+  test("update wave (−old/+new), replay, and compaction are invariant") {
+    val st = store()
+    MinMaxAgg.appendBatch(st, df("a" -> 2L, "a" -> 7L, "b" -> 4L), spec, 0L)
+    // update a:7 → a:1 as one signed batch — min moves DOWN
+    val upd = sdf(("a", 7L, -1L), ("a", 1L, 1L))
+    MinMaxAgg.appendDelta(st, upd, spec, 1L)
+    val want = Set(("a", 2L, 2L, 1L, 2L), ("b", 1L, 1L, 4L, 4L))
+    assert(cur(st) == want)
+    // replayed signed batch: identical partials dedup on (k, v, batch)
+    MinMaxAgg.appendDelta(st, upd, spec, 1L)
+    assert(cur(st) == want)
+    MinMaxAgg.compact(st, spec)
+    assert(cur(st) == want)
+    // post-compaction real batch still applies
+    MinMaxAgg.appendDelta(st, sdf(("a", 1L, -1L)), spec, 2L)
+    assert(cur(st) == Set(("a", 1L, 1L, 2L, 2L), ("b", 1L, 1L, 4L, 4L)))
+  }
+
+  test("over-retraction stays visible as a negative net, never phantom extrema") {
+    val st = store()
+    MinMaxAgg.appendBatch(st, df("a" -> 5L), spec, 0L)
+    MinMaxAgg.appendDelta(st, sdf(("a", 3L, -2L)), spec, 1L)
+    // n_rows nets to −1 (visible contract violation); extrema ignore
+    // the phantom value 3 and still report the really-present 5
+    assert(cur(st) == Set(("a", -1L, 1L, 5L, 5L)))
+  }
+
+  test("nulls are skipped; in-batch −old/+new of the same value nets away") {
+    val st = store()
+    MinMaxAgg.appendBatch(st, df("a" -> 2L, "a" -> null, "b" -> null), spec, 0L)
+    // b had ONLY null values → no groups at all → absent
+    assert(cur(st) == Set(("a", 1L, 1L, 2L, 2L)))
+    // same-value −/+ pair inside one batch folds to net 0 and writes nothing
+    MinMaxAgg.appendDelta(st, sdf(("a", 2L, -1L), ("a", 2L, 1L)), spec, 1L)
+    assert(cur(st) == Set(("a", 1L, 1L, 2L, 2L)))
+  }
+
+  test("topK serves the k largest surviving values, post-delete") {
+    val st = store()
+    MinMaxAgg.appendBatch(st,
+      df("a" -> 10L, "a" -> 8L, "a" -> 6L, "a" -> 4L, "b" -> 1L), spec, 0L)
+    MinMaxAgg.appendDelta(st, sdf(("a", 10L, -1L)), spec, 1L)
+    val top2 = MinMaxAgg.topK(st, spec, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top2 == Set(("a", 8L), ("a", 6L), ("b", 1L)))
+  }
+
+  test("chained one-shot equality on a larger random-ish multiset") {
+    val st = store()
+    val rows = (1L to 400L).map(i =>
+      (s"k${i % 7}", (i * 31) % 23, 1L))
+    val ins = rows.toDF("k", "v", "__delta")
+    MinMaxAgg.appendDelta(st, ins, spec, 0L)
+    // delete every row whose v is that key's minimum (all copies)
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val del = rows.filter { case (k, v, _) => v == byKey(k) }
+      .map { case (k, v, _) => (k, v, -1L) }.toDF("k", "v", "__delta")
+    MinMaxAgg.appendDelta(st, del, spec, 1L)
+    MinMaxAgg.compact(st, spec)
+    val survivors = rows.filter { case (k, v, _) => v != byKey(k) }
+    val want = survivors.groupBy(_._1).map { case (k, vs) =>
+      val v = vs.map(_._2)
+      (k, v.size.toLong, v.distinct.size.toLong, v.min, v.max)
+    }.toSet
+    assert(cur(st) == want)
+  }
+}
