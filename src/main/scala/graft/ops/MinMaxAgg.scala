@@ -124,6 +124,43 @@ object MinMaxAgg {
       .drop("__rk")
   }
 
+  /** Exact per-key DISCRETE quantiles over the net value multiset —
+    * `percentile_disc` semantics: for each `q`, the smallest value
+    * whose cumulative relative frequency reaches `q` (q=0 → min,
+    * q=1 → max). Because the state is the full value multiset, these
+    * are EXACT and fully retractable — a takedown wave moves every
+    * percentile to precisely where a recompute would put it, the
+    * guarantee the mergeable-but-unretractable KLL sketches
+    * ([[QuantileSketchAgg]]) cannot give. The reach test runs in
+    * integer micro-units (`cum·10⁶ ≥ ⌊q·10⁶⌉·total`) so a float
+    * boundary like 0.25·N can never round the rank off by one.
+    *
+    * Cost shape: one running sum over each key's value groups (a
+    * window within the key partition — distributed across keys), then
+    * a per-key fold; no all-value collect anywhere. Output columns:
+    * keys, `n_rows`, one `p<q·100>` column per requested quantile. */
+  def quantilesDisc(store: AppendOnlyStore, spec: Spec,
+                    qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty, "no quantiles requested")
+    val v = col(spec.valCol)
+    val keys = spec.keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(v.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val cum = currentGroups(store, spec).filter(col("net") > 0)
+      .withColumn("__cum", sum(col("net")).over(wOrd))
+      .withColumn("__tot", sum(col("net")).over(wAll))
+    val aggs = qs.map { q =>
+      require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
+      val ppm = math.round(q * 1e6)
+      min(when(col("__cum") * 1000000L >= lit(ppm) * col("__tot"), v))
+        .as(s"p${math.round(q * 100)}")
+    }
+    cum.groupBy(keys: _*)
+      .agg(max(col("__tot")).as("n_rows"), aggs: _*)
+  }
+
   /** Collapse each (key, value) group's partials to one net row
     * (generation-swapped; result-invariant — zero nets leave the
     * store). Single-writer, at ingest quiescence, like every sibling. */

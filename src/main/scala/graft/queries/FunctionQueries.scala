@@ -824,6 +824,43 @@ object FunctionQueries {
     MinMaxAgg.current(store, spec).orderBy($"nation")
   }
 
+  /** EXACT retractable quantiles (q187): per-returnflag price
+    * percentiles (`percentile_disc` p25/p50/p75) maintained through a
+    * takedown wave that deletes every small-quantity lineitem — each
+    * percentile must land exactly where a recompute would put it, the
+    * guarantee mergeable-but-unretractable KLL sketches cannot give.
+    * Same [[graft.ops.MinMaxAgg]] value-multiset state as q186; the
+    * reach test runs in integer micro-units so a float boundary like
+    * 0.25·N never rounds a rank off by one (oracle conditions are the
+    * equivalent exact rationals `4c ≥ k·tot`). */
+  def q187QuantileDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.MinMaxAgg
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_returnflag".as("flag"),
+        $"l_quantity".as("qty"),
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val spec = MinMaxAgg.Spec(Seq("flag"), "cents")
+    val store = new graft.sinks.AppendOnlyStore(s,
+      java.nio.file.Files.createTempDirectory("q187quant").toString,
+      prefixCol = "__agg_key", prefixChars = 1)
+    MinMaxAgg.appendBatch(store,
+      li.filter($"okey" % 2 === 0).select($"flag", $"cents"), spec, 0L)
+    MinMaxAgg.appendBatch(store,
+      li.filter($"okey" % 2 === 1).select($"flag", $"cents"), spec, 1L)
+    // takedown: every small-quantity lineitem leaves the corpus
+    val del = li.filter($"qty" <= 2)
+      .select($"flag", $"cents", lit(-1L).as("__delta"))
+    MinMaxAgg.appendDelta(store, del, spec, 2L)
+    // crash-replayed wave: same-id partials dedup away (replays are
+    // legal any time BEFORE the batch is folded — compaction runs at
+    // quiescence, the store family's single-writer contract)
+    MinMaxAgg.appendDelta(store, del, spec, 2L)
+    MinMaxAgg.compact(store, spec)
+    MinMaxAgg.quantilesDisc(store, spec, Seq(0.25, 0.5, 0.75))
+      .orderBy($"flag")
+  }
+
   /** Chained IVM serving (q180): a maintained orders ⋈ lineitem
     * ([[graft.ops.IncrementalJoin]], batched appends) is REGISTERED as
     * the materialized form of the two raw parquet paths, and the gated
@@ -887,6 +924,7 @@ object FunctionQueries {
     "q180_join_mv_chain" -> (q180JoinMvChain _),
     "q184_chained_ivm" -> (q184ChainedIvm _),
     "q186_minmax_ivm" -> (q186MinMaxIvm _),
+    "q187_quantile_deletes" -> (q187QuantileDeletes _),
     "q177_join_ivm_deletes" -> (q177JoinIvmDeletes _),
     "q178_agg_ivm_deletes" -> (q178AggIvmDeletes _),
     "q179_outer_ivm_deletes" -> (q179OuterIvmDeletes _),
@@ -949,6 +987,22 @@ object FunctionQueries {
         |  count(DISTINCT cents) AS n_vals,
         |  min(cents) AS min_cents, max(cents) AS max_cents
         |FROM fin GROUP BY nation ORDER BY nation""".stripMargin,
+    // q187's percentile_disc reach conditions, written as the exact
+    // rationals (cum·10⁶ ≥ q_ppm·tot ⇔ 4c ≥ k·tot for q = k/4)
+    "q187_quantile_deletes" ->
+      """WITH fin AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_quantity > 2),
+        |g AS (SELECT flag, cents, count(*) AS net FROM fin GROUP BY 1, 2),
+        |cum AS (SELECT flag, cents,
+        |  sum(net) OVER (PARTITION BY flag ORDER BY cents) AS c,
+        |  sum(net) OVER (PARTITION BY flag) AS tot FROM g)
+        |SELECT flag, CAST(max(tot) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN c * 4 >= tot THEN cents END) AS p25,
+        |  min(CASE WHEN c * 2 >= tot THEN cents END) AS p50,
+        |  min(CASE WHEN c * 4 >= 3 * tot THEN cents END) AS p75
+        |FROM cum GROUP BY flag ORDER BY flag""".stripMargin,
     // q184 reads the DOWNSTREAM maintained aggregate; the net-input
     // derivation is q177's, so the oracle is structurally the same query
     "q184_chained_ivm" ->

@@ -36,7 +36,12 @@ class ClusterParitySpec extends SparkSpec {
     // serialization across executor JVMs (signed folds, retraction
     // rows, post-compaction appends) was untested until here
     "q177_join_ivm_deletes", "q178_agg_ivm_deletes",
-    "q179_outer_ivm_deletes")
+    "q179_outer_ivm_deletes",
+    // round-8 additions II: the chained IVM (join Δ-tap feeding the
+    // downstream agg store across executors), the streaming CDC →
+    // chain drain, and the value-multiset extrema/quantile stores
+    "q184_chained_ivm", "q185_cdc_chain", "q186_minmax_ivm",
+    "q187_quantile_deletes")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

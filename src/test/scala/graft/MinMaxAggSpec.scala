@@ -90,6 +90,28 @@ class MinMaxAggSpec extends SparkSpec {
     assert(top2 == Set(("a", 8L), ("a", 6L), ("b", 1L)))
   }
 
+  test("quantilesDisc: percentile_disc semantics, exact under deletes") {
+    val st = store()
+    // key a: multiset {1,2,2,3,4,4,4,10} (N=8)
+    MinMaxAgg.appendBatch(st, df("a" -> 1L, "a" -> 2L, "a" -> 2L,
+      "a" -> 3L, "a" -> 4L, "a" -> 4L, "a" -> 4L, "a" -> 10L), spec, 0L)
+    def quant(qs: Double*) =
+      MinMaxAgg.quantilesDisc(st, spec, qs).collect()
+        .map(r => (r.getString(0), r.toSeq.drop(1))).toMap
+    // p0=min, p25: cum/8>=.25 at rank2 → 2; p50: rank4 → 3; p75: rank6
+    // → 4; p100=max — checked against the hand-expanded multiset
+    assert(quant(0.0, 0.25, 0.5, 0.75, 1.0)("a") ==
+      Seq(8L, 1L, 2L, 3L, 4L, 10L))
+    // delete both 2s and one 4: {1,3,4,4,10} (N=5) — p50: cum/5>=.5 at
+    // rank3 → 4 (the median MOVED, exactly as a recompute would say)
+    MinMaxAgg.appendDelta(st,
+      sdf(("a", 2L, -2L), ("a", 4L, -1L)), spec, 1L)
+    assert(quant(0.5)("a") == Seq(5L, 4L))
+    // exact-boundary rank: q=0.2 on N=5 must hit rank 1 EXACTLY (the
+    // float 0.2·5=1.0000000000000002 trap the ppm arithmetic avoids)
+    assert(quant(0.2)("a") == Seq(5L, 1L))
+  }
+
   test("chained one-shot equality on a larger random-ish multiset") {
     val st = store()
     val rows = (1L to 400L).map(i =>
