@@ -110,7 +110,7 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
         sourceOf(child).flatMap { case (_, mv, preds) =>
-          rewrite(agg, groups, aggExprs, mv, preds)
+          rewriteWithMv(groups, aggExprs, mv, preds)
         }.orElse {
           joinSourceOf(child).flatMap { case (mv, preds, dimPlan, pairs) =>
             rewriteJoin(groups, aggExprs, mv, preds, dimPlan, pairs)
@@ -226,10 +226,18 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def rewrite(agg: Aggregate, groups: Seq[Expression],
-                      aggExprs: Seq[NamedExpression],
-                      mv: MvDef,
-                      keyPreds: Seq[Expression]): Option[LogicalPlan] = {
+  /** The single-table MV hit, also callable with a caller-supplied
+    * MvDef: [[MaterializedJoinRewrite]] delegates here when a
+    * registered join carries a CHAINED downstream aggregate
+    * ([[graft.ops.ChainedIvm]]) whose partials can answer the query
+    * even more cheaply than the join-state multiset. `keyPreds` must
+    * reference maintained KEY columns only (they re-apply over the
+    * refold); callers enforce that before delegating. */
+  private[plans] def rewriteWithMv(groups: Seq[Expression],
+                                   aggExprs: Seq[NamedExpression],
+                                   mv: MvDef,
+                                   keyPreds: Seq[Expression])
+      : Option[LogicalPlan] = {
     val groupAttrs = groups.collect { case a: AttributeReference => a }
     if (groupAttrs.size != groups.size) return None
     if (groupAttrs.map(_.name).toSet != mv.keyCols.toSet) return None

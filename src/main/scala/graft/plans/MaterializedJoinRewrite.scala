@@ -66,10 +66,25 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
     *                normally `() => IncrementalJoin.current(st)` or an
     *                outer variant's `current`
     * @param fresh   staleness guard: return false to decline serving
-    *                (raw-side appends not yet maintained) */
+    *                (raw-side appends not yet maintained)
+    * @param aggServe optional CHAINED downstream aggregate
+    *                ([[graft.ops.ChainedIvm]]'s agg store) as a
+    *                [[MaterializedAggRewrite.MvDef]]: when the query's
+    *                grouping keys are exactly the chain's maintained
+    *                keys and every aggregate maps onto maintained
+    *                count/sum state, the rewrite answers from per-key
+    *                PARTIALS (size ∝ keys × compaction cadence) instead
+    *                of re-aggregating the join-state multiset (size ∝
+    *                distinct value groups) — the cheapest serve in the
+    *                hierarchy. Anything it can't express (min/max,
+    *                count-DISTINCT, other groupings, row-level
+    *                predicates) falls back to the join-state path, then
+    *                to the raw plan. */
   final case class JoinMv(on: Seq[String], joinType: JoinType,
                           current: () => DataFrame,
-                          fresh: () => Boolean = () => true)
+                          fresh: () => Boolean = () => true,
+                          aggServe: Option[MaterializedAggRewrite.MvDef] =
+                            None)
 
   private val registry = new ConcurrentHashMap[(String, String), JoinMv]()
   private val rewriting = new ThreadLocal[Boolean] {
@@ -107,7 +122,23 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
           val refs = AttributeSet(groups.flatMap(_.references) ++
             aggExprs.flatMap(_.references) ++ preds.flatMap(_.references))
           if (unsafeKeys.exists(refs.contains)) None
-          else rewrite(groups, aggExprs, mv, preds)
+          else {
+            // cheapest first: the chained downstream aggregate's
+            // partials, when the query's shape maps onto them and every
+            // collected predicate touches maintained KEYS only (a
+            // key-only predicate commutes with the per-key aggregate;
+            // anything else needs the value groups → join-state path)
+            val viaChain = mv.aggServe.flatMap { amv =>
+              if (preds.forall(_.references.forall(a =>
+                  amv.keyCols.contains(a.name)))) {
+                rewriting.set(true)
+                try MaterializedAggRewrite.rewriteWithMv(
+                  groups, aggExprs, amv, preds)
+                finally rewriting.set(false)
+              } else None
+            }
+            viaChain.orElse(rewrite(groups, aggExprs, mv, preds))
+          }
         }.getOrElse(agg)
     }
   }

@@ -920,7 +920,94 @@ object FunctionQueries {
     } finally graft.plans.MaterializedJoinRewrite.deregister(oDir, lDir)
   }
 
+  /** Chained-MV serving hierarchy (q188): a [[graft.ops.ChainedIvm]]
+    * (orders ⋈ lineitem → per-(status, flag) aggregate, maintained
+    * through insert AND delete waves) is registered with BOTH serve
+    * levels — the join-state multiset and the downstream agg partials.
+    * A plain `count/sum GROUP BY` over the raw paths must be answered
+    * from the AGG store (size ∝ keys × compaction cadence — the
+    * cheapest read in the hierarchy; in-query plan assertion), while
+    * the same query plus `count(DISTINCT okey)` must FALL BACK to the
+    * join-state multiset (distinct counts are not mergeable from
+    * partials; second in-query assertion). Oracle = the plain SQL over
+    * the net tables. */
+  def q188ChainMvServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{ChainedIvm, IncrementalAgg}
+    val oDir = java.nio.file.Files.createTempDirectory("q188o").toString
+    val lDir = java.nio.file.Files.createTempDirectory("q188l").toString
+    val ordAll = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val liAll = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    // raw tables hold the NET content (freshness contract: the state
+    // the chain converges to IS what the raw paths contain)
+    ordAll.filter($"okey" % 5 =!= 2).write.mode("overwrite").parquet(oDir)
+    liAll.filter($"okey" % 7 =!= 3).write.mode("overwrite").parquet(lDir)
+    val chainRoot =
+      java.nio.file.Files.createTempDirectory("q188chain").toString
+    val chain = ChainedIvm.stores(s, chainRoot, Seq("okey"),
+      IncrementalAgg.Spec(Seq("o_orderstatus", "l_returnflag"),
+        Seq("cents")))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      val plus = lit(1L).as("__delta")
+      ChainedIvm.appendLeftDelta(chain,
+        ordAll.select($"okey", $"o_orderstatus", plus), 0L)
+      ChainedIvm.appendRightDelta(chain,
+        liAll.select($"okey", $"l_returnflag", $"cents", plus), 10L)
+      ChainedIvm.appendLeftDelta(chain,
+        ordAll.filter($"okey" % 5 === 2)
+          .select($"okey", $"o_orderstatus", lit(-1L).as("__delta")), 1L)
+      ChainedIvm.appendRightDelta(chain,
+        liAll.filter($"okey" % 7 === 3)
+          .select($"okey", $"l_returnflag", $"cents",
+            lit(-1L).as("__delta")), 11L)
+      ChainedIvm.compact(chain)
+    } finally s.conf.set(aqeKey, aqeWas)
+    graft.plans.MaterializedJoinRewrite.register(oDir, lDir,
+      graft.plans.MaterializedJoinRewrite.JoinMv(Seq("okey"),
+        org.apache.spark.sql.catalyst.plans.Inner,
+        () => ChainedIvm.currentJoin(chain),
+        aggServe = Some(graft.plans.MaterializedAggRewrite.MvDef(
+          Seq("o_orderstatus", "l_returnflag"), Seq("cents"),
+          () => ChainedIvm.currentAgg(chain)))))
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    try {
+      val res = s.read.parquet(oDir).join(s.read.parquet(lDir), Seq("okey"))
+        .groupBy($"o_orderstatus", $"l_returnflag")
+        .agg(count(lit(1)).as("n_pairs"), sum($"cents").as("sum_cents"))
+        .orderBy($"o_orderstatus", $"l_returnflag")
+      val p1 = scanPaths(res)
+      require(p1.nonEmpty && p1.forall(_.startsWith(s"$chainRoot/agg")),
+        s"q188: count/sum must serve from the AGG partials, scanned: $p1")
+      // count(DISTINCT) cannot come from partials: the hierarchy must
+      // fall back to the join-state multiset, never to the raw tables
+      val p2 = scanPaths(
+        s.read.parquet(oDir).join(s.read.parquet(lDir), Seq("okey"))
+          .groupBy($"o_orderstatus", $"l_returnflag")
+          .agg(countDistinct($"okey").as("n_orders")))
+      require(p2.nonEmpty &&
+        p2.forall(_.startsWith(s"$chainRoot/join")) &&
+        !p2.exists(p => p.startsWith(oDir) || p.startsWith(lDir)),
+        s"q188: count-DISTINCT must fall back to join state, scanned: $p2")
+      res
+    } finally graft.plans.MaterializedJoinRewrite.deregister(oDir, lDir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_chain_mv_serve" -> (q188ChainMvServe _),
     "q180_join_mv_chain" -> (q180JoinMvChain _),
     "q184_chained_ivm" -> (q184ChainedIvm _),
     "q186_minmax_ivm" -> (q186MinMaxIvm _),
@@ -987,6 +1074,16 @@ object FunctionQueries {
         |  count(DISTINCT cents) AS n_vals,
         |  min(cents) AS min_cents, max(cents) AS max_cents
         |FROM fin GROUP BY nation ORDER BY nation""".stripMargin,
+    "q188_chain_mv_serve" ->
+      """SELECT o.o_orderstatus, l.l_returnflag,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM (SELECT * FROM orders WHERE o_orderkey % 5 <> 2) o
+        |JOIN (SELECT * FROM lineitem WHERE l_orderkey % 7 <> 3) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q187's percentile_disc reach conditions, written as the exact
     // rationals (cum·10⁶ ≥ q_ppm·tot ⇔ 4c ≥ k·tot for q = k/4)
     "q187_quantile_deletes" ->

@@ -224,4 +224,65 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
       assert(!scansRaw(byLeftKey, aDir))
     } finally MaterializedJoinRewrite.clear()
   }
+
+  test("aggServe hierarchy: partials for count/sum, join state for the rest") {
+    import graft.ops.{ChainedIvm, IncrementalAgg}
+    val (aDir, bDir, _) = fixture()
+    val a = spark.read.parquet(aDir)
+    val b = spark.read.parquet(bDir)
+    val root = tmpDir("jmv-chain")
+    val chain = ChainedIvm.stores(spark, root, Seq("k"),
+      IncrementalAgg.Spec(Seq("grp"), Seq("lv")))
+    ChainedIvm.appendLeft(chain, a, 0L)
+    ChainedIvm.appendRight(chain, b, 10L)
+    MaterializedJoinRewrite.register(aDir, bDir, MaterializedJoinRewrite.JoinMv(
+      Seq("k"), org.apache.spark.sql.catalyst.plans.Inner,
+      () => ChainedIvm.currentJoin(chain),
+      aggServe = Some(graft.plans.MaterializedAggRewrite.MvDef(
+        Seq("grp"), Seq("lv"), () => ChainedIvm.currentAgg(chain)))))
+    try {
+      def q1() = a.join(b, Seq("k")).groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"lv").as("s"),
+          avg($"lv").as("m"))
+      // count/sum/avg on the chain keys: served from the AGG partials
+      val df1 = q1()
+      val p1 = scanPaths(df1)
+      assert(p1.nonEmpty && p1.forall(_.startsWith(s"$root/agg")),
+        s"expected agg-partials serve, scanned $p1")
+      MaterializedJoinRewrite.clear()
+      val want1 = rows(q1()) // raw truth, registration removed
+      MaterializedJoinRewrite.register(aDir, bDir, MaterializedJoinRewrite.JoinMv(
+        Seq("k"), org.apache.spark.sql.catalyst.plans.Inner,
+        () => ChainedIvm.currentJoin(chain),
+        aggServe = Some(graft.plans.MaterializedAggRewrite.MvDef(
+          Seq("grp"), Seq("lv"), () => ChainedIvm.currentAgg(chain)))))
+      assert(rows(q1()) == want1)
+      // min is not in the chain's maintained state → join-state path
+      val dfMin = a.join(b, Seq("k")).groupBy($"grp")
+        .agg(min($"lv").as("mn"))
+      val pMin = scanPaths(dfMin)
+      assert(pMin.forall(_.startsWith(s"$root/join")) &&
+        !pMin.exists(_.startsWith(aDir)), s"min must use join state: $pMin")
+      // a NON-KEY predicate does not commute with the agg → join state
+      val dfPred = a.join(b, Seq("k")).filter($"lv" > 50)
+        .groupBy($"grp").agg(count(lit(1)).as("n"))
+      val pPred = scanPaths(dfPred)
+      assert(pPred.forall(_.startsWith(s"$root/join")) &&
+        !pPred.exists(_.startsWith(aDir)),
+        s"non-key predicate must use join state: $pPred")
+      // a KEY-only predicate commutes → still the agg partials
+      val dfKeyPred = a.join(b, Seq("k")).filter($"grp" =!= "g1")
+        .groupBy($"grp").agg(count(lit(1)).as("n"))
+      val pKeyPred = scanPaths(dfKeyPred)
+      assert(pKeyPred.nonEmpty && pKeyPred.forall(_.startsWith(s"$root/agg")),
+        s"key-only predicate should stay on partials: $pKeyPred")
+      // grouping finer than the chain keys → join-state path
+      val dfFine = a.join(b, Seq("k")).groupBy($"grp", $"rv")
+        .agg(count(lit(1)).as("n"))
+      val pFine = scanPaths(dfFine)
+      assert(pFine.forall(_.startsWith(s"$root/join")) &&
+        !pFine.exists(_.startsWith(aDir)),
+        s"finer grouping must use join state: $pFine")
+    } finally MaterializedJoinRewrite.clear()
+  }
 }
