@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ops.Lineage.LineageSyntax
 import graft.sinks.AppendOnlyStore
 
 /** CHAINED incremental view maintenance: a maintained JOIN whose
@@ -43,23 +44,40 @@ import graft.sinks.AppendOnlyStore
 object ChainedIvm {
 
   /** One maintained chain: the join stores + the downstream agg store
-    * and its spec. `spec` columns refer to JOIN-OUTPUT columns. */
+    * and its spec (`spec` columns refer to JOIN-OUTPUT columns), plus
+    * an optional SECOND downstream — a [[MinMaxAgg]] value-multiset
+    * keeping retractable min/max/top-k/quantiles of a join-output
+    * column, possibly keyed coarser than the aggregate. Both sinks
+    * consume the same Δ-output under the same replay boundary. */
   final case class Stores(join: IncrementalJoin.Stores, on: Seq[String],
-                          agg: AppendOnlyStore, spec: IncrementalAgg.Spec)
+                          agg: AppendOnlyStore, spec: IncrementalAgg.Spec,
+                          extrema: Option[(AppendOnlyStore, MinMaxAgg.Spec)] =
+                            None)
 
   /** Open a chain under one root (join state under `<root>/join`, the
-    * downstream aggregate under `<root>/agg`). */
+    * downstream aggregate under `<root>/agg`, the optional extrema
+    * multiset under `<root>/extrema`). */
   def stores(spark: SparkSession, root: String, on: Seq[String],
-             spec: IncrementalAgg.Spec, buckets: Int = 16): Stores =
+             spec: IncrementalAgg.Spec, buckets: Int = 16,
+             extremaSpec: Option[MinMaxAgg.Spec] = None): Stores =
     Stores(IncrementalJoin.stores(spark, s"$root/join", buckets), on,
       new AppendOnlyStore(spark, s"$root/agg",
-        prefixCol = "__agg_key", prefixChars = 1), spec)
+        prefixCol = "__agg_key", prefixChars = 1), spec,
+      extremaSpec.map(es => (new AppendOnlyStore(spark, s"$root/extrema",
+        prefixCol = "__agg_key", prefixChars = 1), es)))
 
   private def tap(c: Stores, downstreamId: Long): DataFrame => Unit =
     dOut => {
-      val signed = dOut.drop("__jk", "__lbid", "__rbid")
+      val signed0 = dOut.drop("__jk", "__lbid", "__rbid")
         .withColumnRenamed("__mult", "__delta")
+      // two sinks re-read the frame — cut once so the delta join behind
+      // it is not recomputed per sink
+      val signed =
+        if (c.extrema.isDefined) signed0.cutLineage() else signed0
       IncrementalAgg.appendDelta(c.agg, signed, c.spec, downstreamId)
+      c.extrema.foreach { case (st, es) =>
+        MinMaxAgg.appendDelta(st, signed, es, downstreamId)
+      }
     }
 
   private def append(c: Stores, batch: DataFrame, batchId: Long,
@@ -99,10 +117,30 @@ object ChainedIvm {
   /** The maintained join multiset (same as an un-chained read). */
   def currentJoin(c: Stores): DataFrame = IncrementalJoin.current(c.join)
 
+  /** The maintained extrema (requires an `extremaSpec` at open):
+    * per-key `n_rows`/`n_vals`/`min_`/`max_` over the JOIN output. */
+  def currentExtrema(c: Stores): DataFrame = {
+    val (st, es) = requireExtrema(c)
+    MinMaxAgg.current(st, es)
+  }
+
+  /** Exact discrete quantiles of the joined column (requires an
+    * `extremaSpec` at open) — [[MinMaxAgg.quantilesDisc]] over the
+    * maintained value multiset. */
+  def quantiles(c: Stores, qs: Seq[Double]): DataFrame = {
+    val (st, es) = requireExtrema(c)
+    MinMaxAgg.quantilesDisc(st, es, qs)
+  }
+
+  private def requireExtrema(c: Stores) = c.extrema.getOrElse(
+    throw new IllegalStateException(
+      "this chain was opened without an extremaSpec"))
+
   /** Compact every store in the chain (quiescence, single-writer). */
   def compact(c: Stores): Unit = {
     IncrementalJoin.compactOut(c.join)
     IncrementalJoin.compactSides(c.join, c.on)
     IncrementalAgg.compact(c.agg, c.spec)
+    c.extrema.foreach { case (st, es) => MinMaxAgg.compact(st, es) }
   }
 }

@@ -71,7 +71,7 @@ object IncrementalAgg {
     * ever rewriting the store. */
   def appendBatch(store: AppendOnlyStore, batch: DataFrame, spec: Spec,
                   batchId: Long): Unit =
-    store.append(partials(batch, spec, batchId))
+    store.appendOnce(partials(batch, spec, batchId), batchId)
 
   /** [[partials]] for a SIGNED batch: `deltaCol` carries each row's
     * signed multiplicity (+1 insert, −1 delete — a takedown wave maps
@@ -117,7 +117,7 @@ object IncrementalAgg {
     * being silently clamped. */
   def appendDelta(store: AppendOnlyStore, batch: DataFrame, spec: Spec,
                   batchId: Long, deltaCol: String = "__delta"): Unit =
-    store.append(partialsSigned(batch, spec, batchId, deltaCol))
+    store.appendOnce(partialsSigned(batch, spec, batchId, deltaCol), batchId)
 
   /** All stored partials with crash-replay duplicates removed. */
   private def dedupedPartials(store: AppendOnlyStore, spec: Spec): DataFrame =
@@ -136,6 +136,21 @@ object IncrementalAgg {
     * negative nets (over-retraction, a contract violation) stay visible. */
   def current(store: AppendOnlyStore, spec: Spec): DataFrame =
     dedupedPartials(store, spec)
+      .groupBy(spec.keyCols.map(col): _*)
+      .agg(sum(col("__cnt")).as("n_rows"), refoldAggs(spec): _*)
+      .filter(col("n_rows") =!= 0)
+
+  /** [[current]] restricted by a predicate over KEY columns, applied
+    * BEFORE the refold so it reaches the store's parquet scan (row-group
+    * skipping; and when the store's `prefixCol` is one of the keys, the
+    * caller can conjoin a matching `prefix` filter for directory-level
+    * pruning). Key-column predicates are sound pre-refold: a key's
+    * partials all carry the same key values, so filtering partials and
+    * filtering refolded rows select the same keys. */
+  def current(store: AppendOnlyStore, spec: Spec,
+              keyWhere: org.apache.spark.sql.Column): DataFrame =
+    store.read().filter(keyWhere)
+      .dropDuplicates(spec.keyCols :+ "__batch_id")
       .groupBy(spec.keyCols.map(col): _*)
       .agg(sum(col("__cnt")).as("n_rows"), refoldAggs(spec): _*)
       .filter(col("n_rows") =!= 0)

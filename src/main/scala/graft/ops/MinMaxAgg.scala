@@ -73,12 +73,12 @@ object MinMaxAgg {
   /** Unsigned append: every row at multiplicity +1. */
   def appendBatch(store: AppendOnlyStore, batch: DataFrame, spec: Spec,
                   batchId: Long): Unit =
-    store.append(partials(batch, spec, batchId, None))
+    store.appendOnce(partials(batch, spec, batchId, None), batchId)
 
   /** Signed append: deletes/updates as negative multiplicities. */
   def appendDelta(store: AppendOnlyStore, batch: DataFrame, spec: Spec,
                   batchId: Long, deltaCol: String = "__delta"): Unit =
-    store.append(partials(batch, spec, batchId, Some(deltaCol)))
+    store.appendOnce(partials(batch, spec, batchId, Some(deltaCol)), batchId)
 
   /** Net value groups: `(keys, value, net)` with crash-replay
     * duplicates removed and zero nets dropped. The multiset itself —

@@ -72,7 +72,7 @@ object OverlapAgg {
     * under the unique-logical-batch-id contract. */
   def appendBatch(store: AppendOnlyStore, batch: DataFrame, spec: Spec,
                   batchId: Long): Unit =
-    store.append(partials(batch, spec, batchId))
+    store.appendOnce(partials(batch, spec, batchId), batchId)
 
   private def deduped(store: AppendOnlyStore, spec: Spec): DataFrame =
     store.read().dropDuplicates(spec.keyCols :+ "__batch_id")

@@ -782,6 +782,66 @@ object FunctionQueries {
       .orderBy($"o_orderstatus", $"l_returnflag")
   }
 
+  /** Chained extrema over a join (q189): the q184 chain opened with a
+    * SECOND downstream — a [[graft.ops.MinMaxAgg]] value multiset of
+    * the joined price column keyed per order status (coarser than the
+    * aggregate's keys) — so per-status min/max AND the exact median of
+    * `orders ⋈ lineitem` stay maintained through the same signed waves,
+    * deletes included, under the join's single replay boundary. The
+    * update wave moves value mass BETWEEN keys (status flips to 'X' as
+    * −old/+new), the transition that exercises the group-move path.
+    * Oracle = exact-rational percentile_disc window SQL over the net
+    * join. */
+  def q189ChainExtrema(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{ChainedIvm, IncrementalAgg, MinMaxAgg}
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val c = ChainedIvm.stores(s,
+      java.nio.file.Files.createTempDirectory("q189chain").toString,
+      Seq("okey"),
+      IncrementalAgg.Spec(Seq("o_orderstatus", "l_returnflag"),
+        Seq("cents")),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("o_orderstatus"), "cents")))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      val plus = lit(1L).as("__delta")
+      ChainedIvm.appendLeftDelta(c,
+        orders.select($"okey", $"o_orderstatus", plus), 0L)
+      ChainedIvm.appendRightDelta(c,
+        li.select($"okey", $"l_returnflag", $"cents", plus), 10L)
+      // left takedown, whole-chain compaction, right takedown
+      ChainedIvm.appendLeftDelta(c,
+        orders.filter($"okey" % 5 === 2)
+          .select($"okey", $"o_orderstatus", lit(-1L).as("__delta")), 1L)
+      ChainedIvm.compact(c)
+      ChainedIvm.appendRightDelta(c,
+        li.filter($"okey" % 7 === 3)
+          .select($"okey", $"l_returnflag", $"cents",
+            lit(-1L).as("__delta")), 11L)
+      // status flips to 'X': value mass MOVES between extrema keys
+      val upd = orders.filter($"okey" % 13 === 5 && $"okey" % 5 =!= 2)
+      val updBatch = upd
+        .select($"okey", $"o_orderstatus", lit(-1L).as("__delta"))
+        .unionByName(upd.select($"okey",
+          lit("X").as("o_orderstatus"), lit(1L).as("__delta")))
+      ChainedIvm.appendLeftDelta(c, updBatch, 2L)
+      ChainedIvm.appendLeftDelta(c, updBatch, 2L) // replay: chain no-op
+    } finally s.conf.set(aqeKey, aqeWas)
+    ChainedIvm.quantiles(c, Seq(0.5))
+      .join(ChainedIvm.currentExtrema(c)
+        .select($"o_orderstatus", $"min_cents", $"max_cents"),
+        Seq("o_orderstatus"))
+      .select($"o_orderstatus", $"n_rows", $"min_cents", $"max_cents",
+        $"p50")
+      .orderBy($"o_orderstatus")
+  }
+
   /** RETRACTABLE extrema IVM (q186): per-nation supplier-balance
     * min/max maintained through a takedown wave that deletes EVERY
     * holder of the current minimum — the runner-up must surface, the
@@ -1008,6 +1068,7 @@ object FunctionQueries {
 
   val queries: Map[String, Q] = Map(
     "q188_chain_mv_serve" -> (q188ChainMvServe _),
+    "q189_chain_extrema" -> (q189ChainExtrema _),
     "q180_join_mv_chain" -> (q180JoinMvChain _),
     "q184_chained_ivm" -> (q184ChainedIvm _),
     "q186_minmax_ivm" -> (q186MinMaxIvm _),
@@ -1074,6 +1135,29 @@ object FunctionQueries {
         |  count(DISTINCT cents) AS n_vals,
         |  min(cents) AS min_cents, max(cents) AS max_cents
         |FROM fin GROUP BY nation ORDER BY nation""".stripMargin,
+    // q189: net-input join (q177's derivation), extrema + exact median
+    // per status via the percentile_disc reach condition 2c ≥ tot
+    "q189_chain_extrema" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey,
+        |    CASE WHEN o_orderkey % 13 = 5 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 2),
+        |l AS (
+        |  SELECT l_orderkey AS okey,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_orderkey % 7 <> 3),
+        |j AS (SELECT o.o_orderstatus, l.cents
+        |  FROM o JOIN l ON o.okey = l.okey),
+        |g AS (SELECT o_orderstatus, cents, count(*) AS net
+        |  FROM j GROUP BY 1, 2),
+        |cum AS (SELECT o_orderstatus, cents,
+        |  sum(net) OVER (PARTITION BY o_orderstatus ORDER BY cents) AS c,
+        |  sum(net) OVER (PARTITION BY o_orderstatus) AS tot FROM g)
+        |SELECT o_orderstatus, CAST(max(tot) AS BIGINT) AS n_rows,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  min(CASE WHEN c * 2 >= tot THEN cents END) AS p50
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_chain_mv_serve" ->
       """SELECT o.o_orderstatus, l.l_returnflag,
         |  count(*) AS n_pairs,

@@ -583,6 +583,46 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Maintained inverted index + BM25 serving (q190): the q63 ranking
+    * kept warm through a document CDC stream — two insert batches, a
+    * takedown wave (per-term df, N, and avgdl ALL shift), a replayed
+    * takedown (no-op), a whole-index compaction, then an edit wave
+    * (−old +new under one batch id) that ADDS the query term 'spark'
+    * to some docs — and finally served entirely from the maintained
+    * postings/doc-length state, never re-reading the corpus. The serve
+    * probe must partition-prune the postings store by term key
+    * (in-query plan require). Oracle = the q63 SQL over the NET
+    * corpus (takedowns removed, edits applied). */
+  def q190IncTextIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalTextIndex
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val st = IncrementalTextIndex.stores(s,
+      java.nio.file.Files.createTempDirectory("q190idx").toString, "doc_id")
+    IncrementalTextIndex.appendDelta(st,
+      docs.filter($"doc_id" % 3 =!= 2), "text", 0L)
+    IncrementalTextIndex.appendDelta(st,
+      docs.filter($"doc_id" % 3 === 2), "text", 1L)
+    val takedown = docs.filter($"doc_id" % 7 === 1)
+      .withColumn("__delta", lit(-1L))
+    IncrementalTextIndex.appendDelta(st, takedown, "text", 2L, Some("__delta"))
+    IncrementalTextIndex.appendDelta(st, takedown, "text", 2L, Some("__delta"))
+    IncrementalTextIndex.compact(st)
+    val editable = docs.filter($"doc_id" % 11 === 3 && $"doc_id" % 7 =!= 1)
+    val edit = editable.select($"doc_id", $"text", lit(-1L).as("__delta"))
+      .unionByName(editable.select($"doc_id",
+        concat($"text", lit(" spark")).as("text"), lit(1L).as("__delta")))
+    IncrementalTextIndex.appendDelta(st, edit, "text", 3L, Some("__delta"))
+    val servedF = IncrementalTextIndex.bm25(st, Seq("spark", "query", "fast"))
+    val plan = servedF.queryExecution.executedPlan.toString
+    require("PartitionFilters: \\[[^\\]]*prefix[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined,
+      "q190: the postings probe must carry a prefix partition filter")
+    servedF.select($"doc_id", $"doc_len",
+        floor($"score" * 10000.0 + 0.5).as("score_e4"))
+      .orderBy($"doc_id")
+  }
+
   /** ANN over the PERSISTED IVF index (the 100 TB shape): build the
     * cell-partitioned index once into a temp dir, then answer the same
     * query batch as q53 via a partition-pruned probe — nprobe cell
@@ -1188,6 +1228,7 @@ object LlmQueries {
     "q65_range_frame" -> (q65RangeFrame _),
     "q64_ann_ivf_indexed" -> (q64AnnIvfIndexed _),
     "q63_bm25" -> (q63Bm25 _),
+    "q190_inc_text_index" -> (q190IncTextIndex _),
     "q60_decontaminate" -> (q60Decontaminate _),
     "q59_dup_clusters" -> (q59DupClusters _),
     "q153_cc_alternating" -> (q153CcAlternating _),
@@ -2361,6 +2402,46 @@ object LlmQueries {
          |  FROM toks),
          |stats AS (
          |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |    $dfCols
+         |  FROM tf)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+         |  CAST(floor(($scoreSql) * 10000.0 + 0.5) AS BIGINT) AS score_e4
+         |FROM tf, stats
+         |ORDER BY doc_id""".stripMargin
+    },
+    // q190: the q63 ranking over the NET corpus of the maintained index's
+    // CDC scenario — takedowns (%7=1) removed, edits (%11=3) applied.
+    // avgdl as exact Σdl/N (integer sum in double — both engines exact),
+    // matching the serve side's sum/count.
+    "q190_inc_text_index" -> {
+      val terms = Seq("spark", "query", "fast")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n    ")
+      val dfCols = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(",\n    ")
+      val scoreSql = terms.indices.map { i =>
+        s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
+           | * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"""
+          .stripMargin.replace("\n", "")
+      }.mkString("\n    + ")
+      s"""WITH net AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 3 THEN text || ' spark' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 7 <> 1),
+         |toks AS (
+         |  SELECT doc_id, $toksSql AS t,
+         |    CAST($nTokSql AS DOUBLE) AS dl
+         |  FROM net),
+         |tf AS (
+         |  SELECT doc_id, dl,
+         |    $tfCols
+         |  FROM toks),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
          |    $dfCols
          |  FROM tf)
          |SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,

@@ -89,6 +89,51 @@ class AppendOnlyStore(spark: SparkSession, root: String,
 
   def exists: Boolean = dataFiles().nonEmpty
 
+  // ------------------------------------------- applied-batch manifest
+  // Same design as IncrementalJoin's side manifest: a batch id gains a
+  // `.started` marker before its data lands and a `.done` marker after,
+  // under `<root>/_applied` — OUTSIDE the generation directories, so
+  // compaction's generation swap never disturbs it. `.done` makes a
+  // replay of a COMMITTED batch a physical no-op even after compaction
+  // has folded its rows into Compacted stamps (where the read-side
+  // (key, batch_id) dedup could no longer catch it); a `.started`
+  // without `.done` is a mid-write crash whose retry re-appends rows
+  // that the read/compaction dedup absorbs — but only so long as no
+  // compaction intervenes, which is why [[compactWith]] refuses while
+  // any batch is in flight.
+
+  private def appliedDir = new Path(rootPath, "_applied")
+  private def marker(name: String) = new Path(appliedDir, name)
+  private def touchMarker(name: String): Unit = {
+    fs.mkdirs(appliedDir)
+    val o = fs.create(marker(name), true); o.close()
+  }
+
+  /** True iff `batchId` committed fully (its replay must be a no-op). */
+  def hasApplied(batchId: Long): Boolean =
+    fs.exists(marker(s"$batchId.done"))
+
+  /** Batch ids with a `.started` marker but no `.done` twin. */
+  def inFlightBatches: Seq[String] = {
+    if (!fs.exists(appliedDir)) return Nil
+    val names = fs.listStatus(appliedDir).toSeq.map(_.getPath.getName)
+    val done = names.filter(_.endsWith(".done"))
+      .map(_.stripSuffix(".done")).toSet
+    names.filter(_.endsWith(".started"))
+      .map(_.stripSuffix(".started")).filterNot(done.contains).sorted
+  }
+
+  /** [[append]] under the manifest: exactly-once per `batchId` across
+    * crash-replays, compactions included. Returns false for a committed
+    * replay (nothing written). Single-writer, like all store writes. */
+  def appendOnce(df: DataFrame, batchId: Long): Boolean = {
+    if (hasApplied(batchId)) return false
+    touchMarker(s"$batchId.started")
+    append(df)
+    touchMarker(s"$batchId.done")
+    true
+  }
+
   /** Full store scan (anti-join / probe side of incremental dedup).
     * Read-only: the per-batch cost is one scan of ~fixed-width rows,
     * never a write.
@@ -101,8 +146,35 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     * files are retained until the following one). */
   def read(): DataFrame = {
     val dir = genDir(currentGen)
-    spark.read.option("basePath", dir.toString).parquet(dataFiles(): _*)
+    val files = dataFiles()
+    if (files.isEmpty) {
+      // A store whose every row was retracted (signed IVM) compacts to
+      // ZERO data files — a legal state a serve path must still read.
+      // The schema recorded at first append types the empty frame;
+      // spark.read.parquet() with no files cannot infer one.
+      require(fs.exists(schemaPath),
+        s"store $root is empty and has no recorded schema — nothing " +
+          "was ever appended")
+      val in = fs.open(schemaPath)
+      val json = try scala.io.Source.fromInputStream(in).mkString
+                 finally in.close()
+      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.option("basePath", dir.toString).parquet(files: _*)
   }
+
+  private def schemaPath = new Path(rootPath, "_schema.json")
+
+  /** Record the read-side schema once (data columns + the `prefix`
+    * partition column, typed string) so [[read]] stays well-typed after
+    * a full retraction empties the store. */
+  private def recordSchema(df: DataFrame): Unit =
+    if (!fs.exists(schemaPath)) {
+      val o = fs.create(schemaPath, true)
+      try o.write(df.schema.json.getBytes("UTF-8")) finally o.close()
+    }
 
   /** Append a batch: writes ONLY the batch's own files. The batch is
     * clustered on the prefix before the write — one batch-sized shuffle —
@@ -110,10 +182,13 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     * touching every prefix (unclustered, an N-task batch appends up to
     * N×256 near-empty files; measured ~10× slower on the subsequent
     * store scans than the shuffle it saves). */
-  def append(df: DataFrame): Unit =
-    df.withColumn("prefix", substring(col(prefixCol), 1, prefixChars))
-      .repartition(col("prefix"))
+  def append(df: DataFrame): Unit = {
+    val withPrefix =
+      df.withColumn("prefix", substring(col(prefixCol), 1, prefixChars))
+    recordSchema(withPrefix)
+    withPrefix.repartition(col("prefix"))
       .write.mode("append").partitionBy("prefix").parquet(genDir(currentGen).toString)
+  }
 
   /** Compact the store into ~1 file per prefix partition (the small-files
     * remedy for micro-batch appends), also dropping duplicate rows a
@@ -152,6 +227,13 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     * computes for them. */
   def compactWith(fold: DataFrame => DataFrame,
                   maxFilesUntouched: Int = 1): Unit = {
+    // folding a crashed (started-but-uncommitted) batch's rows into the
+    // compacted stamps would break the retry's (key, batch_id) dedup —
+    // same refusal as IncrementalJoin.requireQuiescent
+    val inFlight = inFlightBatches
+    require(inFlight.isEmpty,
+      s"refusing to compact $root: batches started but never committed " +
+        s"(${inFlight.mkString(", ")}) — retry them to completion first")
     val cur = currentGen
     val next = cur + 1
     val curDir = genDir(cur)

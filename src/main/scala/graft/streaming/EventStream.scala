@@ -381,6 +381,36 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Streaming retractable-extrema maintenance — the twin for
+    * [[graft.ops.MinMaxAgg]]'s value-multiset store. The stream may
+    * carry a signed multiplicity column (CDC deletes/updates as
+    * negative `__delta`); without one every row counts +1. Per-batch
+    * work is one batch-sized fold to (key, value, Σδ) net rows;
+    * replays dedup on the foreachBatch id, and the current min/max/
+    * top-k/quantiles re-fold stored groups off the hot path. */
+  def maintainMinMaxAvailableNow(spark: SparkSession, parquetDir: String,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 store: graft.sinks.AppendOnlyStore,
+                                 spec: graft.ops.MinMaxAgg.Spec,
+                                 checkpointDir: String,
+                                 deltaCol: Option[String] = None): Unit = {
+    val q = spark.readStream.schema(schema).parquet(parquetDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deltaCol match {
+          case Some(c) =>
+            graft.ops.MinMaxAgg.appendDelta(store, batch, spec, batchId, c)
+          case None =>
+            graft.ops.MinMaxAgg.appendBatch(store, batch, spec, batchId)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming set-overlap maintenance — the fifth twin, for
     * [[graft.ops.OverlapAgg]]: each micro-batch folds to one KMV sketch
     * per key and appends; replay dedupes on the foreachBatch id, so

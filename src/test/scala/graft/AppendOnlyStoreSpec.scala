@@ -75,6 +75,23 @@ class AppendOnlyStoreSpec extends SparkSpec {
       "no-op compaction must not publish a new generation")
   }
 
+  test("a fully-retracted store compacts to zero files yet stays readable") {
+    val store = new AppendOnlyStore(spark, tmpDir("aos"), prefixChars = 1)
+    store.append(Seq(("aa-k", 1L), ("ab-k", -1L)).toDF("fingerprint", "v"))
+    store.append(Seq(("aa-k", 2L)).toDF("fingerprint", "v")) // 2 files → dirty
+    // a fold that nets everything away (the signed-IVM full-takedown
+    // shape — q186 at sf0.001 wiped every nation's multiset this way)
+    store.compactWith(df => df.filter(org.apache.spark.sql.functions
+      .col("v") > 100L))
+    assert(store.dataFiles().isEmpty && !store.exists)
+    val empty = store.read() // must NOT throw UNABLE_TO_INFER_SCHEMA
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("fingerprint", "v", "prefix"))
+    // and the store keeps working: a later append revives it
+    store.append(Seq(("ac-k", 3L)).toDF("fingerprint", "v"))
+    assert(contents(store) == Map(("ac-k", 3L) -> 1L))
+  }
+
   test("the fold still sees and shrinks every multi-file prefix's rows") {
     val store = new AppendOnlyStore(spark, tmpDir("aos"), prefixChars = 1)
     val b = Seq(("aa-k", 1L), ("aa-k", 1L), ("ab-k", 2L)).toDF("fingerprint", "v")

@@ -107,6 +107,50 @@ class ChainedIvmSpec extends SparkSpec {
     assert(aggSet(c) == Set(("a", 2L, 17L)))
   }
 
+  test("extrema sink: min/max/median of the join maintained through waves") {
+    import graft.ops.MinMaxAgg
+    val c = ChainedIvm.stores(spark, tmpDir("chainex"), Seq("k"),
+      IncrementalAgg.Spec(Seq("grp"), Seq("v")),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("grp"), "v")))
+    val l1 = leftDf((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 7L))
+    val r1 = rightDf(1L -> "x", 2L -> "y", 3L -> "z", 4L -> "w")
+    ChainedIvm.appendLeft(c, l1, 0L)
+    ChainedIvm.appendRight(c, r1, 10L)
+    def ex() = ChainedIvm.currentExtrema(c)
+      .select($"grp", $"n_rows", $"min_v", $"max_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def med() = ChainedIvm.quantiles(c, Seq(0.5))
+      .select($"grp", $"p50").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ex() == Set(("a", 3L, 10L, 30L), ("b", 1L, 7L, 7L)))
+    assert(med() == Set("a" -> 20L, "b" -> 7L))
+    // delete the max of a AND all of b: extrema shrink, b vanishes
+    ChainedIvm.appendLeftDelta(c,
+      Seq((3L, "a", 30L, -1L), (4L, "b", 7L, -1L))
+        .toDF("k", "grp", "v", "__delta"), 1L)
+    assert(ex() == Set(("a", 2L, 10L, 20L)))
+    assert(med() == Set("a" -> 10L))
+    // replay + whole-chain compaction: invariant
+    ChainedIvm.appendLeftDelta(c,
+      Seq((3L, "a", 30L, -1L), (4L, "b", 7L, -1L))
+        .toDF("k", "grp", "v", "__delta"), 1L)
+    ChainedIvm.compact(c)
+    assert(ex() == Set(("a", 2L, 10L, 20L)))
+    // a RIGHT-side append doubles a key's multiplicity: the median
+    // weighting must see it (k=2 now matches two right rows)
+    ChainedIvm.appendRight(c, rightDf(2L -> "y2"), 11L)
+    // multiset for a: {10, 20, 20} → median 20
+    assert(ex() == Set(("a", 3L, 10L, 20L)))
+    assert(med() == Set("a" -> 20L))
+  }
+
+  test("a chain without extremaSpec refuses extrema reads") {
+    val c = chain()
+    intercept[IllegalStateException] { ChainedIvm.currentExtrema(c) }
+  }
+
   test("the aggregate read never touches join state or raw inputs") {
     val c = chain()
     ChainedIvm.appendLeft(c, leftDf((1L, "a", 10L)), 0L)

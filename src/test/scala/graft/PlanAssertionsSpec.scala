@@ -29,6 +29,7 @@ class PlanAssertionsSpec extends SparkSpec {
       "q29_cosine_topk", "q52_cosine_neardups", "q38_fuzzy_match",
       "q19_check_metrics" /* 1-row x 1-row metric crossJoin */,
       "q63_bm25" /* 1-row corpus-stats broadcast join */,
+      "q190_inc_text_index" /* 1-row maintained-stats broadcast joins */,
       "q78_ann_int8" /* int8 coarse scan broadcasts the query batch */,
       "q79_ann_pq" /* PQ ADC coarse scan broadcasts the query tables */,
       "q80_lm_score" /* 1-row vocab scalar broadcast join */,
