@@ -217,6 +217,138 @@ object DedupOps {
     admitted
   }
 
+  // ------------------------ takedown-aware near-dup (signed LSH store)
+
+  /** Spec of the SIGNED bucket-membership store backing
+    * [[signedMinhashDedupVerified]]: one maintained count per
+    * (bucket_key, doc) — an [[IncrementalAgg]] store, so signed deltas,
+    * the applied-batch replay manifest, and per-prefix incremental
+    * compaction are all inherited. A taken-down doc's memberships net
+    * to zero and stop rejecting newcomers — the right-to-be-forgotten
+    * semantics the append-only store in [[incrementalMinhashDedup]]
+    * cannot express. */
+  def signedBucketSpec(idCol: String): IncrementalAgg.Spec =
+    IncrementalAgg.Spec(Seq("bucket_key", idCol), Nil)
+
+  /** Open the signed membership store (16 hash-prefix directories). */
+  def signedBucketStore(spark: org.apache.spark.sql.SparkSession,
+                        root: String): graft.sinks.AppendOnlyStore =
+    new graft.sinks.AppendOnlyStore(spark, root,
+      prefixCol = "__agg_key", prefixChars = 1)
+
+  /** LIVE (bucket_key, id) memberships colliding with the batch's keys:
+    * the store's partials are semi-joined down to the batch's bucket
+    * keys BEFORE the net-multiplicity refold, so the refold shuffles a
+    * candidate-bounded slice, never the accumulated state. */
+  private def liveCollisions(store: graft.sinks.AppendOnlyStore,
+                             bk: DataFrame, idCol: String,
+                             broadcastBatch: Boolean): DataFrame = {
+    val keys = bk.select(col("bucket_key")).distinct()
+    val probe = if (broadcastBatch) broadcast(keys) else keys
+    store.read()
+      .join(probe, Seq("bucket_key"), "left_semi")
+      .dropDuplicates("bucket_key", idCol, "__batch_id")
+      .groupBy(col("bucket_key"), col(idCol))
+      .agg(sum(col("__cnt")).as("__net"))
+      .filter(col("__net") > 0)
+      .select(col("bucket_key"), col(idCol))
+  }
+
+  /** [[incrementalMinhashDedupVerified]] against a SIGNED membership
+    * store: admission is decided against the docs currently LIVE in the
+    * store (inserts minus takedowns), and the admitted batch's
+    * memberships land as +1 deltas under `batchId` — exactly-once across
+    * crash-replays via the store manifest, and (unlike the unsigned
+    * variant) the RETURNED admitted set is replay-stable too: a replayed
+    * batch's own stored keys are ignored via the id1 ≠ id2 guard.
+    *
+    * `corpus` must be the currently-live admitted docs (id + text) — the
+    * text lookup for exact-Jaccard verification of cross-batch bucket
+    * collisions; it is semi-joined to candidate ids before any
+    * shingling, so verification work tracks the candidate set. Per-batch
+    * IO: tokenize + one candidate-bounded store probe + a batch-sized
+    * append; the state is never rewritten outside compaction
+    * ([[IncrementalAgg.compact]] with [[signedBucketSpec]]). */
+  def signedMinhashDedupVerified(batch: DataFrame, textCol: String,
+                                 idCol: String,
+                                 store: graft.sinks.AppendOnlyStore,
+                                 corpus: DataFrame, threshold: Double,
+                                 batchId: Long,
+                                 k: Int = 64, bands: Int = 16,
+                                 shingleLen: Int = 3, seed: Long = 42L,
+                                 maxBucketSize: Int = 1000,
+                                 broadcastBatch: Boolean = true): DataFrame = {
+    val bk = bucketKeys(batch, textCol, idCol, k, bands, shingleLen, seed)
+      .cutLineage()
+    val withinPairs = bk.groupBy(col("bucket_key"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS id1, y AS id2))))""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2")).distinct()
+      .withColumn("is_cross", lit(false))
+    val crossPairs =
+      if (store.exists)
+        liveCollisions(store, bk, idCol, broadcastBatch)
+          .withColumnRenamed(idCol, "id1")
+          .join((if (broadcastBatch) broadcast(bk) else bk)
+            .withColumnRenamed(idCol, "id2"), Seq("bucket_key"))
+          // a replayed batch sees its own first-run memberships: self-
+          // pairs are replay artifacts, not duplicates
+          .filter(col("id1") =!= col("id2"))
+          .select(col("id1"), col("id2")).distinct()
+          .withColumn("is_cross", lit(true))
+      else withinPairs.limit(0)
+    val cand = withinPairs.unionByName(crossPairs).cutLineage()
+    val candIds = cand.select(col("id1").as(idCol))
+      .unionByName(cand.select(col("id2").as(idCol))).distinct()
+    val lookup = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .cutLineage()
+    val verified = cand
+      .join(lookup.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(lookup.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")) >= threshold)
+      .select(col("id1"), col("id2"), col("is_cross"))
+      .cutLineage()
+    val withinDups = dupClusters(verified.filter(!col("is_cross")))
+      .filter(!col("is_canonical"))
+      .select(col("node").as(idCol))
+    val rejected = withinDups
+      .unionByName(verified.filter(col("is_cross")).select(col("id2").as(idCol)))
+      .distinct()
+    val admitted = batch.join(rejected, Seq(idCol), "left_anti").cache()
+    IncrementalAgg.appendDelta(store,
+      bk.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col("bucket_key"), col(idCol))
+        .withColumn("__delta", lit(1L)),
+      signedBucketSpec(idCol), batchId, "__delta")
+    admitted
+  }
+
+  /** Retract removed docs from the signed membership store: re-present
+    * each removed doc's text (same k/bands/shingleLen/seed as at admit —
+    * LSH keys are deterministic in (text, params), so the −1 deltas land
+    * on exactly the rows the admit stored and net them to zero). Replays
+    * of `batchId` are no-ops via the store manifest. Cost tracks the
+    * takedown wave, never the corpus. */
+  def nearDupTakedown(store: graft.sinks.AppendOnlyStore,
+                      removed: DataFrame, textCol: String, idCol: String,
+                      batchId: Long,
+                      k: Int = 64, bands: Int = 16,
+                      shingleLen: Int = 3, seed: Long = 42L): Unit =
+    IncrementalAgg.appendDelta(store,
+      bucketKeys(removed, textCol, idCol, k, bands, shingleLen, seed)
+        .withColumn("__delta", lit(-1L)),
+      signedBucketSpec(idCol), batchId, "__delta")
+
   // ------------------------------------------------------------- minhash
 
   /** Deterministic MinHash coefficient pairs (a,b) over the Mersenne prime

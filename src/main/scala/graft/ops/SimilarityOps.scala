@@ -333,6 +333,109 @@ object SimilarityOps {
       .select(col(qIdCol), col(idCol), col("cos"), col("rank"))
   }
 
+  // ------------------------------------------- signed (deletable) index
+
+  /** An IVF index whose memberships are a SIGNED multiset — the
+    * [[IvfIndex]] contract plus deletes/re-embeds: a takedown re-presents
+    * the vector with multiplicity −1 and its membership nets to zero; a
+    * re-embed is −old +new under one batch id (the two rows land in
+    * whatever cells the old/new vectors map to — cross-cell moves are
+    * just two one-sided deltas). State lives in an [[graft.sinks.
+    * AppendOnlyStore]] keyed by a per-cell prefix (`c%02d`, prefixChars=3
+    * → exactly one directory per cell), so a probe still prunes to the
+    * nprobe cell DIRECTORIES; the applied-batch manifest makes replays
+    * physical no-ops even across compactions. Centroids stay frozen by
+    * the same contract as [[IvfIndex]]. */
+  final case class SignedIvfIndex(store: graft.sinks.AppendOnlyStore,
+                                  centroids: IndexedSeq[(Int, Seq[Float])],
+                                  idCol: String, vecCol: String)
+
+  private val CellKeyCol = "__cell_key"
+  private val SignedIvfCompactedId = Long.MinValue
+
+  def openSignedIvf(spark: org.apache.spark.sql.SparkSession, root: String,
+                    centroids: IndexedSeq[(Int, Seq[Float])],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): SignedIvfIndex =
+    SignedIvfIndex(new graft.sinks.AppendOnlyStore(spark, root,
+      prefixCol = CellKeyCol, prefixChars = 3), centroids, idCol, vecCol)
+
+  /** Maintain the index with one signed batch: assign cells against the
+    * frozen centroids (one batch-sized pass, no shuffle of state), append
+    * under `batchId` — exactly-once across crash-replays. Per-batch IO
+    * tracks the batch, never the index. */
+  def signedIvfAppend(idx: SignedIvfIndex, batch: DataFrame, batchId: Long,
+                      deltaCol: Option[String] = None): Unit = {
+    fused(batch)
+    val d = deltaCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val assigned = assignCells(
+      batch.select(col(idx.idCol), col(idx.vecCol), d.as("__delta")),
+      idx.centroids, idx.vecCol)
+    idx.store.appendOnce(assigned
+      .withColumn(CellKeyCol, format_string("c%02d", col("cell")))
+      .select(col(CellKeyCol), col(idx.idCol), col(idx.vecCol),
+        col("__delta"), lit(batchId).as("__batch_id")), batchId)
+  }
+
+  /** LIVE vectors in the given cells: the pruned scan (nprobe prefix
+    * directories, never the index) netted to positive multiplicity.
+    * Grouping includes the vector itself so a re-embed's −old/+new rows
+    * net independently; crash-retry duplicates dedup on
+    * (cell, id, batch, Δ). */
+  private def signedIvfLive(idx: SignedIvfIndex, cells: Seq[Int]): DataFrame = {
+    val keys = cells.map(c => f"c$c%02d")
+    idx.store.read()
+      .filter(col("prefix").isin(keys: _*))
+      .dropDuplicates(CellKeyCol, idx.idCol, "__batch_id", "__delta")
+      .groupBy(col(CellKeyCol), col(idx.idCol), col(idx.vecCol))
+      .agg(sum(col("__delta")).as("__net"))
+      .filter(col("__net") > 0)
+      .withColumn("cell",
+        substring(col(CellKeyCol), 2, 2).cast("int"))
+      .select(col("cell"), col(idx.idCol), col(idx.vecCol))
+  }
+
+  /** ANN over the signed index — [[ivfTopKIndexed]] semantics over the
+    * CURRENT (net) memberships: identical results to rebuilding a plain
+    * index from the net corpus with the same centroids. The probed cells
+    * drive directory pruning of the state scan; the net refold shuffles
+    * only the probed slice (~nprobe/nlist of the index, one row per live
+    * vector after compaction). */
+  def signedIvfTopK(idx: SignedIvfIndex, queries: DataFrame, k: Int,
+                    nprobe: Int = 4,
+                    qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    fused(queries)
+    val probed = queries.withColumn("probe",
+      explode(slice(reverse(array_sort(
+        cellScoresFor(idx.centroids)(col(qVecCol)))), 1, nprobe)))
+      .withColumn("cell", col("probe.cid")).drop("probe")
+    val cells = probed.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val scored = signedIvfLive(idx, cells)
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col(idx.idCol) =!= col(qIdCol))
+      .withColumn("cos", round(
+        graft.functions.CosineSimilarity(col(idx.vecCol), col(qVecCol)), 4))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cos").desc, col(idx.idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idx.idCol), col("cos"), col("rank"))
+  }
+
+  /** Collapse each live (cell, vector) to one +net row (fully-retracted
+    * vectors leave the store) — per-prefix incremental via the store's
+    * generation swap; result-invariant for [[signedIvfTopK]]. */
+  def signedIvfCompact(idx: SignedIvfIndex): Unit =
+    idx.store.compactWith { df =>
+      df.dropDuplicates(CellKeyCol, idx.idCol, "__batch_id", "__delta")
+        .groupBy(col(CellKeyCol), col(idx.idCol), col(idx.vecCol))
+        .agg(sum(col("__delta")).as("__delta"))
+        .filter(col("__delta") > 0)
+        .select(col(CellKeyCol), col(idx.idCol), col(idx.vecCol),
+          col("__delta"), lit(SignedIvfCompactedId).as("__batch_id"))
+    }
+
   /** Exact embedding-cosine near-dup pairs by brute force — O(n²) scored
     * with the fused native expression. This is the RECALL ORACLE for
     * [[cosineNearDups]], not a corpus-scale operator: the guard refuses

@@ -641,6 +641,42 @@ object LlmQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** ANN over the SIGNED (deletable) IVF index (q192): q64's probe kept
+    * correct through a takedown wave (vectors %5=1 retract, memberships
+    * net to zero), a replayed takedown straddling a compaction (manifest
+    * no-op), and a re-embed wave (%7=3: −old +new under one batch id —
+    * vectors may MOVE cells). Served results must equal a fresh IVF
+    * build over the net corpus with the same frozen centroids; the
+    * state probe must prune to the probed cell directories (in-query
+    * plan require). */
+  def q192SignedIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = SimilarityOps.seedCentroids(emb, 16)
+    val idx = SimilarityOps.openSignedIvf(s,
+      java.nio.file.Files.createTempDirectory("q192ivf").toString, centroids)
+    SimilarityOps.signedIvfAppend(idx, emb.filter($"vec_id" % 3 =!= 2), 0L)
+    SimilarityOps.signedIvfAppend(idx, emb.filter($"vec_id" % 3 === 2), 1L)
+    val td = emb.filter($"vec_id" % 5 === 1).withColumn("__delta", lit(-1L))
+    SimilarityOps.signedIvfAppend(idx, td, 2L, Some("__delta"))
+    SimilarityOps.signedIvfCompact(idx)
+    SimilarityOps.signedIvfAppend(idx, td, 2L, Some("__delta")) // replay
+    val re = emb.filter($"vec_id" % 7 === 3 && $"vec_id" % 5 =!= 1)
+    SimilarityOps.signedIvfAppend(idx,
+      re.select($"vec_id", $"embedding", lit(-1L).as("__delta"))
+        .unionByName(re.select($"vec_id",
+          reverse($"embedding").as("embedding"), lit(1L).as("__delta"))),
+      3L, Some("__delta"))
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val res = SimilarityOps.signedIvfTopK(idx, queries, k = 5, nprobe = 4)
+    val plan = res.queryExecution.executedPlan.toString
+    require("PartitionFilters: \\[[^\\]]*prefix[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined,
+      "q192: the signed-IVF probe must prune on the prefix partition")
+    res.orderBy($"q_id", $"rank")
+  }
+
   /** Time-RANGE window frame: per-user rolling 10-minute value sum. RANGE
     * frames (vs ROWS) are the event-time analytics primitive — the frame
     * is defined by the ORDER-BY value, so ties share a frame and the
@@ -759,6 +795,50 @@ object LlmQueries {
       .withColumn("admitted", lit(1L))
     docs.select($"doc_id").join(admitted, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"admitted", lit(0L)).as("admitted"))
+      .orderBy($"doc_id")
+  }
+
+  /** Takedown-aware incremental near-dedup (q191): the q77 pipeline on
+    * the SIGNED membership store — batch 1 (even ids) admits canonicals,
+    * a takedown wave retracts every admitted doc ending in 4 (their LSH
+    * memberships net to zero), the store compacts, the takedown REPLAYS
+    * (manifest no-op), then batch 2 (odd ids, including planted twins of
+    * exactly the taken-down docs) is admitted against the LIVE store —
+    * so a twin of a taken-down doc gets IN, while a twin of a surviving
+    * canonical stays out. At threshold 1.0 the live set is a pure
+    * function of shingle-set groups and the even/odd/takedown schedule,
+    * which DuckDB computes directly. */
+  def q191TakedownNearDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = withPlantedDups(Tables.load(s, dir, "documents"))
+    // odd twins of the future takedown wave: the docs whose admission
+    // REQUIRES the takedown to have really freed their shingle group
+    val docs = base.unionByName(
+      base.filter($"doc_id" % 10 === 4)
+        .select(($"doc_id" + 200001L).as("doc_id"), $"text"))
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val store = DedupOps.signedBucketStore(s,
+      java.nio.file.Files.createTempDirectory("q191buckets").toString)
+    val a1 = DedupOps.signedMinhashDedupVerified(even, "text", "doc_id",
+      store, corpus = even.limit(0), threshold = 1.0, batchId = 0L,
+      k = 32, bands = 8)
+    val takedown = a1.filter($"doc_id" % 10 === 4)
+    DedupOps.nearDupTakedown(store, takedown, "text", "doc_id", 1L,
+      k = 32, bands = 8)
+    graft.ops.IncrementalAgg.compact(store, DedupOps.signedBucketSpec("doc_id"))
+    // replayed takedown AFTER compaction: the applied-batch manifest
+    // makes it a physical no-op (double-retraction would corrupt nets)
+    DedupOps.nearDupTakedown(store, takedown, "text", "doc_id", 1L,
+      k = 32, bands = 8)
+    val live1 = a1.filter($"doc_id" % 10 =!= 4)
+    val a2 = DedupOps.signedMinhashDedupVerified(odd, "text", "doc_id",
+      store, corpus = live1, threshold = 1.0, batchId = 2L,
+      k = 32, bands = 8)
+    docs.select($"doc_id")
+      .join(live1.select($"doc_id").unionByName(a2.select($"doc_id"))
+        .withColumn("live", lit(1L)), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"live", lit(0L)).as("live"))
       .orderBy($"doc_id")
   }
 
@@ -1219,6 +1299,7 @@ object LlmQueries {
     "q79_ann_pq" -> (q79AnnPq _),
     "q78_ann_int8" -> (q78AnnInt8 _),
     "q77_incremental_neardup" -> (q77IncrementalNearDedup _),
+    "q191_takedown_neardup" -> (q191TakedownNearDedup _),
     "q74_bpe_pairs" -> (q74BpePairs _),
     "q73_repeated_spans" -> (q73RepeatedSpans _),
     "q70_repetition" -> (q70Repetition _),
@@ -1227,6 +1308,7 @@ object LlmQueries {
     "q66_pack" -> (q66Pack _),
     "q65_range_frame" -> (q65RangeFrame _),
     "q64_ann_ivf_indexed" -> (q64AnnIvfIndexed _),
+    "q192_signed_ivf_ann" -> (q192SignedIvfAnn _),
     "q63_bm25" -> (q63Bm25 _),
     "q190_inc_text_index" -> (q190IncTextIndex _),
     "q60_decontaminate" -> (q60Decontaminate _),
@@ -1921,6 +2003,36 @@ object LlmQueries {
          |SELECT q_id, vec_id, cos, rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // q191: live = survives batch-1 (evens), the %10=4 takedown of its
+    // admitted canonicals, and batch-2 (odds + twins of the taken-down)
+    "q191_takedown_neardup" ->
+      s"""WITH base AS (
+         |  $plantedSql),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 200001 AS doc_id, text FROM base
+         |  WHERE doc_id % 10 = 4),
+         |keyed AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort($shingles3Sql), chr(30))) AS set_key
+         |  FROM all_docs),
+         |g AS (
+         |  SELECT set_key,
+         |    min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS min_even,
+         |    min(CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS min_odd
+         |  FROM keyed GROUP BY set_key)
+         |SELECT k.doc_id,
+         |  CAST(CASE WHEN k.doc_id % 2 = 0 THEN
+         |    CASE WHEN k.doc_id = g.min_even AND g.min_even % 10 <> 4
+         |         THEN 1 ELSE 0 END
+         |  ELSE
+         |    CASE WHEN k.doc_id = g.min_odd
+         |           AND (g.min_even IS NULL OR g.min_even % 10 = 4)
+         |         THEN 1 ELSE 0 END
+         |  END AS BIGINT) AS live
+         |FROM keyed k JOIN g USING (set_key)
+         |ORDER BY k.doc_id""".stripMargin,
     "q77_incremental_neardup" ->
       s"""WITH all_docs AS (
          |  $plantedSql),
@@ -2117,6 +2229,49 @@ object LlmQueries {
     // identical pipeline contract: the persisted index must reproduce the
     // recompute-everything IVF result exactly
     "q64_ann_ivf_indexed" -> ivfOracleSql,
+    // q192: the q64 oracle over the NET corpus — takedowns (%5=1)
+    // removed, re-embeds (%7=3) applied — against the ORIGINAL-corpus
+    // centroid seeds (frozen by contract)
+    "q192_signed_ivf_ann" ->
+      s"""WITH cent AS (
+         |  SELECT CAST((rn - 1) / 7 AS INT) AS cid, embedding AS c
+         |  FROM (SELECT vec_id, embedding,
+         |          row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM embeddings ORDER BY vec_id LIMIT 112)
+         |  WHERE (rn - 1) % 7 = 0),
+         |net AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
+         |         ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 5 <> 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c")} DESC, c.cid DESC) AS rn
+         |    FROM net e CROSS JOIN cent c) WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT q_id, q_vec, cell FROM (
+         |    SELECT q.q_id, q.q_vec, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("q.q_vec", "c.c")} DESC, c.cid DESC) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    round(${cosSql("a.embedding", "p.q_vec")}, 4) AS cos
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "q119_banded_neardup" ->
       """WITH all_vecs AS (
         |  SELECT vec_id, embedding FROM embeddings
