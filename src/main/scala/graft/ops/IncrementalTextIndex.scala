@@ -126,7 +126,16 @@ object IncrementalTextIndex {
     * PREFIX partition column first — directory pruning — then exact
     * terms; stats (N, Σdl→avgdl, per-term df) fold to one broadcast row. */
   def bm25(st: Stores, terms: Seq[String],
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredDocs(st, terms, k1, b, candidatesOnly = false)
+
+  /** The shared serve core. `candidatesOnly = false` scores every live
+    * doc (full-ranking contract, zero score when nothing matches);
+    * `true` inner-joins the doc lengths TO the candidate tf rows, so
+    * scoring work is df-bounded — unmatched docs never enter the plan. */
+  private def scoredDocs(st: Stores, terms: Seq[String],
+                         k1: Double, b: Double,
+                         candidatesOnly: Boolean): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one term")
     val id = col(st.idCol)
     val prefixes = terms.map(termKey(_).take(2)).distinct
@@ -144,7 +153,9 @@ object IncrementalTextIndex {
     val tfWide = post.groupBy(id).agg(tfAggs.head, tfAggs.tail: _*)
     val docsCur = currentDocs(st)
       .select(id, col("doc_len").cast("double").as("doc_len"))
-    val withTf = docsCur.join(tfWide, Seq(st.idCol), "left")
+    val withTf = (if (candidatesOnly)
+        tfWide.join(docsCur, Seq(st.idCol))
+      else docsCur.join(tfWide, Seq(st.idCol), "left"))
       .select(id +: col("doc_len") +: terms.indices.map(i =>
         coalesce(col(s"__tf$i").cast("double"), lit(0.0)).as(s"__tf$i")): _*)
     // global stats: one row each, broadcast — avgdl as exact Σdl/N
@@ -165,6 +176,42 @@ object IncrementalTextIndex {
     withTf.crossJoin(broadcast(nStats)).crossJoin(broadcast(dfStats))
       .select(id, col("doc_len").cast("long").as("doc_len"),
         score.as("score"))
+  }
+
+  /** Top-`kTop` BM25 — the serve-cost story [[bm25]] can't tell at
+    * 100 TB: scoring is restricted to docs holding AT LEAST ONE query
+    * term's posting. Sound because Okapi idf here is
+    * `ln((N−df+0.5)/(df+0.5)+1) > 0` always and tf-less terms
+    * contribute 0, so every unmatched doc scores exactly 0.0 — strictly
+    * below every matched doc. Serve cost: a directory-pruned df-bounded
+    * postings probe + a key-join for the candidates' doc lengths + one
+    * aggregate-only pass for (N, Σdl) — never a per-doc corpus scoring
+    * pass. When fewer than `kTop` docs match, the remainder pads from
+    * the zero-score tier in doc-id order (the same total order the full
+    * ranking would produce). Scores are served quantized (`score_e4`,
+    * floor(score·10⁴+0.5)) and ranked on (score_e4 DESC, id ASC) — a
+    * total integer order, so the cut is engine-portable. */
+  def bm25TopK(st: Stores, terms: Seq[String], kTop: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kTop > 0, "bm25TopK needs kTop > 0")
+    val id = col(st.idCol)
+    val matched = scoredDocs(st, terms, k1, b, candidatesOnly = true)
+      .withColumn("score_e4", floor(col("score") * 10000.0 + 0.5))
+      .drop("score")
+    // zero-score pad: only consulted when matches run out; the kTop
+    // smallest-id unmatched docs suffice for any cut (an aggregate-free
+    // ordered limit over the doc-length state, no scoring)
+    val pad = currentDocs(st)
+      .join(matched.select(id), Seq(st.idCol), "left_anti")
+      .orderBy(id).limit(kTop)
+      .withColumn("score_e4", lit(0L))
+    // the cut compiles to TakeOrderedAndProject — a distributed heap,
+    // never a global sort; the rank window then orders ≤ kTop rows
+    val cut = matched.unionByName(pad)
+      .orderBy(col("score_e4").desc, id.asc).limit(kTop)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e4").desc, id.asc)
+    cut.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Compact both stores (quiescence, single-writer — the standard

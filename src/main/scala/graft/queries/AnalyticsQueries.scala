@@ -701,6 +701,44 @@ object AnalyticsQueries {
     graft.ops.GraphOps.triangleCount(pairs)
   }
 
+  /** Maintained triangle count under signed edge waves (q195): the q159
+    * co-occurrence graph kept counted through two insert waves, a delete
+    * wave, a replayed delete straddling a compaction, and a partial
+    * re-insert — served from the count store's partials (never a
+    * re-enumeration; the Δ-rule's δAA/δδA/δδδ terms are the only graph
+    * work per batch). Oracle = the q159 triangle join over the net edge
+    * set. */
+  def q195IncTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalTriangles
+    val li = t(s, dir, "lineitem").where($"l_quantity" >= 45)
+      .select($"l_orderkey", $"l_partkey")
+    val e = li
+      .join(li.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .where($"l_partkey" =!= $"p2")
+      .select(least($"l_partkey", $"p2").as("src"),
+        greatest($"l_partkey", $"p2").as("dst"))
+      .distinct()
+    val st = IncrementalTriangles.stores(s,
+      java.nio.file.Files.createTempDirectory("q195tri").toString)
+    def signed(df: org.apache.spark.sql.DataFrame, d: Long) =
+      df.withColumn("__delta", lit(d))
+    IncrementalTriangles.appendDelta(st,
+      signed(e.filter(($"src" + $"dst") % 2 === 0), 1L), 0L)
+    IncrementalTriangles.appendDelta(st,
+      signed(e.filter(($"src" + $"dst") % 2 === 1), 1L), 1L)
+    val takedown = signed(e.filter($"src" % 5 === 0), -1L)
+    IncrementalTriangles.appendDelta(st, takedown, 2L)
+    IncrementalTriangles.compact(st)
+    IncrementalTriangles.appendDelta(st, takedown, 2L) // replay: no-op
+    IncrementalTriangles.appendDelta(st,
+      signed(e.filter($"src" % 5 === 0 && $"dst" % 3 === 0), 1L), 3L)
+    IncrementalTriangles.current(st)
+      .crossJoin(broadcast(IncrementalTriangles.currentEdges(st)
+        .agg(count(lit(1)).as("n_edges"))))
+      .select($"n_edges", $"n_triangles")
+  }
+
   /** Edit-distance similarity self-join (q160): all customer-name pairs
     * within Levenshtein distance 2, via [[graft.ops.FuzzyJoin]]'s
     * PassJoin segment blocking — explode + equi-join + banded verify,
@@ -1018,6 +1056,7 @@ object AnalyticsQueries {
     "q166_window_breadth" -> (q166WindowBreadth _),
     "q164_clustering_coeff" -> (q164ClusteringCoeff _),
     "q159_triangles" -> (q159Triangles _),
+    "q195_inc_triangles" -> (q195IncTriangles _),
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
     "q161_rolling_anomaly" -> (q161RollingAnomaly _),
     "q174_interval_overlap" -> (q174IntervalOverlap _),
@@ -1168,6 +1207,23 @@ object AnalyticsQueries {
         |FROM e e1
         |JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
         |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    // q195: q159's triangle join over the NET edge set — the %src=0
+    // takedown applied, its (dst%3=0) slice re-inserted
+    "q195_inc_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+        |e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |net AS (
+        |  SELECT u, v FROM e WHERE u % 5 <> 0 OR v % 3 = 0)
+        |SELECT (SELECT count(*) FROM net) AS n_edges,
+        |  (SELECT count(*)
+        |   FROM net e1
+        |   JOIN net e2 ON e1.u = e2.u AND e1.v < e2.v
+        |   JOIN net e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin,
     "q160_fuzzy_join" ->
       """WITH c AS (
         |  SELECT c_custkey AS id, c_name AS s FROM customer

@@ -593,12 +593,15 @@ object LlmQueries {
     * probe must partition-prune the postings store by term key
     * (in-query plan require). Oracle = the q63 SQL over the NET
     * corpus (takedowns removed, edits applied). */
-  def q190IncTextIndex(s: SparkSession, dir: String): DataFrame = {
+  /** The q190/q193 index scenario: two insert batches, a takedown wave,
+    * a replayed takedown, a whole-index compaction, an edit wave. */
+  private def cdcTextIndex(s: SparkSession, dir: String,
+                           tag: String): graft.ops.IncrementalTextIndex.Stores = {
     import s.implicits._
     import graft.ops.IncrementalTextIndex
     val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
     val st = IncrementalTextIndex.stores(s,
-      java.nio.file.Files.createTempDirectory("q190idx").toString, "doc_id")
+      java.nio.file.Files.createTempDirectory(tag).toString, "doc_id")
     IncrementalTextIndex.appendDelta(st,
       docs.filter($"doc_id" % 3 =!= 2), "text", 0L)
     IncrementalTextIndex.appendDelta(st,
@@ -613,12 +616,78 @@ object LlmQueries {
       .unionByName(editable.select($"doc_id",
         concat($"text", lit(" spark")).as("text"), lit(1L).as("__delta")))
     IncrementalTextIndex.appendDelta(st, edit, "text", 3L, Some("__delta"))
+    st
+  }
+
+  def q190IncTextIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalTextIndex
+    val st = cdcTextIndex(s, dir, "q190idx")
     val servedF = IncrementalTextIndex.bm25(st, Seq("spark", "query", "fast"))
     val plan = servedF.queryExecution.executedPlan.toString
     require("PartitionFilters: \\[[^\\]]*prefix[^\\]]*\\]".r
         .findFirstIn(plan).isDefined,
       "q190: the postings probe must carry a prefix partition filter")
     servedF.select($"doc_id", $"doc_len",
+        floor($"score" * 10000.0 + 0.5).as("score_e4"))
+      .orderBy($"doc_id")
+  }
+
+  /** Top-k search over the maintained index (q193): the q190 scenario
+    * served through [[graft.ops.IncrementalTextIndex.bm25TopK]] —
+    * scoring restricted to docs holding a query-term posting (sound:
+    * unmatched docs score exactly 0, below every match), the cut a
+    * distributed heap, ranks on the quantized (score_e4, doc_id) total
+    * order. The plan must show NO join against the full doc-length
+    * state on the scoring path (candidates inner-join doc lengths; the
+    * only full passes are the two broadcast stat aggregates). Oracle =
+    * the q190 ranking's top 25. */
+  def q193TextTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalTextIndex
+    val st = cdcTextIndex(s, dir, "q193idx")
+    IncrementalTextIndex.bm25TopK(st, Seq("spark", "query", "fast"), 25)
+      .select($"doc_id", $"doc_len", $"score_e4", $"rank")
+      .orderBy($"rank")
+  }
+
+  /** CDC-fed search index, streaming (q194): the q190 scenario reached
+    * at stream cadence — a three-wave signed document topic (inserts;
+    * late inserts; takedowns + edits as −old/+new) drained by
+    * [[graft.streaming.CorpusStream.maintainTextIndexAvailableNow]] at
+    * one file per micro-batch, then compacted and served from state.
+    * Signed deltas commute, so the ranking is invariant to how the
+    * source carves files into batches. Oracle = batch BM25 over the net
+    * corpus (same as q190). */
+  def q194CdcTextIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.ops.IncrementalTextIndex
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val topic = java.nio.file.Files.createTempDirectory("q194topic").toString
+    def emit(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(topic)
+    emit(docs.filter($"doc_id" % 3 =!= 2).withColumn("__delta", lit(1L)))
+    emit(docs.filter($"doc_id" % 3 === 2).withColumn("__delta", lit(1L)))
+    val editable = docs.filter($"doc_id" % 11 === 3 && $"doc_id" % 7 =!= 1)
+    emit(docs.filter($"doc_id" % 7 === 1).withColumn("__delta", lit(-1L))
+      .unionByName(editable.select($"doc_id", $"text",
+        lit(-1L).as("__delta")))
+      .unionByName(editable.select($"doc_id",
+        concat($"text", lit(" spark")).as("text"), lit(1L).as("__delta"))))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("__delta", LongType)))
+    val root = java.nio.file.Files.createTempDirectory("q194idx").toString
+    val st = IncrementalTextIndex.stores(s, s"$root/index", "doc_id")
+    val nBatches = graft.streaming.CorpusStream.maintainTextIndexAvailableNow(
+      s, topic, schema, st, checkpointDir = s"$root/_checkpoint",
+      deltaCol = Some("__delta"), maxFilesPerTrigger = Some(1))
+    require(nBatches >= 3,
+      s"expected one micro-batch per wave file at least, got $nBatches")
+    IncrementalTextIndex.compact(st)
+    IncrementalTextIndex.bm25(st, Seq("spark", "query", "fast"))
+      .select($"doc_id", $"doc_len",
         floor($"score" * 10000.0 + 0.5).as("score_e4"))
       .orderBy($"doc_id")
   }
@@ -1311,6 +1380,8 @@ object LlmQueries {
     "q192_signed_ivf_ann" -> (q192SignedIvfAnn _),
     "q63_bm25" -> (q63Bm25 _),
     "q190_inc_text_index" -> (q190IncTextIndex _),
+    "q193_text_topk" -> (q193TextTopK _),
+    "q194_cdc_text_index" -> (q194CdcTextIndex _),
     "q60_decontaminate" -> (q60Decontaminate _),
     "q59_dup_clusters" -> (q59DupClusters _),
     "q153_cc_alternating" -> (q153CcAlternating _),
@@ -1346,6 +1417,62 @@ object LlmQueries {
   private val nTokSql =
     s"CASE WHEN length($normSql) = 0 THEN 0 ELSE len($toksSql) END"
   private val stopListSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** BM25 over the q190/q193/q194 NET corpus (takedowns %7=1 removed,
+    * edits %11=3 applied), as DuckDB SQL — full ranking ordered by
+    * doc_id, or the top-`topK` cut on the (score_e4, doc_id) total
+    * order with ranks. */
+  private def bm25NetOracle(topK: Option[Int]): String = {
+    val terms = Seq("spark", "query", "fast")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+      .mkString(",\n    ")
+    val scoreSql = terms.indices.map { i =>
+      s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
+         | * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"""
+        .stripMargin.replace("\n", "")
+    }.mkString("\n    + ")
+    val tail = topK match {
+      case None =>
+        s"""SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+           |  CAST(floor(($scoreSql) * 10000.0 + 0.5) AS BIGINT) AS score_e4
+           |FROM tf, stats
+           |ORDER BY doc_id""".stripMargin
+      case Some(k) =>
+        s"""scored AS (
+           |  SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+           |    CAST(floor(($scoreSql) * 10000.0 + 0.5) AS BIGINT) AS score_e4
+           |  FROM tf, stats)
+           |SELECT doc_id, doc_len, score_e4,
+           |  row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS rank
+           |FROM scored
+           |ORDER BY score_e4 DESC, doc_id
+           |LIMIT $k""".stripMargin
+    }
+    val statsClose = if (topK.isDefined) "," else ""
+    s"""WITH net AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 3 THEN text || ' spark' ELSE text END
+       |      AS text
+       |  FROM documents WHERE doc_id % 7 <> 1),
+       |toks AS (
+       |  SELECT doc_id, $toksSql AS t,
+       |    CAST($nTokSql AS DOUBLE) AS dl
+       |  FROM net),
+       |tf AS (
+       |  SELECT doc_id, dl,
+       |    $tfCols
+       |  FROM toks),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+       |    $dfCols
+       |  FROM tf)$statsClose
+       |$tail""".stripMargin
+  }
 
   /** The planted-duplicate corpus, as SQL (twin of [[withPlantedDups]]). */
   private val plantedSql =
@@ -2568,42 +2695,11 @@ object LlmQueries {
     // CDC scenario — takedowns (%7=1) removed, edits (%11=3) applied.
     // avgdl as exact Σdl/N (integer sum in double — both engines exact),
     // matching the serve side's sum/count.
-    "q190_inc_text_index" -> {
-      val terms = Seq("spark", "query", "fast")
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf$i"
-      }.mkString(",\n    ")
-      val dfCols = terms.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
-        .mkString(",\n    ")
-      val scoreSql = terms.indices.map { i =>
-        s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
-           | * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"""
-          .stripMargin.replace("\n", "")
-      }.mkString("\n    + ")
-      s"""WITH net AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 11 = 3 THEN text || ' spark' ELSE text END
-         |      AS text
-         |  FROM documents WHERE doc_id % 7 <> 1),
-         |toks AS (
-         |  SELECT doc_id, $toksSql AS t,
-         |    CAST($nTokSql AS DOUBLE) AS dl
-         |  FROM net),
-         |tf AS (
-         |  SELECT doc_id, dl,
-         |    $tfCols
-         |  FROM toks),
-         |stats AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n,
-         |    CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
-         |    $dfCols
-         |  FROM tf)
-         |SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
-         |  CAST(floor(($scoreSql) * 10000.0 + 0.5) AS BIGINT) AS score_e4
-         |FROM tf, stats
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q190_inc_text_index" -> bm25NetOracle(topK = None),
+    // q193: the q190 ranking's top 25 on the (score_e4, doc_id) total order
+    "q193_text_topk" -> bm25NetOracle(topK = Some(25)),
+    // q194: same net corpus, reached at stream cadence
+    "q194_cdc_text_index" -> bm25NetOracle(topK = None),
     "q60_decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS t, $normSql AS norm FROM documents),

@@ -89,6 +89,14 @@ class AppendOnlyStore(spark: SparkSession, root: String,
 
   def exists: Boolean = dataFiles().nonEmpty
 
+  /** True once anything was ever appended (schema recorded) — stays true
+    * after a full retraction empties the data files. */
+  def hasSchema: Boolean = fs.exists(schemaPath)
+
+  /** The session this store was opened under (for callers synthesizing
+    * empty frames before the first append). */
+  def session: SparkSession = spark
+
   // ------------------------------------------- applied-batch manifest
   // Same design as IncrementalJoin's side manifest: a batch id gains a
   // `.started` marker before its data lands and a `.done` marker after,

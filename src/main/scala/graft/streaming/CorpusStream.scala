@@ -71,6 +71,40 @@ object CorpusStream {
     * Replay-idempotent for the same reason the exact path is: a replayed
     * doc's buckets are already in the store, so it is rejected, and the
     * corpus merge is keyed on the id. */
+  /** Streaming maintenance of the SEARCH index — the twin for
+    * [[graft.ops.IncrementalTextIndex]]: a signed document topic (insert
+    * +1, takedown −1, edit as −old/+new under one micro-batch) keeps the
+    * inverted index and doc lengths current; BM25 serving never re-reads
+    * the topic. Replayed micro-batches no-op at the store manifest via
+    * the foreachBatch id, so checkpoint recovery is exactly-once per
+    * batch even across compactions. Per-batch work: one tokenize + two
+    * batch-sized appends — the IVM invariant at stream cadence. */
+  def maintainTextIndexAvailableNow(spark: SparkSession, docsDir: String,
+                                    schema: StructType,
+                                    index: graft.ops.IncrementalTextIndex.Stores,
+                                    checkpointDir: String,
+                                    textCol: String = "text",
+                                    deltaCol: Option[String] = None,
+                                    maxFilesPerTrigger: Option[Int] = None): Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    var r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(m =>
+      r = r.option("maxFilesPerTrigger", m.toString))
+    val q = r.parquet(docsDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.IncrementalTextIndex.appendDelta(
+          index, batch, textCol, batchId, deltaCol)
+        n.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    n.get()
+  }
+
   def ingestNearDedupedAvailableNow(spark: SparkSession, docsDir: String,
                                     schema: StructType,
                                     corpus: SnapshotTable,

@@ -41,7 +41,14 @@ class ClusterParitySpec extends SparkSpec {
     // downstream agg store across executors), the streaming CDC →
     // chain drain, and the value-multiset extrema/quantile stores
     "q184_chained_ivm", "q185_cdc_chain", "q186_minmax_ivm",
-    "q187_quantile_deletes")
+    "q187_quantile_deletes",
+    // round-8 additions III: the dual-downstream chain (extrema tap),
+    // the maintained inverted index (postings/doc-length stores +
+    // BM25 stat broadcasts over the wire), the signed LSH membership
+    // store, and the signed IVF index (vector arrays in groupBy keys
+    // across executor JVMs)
+    "q189_chain_extrema", "q190_inc_text_index",
+    "q191_takedown_neardup", "q192_signed_ivf_ann")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

@@ -92,4 +92,39 @@ class IncrementalTextIndexSpec extends SparkSpec {
     assert(pf.findFirstIn(plan).isDefined,
       s"expected a non-empty prefix partition filter on the postings scan")
   }
+
+  test("top-k equals the full ranking's quantized head, pad included") {
+    val st = idx()
+    IncrementalTextIndex.appendDelta(st, corpus, "text", 0L)
+    def fullHead(k: Int): Seq[(Long, Long, Long)] =
+      IncrementalTextIndex.bm25(st, terms)
+        .select($"doc_id", $"doc_len",
+          floor($"score" * 1e4 + 0.5).cast("long").as("score_e4"))
+        .orderBy($"score_e4".desc, $"doc_id").limit(k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def topK(k: Int): Seq[(Long, Long, Long)] =
+      IncrementalTextIndex.bm25TopK(st, terms, k).orderBy($"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // k=2: inside the matched tier. k=5: crosses into the zero-score pad
+    // (only 3 docs match 'spark'/'fast'). k=10 > corpus: everything.
+    assert(topK(2) == fullHead(2))
+    assert(topK(5) == fullHead(5))
+    assert(topK(10) == fullHead(6)) // 6 live docs in total
+    // ranks are 1..n on the same order
+    assert(IncrementalTextIndex.bm25TopK(st, terms, 5)
+      .orderBy($"rank").select($"rank").as[Long].collect().toSeq ==
+      (1L to 5L))
+  }
+
+  test("top-k scoring never joins the full doc-length state") {
+    val st = idx()
+    IncrementalTextIndex.appendDelta(st, corpus, "text", 0L)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val exec = IncrementalTextIndex.bm25TopK(st, terms, 3)
+      .queryExecution.executedPlan
+    // the candidate→doc-length join must be INNER (candidate-bounded),
+    // never the full-ranking LeftOuter that scores every live doc
+    val outer = exec.toString.contains("LeftOuter")
+    assert(!outer, s"top-k serve plans a corpus-wide outer join:\n$exec")
+  }
 }
