@@ -40,15 +40,21 @@ import graft.sinks.AppendOnlyStore
   */
 object IncrementalTriangles {
 
-  final case class Stores(edges: AppendOnlyStore, count: AppendOnlyStore)
+  final case class Stores(edges: AppendOnlyStore, count: AppendOnlyStore,
+                          nodes: AppendOnlyStore)
 
   private val edgeSpec = IncrementalAgg.Spec(Seq("u", "v"), Nil)
   private val countSpec = IncrementalAgg.Spec(Seq("__tag"), Seq("dt"))
+  // per-node Δ-rows: triangle-corner deltas and degree deltas ride ONE
+  // store as two summed columns
+  private val nodeSpec = IncrementalAgg.Spec(Seq("node"), Seq("dtri", "ddeg"))
 
   def stores(spark: SparkSession, root: String): Stores = Stores(
     new AppendOnlyStore(spark, s"$root/edges",
       prefixCol = "__agg_key", prefixChars = 1),
     new AppendOnlyStore(spark, s"$root/count",
+      prefixCol = "__agg_key", prefixChars = 1),
+    new AppendOnlyStore(spark, s"$root/nodes",
       prefixCol = "__agg_key", prefixChars = 1))
 
   /** Canonical signed batch: (u < v, Δ) with self-loops dropped and
@@ -102,11 +108,14 @@ object IncrementalTriangles {
       e.select(cols: _*).unionByName(e.select(rev: _*))
     }
     val oldSym = sym(old, None)
+    // each term keeps its triangle's three corners so the per-node store
+    // is maintained from the same enumeration the global count uses
     // δ·A·A: the batch edge (u,v) closes old wedges u—w—v
     val t1 = d
       .join(oldSym.select(col("a").as("u"), col("b").as("w")), Seq("u"))
       .join(oldSym.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
-      .select(col("__delta").as("c"))
+      .select(col("u").as("n1"), col("v").as("n2"), col("w").as("n3"),
+        col("__delta").as("c"))
     // δ·δ·A: two batch edges share vertex a; the old edge closes (b1, b2)
     val dSym = sym(d, Some("__delta"))
     val t2 = dSym.select(col("a"), col("b").as("b1"),
@@ -116,7 +125,8 @@ object IncrementalTriangles {
       .where(col("b1") < col("b2")) // each unordered δ-pair once
       .join(old.select(least(col("u"), col("v")).as("b1"),
         greatest(col("u"), col("v")).as("b2")), Seq("b1", "b2"))
-      .select((col("d1") * col("d2")).as("c"))
+      .select(col("a").as("n1"), col("b1").as("n2"), col("b2").as("n3"),
+        (col("d1") * col("d2")).as("c"))
     // δ·δ·δ: triangles wholly inside the batch (q159's join shape)
     val t3 = d.select(col("u"), col("v").as("w1"), col("__delta").as("d1"))
       .join(d.select(col("u"), col("v").as("w2"), col("__delta").as("d2")),
@@ -124,17 +134,49 @@ object IncrementalTriangles {
       .where(col("w1") < col("w2"))
       .join(d.select(col("u").as("w1"), col("v").as("w2"),
         col("__delta").as("d3")), Seq("w1", "w2"))
-      .select((col("d1") * col("d2") * col("d3")).as("c"))
-    val dt = t1.unionByName(t2).unionByName(t3)
-      .select(lit("t").as("__tag"), col("c").as("dt"))
-    // count first, edges second — the crash-replay ordering argument
+      .select(col("u").as("n1"), col("w1").as("n2"), col("w2").as("n3"),
+        (col("d1") * col("d2") * col("d3")).as("c"))
+    // corner contributions feed global count AND per-node counts; both
+    // sinks re-read the three-term union — cut it once
+    val tri = t1.unionByName(t2).unionByName(t3).cutLineage()
+    val dt = tri.select(lit("t").as("__tag"), col("c").as("dt"))
+    val nodeRows = tri
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"),
+        col("c").as("dtri"), lit(0L).as("ddeg"))
+      .unionByName(d
+        .select(explode(array(col("u"), col("v"))).as("node"),
+          lit(0L).as("dtri"), col("__delta").as("ddeg")))
+    // Δ-accumulators first (computed against OLD state), the edge
+    // multiset LAST — the crash-replay ordering argument
     IncrementalAgg.appendBatch(st.count, dt, countSpec, batchId)
+    IncrementalAgg.appendBatch(st.nodes, nodeRows, nodeSpec, batchId)
     IncrementalAgg.appendDelta(st.edges, d, edgeSpec, batchId, "__delta")
   }
 
-  /** Compact both stores (quiescence, single-writer). */
+  /** Per-node maintained view: `(node, deg, n_tri, cc_e6)` — the local
+    * clustering coefficient, same integer cross-multiplication as the
+    * batch [[GraphOps.clusteringCoefficient]] (2·T·10⁶ in DECIMAL(38,0),
+    * integral division). Nodes whose degree netted to zero vanish. */
+  def currentPerNode(st: Stores): DataFrame = {
+    val base =
+      if (st.nodes.hasSchema)
+        IncrementalAgg.current(st.nodes, nodeSpec)
+          .select(col("node"),
+            coalesce(col("sum_ddeg"), lit(0L)).as("deg"),
+            coalesce(col("sum_dtri"), lit(0L)).as("n_tri"))
+      else st.nodes.session.range(0).select(col("id").as("node"),
+        col("id").as("deg"), col("id").as("n_tri"))
+    base.filter(col("deg") > 0)
+      .withColumn("cc_e6",
+        when(col("deg") < 2, lit(0L)).otherwise(
+          expr("cast((2 * cast(n_tri as decimal(38,0)) * 1000000)" +
+            " div (deg * (deg - 1)) as bigint)")))
+  }
+
+  /** Compact every store (quiescence, single-writer). */
   def compact(st: Stores): Unit = {
     IncrementalAgg.compact(st.edges, edgeSpec)
     IncrementalAgg.compact(st.count, countSpec)
+    IncrementalAgg.compact(st.nodes, nodeSpec)
   }
 }

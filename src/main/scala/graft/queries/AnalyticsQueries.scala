@@ -739,6 +739,42 @@ object AnalyticsQueries {
       .select($"n_edges", $"n_triangles")
   }
 
+  /** Maintained per-node clustering coefficients (q196): the q195
+    * signed-wave scenario served from the per-node store — degree and
+    * triangle-corner deltas accumulate under the same batch boundary as
+    * the global count, so `(node, deg, n_tri, cc_e6)` is current after
+    * every wave with zero re-enumeration. Fully-deleted nodes vanish.
+    * Oracle = the q164 coefficient SQL over the net edge set. */
+  def q196IncClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalTriangles
+    val li = t(s, dir, "lineitem").where($"l_quantity" >= 45)
+      .select($"l_orderkey", $"l_partkey")
+    val e = li
+      .join(li.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .where($"l_partkey" =!= $"p2")
+      .select(least($"l_partkey", $"p2").as("src"),
+        greatest($"l_partkey", $"p2").as("dst"))
+      .distinct()
+    val st = IncrementalTriangles.stores(s,
+      java.nio.file.Files.createTempDirectory("q196tri").toString)
+    def signed(df: org.apache.spark.sql.DataFrame, d: Long) =
+      df.withColumn("__delta", lit(d))
+    IncrementalTriangles.appendDelta(st,
+      signed(e.filter(($"src" + $"dst") % 2 === 0), 1L), 0L)
+    IncrementalTriangles.appendDelta(st,
+      signed(e.filter(($"src" + $"dst") % 2 === 1), 1L), 1L)
+    val takedown = signed(e.filter($"src" % 5 === 0), -1L)
+    IncrementalTriangles.appendDelta(st, takedown, 2L)
+    IncrementalTriangles.compact(st)
+    IncrementalTriangles.appendDelta(st, takedown, 2L) // replay: no-op
+    IncrementalTriangles.appendDelta(st,
+      signed(e.filter($"src" % 5 === 0 && $"dst" % 3 === 0), 1L), 3L)
+    IncrementalTriangles.currentPerNode(st)
+      .select($"node", $"deg", $"n_tri", $"cc_e6")
+      .orderBy($"node")
+  }
+
   /** Edit-distance similarity self-join (q160): all customer-name pairs
     * within Levenshtein distance 2, via [[graft.ops.FuzzyJoin]]'s
     * PassJoin segment blocking — explode + equi-join + banded verify,
@@ -1057,6 +1093,7 @@ object AnalyticsQueries {
     "q164_clustering_coeff" -> (q164ClusteringCoeff _),
     "q159_triangles" -> (q159Triangles _),
     "q195_inc_triangles" -> (q195IncTriangles _),
+    "q196_inc_clustering" -> (q196IncClusteringCoeff _),
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
     "q161_rolling_anomaly" -> (q161RollingAnomaly _),
     "q174_interval_overlap" -> (q174IntervalOverlap _),
@@ -1207,6 +1244,40 @@ object AnalyticsQueries {
         |FROM e e1
         |JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
         |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    // q196: q164's coefficient SQL over the same NET edge set as q195;
+    // only nodes with live degree appear (fully-deleted nodes vanish)
+    "q196_inc_clustering" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+        |e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |e AS (
+        |  SELECT u, v FROM e0 WHERE u % 5 <> 0 OR v % 3 = 0),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |pern AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL
+        |    SELECT b FROM tri UNION ALL
+        |    SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node, d.deg,
+        |  CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg < 2 THEN 0
+        |       ELSE (2 * coalesce(p.n_tri, 0) * 1000000)
+        |            // (d.deg * (d.deg - 1)) END AS cc_e6
+        |FROM deg d LEFT JOIN pern p USING (node)
+        |ORDER BY node""".stripMargin,
     // q195: q159's triangle join over the NET edge set — the %src=0
     // takedown applied, its (dst%3=0) slice re-inserted
     "q195_inc_triangles" ->

@@ -331,6 +331,44 @@ object RelationalQueries {
       .orderBy($"l_orderkey")
   }
 
+  /** Maintained data-quality monitors (q197): the dbt tests the
+    * reference re-runs as full scans per pipeline run (`unique`,
+    * `not_null`, `relationships`), kept current as ONE maintained view
+    * under signed CDC waves — customers load, a customer delete wave
+    * orphans its orders, an order update wave nulls FKs, a replayed
+    * delete straddles a compaction, a duplicate-customer wave lands —
+    * and the three violation counts are served from key-multiset state,
+    * never a table scan. Oracle = the same counts over net tables. */
+  def q197IncChecks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.checks.IncrementalChecks
+    val st = IncrementalChecks.stores(s,
+      java.nio.file.Files.createTempDirectory("q197checks").toString)
+    val cust = t(s, dir, "customer").select($"c_custkey".as("k"))
+    val ords = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    IncrementalChecks.appendParent(st, cust, "k", 0L)
+    IncrementalChecks.appendChild(st,
+      ords.select($"o_custkey".as("k")), "k", 1L)
+    // customer takedown wave: their orders become orphans
+    val pdel = cust.filter($"k" % 7 === 3).withColumn("__delta", lit(-1L))
+    IncrementalChecks.appendParent(st, pdel, "k", 2L, Some("__delta"))
+    IncrementalChecks.compact(st)
+    // post-compaction replayed takedown: manifest no-op
+    IncrementalChecks.appendParent(st, pdel, "k", 2L, Some("__delta"))
+    // order update wave: %13=6 orders null their FK (−old +null)
+    val upd = ords.filter($"o_orderkey" % 13 === 6)
+    IncrementalChecks.appendChild(st,
+      upd.select($"o_custkey".as("k"), lit(-1L).as("__delta"))
+        .unionByName(upd.select(lit(null).cast("long").as("k"),
+          lit(1L).as("__delta"))),
+      "k", 3L, Some("__delta"))
+    // duplicate-pk wave: %11=5 surviving customers insert AGAIN
+    IncrementalChecks.appendParent(st,
+      cust.filter($"k" % 11 === 5 && $"k" % 7 =!= 3), "k", 4L)
+    IncrementalChecks.current(st)
+      .select($"n_orphans", $"n_null_fk", $"n_dup_pk")
+  }
+
   /** Gap-based sessionization (batch form of the streaming session window):
     * a new session starts after >30 min of user inactivity. Two stacked
     * windows over ONE shuffle on user_id (lag → flag → running sum), then
@@ -816,6 +854,7 @@ object RelationalQueries {
     "q18_check_unique" -> (q18CheckUniqueViolations _),
     "q19_check_metrics" -> (q19CheckMetrics _),
     "q20_check_relationships" -> (q20CheckRelationships _),
+    "q197_inc_checks" -> (q197IncChecks _),
     "q32_sessionize" -> (q32Sessionize _),
     "q33_rollup" -> (q33Rollup _),
     "q39_scalar_subquery" -> (q39ScalarSubquery _),
@@ -983,6 +1022,26 @@ object RelationalQueries {
         | (SELECT count(*) FROM (SELECT o_orderkey FROM orders
         |    GROUP BY o_orderkey HAVING count(*) > 1)) AS pk_dup_groups
         |FROM orders""".stripMargin,
+    // q197: the three maintained test counts over net tables — customers
+    // %7=3 deleted, %11=5 survivors doubled; orders %13=6 FK-nulled
+    "q197_inc_checks" ->
+      """WITH child AS (
+        |  SELECT CASE WHEN o_orderkey % 13 = 6 THEN NULL
+        |              ELSE o_custkey END AS k
+        |  FROM orders),
+        |parent AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 11 = 5 THEN 2 ELSE 1 END AS n
+        |  FROM customer WHERE c_custkey % 7 <> 3)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM child
+        |   WHERE k IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM parent p WHERE p.k = child.k))
+        |    AS n_orphans,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM child WHERE k IS NULL)
+        |    AS n_null_fk,
+        |  (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM parent
+        |   WHERE n > 1) AS n_dup_pk""".stripMargin,
     "q20_check_relationships" ->
       """SELECT DISTINCT l_orderkey
         |FROM lineitem

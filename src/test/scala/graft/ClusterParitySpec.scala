@@ -48,7 +48,11 @@ class ClusterParitySpec extends SparkSpec {
     // store, and the signed IVF index (vector arrays in groupBy keys
     // across executor JVMs)
     "q189_chain_extrema", "q190_inc_text_index",
-    "q191_takedown_neardup", "q192_signed_ivf_ann")
+    "q191_takedown_neardup", "q192_signed_ivf_ann",
+    // round-8 additions IV: the df-bounded top-k serve (heap cut over
+    // the wire) and the triangle-count Δ-rule (three join shapes whose
+    // signed corner rows cross executor JVMs)
+    "q193_text_topk", "q196_inc_clustering")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

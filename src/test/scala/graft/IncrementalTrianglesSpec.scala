@@ -43,6 +43,18 @@ class IncrementalTrianglesSpec extends SparkSpec {
     IncrementalTriangles.appendDelta(st, deletes(4L -> 5L), 3L)
     assert(count(st) == 2L)
     assert(IncrementalTriangles.currentEdges(st).count() == 6L)
+    // per-node view after all waves: edges {13,14,23,24,34,25},
+    // triangles {134, 234}
+    val perNode = IncrementalTriangles.currentPerNode(st)
+      .orderBy($"node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(perNode == Seq(
+      (1L, 2L, 1L, 1000000L),
+      (2L, 3L, 1L, 333333L),
+      (3L, 3L, 2L, 666666L),
+      (4L, 3L, 2L, 666666L),
+      (5L, 1L, 0L, 0L)))
   }
 
   test("a batch deleting two edges of one triangle applies the δδA correction") {

@@ -33,6 +33,7 @@ class PlanAssertionsSpec extends SparkSpec {
       "q193_text_topk" /* same 1-row stats joins, candidate-bounded */,
       "q194_cdc_text_index" /* same 1-row stats joins at stream cadence */,
       "q195_inc_triangles" /* 1-row count x 1-row edge-count crossJoin */,
+      "q197_inc_checks" /* three 1-row monitor aggregates crossJoined */,
       "q78_ann_int8" /* int8 coarse scan broadcasts the query batch */,
       "q79_ann_pq" /* PQ ADC coarse scan broadcasts the query tables */,
       "q80_lm_score" /* 1-row vocab scalar broadcast join */,
