@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Lineage.LineageSyntax
+import graft.sinks.AppendOnlyStore
+
+/** Incrementally-maintained CONNECTED COMPONENTS (insert-only) — live
+  * dup-cluster labels as near-dup edges stream in, without re-running
+  * CC over the accumulated graph per batch.
+  *
+  * The streaming-dedup pipelines this serves (`DedupOps.dupClusters`
+  * consumers) only ever ADD pair edges — a discovered duplicate relation
+  * is never retracted — so the maintained form exploits the insert-only
+  * contract: component labels only MERGE (a node's label is the min
+  * node id of its component, and min is monotone under union).
+  *
+  * State: a signed (node, label) membership multiset ([[IncrementalAgg]]
+  * store — manifest replays, compaction inherited); exactly one live
+  * label per node. Per batch:
+  *
+  *  1. the batch's endpoints look up their current labels — the set of
+  *     TOUCHED components;
+  *  2. every member of a touched component joins the batch edges as a
+  *     STAR edge (member → its label): components are re-solved as
+  *     single-hop stars, so the CC work is `batch ∪ touched members`,
+  *     never the graph (untouched components are provably unaffected:
+  *     no new edge reaches them);
+  *  3. [[DedupOps.connectedComponentsAlternating]] labels the affected
+  *     subgraph; only CHANGED memberships append (−old +new per moved
+  *     node, +new for first-seen nodes).
+  *
+  * Merge cost ∝ Σ|touched components| + |batch| — the amortized
+  * union-find bound's distributed analog; a batch touching nothing big
+  * costs its own size. Serve cost: one state scan (∝ nodes).
+  *
+  * The one-label-per-node invariant also makes this the maintained form
+  * of `dupClusters`' canonical-survivor rule: `node == label` IS the
+  * cluster canonical. */
+object IncrementalCc {
+
+  final case class Stores(labels: AppendOnlyStore)
+
+  private val spec = IncrementalAgg.Spec(Seq("node", "label"), Nil)
+
+  def stores(spark: SparkSession, root: String): Stores = Stores(
+    new AppendOnlyStore(spark, s"$root/labels",
+      prefixCol = "__agg_key", prefixChars = 1))
+
+  /** Live (node, label) — label = min node id of the component. */
+  def currentLabels(st: Stores): DataFrame =
+    if (st.labels.hasSchema)
+      IncrementalAgg.current(st.labels, spec)
+        .select(col("node"), col("label"))
+    else st.labels.session.range(0)
+      .select(col("id").as("node"), col("id").as("label"))
+
+  /** A checkpointed frame REBUILT from its RDD: same rows and schema,
+    * but none of the origin plan's constraints — the checkpoint carries
+    * those verbatim, and when two such frames (one derived from the
+    * other's subplan) later meet in a Union, constraint rewriting looks
+    * up pre-checkpoint attribute ids and throws. The RDD of a
+    * checkpointed frame replays its materialized blocks, so this costs
+    * no recompute. */
+  private def fresh(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** Apply one batch of UNDIRECTED edges (insert-only). Exactly-once per
+    * `batchId` via the store manifest. */
+  def appendEdges(st: Stores, edges: DataFrame, batchId: Long,
+                  srcCol: String = "src", dstCol: String = "dst"): Unit = {
+    val e = fresh(edges.select(
+        col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().cutLineage())
+    // full-scan lookup of current labels: referenced three times below.
+    // The emit is computed FROM the store it writes TO, so a crashed
+    // append's retry must not see its own partial rows (a half-applied
+    // −old/+new pair would drop the node from the re-solve): excluding
+    // THIS batch id reconstructs the exact pre-batch state, making the
+    // retry's emit row-identical — which the (key, batch) dedup absorbs.
+    val cur =
+      (if (st.labels.hasSchema)
+        IncrementalAgg.current(st.labels, spec,
+            col("__batch_id") =!= lit(batchId))
+          .select(col("node"), col("label"))
+      else currentLabels(st)).cutLineage()
+    val batchNodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct()
+    val touched = cur.join(batchNodes, Seq("node"), "left_semi")
+      .select(col("label")).distinct()
+    // all members of touched components, as star edges member → label.
+    // Materialized: referenced by the star build and both emit
+    // anti-joins, and the self-join lineage back to `cur` otherwise
+    // trips Union constraint rewriting (shared attribute ids)
+    val member = fresh(cur.join(touched, Seq("label"), "left_semi")
+      .select(col("node"), col("label")).cutLineage())
+    val stars = member.where(col("node") =!= col("label"))
+      .select(col("node").as("u"), col("label").as("v"))
+    // the affected subgraph handed to CC constraint-free: the union's
+    // own constraints reference its children's attribute ids, and CC's
+    // star-union iterations re-derive the input enough times that the
+    // optimizer's Union constraint rewriting hits them and throws
+    val graph = fresh(e.unionByName(stars).cutLineage())
+    // materialized: referenced by both emit anti-joins
+    val solved = fresh(DedupOps.connectedComponentsAlternating(
+        graph, srcCol = "u", dstCol = "v")
+      .select(col("node"), col("label")).cutLineage())
+    // only CHANGES append: moved members retract their old row
+    val emit = solved.join(member, Seq("node", "label"), "left_anti")
+      .withColumn("__delta", lit(1L))
+      .unionByName(member.join(solved, Seq("node", "label"), "left_anti")
+        .withColumn("__delta", lit(-1L)))
+    IncrementalAgg.appendDelta(st.labels, emit, spec, batchId, "__delta")
+  }
+
+  /** Compact the label state (quiescence, single-writer). */
+  def compact(st: Stores): Unit = IncrementalAgg.compact(st.labels, spec)
+}

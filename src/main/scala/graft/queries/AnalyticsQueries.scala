@@ -739,6 +739,37 @@ object AnalyticsQueries {
       .select($"n_edges", $"n_triangles")
   }
 
+  /** Maintained connected components, insert-only (q198): dup-cluster
+    * labels kept current as co-occurrence edges stream in over three
+    * waves (with a compaction-straddling replay) — each batch re-solves
+    * only the components its endpoints touch (members join as star
+    * edges), so merge cost tracks the touched components, never the
+    * graph. Oracle = recursive-CTE min-reach labels over the full edge
+    * set. */
+  def q198IncCc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalCc
+    val li = t(s, dir, "lineitem").where($"l_quantity" >= 48)
+      .select($"l_orderkey", $"l_partkey")
+    val e = li
+      .join(li.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .where($"l_partkey" =!= $"p2")
+      .select(least($"l_partkey", $"p2").as("src"),
+        greatest($"l_partkey", $"p2").as("dst"))
+      .distinct()
+    val st = IncrementalCc.stores(s,
+      java.nio.file.Files.createTempDirectory("q198cc").toString)
+    IncrementalCc.appendEdges(st, e.filter(($"src" + $"dst") % 3 === 0), 0L)
+    val w1 = e.filter(($"src" + $"dst") % 3 === 1)
+    IncrementalCc.appendEdges(st, w1, 1L)
+    IncrementalCc.compact(st)
+    IncrementalCc.appendEdges(st, w1, 1L) // replay: manifest no-op
+    IncrementalCc.appendEdges(st, e.filter(($"src" + $"dst") % 3 === 2), 2L)
+    IncrementalCc.currentLabels(st)
+      .select($"node", $"label")
+      .orderBy($"node")
+  }
+
   /** Maintained per-node clustering coefficients (q196): the q195
     * signed-wave scenario served from the per-node store — degree and
     * triangle-corner deltas accumulate under the same batch boundary as
@@ -1094,6 +1125,7 @@ object AnalyticsQueries {
     "q159_triangles" -> (q159Triangles _),
     "q195_inc_triangles" -> (q195IncTriangles _),
     "q196_inc_clustering" -> (q196IncClusteringCoeff _),
+    "q198_inc_cc" -> (q198IncCc _),
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
     "q161_rolling_anomaly" -> (q161RollingAnomaly _),
     "q174_interval_overlap" -> (q174IntervalOverlap _),
@@ -1244,6 +1276,27 @@ object AnalyticsQueries {
         |FROM e e1
         |JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
         |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    // q198: recursive-CTE min-reach component labels over the full
+    // (insert-only) edge set
+    "q198_inc_cc" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48),
+        |e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |sym AS (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL
+        |  SELECT v AS src, u AS dst FROM e),
+        |walk(node, reach) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src),
+        |cc AS (SELECT node, min(reach) AS label FROM walk GROUP BY node)
+        |SELECT node, label FROM cc
+        |ORDER BY node""".stripMargin,
     // q196: q164's coefficient SQL over the same NET edge set as q195;
     // only nodes with live degree appear (fully-deleted nodes vanish)
     "q196_inc_clustering" ->

@@ -52,7 +52,10 @@ class ClusterParitySpec extends SparkSpec {
     // round-8 additions IV: the df-bounded top-k serve (heap cut over
     // the wire) and the triangle-count Δ-rule (three join shapes whose
     // signed corner rows cross executor JVMs)
-    "q193_text_topk", "q196_inc_clustering")
+    "q193_text_topk", "q196_inc_clustering",
+    // round-8 addition V: incremental CC (star re-solve + changed-rows
+    // emit over executor JVM boundaries)
+    "q198_inc_cc")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {
