@@ -149,8 +149,21 @@ object IncrementalAgg {
     * filtering refolded rows select the same keys. */
   def current(store: AppendOnlyStore, spec: Spec,
               keyWhere: org.apache.spark.sql.Column): DataFrame =
-    store.read().filter(keyWhere)
-      .dropDuplicates(spec.keyCols :+ "__batch_id")
+    currentFrom(store.read().filter(keyWhere), spec)
+
+  /** The refold over CALLER-RESTRICTED raw partials (a `store.read()`
+    * the caller has filtered or semi-joined down — e.g. to a batch's
+    * keys). This is how a delta-bounded maintenance step reads state
+    * without shuffling it whole: the restriction (a broadcast semi-join
+    * against delta-sized keys, or a pushed-down predicate) bounds what
+    * the refold's `groupBy` exchanges to the MATCHED partials, while the
+    * store itself is only scanned. The restriction must be KEY-COMPLETE:
+    * it keeps either all of a key's partial rows or none (any predicate /
+    * semi-join on key columns is, since every partial of a key carries
+    * identical key values) — a batch-id or value-column restriction
+    * would refold a key from half its history and is unsound here. */
+  def currentFrom(partials: DataFrame, spec: Spec): DataFrame =
+    partials.dropDuplicates(spec.keyCols :+ "__batch_id")
       .groupBy(spec.keyCols.map(col): _*)
       .agg(sum(col("__cnt")).as("n_rows"), refoldAggs(spec): _*)
       .filter(col("n_rows") =!= 0)

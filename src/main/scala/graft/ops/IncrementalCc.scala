@@ -33,7 +33,12 @@ import graft.sinks.AppendOnlyStore
   *
   * Merge cost ∝ Σ|touched components| + |batch| — the amortized
   * union-find bound's distributed analog; a batch touching nothing big
-  * costs its own size. Serve cost: one state scan (∝ nodes).
+  * costs its own size. The label store is SCANNED per batch but never
+  * shuffled whole: both state lookups semi-join the raw partials to
+  * delta-sized key sets (batch nodes, then touched labels) BEFORE the
+  * refold's groupBy, so per-batch shuffle bytes are bounded by the
+  * touched membership, flat while untouched state grows (gated by
+  * ShuffleBytesSpec). Serve cost: one state scan (∝ nodes).
   *
   * The one-label-per-node invariant also makes this the maintained form
   * of `dupClusters`' canonical-survivor rule: `node == label` IS the
@@ -74,27 +79,42 @@ object IncrementalCc {
         col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
       .distinct().cutLineage())
-    // full-scan lookup of current labels: referenced three times below.
+    val batchNodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct().cutLineage()
+    // Delta-bounded state access: the label store is SCANNED, never
+    // shuffled whole. Raw partials are semi-joined (broadcast — the
+    // batch-smaller-than-state contract the whole IVM family holds) to
+    // the batch's node set BEFORE the refold, so the refold's groupBy
+    // exchanges only the matched partials; a second key-complete
+    // semi-join on the touched labels widens to full component
+    // membership. Soundness: `node` and `label` are both key columns of
+    // the store spec, so either semi-join keeps all-or-none of a key's
+    // partials (IncrementalAgg.currentFrom's contract).
+    //
     // The emit is computed FROM the store it writes TO, so a crashed
     // append's retry must not see its own partial rows (a half-applied
     // −old/+new pair would drop the node from the re-solve): excluding
     // THIS batch id reconstructs the exact pre-batch state, making the
     // retry's emit row-identical — which the (key, batch) dedup absorbs.
-    val cur =
-      (if (st.labels.hasSchema)
-        IncrementalAgg.current(st.labels, spec,
-            col("__batch_id") =!= lit(batchId))
-          .select(col("node"), col("label"))
-      else currentLabels(st)).cutLineage()
-    val batchNodes = e.select(col("u").as("node"))
-      .unionByName(e.select(col("v").as("node"))).distinct()
-    val touched = cur.join(batchNodes, Seq("node"), "left_semi")
-      .select(col("label")).distinct()
+    val partials0 =
+      if (st.labels.hasSchema)
+        st.labels.read().filter(col("__batch_id") =!= lit(batchId))
+      else null
+    def live(restrict: DataFrame => DataFrame): DataFrame =
+      if (partials0 == null)
+        st.labels.session.range(0)
+          .select(col("id").as("node"), col("id").as("label"))
+      else IncrementalAgg.currentFrom(restrict(partials0), spec)
+        .select(col("node"), col("label"))
+    val touched = live(_.join(broadcast(batchNodes), Seq("node"),
+        "left_semi"))
+      .select(col("label")).distinct().cutLineage()
     // all members of touched components, as star edges member → label.
     // Materialized: referenced by the star build and both emit
-    // anti-joins, and the self-join lineage back to `cur` otherwise
-    // trips Union constraint rewriting (shared attribute ids)
-    val member = fresh(cur.join(touched, Seq("label"), "left_semi")
+    // anti-joins, and the self-join lineage back to the shared scan
+    // otherwise trips Union constraint rewriting (shared attribute ids)
+    val member = fresh(live(_.join(broadcast(touched), Seq("label"),
+        "left_semi"))
       .select(col("node"), col("label")).cutLineage())
     val stars = member.where(col("node") =!= col("label"))
       .select(col("node").as("u"), col("label").as("v"))

@@ -98,16 +98,34 @@ object IncrementalTriangles {
                   srcCol: String = "src", dstCol: String = "dst",
                   deltaCol: String = "__delta"): Unit = {
     val d = canon(batch, srcCol, dstCol, deltaCol).cutLineage()
-    val old = currentEdges(st)
-    // symmetrized views: (a, b) both directions
-    def sym(e: DataFrame, dCol: Option[String]): DataFrame = {
-      val cols = Seq(col("u").as("a"), col("v").as("b")) ++
-        dCol.map(c => col(c)).toSeq
-      val rev = Seq(col("v").as("a"), col("u").as("b")) ++
-        dCol.map(c => col(c)).toSeq
-      e.select(cols: _*).unionByName(e.select(rev: _*))
-    }
-    val oldSym = sym(old, None)
+    val nodes = d.select(col("u").as("n"))
+      .unionByName(d.select(col("v").as("n"))).distinct().cutLineage()
+    // Delta-bounded state access: every probe below only consults OLD
+    // edges INCIDENT to a batch endpoint (t1 joins oldSym on a batch
+    // endpoint; t2's closing edge has BOTH endpoints in the batch), so
+    // the edge store is scanned — never shuffled whole — and the refold's
+    // groupBy exchanges only the incident partials: raw partials are
+    // semi-joined (broadcast; the delta-smaller-than-state contract) to
+    // the batch's endpoint set per direction BEFORE the refold. `u`/`v`
+    // are key columns, so each semi-join is key-complete
+    // (IncrementalAgg.currentFrom's soundness condition). Per-batch
+    // shuffle bytes stay flat while untouched state grows 10×
+    // (ShuffleBytesSpec gate).
+    def incident(endCol: String): DataFrame =
+      if (st.edges.hasSchema)
+        IncrementalAgg.currentFrom(
+            st.edges.read().join(broadcast(nodes),
+              col(endCol) === col("n"), "left_semi"), edgeSpec)
+          .select(col("u"), col("v")).cutLineage()
+      else st.edges.session.range(0)
+        .select(col("id").as("u"), col("id").as("v"))
+    val oldU = incident("u") // old edges with u in the batch's endpoints
+    val oldV = incident("v") // old edges with v in the batch's endpoints
+    // symmetrized view of the INCIDENT old edges: (a, b) both
+    // directions, a always a batch endpoint — all t1 needs, since t1
+    // only ever joins `a` against a batch edge's endpoint
+    val oldSym = oldU.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(oldV.select(col("v").as("a"), col("u").as("b")))
     // each term keeps its triangle's three corners so the per-node store
     // is maintained from the same enumeration the global count uses
     // δ·A·A: the batch edge (u,v) closes old wedges u—w—v
@@ -117,14 +135,20 @@ object IncrementalTriangles {
       .select(col("u").as("n1"), col("v").as("n2"), col("w").as("n3"),
         col("__delta").as("c"))
     // δ·δ·A: two batch edges share vertex a; the old edge closes (b1, b2)
-    val dSym = sym(d, Some("__delta"))
+    val dSym = d.select(col("u").as("a"), col("v").as("b"), col("__delta"))
+      .unionByName(
+        d.select(col("v").as("a"), col("u").as("b"), col("__delta")))
+    // the closing old edge has BOTH endpoints in the batch's endpoint
+    // set: one more key-complete semi-join narrows the incident slice
+    val oldBoth = oldU.join(broadcast(nodes), col("v") === col("n"),
+      "left_semi")
     val t2 = dSym.select(col("a"), col("b").as("b1"),
         col("__delta").as("d1"))
       .join(dSym.select(col("a"), col("b").as("b2"),
         col("__delta").as("d2")), Seq("a"))
       .where(col("b1") < col("b2")) // each unordered δ-pair once
-      .join(old.select(least(col("u"), col("v")).as("b1"),
-        greatest(col("u"), col("v")).as("b2")), Seq("b1", "b2"))
+      .join(oldBoth.select(col("u").as("b1"), col("v").as("b2")),
+        Seq("b1", "b2"))
       .select(col("a").as("n1"), col("b1").as("n2"), col("b2").as("n3"),
         (col("d1") * col("d2")).as("c"))
     // δ·δ·δ: triangles wholly inside the batch (q159's join shape)

@@ -223,6 +223,60 @@ class ShuffleBytesSpec extends SparkSpec {
         s"(${perRound.mkString(",")})")
   }
 
+  test("CC-IVM appends shuffle flat bytes while label state grows 10×") {
+    // 10 rounds of constant-size edge batches on round-DISJOINT node
+    // ranges: every round touches only its own fresh components, while
+    // the label store accumulates 10× the state. The scale contract the
+    // r8 verdict demanded: the label lookup semi-joins raw partials to
+    // the batch's nodes (then touched labels) BEFORE the refold, so the
+    // store is scanned, never shuffled whole — per-append shuffle bytes
+    // must stay flat. The old full-store refold grew linearly here.
+    import graft.ops.IncrementalCc
+    val root = java.nio.file.Files.createTempDirectory("icc-bytes").toString
+    val st = IncrementalCc.stores(spark, root)
+    def edgeBatch(round: Int): DataFrame = {
+      val base = round * 1000000L
+      (0 until 5000).map(j => (base + j, base + j + 5000L))
+        .toDF("src", "dst").localCheckpoint()
+    }
+    val perRound = (0 until 10).map { i =>
+      val b = edgeBatch(i)
+      shuffleBytes(IncrementalCc.appendEdges(st, b, i.toLong))
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 2.0,
+      s"per-append shuffle grew with label state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+  }
+
+  test("triangle-IVM appends shuffle flat bytes while edge state grows 10×") {
+    // same posture as the CC gate: constant-size signed batches on
+    // disjoint node ranges (each with internal wedges AND triangles so
+    // all three Δ-terms run), state 10× by the last round. The incident
+    // slice each probe refolds is batch-bounded — never the edge store.
+    import graft.ops.IncrementalTriangles
+    val root = java.nio.file.Files.createTempDirectory("itri-bytes").toString
+    val st = IncrementalTriangles.stores(spark, root)
+    def deltaBatch(round: Int): DataFrame = {
+      val base = round * 1000000L
+      val chain = (0 until 4000).map(j => (base + j, base + j + 1, 1L))
+      val closers = (0 until 2000).map(j => (base + j, base + j + 2, 1L))
+      (chain ++ closers).toDF("src", "dst", "__delta").localCheckpoint()
+    }
+    val perRound = (0 until 10).map { i =>
+      val b = deltaBatch(i)
+      shuffleBytes(IncrementalTriangles.appendDelta(st, b, i.toLong))
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 2.0,
+      s"per-append shuffle grew with edge state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+  }
+
   test("coarse-histogram quantile selection shuffles bin counts, not the summary") {
     // 200k rows, 3 groups, ~50k distinct values: the q51 shape. The
     // coarse pass + one narrowing round must shuffle O(groups x bins)
