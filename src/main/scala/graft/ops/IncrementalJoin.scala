@@ -427,14 +427,38 @@ object IncrementalJoin {
           // order (data columns first, the __bg partition column last)
           .select(t.columns.map(col).toSeq: _*)
           .repartition(stores.buckets, on.map(col): _*)
-        val mode = "spark.sql.sources.partitionOverwriteMode"
-        val saved = spark.conf.getOption(mode)
-        spark.conf.set(mode, "dynamic")
-        try folded.write.mode("overwrite").insertInto(name)
-        finally saved match {
-          case Some(v) => spark.conf.set(mode, v)
-          case None => spark.conf.unset(mode)
-        }
+          .persist() // consumed twice: the written-bucket probe + write
+        try {
+          // A target bucket whose fold nets to ZERO rows never appears
+          // in the dynamic-overwrite output, so its old files — possibly
+          // crash-retry duplicate partials when dirty — would survive
+          // the sweep while the dirty flag clears below. Find those
+          // buckets first and truncate them explicitly.
+          val written = folded.select(col(BucketGroupCol)).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val mode = "spark.sql.sources.partitionOverwriteMode"
+          val saved = spark.conf.getOption(mode)
+          spark.conf.set(mode, "dynamic")
+          try folded.write.mode("overwrite").insertInto(name)
+          finally saved match {
+            case Some(v) => spark.conf.set(mode, v)
+            case None => spark.conf.unset(mode)
+          }
+          // static overwrite with a full partition spec clears the
+          // partition directory BEFORE the (empty) write runs — the
+          // truncation idiom for a net-zero bucket. The zero rows come
+          // from a FROM-less typed-null select (reading the target
+          // table inside its own INSERT OVERWRITE is rejected)
+          val nullCols = t.schema.fields
+            .filterNot(_.name == BucketGroupCol)
+            .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`")
+            .mkString(", ")
+          (targets.toSet -- written).toSeq.sorted.foreach { b =>
+            spark.sql(s"INSERT OVERWRITE TABLE $name " +
+              s"PARTITION ($BucketGroupCol=$b) " +
+              s"SELECT $nullCols LIMIT 0")
+          }
+        } finally folded.unpersist()
       }
       // a full sweep (dirty ⇒ every bucket holding uncompacted rows was
       // rewritten with the dedup fold) removes any mid-write partials —

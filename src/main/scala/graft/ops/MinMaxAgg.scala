@@ -151,11 +151,24 @@ object MinMaxAgg {
     val cum = currentGroups(store, spec).filter(col("net") > 0)
       .withColumn("__cum", sum(col("net")).over(wOrd))
       .withColumn("__tot", sum(col("net")).over(wAll))
-    val aggs = qs.map { q =>
+    // column labels: integer-percent quantiles keep the friendly p<pct>
+    // form; anything finer is labeled by its exact micro-unit value
+    // (p333300ppm), so 0.333 vs 0.334 can never collide and 0.005 is
+    // never mislabeled as p1. Collisions (two qs rounding to the same
+    // micro-unit) are refused — the duplicate columns would be
+    // ambiguous to reference downstream.
+    val labels = qs.map { q =>
       require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
       val ppm = math.round(q * 1e6)
+      if (ppm % 10000 == 0) s"p${ppm / 10000}" else s"p${ppm}ppm"
+    }
+    require(labels.distinct.size == labels.size,
+      s"quantile labels collide: ${labels.mkString(", ")} — requested " +
+        "quantiles must be distinct at micro-unit precision")
+    val aggs = qs.zip(labels).map { case (q, label) =>
+      val ppm = math.round(q * 1e6)
       min(when(col("__cum") * 1000000L >= lit(ppm) * col("__tot"), v))
-        .as(s"p${math.round(q * 100)}")
+        .as(label)
     }
     cum.groupBy(keys: _*)
       .agg(max(col("__tot")).as("n_rows"), aggs: _*)

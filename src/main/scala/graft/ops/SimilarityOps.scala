@@ -356,9 +356,19 @@ object SimilarityOps {
   def openSignedIvf(spark: org.apache.spark.sql.SparkSession, root: String,
                     centroids: IndexedSeq[(Int, Seq[Float])],
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): SignedIvfIndex =
+                    vecCol: String = "embedding"): SignedIvfIndex = {
+    // the cell-key layout is `c%02d` with a 3-char prefix: cell ids
+    // above 99 would truncate to a colliding prefix ('c100' → 'c10')
+    // and the probe's exact-key filter would silently miss them —
+    // refuse at open instead of returning wrong/empty ANN results
+    val bad = centroids.map(_._1).filter(c => c < 0 || c > 99)
+    require(bad.isEmpty,
+      s"signed-IVF cell ids must be in [0, 99] (layout is c%02d with a " +
+        s"3-char directory prefix); got ${bad.take(5).mkString(", ")} — " +
+        "use nlist <= 100 or widen the key format")
     SignedIvfIndex(new graft.sinks.AppendOnlyStore(spark, root,
       prefixCol = CellKeyCol, prefixChars = 3), centroids, idCol, vecCol)
+  }
 
   /** Maintain the index with one signed batch: assign cells against the
     * frozen centroids (one batch-sized pass, no shuffle of state), append

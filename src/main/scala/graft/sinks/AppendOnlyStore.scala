@@ -260,13 +260,37 @@ class AppendOnlyStore(spark: SparkSession, root: String,
       .repartition(col("prefix"))
       .write.mode("overwrite").partitionBy("prefix")
       .parquet(genDir(next).toString)
-    clean.foreach { p =>
-      val ok = org.apache.hadoop.fs.FileUtil.copy(
-        fs, new Path(curDir, p), fs, new Path(genDir(next), p),
-        false, true, spark.sparkContext.hadoopConfiguration)
-      if (!ok) throw new IllegalStateException(
-        s"per-prefix compaction: copying untouched prefix $p into " +
-          s"generation $next failed at $root")
+    // Carrying clean prefixes into the new generation is a CLIENT-SIDE
+    // byte copy (FileUtil.copy streams through this JVM) — NOT a
+    // server-side COPY; a rename is not an option because the outgoing
+    // generation must keep its files until the NEXT compaction for
+    // pinned readers. The copies are independent per prefix directory,
+    // so they run on a thread pool: wall-clock is the largest prefix,
+    // not the sum. On an object store, swap the copy lambda for the
+    // store's server-side COPY (S3 CopyObject) or a generation manifest
+    // that references prior-generation directories in place — the
+    // steady-state DATA cost is already ingest-proportional (clean
+    // prefixes are one already-folded file); this transfer is the
+    // remaining term, bounded by accumulated state size.
+    if (clean.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, clean.size))
+      try {
+        val tasks = clean.toSeq.sorted.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              val ok = org.apache.hadoop.fs.FileUtil.copy(
+                fs, new Path(curDir, p), fs, new Path(genDir(next), p),
+                false, true, conf)
+              if (!ok) throw new IllegalStateException(
+                s"per-prefix compaction: copying untouched prefix $p " +
+                  s"into generation $next failed at $root")
+            }
+          })
+        }
+        tasks.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
     }
     publishGen(next)
     val stale = genDir(cur - 1) // resolves to the legacy dir for gen 0

@@ -166,7 +166,17 @@ object Debezium {
         when(col("p.op") === "u",
           array(img(col("p.before"), -1L), img(col("p.after"), 1L)))
         .when(col("p.op") === "d", array(img(col("p.before"), -1L)))
-        .otherwise(array(img(col("p.after"), 1L))))
+        .when(col("p.op").isin("c", "r"), array(img(col("p.after"), 1L)))
+        // anything else (Debezium 't' truncate, 'm' message, unknown
+        // ops) has NO multiset-delta reading — counting it as a +1
+        // insert would silently corrupt every maintained view, and a
+        // null after-image would raise img's misleading replica-identity
+        // error. Refuse with a dedicated message instead.
+        .otherwise(array(struct(col("p.after").as("r"),
+          raise_error(concat(lit("unsupported CDC op '"), col("p.op"),
+            lit("' — signedDeltas maps op IN ('c','r','u','d') only; " +
+              "truncate/message envelopes must be filtered or handled " +
+              "upstream"))).cast("long").as("d")))))
         .as("e"))
     pairs.select(row.fields.toIndexedSeq.map(f => col(s"e.r.${f.name}")) :+
       col("e.d").as(deltaCol): _*)

@@ -126,4 +126,25 @@ class DebeziumSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("refusing to drop deletes")),
       s"unexpected error: $e")
   }
+
+  test("signedDeltas REFUSES non-c/r/u/d ops with a dedicated error") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val row = StructType(Seq(StructField("id", LongType)))
+    // a Debezium 't' (truncate) envelope: no multiset-delta reading —
+    // counting it as an insert (the old fallthrough) would corrupt
+    // every maintained view; it must raise the DEDICATED message, not
+    // the misleading replica-identity one
+    val cdc = Seq(
+      """{"payload": {"before": null, "after": {"id": 7}, "op": "t", "ts_ms": 1}}"""
+    ).toDF("value")
+    val e = intercept[Exception] {
+      Debezium.signedDeltas(cdc, row).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unsupported CDC op 't'")),
+      s"unexpected error: $e")
+  }
 }

@@ -209,6 +209,39 @@ class IncrementalJoinSpec extends SparkSpec {
       oneShot(l.unionByName(l2), r.unionByName(r2)))
   }
 
+  test("a dirty sweep truncates net-zero buckets so retry duplicates cannot outlive the flag") {
+    // the r8-ADVICE hazard: a target bucket whose compaction fold nets
+    // to ZERO rows never appears in the dynamic-overwrite output, so its
+    // crash-retry duplicate partials used to survive the sweep — and
+    // once the dirty flag cleared, sideState stopped deduplicating and
+    // every later delta join double-counted the retraction
+    val root = tmpDir("ijoin")
+    val st = IncrementalJoin.stores(spark, root)
+    IncrementalJoin.appendLeft(st, leftDf(1L -> "a"), Seq("k"), 0L)
+    IncrementalJoin.appendRight(st, rightDf(1L -> "x"), Seq("k"), 10L)
+    // batch 1 retracts the only left row — its bucket now nets to zero
+    val retract = Seq((1L, "a", -1L)).toDF("k", "lv", "__delta")
+    IncrementalJoin.appendLeftDelta(st, retract, Seq("k"), 1L)
+    // simulate a mid-write crash + retry: the fold row lands twice and
+    // the side goes dirty
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(root, "_applied/left.1.done"), false))
+    IncrementalJoin.appendLeftDelta(st, retract, Seq("k"), 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_applied/left.dirty")))
+    assert(currentSet(st).isEmpty) // dirty dedup keeps the state exact
+    IncrementalJoin.compactSides(st, Seq("k"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_applied/left.dirty")))
+    // the net-zero bucket must be physically empty — no surviving
+    // duplicate partial rows now that reads no longer dedup
+    assert(spark.table(st.leftTable).count() == 0,
+      "net-zero bucket kept stale rows past the dirty sweep")
+    // and a post-compaction delta join must not resurrect the retraction
+    IncrementalJoin.appendRight(st, rightDf(1L -> "z"), Seq("k"), 11L)
+    assert(currentSet(st).isEmpty)
+  }
+
   test("disjoint key sets give an EMPTY join with the right schema, not an error") {
     val st = IncrementalJoin.stores(spark, tmpDir("ijoin"))
     IncrementalJoin.appendLeft(st, leftDf(1L -> "a"), Seq("k"), 0L)

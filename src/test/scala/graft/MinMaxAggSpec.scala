@@ -110,6 +110,15 @@ class MinMaxAggSpec extends SparkSpec {
     // exact-boundary rank: q=0.2 on N=5 must hit rank 1 EXACTLY (the
     // float 0.2·5=1.0000000000000002 trap the ppm arithmetic avoids)
     assert(quant(0.2)("a") == Seq(5L, 1L))
+    // sub-percent quantiles label by exact micro-units, never a rounded
+    // percent; same-percent-different-q pairs are refused, not silently
+    // emitted as duplicate ambiguous columns
+    val cols = MinMaxAgg.quantilesDisc(st, spec, Seq(0.005, 0.333)).columns
+    assert(cols.contains("p5000ppm") && cols.contains("p333000ppm"), cols.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      MinMaxAgg.quantilesDisc(st, spec, Seq(0.25, 0.25))
+    }
+    assert(e.getMessage.contains("collide"))
   }
 
   test("chained one-shot equality on a larger random-ish multiset") {

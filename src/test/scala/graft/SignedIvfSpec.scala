@@ -28,6 +28,16 @@ class SignedIvfSpec extends SparkSpec {
     SimilarityOps.signedIvfTopK(idx, q, k = 3, nprobe = 1)
       .orderBy($"rank").select("vec_id").as[Long].collect().toSeq
 
+  test("cell ids beyond the c%02d layout are refused at open") {
+    // 'c100' would truncate to the 3-char prefix 'c10' (colliding with
+    // cell 10) and the probe's exact-key filter would silently miss it
+    val wide = IndexedSeq(0 -> vec(1, 0, 0, 0), 100 -> vec(0, 1, 0, 0))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.openSignedIvf(spark, tmpDir("sivf"), wide)
+    }
+    assert(e.getMessage.contains("[0, 99]"))
+  }
+
   test("takedown removes a vector from probe results; replay is a no-op") {
     val idx = SimilarityOps.openSignedIvf(spark, tmpDir("sivf"), centroids)
     SimilarityOps.signedIvfAppend(idx,
