@@ -25,11 +25,14 @@ import graft.sinks.AppendOnlyStore
   *    (`__term_key`), so a serve-time probe for a handful of
   *    query terms prunes to a handful of prefix DIRECTORIES — the probe
   *    reads df-bounded bytes, not the index.
-  *  - `docs` — key `(doc)`, maintained `dl` (token count) sum: per-doc
-  *    length plus, refolded, the global stats N and Σdl that BM25's idf
-  *    and length normalization need. avgdl is served as Σdl/N (exact:
-  *    integer sums in double stay exact below 2^53), never a float
-  *    running mean — what keeps scores engine-portable.
+  *  - `docs` — key `(doc)`, maintained `dl` (token count) sum: the
+  *    per-doc length BM25's normalization reads per candidate.
+  *  - `stats` — a CONSTANT key, maintained `(N, Σdl)`: the two global
+  *    scalars idf and length normalization need, kept as a 1-row
+  *    aggregate (one partial per batch) so a serve never pays a
+  *    doc-length-state aggregate scan for them. avgdl is served as
+  *    Σdl/N (exact: integer sums in double stay exact below 2^53),
+  *    never a float running mean — what keeps scores engine-portable.
   *
   * Ingestion contract: one logical batch = a set of doc VERSIONS with a
   * signed multiplicity — insert (+1), takedown (−1, re-presenting the
@@ -50,9 +53,12 @@ import graft.sinks.AppendOnlyStore
   */
 object IncrementalTextIndex {
 
-  /** Index state under one root: `<root>/postings` + `<root>/docs`. */
+  /** Index state under one root: `<root>/postings` + `<root>/docs` +
+    * `<root>/stats` (the 1-row maintained (N, Σdl) aggregate BM25's idf
+    * and length normalization read — without it every serve would pay a
+    * full doc-length-state aggregate scan just for two scalars). */
   final case class Stores(postings: AppendOnlyStore, docs: AppendOnlyStore,
-                          idCol: String)
+                          stats: AppendOnlyStore, idCol: String)
 
   private val TermKeyCol = "__term_key"
 
@@ -60,12 +66,16 @@ object IncrementalTextIndex {
     IncrementalAgg.Spec(Seq(TermKeyCol, "term", idCol), Seq("tf"))
   private def docsSpec(idCol: String) =
     IncrementalAgg.Spec(Seq(idCol), Seq("dl"))
+  // constant key → one maintained row: n_rows = net N, sum_dl = net Σdl
+  private val statsSpec = IncrementalAgg.Spec(Seq("__tag"), Seq("dl"))
 
   def stores(spark: SparkSession, root: String, idCol: String): Stores =
     Stores(
       new AppendOnlyStore(spark, s"$root/postings",
         prefixCol = TermKeyCol, prefixChars = 2),
       new AppendOnlyStore(spark, s"$root/docs",
+        prefixCol = "__agg_key", prefixChars = 1),
+      new AppendOnlyStore(spark, s"$root/stats",
         prefixCol = "__agg_key", prefixChars = 1),
       idCol)
 
@@ -98,6 +108,12 @@ object IncrementalTextIndex {
     IncrementalAgg.appendDelta(st.docs,
       toked.select(id, dl.as("dl"), col("__delta")),
       docsSpec(st.idCol), batchId, "__delta")
+    // the same signed (dl, δ) rows, folded under a CONSTANT key: the
+    // per-batch partial is one row; serving (N, Σdl) reads this store
+    // only, never a doc-state aggregate
+    IncrementalAgg.appendDelta(st.stats,
+      toked.select(lit("s").as("__tag"), dl.as("dl"), col("__delta")),
+      statsSpec, batchId, "__delta")
     val postings = toked
       .select(id, col("__delta"), explode(col("__toks")).as("term"))
       .filter(length(col("term")) > 0)
@@ -124,7 +140,8 @@ object IncrementalTextIndex {
     * matches; fixed-order per-term fold so float results are
     * engine-portable). The postings probe filters on the term-key
     * PREFIX partition column first — directory pruning — then exact
-    * terms; stats (N, Σdl→avgdl, per-term df) fold to one broadcast row. */
+    * terms; (N, Σdl→avgdl) reads the maintained 1-row stats store and
+    * per-term df folds from the pruned probe — each one broadcast row. */
   def bm25(st: Stores, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame =
     scoredDocs(st, terms, k1, b, candidatesOnly = false)
@@ -158,10 +175,13 @@ object IncrementalTextIndex {
       else docsCur.join(tfWide, Seq(st.idCol), "left"))
       .select(id +: col("doc_len") +: terms.indices.map(i =>
         coalesce(col(s"__tf$i").cast("double"), lit(0.0)).as(s"__tf$i")): _*)
-    // global stats: one row each, broadcast — avgdl as exact Σdl/N
-    val nStats = docsCur.agg(
-      count(lit(1)).cast("double").as("__n"),
-      (sum(col("doc_len")) / count(lit(1))).as("__avgdl"))
+    // global stats: served from the MAINTAINED 1-row stats store (one
+    // partial per batch, folded) — never an aggregate scan over the
+    // doc-length state; avgdl as exact Σdl/N (integer sums in double
+    // stay exact below 2^53)
+    val nStats = IncrementalAgg.current(st.stats, statsSpec)
+      .select(col("n_rows").cast("double").as("__n"),
+        (col("sum_dl").cast("double") / col("n_rows")).as("__avgdl"))
     val dfAggs = terms.indices.map(i =>
       sum(when(col("term") === terms(i), 1.0).otherwise(0.0)).as(s"__df$i"))
     val dfStats = post.agg(dfAggs.head, dfAggs.drop(1): _*)
@@ -219,5 +239,6 @@ object IncrementalTextIndex {
   def compact(st: Stores): Unit = {
     IncrementalAgg.compact(st.postings, postSpec(st.idCol))
     IncrementalAgg.compact(st.docs, docsSpec(st.idCol))
+    IncrementalAgg.compact(st.stats, statsSpec)
   }
 }

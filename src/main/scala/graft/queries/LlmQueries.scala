@@ -646,8 +646,33 @@ object LlmQueries {
     import s.implicits._
     import graft.ops.IncrementalTextIndex
     val st = cdcTextIndex(s, dir, "q193idx")
-    IncrementalTextIndex.bm25TopK(st, Seq("spark", "query", "fast"), 25)
-      .select($"doc_id", $"doc_len", $"score_e4", $"rank")
+    val served =
+      IncrementalTextIndex.bm25TopK(st, Seq("spark", "query", "fast"), 25)
+    // serve-cost gate: (N, Σdl) must come from the maintained 1-row
+    // stats store — NO grouping-less aggregate over the doc-length
+    // state may survive in the plan (the r8 nit: a per-serve doc-state
+    // aggregate scan), and the stats store must actually be scanned
+    val lp = served.queryExecution.optimizedPlan
+    def scanRoots(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    val docScansUnderGlobalAgg = lp.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.isEmpty => scanRoots(a)
+    }.flatten.filter(_.startsWith(st.docs.location))
+    require(docScansUnderGlobalAgg.isEmpty,
+      "q193: global BM25 stats must serve from the stats store, but a " +
+        s"grouping-less aggregate still scans $docScansUnderGlobalAgg")
+    require(scanRoots(lp).exists(_.startsWith(st.stats.location)),
+      "q193: the maintained stats store is not read — stats fell back " +
+        "to some other path")
+    served.select($"doc_id", $"doc_len", $"score_e4", $"rank")
       .orderBy($"rank")
   }
 

@@ -97,6 +97,9 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     * empty frames before the first append). */
   def session: SparkSession = spark
 
+  /** The store's root directory (for plan assertions over serve paths). */
+  def location: String = root
+
   // ------------------------------------------- applied-batch manifest
   // Same design as IncrementalJoin's side manifest: a batch id gains a
   // `.started` marker before its data lands and a `.done` marker after,
