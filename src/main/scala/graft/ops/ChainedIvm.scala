@@ -136,6 +136,34 @@ object ChainedIvm {
     throw new IllegalStateException(
       "this chain was opened without an extremaSpec"))
 
+  /** The extrema store as a SERVE LEVEL for the SQL rewrite (requires
+    * an `extremaSpec` at open): registered in a
+    * [[graft.plans.MaterializedJoinRewrite.JoinMv]]'s `aggServe` list
+    * (after the agg level), a `min/max/percentile_disc(p) GROUP BY
+    * <extrema keys>` over the raw paths is answered EXACTLY from the
+    * [[MinMaxAgg]] value multiset — the retractable store the chain
+    * already maintains. `count(*)` is declined at this level
+    * (`countRowsExact = false`: the multiset counts non-null values
+    * only) so counting queries keep the cheaper agg-partials or
+    * join-state path. Registrant contract (see
+    * [[graft.plans.MaterializedAggRewrite.MvDef]]): the extrema value
+    * column is effectively non-null — groups whose every value is null
+    * would vanish from this serve level. */
+  def extremaServe(c: Stores): graft.plans.MaterializedAggRewrite.MvDef = {
+    val (st, es) = requireExtrema(c)
+    graft.plans.MaterializedAggRewrite.MvDef(
+      keyCols = es.keyCols, sumCols = Nil,
+      current = () => MinMaxAgg.current(st, es),
+      minCols = Seq(es.valCol), maxCols = Seq(es.valCol),
+      discQuantileCurrent = Map(es.valCol -> { ps =>
+        ps.foldLeft(MinMaxAgg.quantilesDisc(st, es, ps)) { (d, p) =>
+          d.withColumnRenamed(MinMaxAgg.quantileLabel(p),
+            s"__qd_${math.round(p * 1e6)}")
+        }
+      }),
+      countRowsExact = false)
+  }
+
   /** Compact every store in the chain (quiescence, single-writer). */
   def compact(c: Stores): Unit = {
     IncrementalJoin.compactOut(c.join)

@@ -139,6 +139,15 @@ object MinMaxAgg {
     * window within the key partition — distributed across keys), then
     * a per-key fold; no all-value collect anywhere. Output columns:
     * keys, `n_rows`, one `p<q·100>` column per requested quantile. */
+  /** The output-column label [[quantilesDisc]] gives probability `q` —
+    * public so registrants wiring the store into a serve path (e.g. a
+    * [[graft.plans.MaterializedAggRewrite]] `discQuantileCurrent`
+    * provider) can rename deterministically. */
+  def quantileLabel(q: Double): String = {
+    val ppm = math.round(q * 1e6)
+    if (ppm % 10000 == 0) s"p${ppm / 10000}" else s"p${ppm}ppm"
+  }
+
   def quantilesDisc(store: AppendOnlyStore, spec: Spec,
                     qs: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -159,8 +168,7 @@ object MinMaxAgg {
     // ambiguous to reference downstream.
     val labels = qs.map { q =>
       require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
-      val ppm = math.round(q * 1e6)
-      if (ppm % 10000 == 0) s"p${ppm / 10000}" else s"p${ppm}ppm"
+      quantileLabel(q)
     }
     require(labels.distinct.size == labels.size,
       s"quantile labels collide: ${labels.mkString(", ")} — requested " +

@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  ApproximatePercentile, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
+  ApproximatePercentile, Average, Count, HyperLogLogPlusPlus, Max, Min,
+  PercentileDisc, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -67,7 +68,27 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     *                  `percentile_approx(col, p)` with a literal scalar
     *                  `p` is answered from it; both sides are
     *                  approximate by contract, though the estimators
-    *                  differ (Spark's GK summaries vs the store's KLL) */
+    *                  differ (Spark's GK summaries vs the store's KLL)
+    * @param discQuantileCurrent per-column EXACT discrete-quantile
+    *                  providers — normally a [[graft.ops.MinMaxAgg]]
+    *                  value-multiset (`ps => MinMaxAgg.quantilesDisc(
+    *                  store, spec, ps)` with its labels renamed). The
+    *                  returned frame must carry keys ++ one column per
+    *                  requested probability named `__qd_<ppm>` (micro-
+    *                  units, `math.round(p·1e6)`). `percentile_disc(p)
+    *                  WITHIN GROUP (ORDER BY col)` with a literal `p`
+    *                  is answered from it — EXACT on both sides, the
+    *                  serve the retractable value-multiset state exists
+    *                  for
+    * @param countRowsExact whether `n_rows` counts EVERY source row.
+    *                  A [[graft.ops.MinMaxAgg]]-backed registration
+    *                  counts only non-null value rows, so it must set
+    *                  false and decline `count(*)` (falling back to the
+    *                  next serve level) rather than undercount.
+    *                  Likewise min/max/percentile served from such a
+    *                  store OMIT groups whose every value is null —
+    *                  register extrema serving only for effectively
+    *                  non-null value columns (the registrant contract) */
   final case class MvDef(keyCols: Seq[String], sumCols: Seq[String],
                          current: () => DataFrame,
                          minCols: Seq[String] = Nil,
@@ -76,7 +97,10 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
                            Map.empty,
                          serveExactDistinct: Boolean = false,
                          quantileCurrent: Map[String, Seq[Double] => DataFrame] =
-                           Map.empty)
+                           Map.empty,
+                         discQuantileCurrent: Map[String, Seq[Double] => DataFrame] =
+                           Map.empty,
+                         countRowsExact: Boolean = true)
 
   /** How one output column maps onto the store. */
   private sealed trait StoreRef
@@ -84,6 +108,7 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
   private final case class AvgOf(c: String) extends StoreRef
   private final case class DistinctOf(c: String) extends StoreRef
   private final case class QuantileOf(c: String, p: Double) extends StoreRef
+  private final case class DiscQuantileOf(c: String, p: Double) extends StoreRef
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
   // re-entrancy guard: building the replacement DataFrame analyzes a new
@@ -201,7 +226,7 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
   private def toStoreRef(ae: AggregateExpression, mv: MvDef): Option[StoreRef] =
     ae match {
       case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
-        if l.value != null => Some(Plain("n_rows"))
+        if l.value != null && mv.countRowsExact => Some(Plain("n_rows"))
       case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
         if mv.sumCols.contains(a.name) => Some(Plain(s"sum_${a.name}"))
       case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
@@ -221,6 +246,15 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
           case Seq(a: AttributeReference, Literal(p: Double, DoubleType), _)
             if mv.quantileCurrent.contains(a.name) && p >= 0.0 && p <= 1.0 =>
             Some(QuantileOf(a.name, p))
+          case _ => None
+        }
+      case AggregateExpression(pd: PercentileDisc, _, false, None, _)
+        if !pd.reverse =>
+        (pd.child, pd.percentageExpression) match {
+          case (a: AttributeReference, Literal(p: Double, DoubleType))
+            if mv.discQuantileCurrent.contains(a.name) &&
+              p >= 0.0 && p <= 1.0 =>
+            Some(DiscQuantileOf(a.name, p))
           case _ => None
         }
       case _ => None
@@ -278,13 +312,25 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
             s"n_distinct_$c"),
           mv.keyCols)
       }
-      val refoldDf = needQuantile.foldLeft(withDistinct) {
+      val withQuantile = needQuantile.foldLeft(withDistinct) {
         case (acc, (c, ps)) =>
           // q<pct> columns come back prefixed per source column so two
           // quantile-served columns cannot collide
           val qdf = ps.foldLeft(mv.quantileCurrent(c)(ps)) { (d, p) =>
             d.withColumnRenamed(s"q${math.round(p * 100)}",
               s"__q_${c}_${math.round(p * 100)}")
+          }
+          acc.join(qdf.drop("n_rows"), mv.keyCols)
+      }
+      val needDisc = refs.collect { case DiscQuantileOf(c, p) => (c, p) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val refoldDf = needDisc.foldLeft(withQuantile) {
+        case (acc, (c, ps)) =>
+          // provider contract: columns named __qd_<ppm>; re-prefix per
+          // source column so two disc-served columns cannot collide
+          val qdf = ps.foldLeft(mv.discQuantileCurrent(c)(ps)) { (d, p) =>
+            d.withColumnRenamed(s"__qd_${math.round(p * 1e6)}",
+              s"__qd_${c}_${math.round(p * 1e6)}")
           }
           acc.join(qdf.drop("n_rows"), mv.keyCols)
       }
@@ -295,6 +341,7 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
         case AvgOf(c) => Seq(s"sum_$c", s"cnt_$c")
         case DistinctOf(c) => Seq(s"n_distinct_$c")
         case QuantileOf(c, p) => Seq(s"__q_${c}_${math.round(p * 100)}")
+        case DiscQuantileOf(c, p) => Seq(s"__qd_${c}_${math.round(p * 1e6)}")
       } ++ groupAttrs.map(_.name) ++
         keyPreds.flatMap(_.references.map(_.name))
       if (!neededNames.forall(byName.contains)) return None
@@ -312,6 +359,8 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
             case DistinctOf(c) => byName(s"n_distinct_$c")
             case QuantileOf(c, p) =>
               byName(s"__q_${c}_${math.round(p * 100)}")
+            case DiscQuantileOf(c, p) =>
+              byName(s"__qd_${c}_${math.round(p * 1e6)}")
           }
           if (raw.dataType == ae.dataType) raw else Cast(raw, ae.dataType)
         case a: AttributeReference => byName(a.name)

@@ -67,24 +67,29 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
     *                outer variant's `current`
     * @param fresh   staleness guard: return false to decline serving
     *                (raw-side appends not yet maintained)
-    * @param aggServe optional CHAINED downstream aggregate
-    *                ([[graft.ops.ChainedIvm]]'s agg store) as a
-    *                [[MaterializedAggRewrite.MvDef]]: when the query's
-    *                grouping keys are exactly the chain's maintained
-    *                keys and every aggregate maps onto maintained
-    *                count/sum state, the rewrite answers from per-key
-    *                PARTIALS (size ∝ keys × compaction cadence) instead
-    *                of re-aggregating the join-state multiset (size ∝
-    *                distinct value groups) — the cheapest serve in the
-    *                hierarchy. Anything it can't express (min/max,
-    *                count-DISTINCT, other groupings, row-level
-    *                predicates) falls back to the join-state path, then
-    *                to the raw plan. */
+    * @param aggServe CHAINED downstream serve levels
+    *                ([[graft.ops.ChainedIvm]]'s agg and extrema stores)
+    *                as [[MaterializedAggRewrite.MvDef]]s, tried IN
+    *                ORDER: when the query's grouping keys are exactly a
+    *                level's maintained keys and every aggregate maps
+    *                onto its state, the rewrite answers from per-key
+    *                PARTIALS (size ∝ keys × compaction cadence) or the
+    *                extrema value multiset instead of re-aggregating
+    *                the join-state multiset (size ∝ distinct value
+    *                groups) — the cheapest serve in the hierarchy.
+    *                Typical registration: the count/sum agg store
+    *                first, then a [[graft.ops.MinMaxAgg]]-backed level
+    *                (minCols/maxCols/discQuantileCurrent,
+    *                countRowsExact = false) answering min/max/
+    *                percentile_disc GROUP BY the extrema keys. Anything
+    *                no level can express (count-DISTINCT, other
+    *                groupings, row-level predicates) falls back to the
+    *                join-state path, then to the raw plan. */
   final case class JoinMv(on: Seq[String], joinType: JoinType,
                           current: () => DataFrame,
                           fresh: () => Boolean = () => true,
-                          aggServe: Option[MaterializedAggRewrite.MvDef] =
-                            None)
+                          aggServe: Seq[MaterializedAggRewrite.MvDef] =
+                            Nil)
 
   private val registry = new ConcurrentHashMap[(String, String), JoinMv]()
   private val rewriting = new ThreadLocal[Boolean] {
@@ -123,12 +128,13 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
             aggExprs.flatMap(_.references) ++ preds.flatMap(_.references))
           if (unsafeKeys.exists(refs.contains)) None
           else {
-            // cheapest first: the chained downstream aggregate's
-            // partials, when the query's shape maps onto them and every
-            // collected predicate touches maintained KEYS only (a
+            // cheapest first: the chained downstream serve levels in
+            // registration order (agg partials, then extrema multiset),
+            // each tried when the query's shape maps onto it and every
+            // collected predicate touches that level's KEYS only (a
             // key-only predicate commutes with the per-key aggregate;
             // anything else needs the value groups → join-state path)
-            val viaChain = mv.aggServe.flatMap { amv =>
+            val viaChain = mv.aggServe.view.flatMap { amv =>
               if (preds.forall(_.references.forall(a =>
                   amv.keyCols.contains(a.name)))) {
                 rewriting.set(true)
@@ -136,7 +142,7 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
                   groups, aggExprs, amv, preds)
                 finally rewriting.set(false)
               } else None
-            }
+            }.headOption
             viaChain.orElse(rewrite(groups, aggExprs, mv, preds))
           }
         }.getOrElse(agg)

@@ -991,6 +991,98 @@ object FunctionQueries {
     * join-state multiset (distinct counts are not mergeable from
     * partials; second in-query assertion). Oracle = the plain SQL over
     * the net tables. */
+  /** Extrema/exact-quantile SQL serving (q199): the q188 chain opened
+    * WITH an extrema multiset (keyed `o_orderstatus` over `cents`),
+    * registered as a SECOND serve level. A plain `min/max/
+    * percentile_disc(0.5) GROUP BY o_orderstatus` over the RAW paths
+    * must be answered from `<chain>/extrema` ONLY (in-query plan
+    * assert) — closing the r8 gap where such queries fell back to the
+    * join-state multiset. The same insert+delete waves as q188 prove
+    * the served extrema are RETRACTABLE (deleted rows move min/max/p50
+    * exactly where a recompute would); a `count(*)` twin must DECLINE
+    * the extrema level (its multiset counts values, not rows) and land
+    * on the join state — second in-query assert. Oracle = the plain
+    * SQL with the percentile reach condition written as exact
+    * rationals. */
+  def q199ExtremaServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{ChainedIvm, IncrementalAgg, MinMaxAgg}
+    val oDir = java.nio.file.Files.createTempDirectory("q199o").toString
+    val lDir = java.nio.file.Files.createTempDirectory("q199l").toString
+    val ordAll = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val liAll = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_returnflag",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    ordAll.filter($"okey" % 5 =!= 2).write.mode("overwrite").parquet(oDir)
+    liAll.filter($"okey" % 7 =!= 3).write.mode("overwrite").parquet(lDir)
+    val chainRoot =
+      java.nio.file.Files.createTempDirectory("q199chain").toString
+    val chain = ChainedIvm.stores(s, chainRoot, Seq("okey"),
+      IncrementalAgg.Spec(Seq("o_orderstatus", "l_returnflag"),
+        Seq("cents")),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("o_orderstatus"), "cents")))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      val plus = lit(1L).as("__delta")
+      ChainedIvm.appendLeftDelta(chain,
+        ordAll.select($"okey", $"o_orderstatus", plus), 0L)
+      ChainedIvm.appendRightDelta(chain,
+        liAll.select($"okey", $"l_returnflag", $"cents", plus), 10L)
+      ChainedIvm.appendLeftDelta(chain,
+        ordAll.filter($"okey" % 5 === 2)
+          .select($"okey", $"o_orderstatus", lit(-1L).as("__delta")), 1L)
+      ChainedIvm.appendRightDelta(chain,
+        liAll.filter($"okey" % 7 === 3)
+          .select($"okey", $"l_returnflag", $"cents",
+            lit(-1L).as("__delta")), 11L)
+      ChainedIvm.compact(chain)
+    } finally s.conf.set(aqeKey, aqeWas)
+    graft.plans.MaterializedJoinRewrite.register(oDir, lDir,
+      graft.plans.MaterializedJoinRewrite.JoinMv(Seq("okey"),
+        org.apache.spark.sql.catalyst.plans.Inner,
+        () => ChainedIvm.currentJoin(chain),
+        aggServe = Seq(
+          graft.plans.MaterializedAggRewrite.MvDef(
+            Seq("o_orderstatus", "l_returnflag"), Seq("cents"),
+            () => ChainedIvm.currentAgg(chain)),
+          ChainedIvm.extremaServe(chain))))
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    try {
+      val res = s.read.parquet(oDir).join(s.read.parquet(lDir), Seq("okey"))
+        .groupBy($"o_orderstatus")
+        .agg(min($"cents").as("min_cents"), max($"cents").as("max_cents"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as("p50"))
+        .orderBy($"o_orderstatus")
+      val p1 = scanPaths(res)
+      require(p1.nonEmpty && p1.forall(_.startsWith(s"$chainRoot/extrema")),
+        s"q199: min/max/percentile_disc must serve from the extrema " +
+          s"multiset ONLY, scanned: $p1")
+      // count(*) at the extrema grouping: the extrema level must
+      // decline (it counts non-null VALUES, not rows) and the query
+      // must land on the join-state multiset, never the raw paths
+      val p2 = scanPaths(
+        s.read.parquet(oDir).join(s.read.parquet(lDir), Seq("okey"))
+          .groupBy($"o_orderstatus").agg(count(lit(1)).as("n")))
+      require(p2.nonEmpty &&
+        p2.forall(_.startsWith(s"$chainRoot/join")) &&
+        !p2.exists(p => p.startsWith(oDir) || p.startsWith(lDir)),
+        s"q199: count(*) must fall back to join state, scanned: $p2")
+      res
+    } finally graft.plans.MaterializedJoinRewrite.deregister(oDir, lDir)
+  }
+
   def q188ChainMvServe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ops.{ChainedIvm, IncrementalAgg}
@@ -1032,7 +1124,7 @@ object FunctionQueries {
       graft.plans.MaterializedJoinRewrite.JoinMv(Seq("okey"),
         org.apache.spark.sql.catalyst.plans.Inner,
         () => ChainedIvm.currentJoin(chain),
-        aggServe = Some(graft.plans.MaterializedAggRewrite.MvDef(
+        aggServe = Seq(graft.plans.MaterializedAggRewrite.MvDef(
           Seq("o_orderstatus", "l_returnflag"), Seq("cents"),
           () => ChainedIvm.currentAgg(chain)))))
     def scanPaths(df: DataFrame): Seq[String] =
@@ -1067,6 +1159,7 @@ object FunctionQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q199_extrema_serve" -> (q199ExtremaServe _),
     "q188_chain_mv_serve" -> (q188ChainMvServe _),
     "q189_chain_extrema" -> (q189ChainExtrema _),
     "q180_join_mv_chain" -> (q180JoinMvChain _),
@@ -1112,6 +1205,27 @@ object FunctionQueries {
       |ORDER BY p1, p2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q199: the q188 net derivation, extrema + exact median per status
+    // via the percentile_disc reach condition 2c ≥ tot
+    "q199_extrema_serve" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 2),
+        |l AS (
+        |  SELECT l_orderkey AS okey,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_orderkey % 7 <> 3),
+        |j AS (SELECT o.o_orderstatus, l.cents
+        |  FROM o JOIN l ON o.okey = l.okey),
+        |g AS (SELECT o_orderstatus, cents, count(*) AS net
+        |  FROM j GROUP BY 1, 2),
+        |cum AS (SELECT o_orderstatus, cents,
+        |  sum(net) OVER (PARTITION BY o_orderstatus ORDER BY cents) AS c,
+        |  sum(net) OVER (PARTITION BY o_orderstatus) AS tot FROM g)
+        |SELECT o_orderstatus, min(cents) AS min_cents,
+        |  max(cents) AS max_cents,
+        |  min(CASE WHEN c * 2 >= tot THEN cents END) AS p50
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     "q180_join_mv_chain" ->
       """SELECT o.o_orderstatus, l.l_returnflag,
         |  count(*) AS n_pairs,

@@ -238,7 +238,7 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
     MaterializedJoinRewrite.register(aDir, bDir, MaterializedJoinRewrite.JoinMv(
       Seq("k"), org.apache.spark.sql.catalyst.plans.Inner,
       () => ChainedIvm.currentJoin(chain),
-      aggServe = Some(graft.plans.MaterializedAggRewrite.MvDef(
+      aggServe = Seq(graft.plans.MaterializedAggRewrite.MvDef(
         Seq("grp"), Seq("lv"), () => ChainedIvm.currentAgg(chain)))))
     try {
       def q1() = a.join(b, Seq("k")).groupBy($"grp")
@@ -254,7 +254,7 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
       MaterializedJoinRewrite.register(aDir, bDir, MaterializedJoinRewrite.JoinMv(
         Seq("k"), org.apache.spark.sql.catalyst.plans.Inner,
         () => ChainedIvm.currentJoin(chain),
-        aggServe = Some(graft.plans.MaterializedAggRewrite.MvDef(
+        aggServe = Seq(graft.plans.MaterializedAggRewrite.MvDef(
           Seq("grp"), Seq("lv"), () => ChainedIvm.currentAgg(chain)))))
       assert(rows(q1()) == want1)
       // min is not in the chain's maintained state → join-state path
@@ -283,6 +283,74 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
       assert(pFine.forall(_.startsWith(s"$root/join")) &&
         !pFine.exists(_.startsWith(aDir)),
         s"finer grouping must use join state: $pFine")
+    } finally MaterializedJoinRewrite.clear()
+  }
+
+  test("extrema serve level: min/max/percentile_disc from the multiset, exact under deletes") {
+    import graft.ops.{ChainedIvm, IncrementalAgg, MinMaxAgg}
+    val (aDir, bDir, _) = fixture()
+    val a = spark.read.parquet(aDir)
+    val b = spark.read.parquet(bDir)
+    val root = tmpDir("jmv-ext")
+    val chain = ChainedIvm.stores(spark, root, Seq("k"),
+      IncrementalAgg.Spec(Seq("grp"), Seq("lv")),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("grp"), "lv")))
+    // build to the fixture's NET content through a delete wave: append
+    // everything plus doomed extra rows, then retract the extras — the
+    // served extrema must surface the runner-up exactly
+    val doomed = Seq((3L, "g3", 999L), (4L, "g0", -5L)).toDF("k", "grp", "lv")
+    ChainedIvm.appendLeftDelta(chain,
+      a.withColumn("__delta", lit(1L))
+        .unionByName(doomed.withColumn("__delta", lit(1L))), 0L)
+    ChainedIvm.appendRightDelta(chain, b.withColumn("__delta", lit(1L)), 10L)
+    ChainedIvm.appendLeftDelta(chain,
+      doomed.withColumn("__delta", lit(-1L)), 1L)
+    ChainedIvm.compact(chain)
+    def register(): Unit =
+      MaterializedJoinRewrite.register(aDir, bDir,
+        MaterializedJoinRewrite.JoinMv(
+          Seq("k"), org.apache.spark.sql.catalyst.plans.Inner,
+          () => ChainedIvm.currentJoin(chain),
+          aggServe = Seq(
+            graft.plans.MaterializedAggRewrite.MvDef(
+              Seq("grp"), Seq("lv"), () => ChainedIvm.currentAgg(chain)),
+            ChainedIvm.extremaServe(chain))))
+    register()
+    try {
+      def q() = a.join(b, Seq("k")).groupBy($"grp")
+        .agg(min($"lv").as("mn"), max($"lv").as("mx"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lv)")
+            .as("p50"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY lv)")
+            .as("p25"))
+      val df = q()
+      val p = scanPaths(df)
+      assert(p.nonEmpty && p.forall(_.startsWith(s"$root/extrema")),
+        s"expected extrema-multiset serve, scanned $p")
+      MaterializedJoinRewrite.clear()
+      val want = rows(q()) // raw truth, registration removed
+      register()
+      assert(rows(q()) == want)
+      // count(*) must DECLINE the extrema level (it counts values, not
+      // rows) — count+sum land on the agg partials as before
+      val dfC = a.join(b, Seq("k")).groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"lv").as("s"))
+      val pC = scanPaths(dfC)
+      assert(pC.nonEmpty && pC.forall(_.startsWith(s"$root/agg")),
+        s"count/sum must stay on agg partials: $pC")
+      // MIXED count + min: no single level answers it → join state
+      val dfMix = a.join(b, Seq("k")).groupBy($"grp")
+        .agg(count(lit(1)).as("n"), min($"lv").as("mn"))
+      val pMix = scanPaths(dfMix)
+      assert(pMix.forall(_.startsWith(s"$root/join")) &&
+        !pMix.exists(_.startsWith(aDir)),
+        s"mixed count+min must use join state: $pMix")
+      // a KEY-only predicate commutes with the extrema level too
+      val dfPred = a.join(b, Seq("k")).filter($"grp" =!= "g1")
+        .groupBy($"grp").agg(min($"lv").as("mn"))
+      val pPred = scanPaths(dfPred)
+      assert(pPred.nonEmpty && pPred.forall(_.startsWith(s"$root/extrema")),
+        s"key-only predicate should stay on extrema: $pPred")
     } finally MaterializedJoinRewrite.clear()
   }
 }
