@@ -137,4 +137,127 @@ object IncrementalCc {
 
   /** Compact the label state (quiescence, single-writer). */
   def compact(st: Stores): Unit = IncrementalAgg.compact(st.labels, spec)
+
+  // ------------------------------------------------------- SIGNED CC
+  // The right-to-be-forgotten closure the insert-only form cannot give:
+  // edge DELETES flow through, so a takedown that removes a document's
+  // near-dup edges also removes the document from served cluster labels,
+  // and a component a deleted bridge SPLITS relabels exactly as a
+  // recompute would. The price of retractability is an EDGE store next
+  // to the label store (a split can only be re-solved from surviving
+  // edges — labels alone cannot un-merge), and the touched components
+  // are re-solved from those raw surviving edges rather than label
+  // stars (a deletion invalidates the transitive shortcuts stars
+  // encode). Per-batch cost ∝ touched components' members + their live
+  // edges + batch; both stores are scanned, never shuffled whole (the
+  // same semi-join-before-refold posture as the insert-only form).
+  //
+  // Node-existence semantics: a node exists exactly while it has a live
+  // edge — deleting a node's last edge removes it from the labels
+  // entirely (no singleton ghost), which IS the takedown contract.
+  // Edge multiplicities follow the simple-graph signed contract of the
+  // IVM family: net > 0 means live; retracting more copies than were
+  // inserted is a caller error that stays visible as a negative net in
+  // the edge store.
+
+  /** Signed-CC state under one root: `<root>/labels` + `<root>/edges`. */
+  final case class SignedStores(labels: AppendOnlyStore,
+                                edges: AppendOnlyStore)
+
+  private val edgeSpec = IncrementalAgg.Spec(Seq("u", "v"), Nil)
+
+  def signedStores(spark: SparkSession, root: String): SignedStores =
+    SignedStores(
+      new AppendOnlyStore(spark, s"$root/labels",
+        prefixCol = "__agg_key", prefixChars = 1),
+      new AppendOnlyStore(spark, s"$root/edges",
+        prefixCol = "__agg_key", prefixChars = 1))
+
+  /** Live (node, label) under the signed contract. */
+  def currentLabels(st: SignedStores): DataFrame =
+    if (st.labels.hasSchema)
+      IncrementalAgg.current(st.labels, spec)
+        .select(col("node"), col("label"))
+    else st.labels.session.range(0)
+      .select(col("id").as("node"), col("id").as("label"))
+
+  /** Apply one SIGNED batch of undirected edges (`deltaCol` ±1 per
+    * row; a takedown wave re-presents the removed doc's edges at −1).
+    * Exactly-once per `batchId` across crash-replays: both state reads
+    * exclude this batch id, so a retry recomputes the identical emit
+    * and the (key, batch) dedup absorbs the duplicates. */
+  def appendDelta(st: SignedStores, batch: DataFrame, batchId: Long,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  deltaCol: String = "__delta"): Unit = {
+    val d = fresh(batch.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"),
+        col(deltaCol).cast("long").as("__delta"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(sum(col("__delta")).as("__delta"))
+      .where(col("__delta") =!= 0).cutLineage())
+    val batchNodes = d.select(col("u").as("node"))
+      .unionByName(d.select(col("v").as("node"))).distinct().cutLineage()
+    // delta-bounded label lookup: batch nodes → touched components →
+    // full membership (all semi-joins on key columns before the refold)
+    val lp =
+      if (st.labels.hasSchema)
+        st.labels.read().filter(col("__batch_id") =!= lit(batchId))
+      else null
+    def liveLabels(restrict: DataFrame => DataFrame): DataFrame =
+      if (lp == null)
+        st.labels.session.range(0)
+          .select(col("id").as("node"), col("id").as("label"))
+      else IncrementalAgg.currentFrom(restrict(lp), spec)
+        .select(col("node"), col("label"))
+    val touched = liveLabels(_.join(broadcast(batchNodes), Seq("node"),
+        "left_semi"))
+      .select(col("label")).distinct().cutLineage()
+    val member = fresh(liveLabels(_.join(broadcast(touched), Seq("label"),
+        "left_semi"))
+      .select(col("node"), col("label")).cutLineage())
+    // pre-batch live edges of the touched components: an intra-component
+    // edge's `u` is a member, so one key-complete semi-join on `u`
+    // captures them all; net > 0 = live (simple-graph signed contract)
+    val memberNodes = member.select(col("node")).cutLineage()
+    val ep =
+      if (st.edges.hasSchema)
+        st.edges.read().filter(col("__batch_id") =!= lit(batchId))
+      else null
+    val oldEdges =
+      if (ep == null)
+        st.edges.session.range(0)
+          .select(col("id").as("u"), col("id").as("v"),
+            col("id").as("__delta"))
+      else IncrementalAgg.currentFrom(
+          ep.join(broadcast(memberNodes), col("u") === col("node"),
+            "left_semi"), edgeSpec)
+        .filter(col("n_rows") > 0)
+        .select(col("u"), col("v"), col("n_rows").as("__delta"))
+    // surviving edges after the batch: old ⊎ δ netted positive — the
+    // graph the touched components re-solve from (plus wholly-new
+    // batch components)
+    val graph = fresh(oldEdges.unionByName(d)
+      .groupBy(col("u"), col("v")).agg(sum(col("__delta")).as("__net"))
+      .filter(col("__net") > 0)
+      .select(col("u"), col("v")).cutLineage())
+    val solved = fresh(DedupOps.connectedComponentsAlternating(
+        graph, srcCol = "u", dstCol = "v")
+      .select(col("node"), col("label")).cutLineage())
+    // only CHANGES append: moved/removed members retract, new or
+    // relabeled memberships insert
+    val emit = solved.join(member, Seq("node", "label"), "left_anti")
+      .withColumn("__delta", lit(1L))
+      .unionByName(member.join(solved, Seq("node", "label"), "left_anti")
+        .withColumn("__delta", lit(-1L)))
+    IncrementalAgg.appendDelta(st.labels, emit, spec, batchId, "__delta")
+    IncrementalAgg.appendDelta(st.edges, d, edgeSpec, batchId, "__delta")
+  }
+
+  /** Compact both signed-CC stores (quiescence, single-writer). */
+  def compact(st: SignedStores): Unit = {
+    IncrementalAgg.compact(st.labels, spec)
+    IncrementalAgg.compact(st.edges, edgeSpec)
+  }
 }

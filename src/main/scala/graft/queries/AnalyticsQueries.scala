@@ -770,6 +770,42 @@ object AnalyticsQueries {
       .orderBy($"node")
   }
 
+  /** SIGNED connected components (q200): the q198 dup-cluster graph
+    * with edge DELETES flowing through — the right-to-be-forgotten
+    * closure at the CLUSTER layer. Two insert waves build the graph,
+    * then a takedown wave retracts every edge whose canonical `src` is
+    * ≡0 (mod 5) — removed docs leave the served labels entirely and
+    * split components relabel from their surviving edges; a
+    * compaction-straddling replay of the takedown is a no-op. Oracle =
+    * recursive-CTE min-reach labels over the NET edge set. */
+  def q200SignedCc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalCc
+    val li = t(s, dir, "lineitem").where($"l_quantity" >= 48)
+      .select($"l_orderkey", $"l_partkey")
+    val e = li
+      .join(li.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .where($"l_partkey" =!= $"p2")
+      .select(least($"l_partkey", $"p2").as("src"),
+        greatest($"l_partkey", $"p2").as("dst"))
+      .distinct()
+    val st = IncrementalCc.signedStores(s,
+      java.nio.file.Files.createTempDirectory("q200cc").toString)
+    def signed(df: org.apache.spark.sql.DataFrame, d: Long) =
+      df.withColumn("__delta", lit(d))
+    IncrementalCc.appendDelta(st,
+      signed(e.filter(($"src" + $"dst") % 2 === 0), 1L), 0L)
+    IncrementalCc.appendDelta(st,
+      signed(e.filter(($"src" + $"dst") % 2 === 1), 1L), 1L)
+    val takedown = signed(e.filter($"src" % 5 === 0), -1L)
+    IncrementalCc.appendDelta(st, takedown, 2L)
+    IncrementalCc.compact(st)
+    IncrementalCc.appendDelta(st, takedown, 2L) // replay: emit-identical
+    IncrementalCc.currentLabels(st)
+      .select($"node", $"label")
+      .orderBy($"node")
+  }
+
   /** Maintained per-node clustering coefficients (q196): the q195
     * signed-wave scenario served from the per-node store — degree and
     * triangle-corner deltas accumulate under the same batch boundary as
@@ -1126,6 +1162,7 @@ object AnalyticsQueries {
     "q195_inc_triangles" -> (q195IncTriangles _),
     "q196_inc_clustering" -> (q196IncClusteringCoeff _),
     "q198_inc_cc" -> (q198IncCc _),
+    "q200_signed_cc" -> (q200SignedCc _),
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
     "q161_rolling_anomaly" -> (q161RollingAnomaly _),
     "q174_interval_overlap" -> (q174IntervalOverlap _),
@@ -1286,6 +1323,29 @@ object AnalyticsQueries {
         |                  greatest(a.l_partkey, b.l_partkey) AS v
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         |  WHERE a.l_partkey <> b.l_partkey),
+        |sym AS (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL
+        |  SELECT v AS src, u AS dst FROM e),
+        |walk(node, reach) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src),
+        |cc AS (SELECT node, min(reach) AS label FROM walk GROUP BY node)
+        |SELECT node, label FROM cc
+        |ORDER BY node""".stripMargin,
+    // q200: recursive-CTE min-reach labels over the NET edge set (the
+    // takedown wave removed src ≡ 0 (mod 5) edges); only nodes with a
+    // surviving edge appear — removed docs vanish from cluster labels
+    "q200_signed_cc" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48),
+        |e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |                  greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |e AS (SELECT u, v FROM e0 WHERE u % 5 <> 0),
         |sym AS (
         |  SELECT u AS src, v AS dst FROM e
         |  UNION ALL

@@ -251,6 +251,32 @@ class ShuffleBytesSpec extends SparkSpec {
         s"late=$late (${perRound.mkString(",")})")
   }
 
+  test("signed-CC appends shuffle flat bytes while state grows 10×") {
+    // the signed variant carries an EDGE store next to the labels; both
+    // must hold the scanned-never-shuffled-whole posture. Constant-size
+    // batches (inserts + an in-range delete wave so the retraction path
+    // runs) on disjoint node ranges; state 10× by the last round.
+    import graft.ops.IncrementalCc
+    val root = java.nio.file.Files.createTempDirectory("scc-bytes").toString
+    val st = IncrementalCc.signedStores(spark, root)
+    def deltaBatch(round: Int): DataFrame = {
+      val base = round * 1000000L
+      val ins = (0 until 4000).map(j => (base + j, base + j + 4000L, 1L))
+      val del = (0 until 500).map(j => (base + j, base + j + 4000L, -1L))
+      (ins ++ del).toDF("src", "dst", "__delta").localCheckpoint()
+    }
+    val perRound = (0 until 10).map { i =>
+      val b = deltaBatch(i)
+      shuffleBytes(IncrementalCc.appendDelta(st, b, i.toLong))
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 2.0,
+      s"per-append shuffle grew with signed-CC state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+  }
+
   test("triangle-IVM appends shuffle flat bytes while edge state grows 10×") {
     // same posture as the CC gate: constant-size signed batches on
     // disjoint node ranges (each with internal wedges AND triangles so
