@@ -809,29 +809,40 @@ object FunctionQueries {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = s.conf.get(aqeKey, "true")
     s.conf.set(aqeKey, "false")
+    // phase-timed (graft.PhaseTimer → the bench artifact's
+    // phase_samples): the r8 driver samples spread 3.5× in wall with
+    // flat gc — the breakdown names which lifecycle phase moved
+    def P(p: String)(f: => Unit): Unit =
+      graft.PhaseTimer.time("q189_chain_extrema", p)(f)
     try {
       val plus = lit(1L).as("__delta")
-      ChainedIvm.appendLeftDelta(c,
-        orders.select($"okey", $"o_orderstatus", plus), 0L)
-      ChainedIvm.appendRightDelta(c,
-        li.select($"okey", $"l_returnflag", $"cents", plus), 10L)
+      P("append_left_full") {
+        ChainedIvm.appendLeftDelta(c,
+          orders.select($"okey", $"o_orderstatus", plus), 0L) }
+      P("append_right_full") {
+        ChainedIvm.appendRightDelta(c,
+          li.select($"okey", $"l_returnflag", $"cents", plus), 10L) }
       // left takedown, whole-chain compaction, right takedown
-      ChainedIvm.appendLeftDelta(c,
-        orders.filter($"okey" % 5 === 2)
-          .select($"okey", $"o_orderstatus", lit(-1L).as("__delta")), 1L)
-      ChainedIvm.compact(c)
-      ChainedIvm.appendRightDelta(c,
-        li.filter($"okey" % 7 === 3)
-          .select($"okey", $"l_returnflag", $"cents",
-            lit(-1L).as("__delta")), 11L)
+      P("append_left_takedown") {
+        ChainedIvm.appendLeftDelta(c,
+          orders.filter($"okey" % 5 === 2)
+            .select($"okey", $"o_orderstatus", lit(-1L).as("__delta")), 1L) }
+      P("compact") { ChainedIvm.compact(c) }
+      P("append_right_takedown") {
+        ChainedIvm.appendRightDelta(c,
+          li.filter($"okey" % 7 === 3)
+            .select($"okey", $"l_returnflag", $"cents",
+              lit(-1L).as("__delta")), 11L) }
       // status flips to 'X': value mass MOVES between extrema keys
       val upd = orders.filter($"okey" % 13 === 5 && $"okey" % 5 =!= 2)
       val updBatch = upd
         .select($"okey", $"o_orderstatus", lit(-1L).as("__delta"))
         .unionByName(upd.select($"okey",
           lit("X").as("o_orderstatus"), lit(1L).as("__delta")))
-      ChainedIvm.appendLeftDelta(c, updBatch, 2L)
-      ChainedIvm.appendLeftDelta(c, updBatch, 2L) // replay: chain no-op
+      P("append_left_update") {
+        ChainedIvm.appendLeftDelta(c, updBatch, 2L) }
+      P("replay_noop") {
+        ChainedIvm.appendLeftDelta(c, updBatch, 2L) } // replay: chain no-op
     } finally s.conf.set(aqeKey, aqeWas)
     ChainedIvm.quantiles(c, Seq(0.5))
       .join(ChainedIvm.currentExtrema(c)
