@@ -55,7 +55,12 @@ class ClusterParitySpec extends SparkSpec {
     "q193_text_topk", "q196_inc_clustering",
     // round-8 addition V: incremental CC (star re-solve + changed-rows
     // emit over executor JVM boundaries)
-    "q198_inc_cc")
+    "q198_inc_cc",
+    // round-9 additions: the extrema serve level (percentile_disc
+    // rewrite over the MinMaxAgg multiset, plan-asserted in-query) and
+    // signed CC (edge-store re-solve + label retraction across
+    // executor JVMs)
+    "q199_extrema_serve", "q200_signed_cc")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {
