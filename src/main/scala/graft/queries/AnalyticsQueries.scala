@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Lineage.LineageSyntax
 import graft.sources.Tables
 
 /** Sequence / interval / distribution analytics over the `events` stream
@@ -806,6 +807,44 @@ object AnalyticsQueries {
       .orderBy($"node")
   }
 
+  /** Maintained PageRank (q201): q89's quantized 3-iteration PageRank
+    * kept current under SIGNED edge waves — two insert waves build the
+    * trade graph, a takedown retracts every edge whose supplier node is
+    * ≡1 (mod 7) (removed suppliers leave the served ranks entirely), a
+    * compaction-straddling replay is a no-op, and a partial re-insert
+    * wave restores a slice. Each wave re-solves only the k-hop
+    * out-closure of its touched endpoints against stored boundary
+    * vectors; the quantized integer arithmetic makes the merged result
+    * BIT-identical to the oracle's from-scratch unrolled power
+    * iteration over the net edge set. Top-100 hubs served. */
+  def q201IncPageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalPageRank
+    val e = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").where($"l_quantity" >= 48),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+      .cutLineage()
+    def bi(w: org.apache.spark.sql.DataFrame, d: Long) =
+      w.unionByName(w.select($"dst".as("src"), $"src".as("dst")))
+        .withColumn("__delta", lit(d))
+    val st = IncrementalPageRank.stores(s,
+      java.nio.file.Files.createTempDirectory("q201pr").toString)
+    IncrementalPageRank.appendDelta(st, bi(e.filter($"src" % 3 =!= 0), 1L), 0L)
+    IncrementalPageRank.appendDelta(st, bi(e.filter($"src" % 3 === 0), 1L), 1L)
+    val takedown = bi(e.filter($"dst" % 7 === 1), -1L)
+    IncrementalPageRank.appendDelta(st, takedown, 2L)
+    IncrementalPageRank.compact(st)
+    IncrementalPageRank.appendDelta(st, takedown, 2L) // replay: no-op
+    IncrementalPageRank.appendDelta(st,
+      bi(e.filter($"dst" % 7 === 1 && $"src" % 4 === 0), 1L), 3L)
+    IncrementalPageRank.currentRanks(st)
+      .select($"node", $"r3".as("r"))
+      .orderBy($"r".desc, $"node")
+      .limit(100)
+  }
+
   /** Maintained per-node clustering coefficients (q196): the q195
     * signed-wave scenario served from the per-node store — degree and
     * triangle-corner deltas accumulate under the same batch boundary as
@@ -1162,6 +1201,7 @@ object AnalyticsQueries {
     "q195_inc_triangles" -> (q195IncTriangles _),
     "q196_inc_clustering" -> (q196IncClusteringCoeff _),
     "q198_inc_cc" -> (q198IncCc _),
+    "q201_inc_pagerank" -> (q201IncPageRank _),
     "q200_signed_cc" -> (q200SignedCc _),
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
     "q161_rolling_anomaly" -> (q161RollingAnomaly _),
@@ -1334,6 +1374,52 @@ object AnalyticsQueries {
         |cc AS (SELECT node, min(reach) AS label FROM walk GROUP BY node)
         |SELECT node, label FROM cc
         |ORDER BY node""".stripMargin,
+    // q201: q89's unrolled quantized 3-iteration PageRank over the NET
+    // edge set (takedown removed supplier-node ≡1 (mod 7) edges except
+    // the re-inserted src ≡0 (mod 4) slice); bit-exact integer ranks
+    "q201_inc_pagerank" ->
+      """WITH li AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |e0 AS (SELECT DISTINCT src, dst FROM li),
+        |e AS (SELECT src, dst FROM e0 WHERE dst % 7 <> 1 OR src % 4 = 0),
+        |bi AS (
+        |  SELECT src, dst FROM e
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM bi UNION ALL SELECT dst FROM bi)),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT b.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |  FROM bi b JOIN r0 r ON b.src = r.node JOIN deg d ON b.src = d.src
+        |  GROUP BY b.dst),
+        |r1 AS (
+        |  SELECT n.node,
+        |    CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (
+        |  SELECT b.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |  FROM bi b JOIN r1 r ON b.src = r.node JOIN deg d ON b.src = d.src
+        |  GROUP BY b.dst),
+        |r2 AS (
+        |  SELECT n.node,
+        |    CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (
+        |  SELECT b.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |  FROM bi b JOIN r2 r ON b.src = r.node JOIN deg d ON b.src = d.src
+        |  GROUP BY b.dst),
+        |r3 AS (
+        |  SELECT n.node,
+        |    CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, r FROM r3
+        |ORDER BY r DESC, node
+        |LIMIT 100""".stripMargin,
     // q200: recursive-CTE min-reach labels over the NET edge set (the
     // takedown wave removed src ≡ 0 (mod 5) edges); only nodes with a
     // surviving edge appear — removed docs vanish from cluster labels

@@ -277,6 +277,35 @@ class ShuffleBytesSpec extends SparkSpec {
         s"late=$late (${perRound.mkString(",")})")
   }
 
+  test("PageRank-IVM appends shuffle flat bytes while state grows 10×") {
+    // same posture as the CC/triangle gates: constant-size signed
+    // batches on disjoint node ranges (chains, so the k-hop closure is
+    // exercised, plus an in-range delete wave so the retraction path
+    // runs), state 10× by the last round. Both stores (ranks + edges)
+    // must be scanned, never shuffled whole — per-append shuffle bytes
+    // stay flat while untouched rank vectors accumulate.
+    import graft.ops.IncrementalPageRank
+    val root = java.nio.file.Files.createTempDirectory("ipr-bytes").toString
+    val st = IncrementalPageRank.stores(spark, root)
+    def deltaBatch(round: Int): DataFrame = {
+      val base = round * 1000000L
+      val chain = (0 until 3000).map(j => (base + j, base + j + 1, 1L))
+      val back = (0 until 1500).map(j => (base + j + 1, base + j, 1L))
+      val del = (0 until 300).map(j => (base + 2 * j + 1, base + 2 * j, -1L))
+      (chain ++ back ++ del).toDF("src", "dst", "__delta").localCheckpoint()
+    }
+    val perRound = (0 until 10).map { i =>
+      val b = deltaBatch(i)
+      shuffleBytes(IncrementalPageRank.appendDelta(st, b, i.toLong))
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 2.0,
+      s"per-append shuffle grew with rank state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+  }
+
   test("triangle-IVM appends shuffle flat bytes while edge state grows 10×") {
     // same posture as the CC gate: constant-size signed batches on
     // disjoint node ranges (each with internal wedges AND triangles so
