@@ -81,11 +81,7 @@ object IncrementalPageRank {
       prefixCol = "__agg_key", prefixChars = 1),
     cfg)
 
-  /** A checkpointed frame REBUILT from its RDD — strips origin-plan
-    * constraints that otherwise trip Union constraint rewriting when
-    * derived frames meet (same hazard [[IncrementalCc]] documents). */
-  private def fresh(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+  import GraphIvmKit.fresh
 
   private def emptyVec(s: SparkSession, cfg: Config): DataFrame =
     s.range(0).select(vecCols(cfg).map(c => col("id").as(c)): _*)
@@ -125,48 +121,16 @@ object IncrementalPageRank {
       else null
 
     // ---- k-hop out-closure of the touched endpoints, over old ∪ new
-    // edges (deleted edges still propagate: removing a contribution
-    // changes the old out-neighbor). One semi-joined store scan per
-    // hop; `affected` is materialized small (the touched-neighborhood-
-    // smaller-than-state contract the whole IVM family holds).
-    var affected = fresh(d.select(col("src").as("node"))
-      .unionByName(d.select(col("dst").as("node")))
-      .distinct().cutLineage())
-    (1 to cfg.iters).foreach { _ =>
-      val oldOut =
-        if (ep == null) emptyVec(sess, cfg).select(col("node"))
-        else IncrementalAgg.currentFrom(
-            ep.join(broadcast(affected), col("src") === col("node"),
-              "left_semi"), edgeSpec)
-          .filter(col("n_rows") > 0).select(col("dst").as("node"))
-      val newOut = d.join(broadcast(affected), col("src") === col("node"),
-          "left_semi")
-        .select(col("dst").as("node"))
-      affected = fresh(affected.unionByName(oldOut).unionByName(newOut)
-        .distinct().cutLineage())
-    }
+    // edges; one semi-joined store scan per hop (GraphIvmKit posture)
+    val affected = GraphIvmKit.kHopOutClosure(d, ep, edgeSpec, cfg.iters)
 
-    // ---- post-batch live edges touching the closure on `side`:
-    // store partials semi-joined to closure keys, netted with δ
-    def postBatchLive(side: String): DataFrame = {
-      val dSide = d.join(broadcast(affected), col(side) === col("node"),
-        "left_semi")
-      val merged =
-        if (ep == null) dSide
-        else IncrementalAgg.currentFrom(
-            ep.join(broadcast(affected), col(side) === col("node"),
-              "left_semi"), edgeSpec)
-          .select(col("src"), col("dst"), col("n_rows").as("__delta"))
-          .unionByName(dSide)
-      merged.groupBy(col("src"), col("dst"))
-        .agg(sum(col("__delta")).as("__net"))
-        .filter(col("__net") > 0).select(col("src"), col("dst"))
-    }
     // edges INTO closure nodes (drive every contribution sum below);
     // materialized: re-joined once per iteration level
-    val liveIn = fresh(postBatchLive("dst").cutLineage())
+    val liveIn = fresh(GraphIvmKit.postBatchLive(d, ep, edgeSpec, "dst",
+      affected).cutLineage())
     // new out-degrees of closure nodes (sources of live out-edges)
-    val degNew = fresh(postBatchLive("src")
+    val degNew = fresh(GraphIvmKit.postBatchLive(d, ep, edgeSpec, "src",
+        affected)
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")).cutLineage())
     // a closure node is LIVE iff it kept an in- or out-edge
@@ -219,11 +183,7 @@ object IncrementalPageRank {
           rp.join(broadcast(affected), Seq("node"), "left_semi"),
           rankSpec(cfg))
         .select(vecCols(cfg).map(col): _*).cutLineage())
-    val keys = vecCols(cfg)
-    val emit = newVec.join(oldVec, keys, "left_anti")
-      .withColumn("__delta", lit(1L))
-      .unionByName(oldVec.join(newVec, keys, "left_anti")
-        .withColumn("__delta", lit(-1L)))
+    val emit = GraphIvmKit.diffEmit(newVec, oldVec, vecCols(cfg))
     IncrementalAgg.appendDelta(st.ranks, emit, rankSpec(cfg), batchId)
     IncrementalAgg.appendDelta(st.edges, d, edgeSpec, batchId)
   }

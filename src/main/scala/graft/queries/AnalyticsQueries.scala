@@ -845,6 +845,42 @@ object AnalyticsQueries {
       .limit(100)
   }
 
+  /** Maintained hop-bounded SSSP (q202): q170's weighted trade-graph
+    * shortest paths kept current under SIGNED edge waves — two insert
+    * waves, a supplier takedown (severed subtrees leave the served
+    * distances), a compaction-straddling replay, then a weight-update
+    * wave (−old +new) that re-prices downstream nodes. Min-plus over
+    * integers is tolerance-free: the oracle's full recursive walk
+    * enumeration over the net weighted edge set must match row-for-row. */
+  def q202IncSssp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalSssp
+    val e = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").where($"l_quantity" >= 40),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .agg(min($"l_quantity").cast("long").as("w"))
+      .cutLineage()
+    def bi(w: org.apache.spark.sql.DataFrame, d: Long) =
+      w.unionByName(w.select($"dst".as("src"), $"src".as("dst"), $"w"))
+        .withColumn("__delta", lit(d))
+    val st = IncrementalSssp.stores(s,
+      java.nio.file.Files.createTempDirectory("q202sp").toString,
+      IncrementalSssp.Config(source = 2L, maxHops = 3))
+    IncrementalSssp.appendDelta(st, bi(e.filter($"src" % 3 =!= 0), 1L), 0L)
+    IncrementalSssp.appendDelta(st, bi(e.filter($"src" % 3 === 0), 1L), 1L)
+    val takedown = bi(e.filter($"dst" % 5 === 3), -1L)
+    IncrementalSssp.appendDelta(st, takedown, 2L)
+    IncrementalSssp.compact(st)
+    IncrementalSssp.appendDelta(st, takedown, 2L) // replay: no-op
+    val repriced = e.filter($"src" % 8 === 2 && $"dst" % 5 =!= 3)
+    IncrementalSssp.appendDelta(st,
+      bi(repriced, -1L).unionByName(
+        bi(repriced.withColumn("w", $"w" + 7L), 1L)), 3L)
+    IncrementalSssp.currentDists(st)
+      .orderBy($"node")
+  }
+
   /** Maintained per-node clustering coefficients (q196): the q195
     * signed-wave scenario served from the per-node store — degree and
     * triangle-corner deltas accumulate under the same batch boundary as
@@ -1201,6 +1237,7 @@ object AnalyticsQueries {
     "q195_inc_triangles" -> (q195IncTriangles _),
     "q196_inc_clustering" -> (q196IncClusteringCoeff _),
     "q198_inc_cc" -> (q198IncCc _),
+    "q202_inc_sssp" -> (q202IncSssp _),
     "q201_inc_pagerank" -> (q201IncPageRank _),
     "q200_signed_cc" -> (q200SignedCc _),
     "q160_fuzzy_join" -> (q160FuzzyJoin _),
@@ -1373,6 +1410,30 @@ object AnalyticsQueries {
         |  SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src),
         |cc AS (SELECT node, min(reach) AS label FROM walk GROUP BY node)
         |SELECT node, label FROM cc
+        |ORDER BY node""".stripMargin,
+    // q202: q170's recursive walk enumeration over the NET weighted
+    // edge set (supplier-node ≡3 (mod 5) takedown applied; src ≡2
+    // (mod 8) survivors re-priced +7)
+    "q202_inc_sssp" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |         CAST(min(l_quantity) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 40
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT src, dst,
+        |         w + CASE WHEN src % 8 = 2 THEN 7 ELSE 0 END AS w
+        |  FROM e0 WHERE dst % 5 <> 3),
+        |bi AS (SELECT src, dst, w FROM e
+        |       UNION ALL SELECT dst, src, w FROM e),
+        |walk(node, cost, hops) AS (
+        |  SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT bi.dst, w.cost + bi.w, w.hops + 1
+        |  FROM walk w JOIN bi ON w.node = bi.src
+        |  WHERE w.hops < 3)
+        |SELECT node, min(cost) AS cost FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
     // q201: q89's unrolled quantized 3-iteration PageRank over the NET
     // edge set (takedown removed supplier-node ≡1 (mod 7) edges except

@@ -306,6 +306,33 @@ class ShuffleBytesSpec extends SparkSpec {
         s"late=$late (${perRound.mkString(",")})")
   }
 
+  test("SSSP-IVM appends shuffle flat bytes while state grows 10×") {
+    // disjoint weighted chains hanging off the source's range only in
+    // round 0; later rounds are unreachable islands — their closures
+    // are batch-local while dist/edge state accumulates 10×.
+    import graft.ops.IncrementalSssp
+    val root = java.nio.file.Files.createTempDirectory("isp-bytes").toString
+    val st = IncrementalSssp.stores(spark, root,
+      IncrementalSssp.Config(source = 0L, maxHops = 3))
+    def deltaBatch(round: Int): DataFrame = {
+      val base = round * 1000000L
+      val chain = (0 until 3000).map(j => (base + j, base + j + 1, 5L, 1L))
+      val del = (0 until 300).map(j => (base + 10 * j, base + 10 * j + 1,
+        5L, -1L))
+      (chain ++ del).toDF("src", "dst", "w", "__delta").localCheckpoint()
+    }
+    val perRound = (0 until 10).map { i =>
+      val b = deltaBatch(i)
+      shuffleBytes(IncrementalSssp.appendDelta(st, b, i.toLong))
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 2.0,
+      s"per-append shuffle grew with dist state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+  }
+
   test("triangle-IVM appends shuffle flat bytes while edge state grows 10×") {
     // same posture as the CC gate: constant-size signed batches on
     // disjoint node ranges (each with internal wedges AND triangles so
