@@ -22,6 +22,12 @@ object BenchOne {
       val t0 = System.nanoTime()
       materialize(fn(spark, sfDir))
       println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // phase-instrumented scenarios (q189, q203, …) print their
+      // per-wave breakdown — the same figures Bench embeds as
+      // phase_samples
+      PhaseTimer.drain(name).foreach { case (p, s) =>
+        println(f"[benchone]   phase $p%-22s $s%8.2f s")
+      }
     }
   }
 }

@@ -845,6 +845,49 @@ object AnalyticsQueries {
       .limit(100)
   }
 
+  /** Maintained k-core (q203): q167's 3-core of the co-purchase graph
+    * kept current under SIGNED edge waves — one bulk build (the
+    * insertion region's seeds are the whole batch, so discovery ends in
+    * one round and the cost is the anchored peel), then the DELTA
+    * lifecycle the op exists for: a takedown of src ≡0 (mod 10) edges
+    * (cascade peel, cost ∝ nodes that actually leave + frontier), a
+    * compaction-straddling replay, and a partial re-insert whose
+    * born-reachable region re-admits unraveled members. The result must
+    * equal the oracle's full unrolled peel over the net edge set,
+    * membership AND in-core degree. */
+  def q203IncKCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalKCore
+    val li = t(s, dir, "lineitem").where($"l_quantity" >= 45)
+      .select($"l_orderkey", $"l_partkey")
+    val e = li
+      .join(li.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .where($"l_partkey" =!= $"p2")
+      .select(least($"l_partkey", $"p2").as("src"),
+        greatest($"l_partkey", $"p2").as("dst"))
+      .distinct()
+      .cutLineage()
+    val st = IncrementalKCore.stores(s,
+      java.nio.file.Files.createTempDirectory("q203kc").toString,
+      IncrementalKCore.Config(k = 3))
+    def signed(df: org.apache.spark.sql.DataFrame, d: Long) =
+      df.withColumn("__delta", lit(d))
+    // phase-timed like q189: the waves' costs are loop-round-shaped
+    // (cascade depth, region diameter), so the bench artifact carries
+    // the per-wave breakdown
+    def ph[T](p: String)(f: => T): T =
+      graft.PhaseTimer.time("q203_inc_kcore", p)(f)
+    ph("insert_all")(IncrementalKCore.appendDelta(st, signed(e, 1L), 0L))
+    val takedown = signed(e.filter($"src" % 10 === 0), -1L)
+    ph("takedown")(IncrementalKCore.appendDelta(st, takedown, 1L))
+    ph("compact")(IncrementalKCore.compact(st))
+    ph("replay_noop")(IncrementalKCore.appendDelta(st, takedown, 1L))
+    ph("reinsert")(IncrementalKCore.appendDelta(st,
+      signed(e.filter($"src" % 10 === 0 && $"dst" % 3 === 0), 1L), 2L))
+    IncrementalKCore.currentCore(st)
+      .orderBy($"node")
+  }
+
   /** Maintained hop-bounded SSSP (q202): q170's weighted trade-graph
     * shortest paths kept current under SIGNED edge waves — two insert
     * waves, a supplier takedown (severed subtrees leave the served
@@ -1138,7 +1181,8 @@ object AnalyticsQueries {
     * `AS MATERIALIZED`: each round references its predecessor several
     * times, and inlining would expand the plan — and the parquet scan
     * count — exponentially in the round count. */
-  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+  private def kCoreOracleSql(k: Int, rounds: Int,
+                             netWhere: String = ""): String = {
     val peels = (1 to rounds).map { i =>
       s"""d$i AS MATERIALIZED (
          |  SELECT node, count(*) AS deg FROM (
@@ -1149,13 +1193,20 @@ object AnalyticsQueries {
          |  WHERE u IN (SELECT node FROM d$i WHERE deg >= $k)
          |    AND v IN (SELECT node FROM d$i WHERE deg >= $k))""".stripMargin
     }.mkString(",\n")
+    // an optional net filter turns the full co-purchase graph into a
+    // wave scenario's NET edge set (q203) without duplicating the peel
+    val e0Body =
+      s"""SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         |                  greatest(a.l_partkey, b.l_partkey) AS v
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |  WHERE a.l_partkey <> b.l_partkey""".stripMargin
+    val e0 =
+      if (netWhere.isEmpty) e0Body
+      else s"""SELECT u, v FROM ($e0Body) WHERE $netWhere"""
     s"""WITH li AS MATERIALIZED (
        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
        |e0 AS MATERIALIZED (
-       |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-       |                  greatest(a.l_partkey, b.l_partkey) AS v
-       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-       |  WHERE a.l_partkey <> b.l_partkey),
+       |  $e0),
        |$peels
        |SELECT node, count(*) AS deg FROM (
        |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
@@ -1237,6 +1288,7 @@ object AnalyticsQueries {
     "q195_inc_triangles" -> (q195IncTriangles _),
     "q196_inc_clustering" -> (q196IncClusteringCoeff _),
     "q198_inc_cc" -> (q198IncCc _),
+    "q203_inc_kcore" -> (q203IncKCore _),
     "q202_inc_sssp" -> (q202IncSssp _),
     "q201_inc_pagerank" -> (q201IncPageRank _),
     "q200_signed_cc" -> (q200SignedCc _),
@@ -1411,6 +1463,13 @@ object AnalyticsQueries {
         |cc AS (SELECT node, min(reach) AS label FROM walk GROUP BY node)
         |SELECT node, label FROM cc
         |ORDER BY node""".stripMargin,
+    // q203: q167's unrolled peel over the NET co-purchase edge set
+    // (src ≡0 (mod 10) takedown applied, its (dst%3=0) slice
+    // re-inserted); 14 rounds ≥ the measured sync peel depth (5 at
+    // sf0.1), exact because peeling is monotone
+    "q203_inc_kcore" ->
+      kCoreOracleSql(k = 3, rounds = 14,
+        netWhere = "u % 10 <> 0 OR v % 3 = 0"),
     // q202: q170's recursive walk enumeration over the NET weighted
     // edge set (supplier-node ≡3 (mod 5) takedown applied; src ≡2
     // (mod 8) survivors re-priced +7)

@@ -333,6 +333,36 @@ class ShuffleBytesSpec extends SparkSpec {
         s"late=$late (${perRound.mkString(",")})")
   }
 
+  test("kcore-IVM appends shuffle flat bytes while state grows 10×") {
+    // disjoint 4-cliques per round (so real core members accumulate)
+    // plus an in-range edge delete that unravels one clique (so the
+    // cascade path runs); every round's work is its own range while
+    // core/edge state grows 10×.
+    import graft.ops.IncrementalKCore
+    val root = java.nio.file.Files.createTempDirectory("ikc-bytes").toString
+    val st = IncrementalKCore.stores(spark, root,
+      IncrementalKCore.Config(k = 3))
+    def deltaBatch(round: Int): DataFrame = {
+      val base = round * 1000000L
+      val cliques = (0 until 800).flatMap { c =>
+        val ids = (0 until 4).map(j => base + 4 * c + j)
+        for (a <- ids; b <- ids if a < b) yield (a, b, 1L)
+      }
+      val del = Seq((base + 0L, base + 1L, -1L)) // unravel clique 0
+      (cliques ++ del).toDF("src", "dst", "__delta").localCheckpoint()
+    }
+    val perRound = (0 until 10).map { i =>
+      val b = deltaBatch(i)
+      shuffleBytes(IncrementalKCore.appendDelta(st, b, i.toLong))
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 2.0,
+      s"per-append shuffle grew with core state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+  }
+
   test("triangle-IVM appends shuffle flat bytes while edge state grows 10×") {
     // same posture as the CC gate: constant-size signed batches on
     // disjoint node ranges (each with internal wedges AND triangles so
