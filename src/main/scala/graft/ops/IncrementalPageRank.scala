@@ -111,14 +111,18 @@ object IncrementalPageRank {
       .groupBy(col("src"), col("dst")).agg(sum(col("__delta")).as("__delta"))
       .where(col("__delta") =!= 0).cutLineage())
 
+    // pin the raw partial scans for this batch: the closure loop and
+    // every state read below re-scan them (a cache of a scan — the
+    // shuffle posture is unchanged; see IncrementalKCore's note)
     val ep =
       if (st.edges.hasSchema)
-        st.edges.read().filter(col("__batch_id") =!= lit(batchId))
+        st.edges.read().filter(col("__batch_id") =!= lit(batchId)).persist()
       else null
     val rp =
       if (st.ranks.hasSchema)
-        st.ranks.read().filter(col("__batch_id") =!= lit(batchId))
+        st.ranks.read().filter(col("__batch_id") =!= lit(batchId)).persist()
       else null
+    try {
 
     // ---- k-hop out-closure of the touched endpoints, over old ∪ new
     // edges; one semi-joined store scan per hop (GraphIvmKit posture)
@@ -186,6 +190,10 @@ object IncrementalPageRank {
     val emit = GraphIvmKit.diffEmit(newVec, oldVec, vecCols(cfg))
     IncrementalAgg.appendDelta(st.ranks, emit, rankSpec(cfg), batchId)
     IncrementalAgg.appendDelta(st.edges, d, edgeSpec, batchId)
+    } finally {
+      if (ep != null) ep.unpersist(blocking = false)
+      if (rp != null) rp.unpersist(blocking = false)
+    }
   }
 
   /** Compact both stores (quiescence, single-writer). */

@@ -103,14 +103,17 @@ object IncrementalSssp {
       .agg(sum(col("__delta")).as("__delta"))
       .where(col("__delta") =!= 0).cutLineage())
 
+    // pin the raw partial scans for this batch (family posture — see
+    // IncrementalKCore's note; cache of a scan, not a state shuffle)
     val ep =
       if (st.edges.hasSchema)
-        st.edges.read().filter(col("__batch_id") =!= lit(batchId))
+        st.edges.read().filter(col("__batch_id") =!= lit(batchId)).persist()
       else null
     val dp =
       if (st.dists.hasSchema)
-        st.dists.read().filter(col("__batch_id") =!= lit(batchId))
+        st.dists.read().filter(col("__batch_id") =!= lit(batchId)).persist()
       else null
+    try {
 
     val affected = GraphIvmKit.kHopOutClosure(d, ep, edgeSpec, cfg.maxHops)
     // live in-edges of the closure; re-joined once per relax level
@@ -169,6 +172,10 @@ object IncrementalSssp {
     val emit = GraphIvmKit.diffEmit(newVec, oldVec, vecCols(cfg))
     IncrementalAgg.appendDelta(st.dists, emit, distSpec(cfg), batchId)
     IncrementalAgg.appendDelta(st.edges, d, edgeSpec, batchId)
+    } finally {
+      if (ep != null) ep.unpersist(blocking = false)
+      if (dp != null) dp.unpersist(blocking = false)
+    }
   }
 
   /** Compact both stores (quiescence, single-writer). */
