@@ -888,6 +888,43 @@ object AnalyticsQueries {
       .orderBy($"node")
   }
 
+  /** Maintained nearest-seed assignment (q204): q168's multi-source
+    * labeled BFS (five supplier hubs, min-hop label with ties to the
+    * minimum seed id) kept current under SIGNED edge waves — the
+    * lexicographic (dist, seed) lift of the SSSP IVM, so a takedown
+    * flips contested nodes to the surviving region and severed nodes
+    * leave the served labels. Oracle = the full recursive walk
+    * enumeration over the net edge set. */
+  def q204IncNearestSeeds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.IncrementalNearestSeeds
+    val e = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").where($"l_quantity" >= 45),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+      .cutLineage()
+    def bi(w: org.apache.spark.sql.DataFrame, d: Long) =
+      w.unionByName(w.select($"dst".as("src"), $"src".as("dst")))
+        .withColumn("__delta", lit(d))
+    val st = IncrementalNearestSeeds.stores(s,
+      java.nio.file.Files.createTempDirectory("q204ns").toString,
+      IncrementalNearestSeeds.Config(
+        seeds = (1L to 5L).map(sd => (sd * 2 + 1, sd)), maxHops = 3))
+    IncrementalNearestSeeds.appendDelta(st,
+      bi(e.filter($"src" % 3 =!= 0), 1L), 0L)
+    IncrementalNearestSeeds.appendDelta(st,
+      bi(e.filter($"src" % 3 === 0), 1L), 1L)
+    val takedown = bi(e.filter($"dst" % 9 === 5), -1L)
+    IncrementalNearestSeeds.appendDelta(st, takedown, 2L)
+    IncrementalNearestSeeds.compact(st)
+    IncrementalNearestSeeds.appendDelta(st, takedown, 2L) // replay: no-op
+    IncrementalNearestSeeds.appendDelta(st,
+      bi(e.filter($"dst" % 9 === 5 && $"src" % 6 === 0), 1L), 3L)
+    IncrementalNearestSeeds.currentLabels(st)
+      .orderBy($"node")
+  }
+
   /** Maintained hop-bounded SSSP (q202): q170's weighted trade-graph
     * shortest paths kept current under SIGNED edge waves — two insert
     * waves, a supplier takedown (severed subtrees leave the served
@@ -1288,6 +1325,7 @@ object AnalyticsQueries {
     "q195_inc_triangles" -> (q195IncTriangles _),
     "q196_inc_clustering" -> (q196IncClusteringCoeff _),
     "q198_inc_cc" -> (q198IncCc _),
+    "q204_inc_nearest_seeds" -> (q204IncNearestSeeds _),
     "q203_inc_kcore" -> (q203IncKCore _),
     "q202_inc_sssp" -> (q202IncSssp _),
     "q201_inc_pagerank" -> (q201IncPageRank _),
@@ -1463,6 +1501,30 @@ object AnalyticsQueries {
         |cc AS (SELECT node, min(reach) AS label FROM walk GROUP BY node)
         |SELECT node, label FROM cc
         |ORDER BY node""".stripMargin,
+    // q204: q168's full walk enumeration over the NET edge set
+    // (supplier-node ≡5 (mod 9) takedown applied except the re-inserted
+    // src ≡0 (mod 6) slice); min dist per node, min seed at that dist
+    "q204_inc_nearest_seeds" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 45),
+        |e AS (SELECT src, dst FROM e0 WHERE dst % 9 <> 5 OR src % 6 = 0),
+        |bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |seeds AS (
+        |  SELECT s*2 + 1 AS node, CAST(s AS BIGINT) AS seed
+        |  FROM generate_series(1, 5) t(s)),
+        |walk(node, seed, dist) AS (
+        |  SELECT node, seed, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT bi.dst, w.seed, w.dist + 1
+        |  FROM walk w JOIN bi ON w.node = bi.src
+        |  WHERE w.dist < 3),
+        |best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+        |SELECT w.node, min(w.seed) AS seed, b.dist
+        |FROM walk w JOIN best b ON w.node = b.node AND w.dist = b.dist
+        |GROUP BY w.node, b.dist
+        |ORDER BY w.node""".stripMargin,
     // q203: q167's unrolled peel over the NET co-purchase edge set
     // (src ≡0 (mod 10) takedown applied, its (dst%3=0) slice
     // re-inserted); 14 rounds ≥ the measured sync peel depth (5 at
