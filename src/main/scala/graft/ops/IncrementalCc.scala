@@ -82,8 +82,9 @@ object IncrementalCc {
     val batchNodes = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node"))).distinct().cutLineage()
     // Delta-bounded state access: the label store is SCANNED, never
-    // shuffled whole. Raw partials are semi-joined (broadcast — the
-    // batch-smaller-than-state contract the whole IVM family holds) to
+    // shuffled whole. Raw partials are semi-joined (size-guarded
+    // broadcast — GraphIvmKit.guarded falls back to a shuffle semi-join
+    // past the row limit, so a hub component can't OOM the driver) to
     // the batch's node set BEFORE the refold, so the refold's groupBy
     // exchanges only the matched partials; a second key-complete
     // semi-join on the touched labels widens to full component
@@ -106,16 +107,25 @@ object IncrementalCc {
           .select(col("id").as("node"), col("id").as("label"))
       else IncrementalAgg.currentFrom(restrict(partials0), spec)
         .select(col("node"), col("label"))
-    val touched = live(_.join(broadcast(batchNodes), Seq("node"),
+    val touched = live(_.join(GraphIvmKit.guarded(batchNodes), Seq("node"),
         "left_semi"))
       .select(col("label")).distinct().cutLineage()
     // all members of touched components, as star edges member → label.
     // Materialized: referenced by the star build and both emit
     // anti-joins, and the self-join lineage back to the shared scan
     // otherwise trips Union constraint rewriting (shared attribute ids)
-    val member = fresh(live(_.join(broadcast(touched), Seq("label"),
-        "left_semi"))
+    val memberNarrow = fresh(live(_.join(GraphIvmKit.guarded(touched),
+        Seq("label"), "left_semi"))
       .select(col("node"), col("label")).cutLineage())
+    // wide-region cutover: when the touched membership is a large
+    // fraction of the label state (a hub component), the star re-solve
+    // is already graph-sized — take ALL memberships so the run is the
+    // plain batch recompute (identical labels; min is global)
+    val member =
+      if (partials0 != null && GraphIvmKit.sizeOf(memberNarrow) >=
+            GraphIvmKit.cutoverRows(partials0))
+        fresh(live(identity).select(col("node"), col("label")).cutLineage())
+      else memberNarrow
     val stars = member.where(col("node") =!= col("label"))
       .select(col("node").as("u"), col("label").as("v"))
     // the affected subgraph handed to CC constraint-free: the union's
@@ -189,6 +199,9 @@ object IncrementalCc {
   def appendDelta(st: SignedStores, batch: DataFrame, batchId: Long,
                   srcCol: String = "src", dstCol: String = "dst",
                   deltaCol: String = "__delta"): Unit = {
+    // fully-committed replay (e.g. post-compaction): skip the re-solve
+    if (st.labels.hasApplied(batchId) && st.edges.hasApplied(batchId))
+      return
     val d = fresh(batch.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"),
@@ -211,12 +224,23 @@ object IncrementalCc {
           .select(col("id").as("node"), col("id").as("label"))
       else IncrementalAgg.currentFrom(restrict(lp), spec)
         .select(col("node"), col("label"))
-    val touched = liveLabels(_.join(broadcast(batchNodes), Seq("node"),
+    val touched = liveLabels(_.join(GraphIvmKit.guarded(batchNodes), Seq("node"),
         "left_semi"))
       .select(col("label")).distinct().cutLineage()
-    val member = fresh(liveLabels(_.join(broadcast(touched), Seq("label"),
-        "left_semi"))
+    val memberNarrow = fresh(liveLabels(_.join(GraphIvmKit.guarded(touched),
+        Seq("label"), "left_semi"))
       .select(col("node"), col("label")).cutLineage())
+    // wide-region cutover: a hub component makes the touched membership
+    // graph-sized, at which point the "restricted" re-solve IS the
+    // batch recompute — take all memberships and all live edges
+    // directly instead of semi-joining state to a graph-sized key set
+    val wide = lp != null && GraphIvmKit.sizeOf(memberNarrow) >=
+      GraphIvmKit.cutoverRows(lp)
+    val member =
+      if (wide)
+        fresh(liveLabels(identity).select(col("node"), col("label"))
+          .cutLineage())
+      else memberNarrow
     // pre-batch live edges of the touched components: an intra-component
     // edge's `u` is a member, so one key-complete semi-join on `u`
     // captures them all; net > 0 = live (simple-graph signed contract)
@@ -230,8 +254,12 @@ object IncrementalCc {
         st.edges.session.range(0)
           .select(col("id").as("u"), col("id").as("v"),
             col("id").as("__delta"))
+      else if (wide)
+        IncrementalAgg.currentFrom(ep, edgeSpec)
+          .filter(col("n_rows") > 0)
+          .select(col("u"), col("v"), col("n_rows").as("__delta"))
       else IncrementalAgg.currentFrom(
-          ep.join(broadcast(memberNodes), col("u") === col("node"),
+          ep.join(GraphIvmKit.guarded(memberNodes), col("u") === col("node"),
             "left_semi"), edgeSpec)
         .filter(col("n_rows") > 0)
         .select(col("u"), col("v"), col("n_rows").as("__delta"))

@@ -78,8 +78,9 @@ object IncrementalKCore {
   def appendDelta(st: Stores, batch: DataFrame, batchId: Long,
                   srcCol: String = "src", dstCol: String = "dst",
                   deltaCol: String = "__delta"): Unit = {
-    val k = st.cfg.k.toLong
-    val sess = st.core.session
+    // fully-committed replay (e.g. post-compaction): skip the peel
+    if (st.core.hasApplied(batchId) && st.edges.hasApplied(batchId))
+      return
     val d = fresh(batch.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"),
@@ -137,12 +138,12 @@ object IncrementalKCore {
       * (node, nbr) — a key-incident edge appears once per key end. */
     def orientedFrom(keys: DataFrame): DataFrame = {
       val dOri = orient2(d, "u", "v")
-        .join(broadcast(keys), Seq("node"), "left_semi")
+        .join(GraphIvmKit.guarded(keys), Seq("node"), "left_semi")
       val merged =
         if (ep == null) dOri
         else IncrementalAgg.currentFrom(
             orient2(ep, "u", "v")
-              .join(broadcast(keys), Seq("node"), "left_semi"), oriSpec)
+              .join(GraphIvmKit.guarded(keys), Seq("node"), "left_semi"), oriSpec)
           .select(col("node"), col("nbr"), col("n_rows").as("__delta"))
           .unionByName(dOri)
       merged.groupBy(col("node"), col("nbr"))
@@ -154,14 +155,14 @@ object IncrementalKCore {
     def coreRows(keys: DataFrame): DataFrame =
       if (cp == null) emptyCore
       else IncrementalAgg.currentFrom(
-          cp.join(broadcast(keys), Seq("node"), "left_semi"), coreSpec)
+          cp.join(GraphIvmKit.guarded(keys), Seq("node"), "left_semi"), coreSpec)
         .select(col("node"), col("deg"))
 
     // ---- edge transitions restricted to the batch's keys
     val oldNet =
       if (ep == null) null
       else IncrementalAgg.currentFrom(
-          ep.join(broadcast(d.select(col("u"), col("v"))), Seq("u", "v"),
+          ep.join(GraphIvmKit.guarded(d.select(col("u"), col("v"))), Seq("u", "v"),
             "left_semi"), edgeSpec)
         .select(col("u"), col("v"), col("n_rows").as("__old"))
     val trans = fresh({
@@ -193,9 +194,10 @@ object IncrementalKCore {
       rounds += 1
       // degree of recheck nodes into the kept core (stored core \ gone)
       val ori = fresh(orientedFrom(recheck).cutLineage())
-      val nbrKeys = ori.select(col("nbr").as("node")).distinct()
+      val nbrKeys = fresh(ori.select(col("nbr").as("node")).distinct()
+        .cutLineage())
       val keptNbr = coreRows(nbrKeys).select(col("node").as("nbr"))
-        .join(broadcast(gone.select(col("node").as("nbr"))), Seq("nbr"),
+        .join(GraphIvmKit.guarded(gone.select(col("node").as("nbr"))), Seq("nbr"),
           "left_anti")
       val degNow = ori.join(keptNbr, Seq("nbr"), "left_semi")
         .groupBy(col("node")).agg(count(lit(1)).as("dg"))
@@ -207,11 +209,11 @@ object IncrementalKCore {
         gone = fresh(gone.unionByName(removeNow).distinct().cutLineage())
         // next frontier from the SAME materialized read: kept core
         // neighbors of the just-removed nodes
-        val remNbrs = ori.join(broadcast(removeNow), Seq("node"),
-            "left_semi")
-          .select(col("nbr").as("node")).distinct()
+        val remNbrs = fresh(ori.join(GraphIvmKit.guarded(removeNow),
+            Seq("node"), "left_semi")
+          .select(col("nbr").as("node")).distinct().cutLineage())
         recheck = fresh(coreRows(remNbrs).select(col("node"))
-          .join(broadcast(gone), Seq("node"), "left_anti").cutLineage())
+          .join(GraphIvmKit.guarded(gone), Seq("node"), "left_anti").cutLineage())
         converged = recheck.isEmpty
       }
     }
@@ -222,8 +224,8 @@ object IncrementalKCore {
     /** Restrict to nodes NOT in the kept core (stored \ gone). */
     def nonCore(keys: DataFrame): DataFrame = {
       val kept = coreRows(keys).select(col("node"))
-        .join(broadcast(gone), Seq("node"), "left_anti")
-      keys.join(broadcast(fresh(kept.cutLineage())), Seq("node"),
+        .join(GraphIvmKit.guarded(gone), Seq("node"), "left_anti")
+      keys.join(GraphIvmKit.guarded(fresh(kept.cutLineage())), Seq("node"),
         "left_anti")
     }
 
@@ -258,7 +260,7 @@ object IncrementalKCore {
       rounds += 1
       val nbrs = fresh(orientedFrom(frontier)
         .select(col("nbr").as("node")).distinct()
-        .join(broadcast(x), Seq("node"), "left_anti").cutLineage())
+        .join(GraphIvmKit.guarded(x), Seq("node"), "left_anti").cutLineage())
       frontier = fresh(qualifying(nbrs).cutLineage())
       x = fresh(x.unionByName(frontier).distinct().cutLineage())
     }
@@ -281,7 +283,7 @@ object IncrementalKCore {
       val keptAll =
         if (cp == null) emptyNodes
         else IncrementalAgg.currentFrom(cp, coreSpec).select(col("node"))
-          .join(broadcast(gone), Seq("node"), "left_anti")
+          .join(GraphIvmKit.guarded(gone), Seq("node"), "left_anti")
       val shellNodes = fresh(degAll.filter(col("fd") >= k)
         .select(col("node"))
         .join(keptAll, Seq("node"), "left_anti").cutLineage())
@@ -293,10 +295,10 @@ object IncrementalKCore {
           shellEdges, srcCol = "u", dstCol = "v")
         .select(col("node"), col("label")).cutLineage())
       val seedLabels = fresh(labels
-        .join(broadcast(x), Seq("node"), "left_semi")
+        .join(GraphIvmKit.guarded(x), Seq("node"), "left_semi")
         .select(col("label")).distinct().cutLineage())
       x = fresh(x.unionByName(
-          labels.join(broadcast(seedLabels), Seq("label"), "left_semi")
+          labels.join(GraphIvmKit.guarded(seedLabels), Seq("label"), "left_semi")
             .select(col("node")))
         .distinct().cutLineage())
     }
@@ -310,11 +312,12 @@ object IncrementalKCore {
       if (xs.isEmpty) peeled = true
       else {
         val ori = fresh(orientedFrom(xs).cutLineage())
-        val nbrKeys = ori.select(col("nbr").as("node")).distinct()
+        val nbrKeys = fresh(ori.select(col("nbr").as("node")).distinct()
+          .cutLineage())
         val keptNbr = coreRows(nbrKeys).select(col("node"))
-          .join(broadcast(gone), Seq("node"), "left_anti")
+          .join(GraphIvmKit.guarded(gone), Seq("node"), "left_anti")
         val memberNbr = keptNbr.unionByName(
-            nbrKeys.join(broadcast(xs), Seq("node"), "left_semi"))
+            nbrKeys.join(GraphIvmKit.guarded(xs), Seq("node"), "left_semi"))
           .distinct().select(col("node").as("nbr"))
         val degIn = ori.join(memberNbr, Seq("nbr"), "left_semi")
           .groupBy(col("node")).agg(count(lit(1)).as("dg"))
@@ -322,7 +325,7 @@ object IncrementalKCore {
           .filter(coalesce(col("dg"), lit(0L)) < k)
           .select(col("node")).cutLineage())
         if (removeNow.isEmpty) peeled = true
-        else xs = fresh(xs.join(broadcast(removeNow), Seq("node"),
+        else xs = fresh(xs.join(GraphIvmKit.guarded(removeNow), Seq("node"),
           "left_anti").cutLineage())
       }
     }
@@ -346,7 +349,7 @@ object IncrementalKCore {
 
     // new-core members within scope: kept ∪ joined
     val newCoreScope = fresh(coreRows(scope).select(col("node"))
-      .join(broadcast(gone), Seq("node"), "left_anti")
+      .join(GraphIvmKit.guarded(gone), Seq("node"), "left_anti")
       .unionByName(joiners).distinct().cutLineage())
     // their core-degree, counting edges whose other end is in the NEW
     // core globally (kept stored members ∪ joiners)
@@ -354,12 +357,12 @@ object IncrementalKCore {
     val nbrKeys = fresh(oriScope.select(col("nbr").as("node")).distinct()
       .cutLineage())
     val newMemberNbr = fresh(coreRows(nbrKeys).select(col("node"))
-      .join(broadcast(gone), Seq("node"), "left_anti")
-      .unionByName(nbrKeys.join(broadcast(joiners), Seq("node"),
+      .join(GraphIvmKit.guarded(gone), Seq("node"), "left_anti")
+      .unionByName(nbrKeys.join(GraphIvmKit.guarded(joiners), Seq("node"),
         "left_semi"))
       .distinct().select(col("node").as("nbr")).cutLineage())
     val newVec = fresh(oriScope
-      .join(broadcast(newMemberNbr), Seq("nbr"), "left_semi")
+      .join(GraphIvmKit.guarded(newMemberNbr), Seq("nbr"), "left_semi")
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .cutLineage())
     val oldVec = fresh(coreRows(scope).cutLineage())

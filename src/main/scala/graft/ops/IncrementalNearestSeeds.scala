@@ -93,6 +93,9 @@ object IncrementalNearestSeeds {
   def appendDelta(st: Stores, batch: DataFrame, batchId: Long,
                   srcCol: String = "src", dstCol: String = "dst",
                   deltaCol: String = "__delta"): Unit = {
+    // fully-committed replay (e.g. post-compaction): skip the re-solve
+    if (st.labels.hasApplied(batchId) && st.edges.hasApplied(batchId))
+      return
     val cfg = st.cfg
     val sess = st.labels.session
     val d = fresh(batch.select(
@@ -112,7 +115,14 @@ object IncrementalNearestSeeds {
         st.labels.read().filter(col("__batch_id") =!= lit(batchId)).persist()
       else null
     try {
-    val affected = GraphIvmKit.kHopOutClosure(d, ep, edgeSpec, cfg.maxHops)
+    // wide-region cutover (see IncrementalSssp): past the bound the
+    // re-solve runs over every post-batch node — the batch recompute —
+    // with identical lexicographic-min results
+    val (closure, wide) = GraphIvmKit.kHopOutClosure(d, ep, edgeSpec,
+      cfg.maxHops, GraphIvmKit.cutoverRows(ep))
+    val affected =
+      if (wide) GraphIvmKit.allTouchedNodes(d, ep, edgeSpec, "src", "dst")
+      else closure
     val liveIn = fresh(GraphIvmKit.postBatchLive(d, ep, edgeSpec, "dst",
       affected).cutLineage())
 
@@ -124,18 +134,18 @@ object IncrementalNearestSeeds {
     val storedBoundary =
       if (lp == null) emptyVec(sess, cfg)
       else IncrementalAgg.currentFrom(
-          lp.join(broadcast(inSrcs), Seq("node"), "left_semi"),
+          lp.join(GraphIvmKit.guarded(inSrcs), Seq("node"), "left_semi"),
           labelSpec(cfg))
         .select(vecCols(cfg).map(col): _*)
     val boundary = fresh(storedBoundary
       .unionByName(seedVec(sess, cfg))
-      .join(broadcast(affected), Seq("node"), "left_anti")
+      .join(GraphIvmKit.guarded(affected), Seq("node"), "left_anti")
       .cutLineage())
 
     // re-solve the closure: k lexicographic-min levels; level 0 is
     // (0, seed) at seeds, (INF, NOSEED) elsewhere
     val sf = seedFrame(sess, cfg)
-    var cur = fresh(affected.join(broadcast(sf), Seq("node"), "left")
+    var cur = fresh(affected.join(GraphIvmKit.guarded(sf), Seq("node"), "left")
       .select(col("node"),
         when(col("seed").isNotNull, 0L).otherwise(INF).as("d0"),
         coalesce(col("seed"), lit(NOSEED)).as("s0"))
@@ -149,7 +159,7 @@ object IncrementalNearestSeeds {
       // seed) iff it is a seed)
       val boundSrc =
         if (i == 1)
-          boundary.join(broadcast(sf), Seq("node"), "left")
+          boundary.join(GraphIvmKit.guarded(sf), Seq("node"), "left")
             .select(col("node").as("src"),
               when(col("seed").isNotNull, 0L).otherwise(INF).as("rpd"),
               coalesce(col("seed"), lit(NOSEED)).as("rps"))
@@ -174,12 +184,12 @@ object IncrementalNearestSeeds {
     // only CHANGES append; seed vectors are constant and never stored
     val newVec = fresh(cur
       .filter(col(s"d${cfg.maxHops}") < INF)
-      .join(broadcast(sf.select(col("node"))), Seq("node"), "left_anti")
+      .join(GraphIvmKit.guarded(sf.select(col("node"))), Seq("node"), "left_anti")
       .select(vecCols(cfg).map(col): _*).cutLineage())
     val oldVec =
       if (lp == null) emptyVec(sess, cfg)
       else fresh(IncrementalAgg.currentFrom(
-          lp.join(broadcast(affected), Seq("node"), "left_semi"),
+          lp.join(GraphIvmKit.guarded(affected), Seq("node"), "left_semi"),
           labelSpec(cfg))
         .select(vecCols(cfg).map(col): _*).cutLineage())
     val emit = GraphIvmKit.diffEmit(newVec, oldVec, vecCols(cfg))

@@ -39,13 +39,16 @@ import graft.sinks.AppendOnlyStore
   *    so per-batch rank IO ∝ |closure|, never |graph|.
   *
   * Both stores are scanned, never shuffled whole: every state read
-  * semi-joins raw partials (broadcast, on key columns — key-complete
-  * per [[IncrementalAgg.currentFrom]]'s contract) to closure-sized key
-  * sets BEFORE the refold's groupBy, so per-batch shuffle bytes are
-  * bounded by the touched neighborhood and stay flat while untouched
-  * state grows (ShuffleBytesSpec gate). Per-batch cost ∝ the k-hop
-  * closure's incident edges — the exact-IVM floor: a changed rank
-  * cannot be served without recomputing it.
+  * semi-joins raw partials (size-guarded broadcast, on key columns —
+  * key-complete per [[IncrementalAgg.currentFrom]]'s contract) to
+  * closure-sized key sets BEFORE the refold's groupBy, so per-batch
+  * shuffle bytes are bounded by the touched neighborhood and stay flat
+  * while untouched state grows (ShuffleBytesSpec gate). Per-batch cost
+  * ∝ the k-hop closure's incident edges — the exact-IVM floor: a
+  * changed rank cannot be served without recomputing it. A hub that
+  * makes the closure graph-sized trips [[GraphIvmKit]]'s broadcast
+  * guard (shuffle fallback) and wide-region cutover (batch recompute),
+  * both result-identical (GraphIvmGuardSpec).
   *
   * Node-existence semantics match the batch op: a node exists while it
   * has a live in- OR out-edge; deleting a node's last edge removes its
@@ -101,6 +104,11 @@ object IncrementalPageRank {
   def appendDelta(st: Stores, batch: DataFrame, batchId: Long,
                   srcCol: String = "src", dstCol: String = "dst",
                   deltaCol: String = "__delta"): Unit = {
+    // a batch committed to BOTH stores is a replay (e.g. after a
+    // compaction folded its rows past the read-side exclusion) — the
+    // appendOnce manifests would discard the emit anyway, so skip the
+    // whole closure re-solve
+    if (st.ranks.hasApplied(batchId) && st.edges.hasApplied(batchId)) return
     val cfg = st.cfg
     val sess = st.ranks.session
     val d = fresh(batch.select(
@@ -125,8 +133,17 @@ object IncrementalPageRank {
     try {
 
     // ---- k-hop out-closure of the touched endpoints, over old ∪ new
-    // edges; one semi-joined store scan per hop (GraphIvmKit posture)
-    val affected = GraphIvmKit.kHopOutClosure(d, ep, edgeSpec, cfg.iters)
+    // edges; one semi-joined store scan per hop (GraphIvmKit posture).
+    // When the closure crosses the cutover bound (a hub component made
+    // the touched region graph-sized) switch to the batch recompute:
+    // affected = every post-batch node, boundary empties out below, and
+    // the re-solve loop over all nodes IS pageRankQuantized — identical
+    // results at the cost the closure path was about to exceed.
+    val (closure, wide) = GraphIvmKit.kHopOutClosure(d, ep, edgeSpec,
+      cfg.iters, GraphIvmKit.cutoverRows(ep))
+    val affected =
+      if (wide) GraphIvmKit.allTouchedNodes(d, ep, edgeSpec, "src", "dst")
+      else closure
 
     // edges INTO closure nodes (drive every contribution sum below);
     // materialized: re-joined once per iteration level
@@ -150,10 +167,10 @@ object IncrementalPageRank {
     val boundary =
       if (rp == null) emptyVec(sess, cfg)
       else fresh(IncrementalAgg.currentFrom(
-          rp.join(broadcast(inSrcs), Seq("node"), "left_semi"),
+          rp.join(GraphIvmKit.guarded(inSrcs), Seq("node"), "left_semi"),
           rankSpec(cfg))
         .select(vecCols(cfg).map(col): _*)
-        .join(broadcast(affected), Seq("node"), "left_anti")
+        .join(GraphIvmKit.guarded(affected), Seq("node"), "left_anti")
         .cutLineage())
 
     // ---- re-solve the closure: k quantized levels, sources drawn
@@ -184,7 +201,7 @@ object IncrementalPageRank {
     val oldVec =
       if (rp == null) emptyVec(sess, cfg)
       else fresh(IncrementalAgg.currentFrom(
-          rp.join(broadcast(affected), Seq("node"), "left_semi"),
+          rp.join(GraphIvmKit.guarded(affected), Seq("node"), "left_semi"),
           rankSpec(cfg))
         .select(vecCols(cfg).map(col): _*).cutLineage())
     val emit = GraphIvmKit.diffEmit(newVec, oldVec, vecCols(cfg))

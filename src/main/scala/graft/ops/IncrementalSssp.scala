@@ -90,6 +90,10 @@ object IncrementalSssp {
   def appendDelta(st: Stores, batch: DataFrame, batchId: Long,
                   srcCol: String = "src", dstCol: String = "dst",
                   wCol: String = "w", deltaCol: String = "__delta"): Unit = {
+    // a batch committed to BOTH stores is a replay (e.g. after a
+    // compaction folded its rows past the read-side exclusion) — skip
+    // the re-solve; the appendOnce manifests would discard it anyway
+    if (st.dists.hasApplied(batchId) && st.edges.hasApplied(batchId)) return
     val cfg = st.cfg
     val sess = st.dists.session
     val d = fresh(batch.select(
@@ -98,10 +102,17 @@ object IncrementalSssp {
         col(wCol).cast("long").as("w"),
         col(deltaCol).cast("long").as("__delta"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("w").isNotNull && col("w") >= 0)
+        col("w").isNotNull)
       .groupBy(col("src"), col("dst"), col("w"))
       .agg(sum(col("__delta")).as("__delta"))
       .where(col("__delta") =!= 0).cutLineage())
+    // min-plus over non-negative weights is the operator's contract
+    // (the batch twin GraphOps.ssspBounded shares it); an invalid batch
+    // must fail LOUDLY here, not silently diverge from the batch op by
+    // dropping rows — family convention for contract violations
+    require(d.filter(col("w") < 0).isEmpty,
+      "IncrementalSssp: batch contains negative edge weights — the " +
+        "hop-bounded min-plus relax is only defined for w >= 0")
 
     // pin the raw partial scans for this batch (family posture — see
     // IncrementalKCore's note; cache of a scan, not a state shuffle)
@@ -115,7 +126,17 @@ object IncrementalSssp {
       else null
     try {
 
-    val affected = GraphIvmKit.kHopOutClosure(d, ep, edgeSpec, cfg.maxHops)
+    // closure discovery with the wide-region cutover: a hub component
+    // can make the touched closure graph-sized, at which point the
+    // batch recompute is cheaper — affected becomes every post-batch
+    // node (live endpoints ∪ batch endpoints so dead subtrees still
+    // retract), the boundary empties out, and the relax loop over all
+    // nodes IS ssspBounded. Results identical either way.
+    val (closure, wide) = GraphIvmKit.kHopOutClosure(d, ep, edgeSpec,
+      cfg.maxHops, GraphIvmKit.cutoverRows(ep))
+    val affected =
+      if (wide) GraphIvmKit.allTouchedNodes(d, ep, edgeSpec, "src", "dst")
+      else closure
     // live in-edges of the closure; re-joined once per relax level
     val liveIn = fresh(GraphIvmKit.postBatchLive(d, ep, edgeSpec, "dst",
       affected).cutLineage())
@@ -129,12 +150,12 @@ object IncrementalSssp {
     val storedBoundary =
       if (dp == null) emptyVec(sess, cfg)
       else IncrementalAgg.currentFrom(
-          dp.join(broadcast(inSrcs), Seq("node"), "left_semi"),
+          dp.join(GraphIvmKit.guarded(inSrcs), Seq("node"), "left_semi"),
           distSpec(cfg))
         .select(vecCols(cfg).map(col): _*)
     val boundary = fresh(storedBoundary
       .unionByName(sourceRow(sess, cfg))
-      .join(broadcast(affected), Seq("node"), "left_anti")
+      .join(GraphIvmKit.guarded(affected), Seq("node"), "left_anti")
       .cutLineage())
 
     // re-solve the closure: k relax levels over liveIn, sources drawn
@@ -166,7 +187,7 @@ object IncrementalSssp {
     val oldVec =
       if (dp == null) emptyVec(sess, cfg)
       else fresh(IncrementalAgg.currentFrom(
-          dp.join(broadcast(affected), Seq("node"), "left_semi"),
+          dp.join(GraphIvmKit.guarded(affected), Seq("node"), "left_semi"),
           distSpec(cfg))
         .select(vecCols(cfg).map(col): _*).cutLineage())
     val emit = GraphIvmKit.diffEmit(newVec, oldVec, vecCols(cfg))

@@ -105,7 +105,7 @@ object IncrementalTriangles {
     // endpoint; t2's closing edge has BOTH endpoints in the batch), so
     // the edge store is scanned — never shuffled whole — and the refold's
     // groupBy exchanges only the incident partials: raw partials are
-    // semi-joined (broadcast; the delta-smaller-than-state contract) to
+    // semi-joined (size-guarded broadcast; shuffle fallback past the row limit) to
     // the batch's endpoint set per direction BEFORE the refold. `u`/`v`
     // are key columns, so each semi-join is key-complete
     // (IncrementalAgg.currentFrom's soundness condition). Per-batch
@@ -114,7 +114,7 @@ object IncrementalTriangles {
     def incident(endCol: String): DataFrame =
       if (st.edges.hasSchema)
         IncrementalAgg.currentFrom(
-            st.edges.read().join(broadcast(nodes),
+            st.edges.read().join(GraphIvmKit.guarded(nodes),
               col(endCol) === col("n"), "left_semi"), edgeSpec)
           .select(col("u"), col("v")).cutLineage()
       else st.edges.session.range(0)
@@ -140,7 +140,7 @@ object IncrementalTriangles {
         d.select(col("v").as("a"), col("u").as("b"), col("__delta")))
     // the closing old edge has BOTH endpoints in the batch's endpoint
     // set: one more key-complete semi-join narrows the incident slice
-    val oldBoth = oldU.join(broadcast(nodes), col("v") === col("n"),
+    val oldBoth = oldU.join(GraphIvmKit.guarded(nodes), col("v") === col("n"),
       "left_semi")
     val t2 = dSym.select(col("a"), col("b").as("b1"),
         col("__delta").as("d1"))
