@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   <root>/data.G/prefix=XX/part-*.parquet   generation G's files
+  *   <root>/data.G/prefix=XX/part-*.parquet   generation G's own files
+  *   <root>/_MANIFEST.G                       prefix → prior-generation
+  *                                            prefix dirs referenced
+  *                                            IN PLACE (no copy)
   *   <root>/_GEN.<seq>                        pointer files: max seq wins
   * }}}
   * `prefix` is the first `prefixChars` hex chars of the key (default 2 →
@@ -27,14 +30,18 @@ import org.apache.spark.sql.functions._
   * compaction can rewrite one prefix at a time and reads could prune.
   *
   * Compaction swaps GENERATIONS behind the same pointer protocol
-  * SnapshotTable's publish uses: the compacted rewrite lands in a fresh
-  * `data.(G+1)` directory, a new pointer file makes it current, and
-  * generation G's files are retained until the NEXT compaction — so a
-  * reader pinned to a pre-compaction listing keeps streaming files that
-  * still exist (the round-1 formulation renamed-and-deleted the live
-  * directory under such readers). Appends are single-writer by contract
-  * (one ingesting pipeline per store), matching every incremental-dedup
-  * call site; concurrent READERS are safe at any point.
+  * SnapshotTable's publish uses: the compacted rewrite of the DIRTY
+  * prefixes lands in a fresh `data.(G+1)` directory, every clean
+  * prefix's existing directory is referenced in place by the new
+  * generation's manifest (ZERO data bytes read, moved, or copied —
+  * steady-state compaction IO is ingest-proportional, never
+  * state-proportional), a new pointer file makes the generation
+  * current, and the files generation G resolved are retained until the
+  * NEXT compaction — so a reader pinned to a pre-compaction listing
+  * keeps streaming files that still exist. Appends are single-writer by
+  * contract (one ingesting pipeline per store), matching every
+  * incremental-dedup call site; concurrent READERS are safe at any
+  * point.
   *
   * Crash semantics: an interrupted append can leave a batch's files
   * partially committed. For dedup state this is benign — duplicate
@@ -77,6 +84,79 @@ class AppendOnlyStore(spark: SparkSession, root: String,
   private def genDir(g: Long): Path =
     if (g == 0L && fs.exists(legacyDir)) legacyDir
     else new Path(rootPath, s"data.$g")
+
+  // ------------------------------------------- generation manifest
+  // A generation's logical contents = its own data.G files PLUS every
+  // prefix directory its manifest references in a PRIOR generation's
+  // directory. Compaction writes only the dirty prefixes and carries
+  // the clean ones by reference — the zero-copy posture that keeps
+  // compaction IO ∝ ingest while accumulated state grows unbounded.
+  // References are resolved flat at manifest-write time (a referenced
+  // dir is always a physical directory, never another reference), so
+  // reads are one level deep regardless of generation count.
+
+  private def manifestPath(g: Long) = new Path(rootPath, s"_MANIFEST.$g")
+
+  /** Prefix-dir references of generation `g` (possibly several physical
+    * dirs per prefix when `maxFilesUntouched` > 1 left a clean prefix's
+    * files split across generations). */
+  private def manifestRefs(g: Long): Seq[(String, Path)] = {
+    val p = manifestPath(g)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in).mkString
+                 finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> new Path(line.substring(i + 1))
+      }.toSeq
+    }
+  }
+
+  private def writeManifest(g: Long, refs: Seq[(String, Path)]): Unit = {
+    val tmp = new Path(rootPath, s"_MANIFEST_tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(refs.sortBy(r => (r._1, r._2.toString))
+      .map { case (n, d) => s"$n\t$d" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, manifestPath(g)))
+      throw new IllegalStateException(s"manifest publish failed at $root")
+  }
+
+  private def listParquet(dir: Path): Seq[String] = {
+    if (!fs.exists(dir)) return Nil
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        buf += f.getPath.toString
+    }
+    buf.toSeq
+  }
+
+  private def prefixDirsUnder(dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("prefix="))
+
+  /** Every physical prefix directory generation `g` resolves (its own
+    * plus manifest references) — the retention unit for GC. */
+  private def referencedPrefixDirs(g: Long): Set[String] =
+    (prefixDirsUnder(genDir(g)).map(_.toString) ++
+      manifestRefs(g).map(_._2.toString)).toSet
+
+  /** Read a resolved file set with partition-column (`prefix=XX`)
+    * inference intact: one basePath per physical generation dir,
+    * unioned. */
+  private def readFiles(files: Seq[String]): DataFrame =
+    files.groupBy(f => new Path(f).getParent.getParent)
+      .toSeq.sortBy(_._1.toString)
+      .map { case (base, fsq) =>
+        spark.read.option("basePath", base.toString).parquet(fsq: _*)
+      }
+      .reduce(_.unionByName(_))
 
   private def publishGen(g: Long): Unit = {
     val next = (pointerSeqs().map(_._1) :+ 0L).max + 1
@@ -156,7 +236,6 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     * survives one concurrent compaction (the superseded generation's
     * files are retained until the following one). */
   def read(): DataFrame = {
-    val dir = genDir(currentGen)
     val files = dataFiles()
     if (files.isEmpty) {
       // A store whose every row was retracted (signed IVM) compacts to
@@ -173,7 +252,7 @@ class AppendOnlyStore(spark: SparkSession, root: String,
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.read.option("basePath", dir.toString).parquet(files: _*)
+    } else readFiles(files)
   }
 
   private def schemaPath = new Path(rootPath, "_schema.json")
@@ -218,20 +297,25 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     *
     * INCREMENTAL per-prefix compaction: only prefixes holding more than
     * `maxFilesUntouched` files are folded through the cluster (read →
-    * fold → shuffle → write); every other prefix's directory is copied
-    * into the new generation verbatim at the storage layer — no decode,
-    * no shuffle, no executor compute. A prefix folded once stays a
-    * single file until new appends touch it, so steady-state compaction
-    * cost is proportional to the ingest since the last quiescence
-    * window, not to accumulated store size (the same posture as
-    * [[graft.ops.IncrementalJoin.compactSides]]' `__bg` rewrites; at
-    * 100 TB the copy is a storage-layer transfer — on S3 a server-side
-    * COPY — while the old full fold was a full-store decode+shuffle).
+    * fold → shuffle → write); every other prefix is carried by
+    * REFERENCE — the new generation's manifest points at the clean
+    * prefix's existing directory in place, so ZERO data-file bytes are
+    * read, copied, or moved for untouched state (GenerationManifestSpec
+    * gates exactly that). A prefix folded once stays a single file
+    * until new appends touch it, so steady-state compaction cost is
+    * proportional to the ingest since the last quiescence window, not
+    * to accumulated store size — at 100 TB the difference between a
+    * bounded maintenance op and a full-store transfer through one JVM.
     * Correctness needs no full fold: every consumer's read path already
     * folds/dedups lazily (that is what makes appends cheap), so leaving
     * a single-file prefix unfolded is result-invariant by the store
     * contract. A store whose every prefix is already compact no-ops
     * entirely — no new generation, no pointer churn.
+    *
+    * Superseded files (the pre-fold files of dirty prefixes) are
+    * retained until the NEXT compaction, exactly the old retention
+    * contract: a reader pinned to the outgoing generation's listing
+    * keeps every file it resolved through one concurrent compaction.
     *
     * The fold operates per key and keys never cross prefixes, so
     * restricting its input to the dirty prefixes cannot change what it
@@ -247,8 +331,7 @@ class AppendOnlyStore(spark: SparkSession, root: String,
         s"(${inFlight.mkString(", ")}) — retry them to completion first")
     val cur = currentGen
     val next = cur + 1
-    val curDir = genDir(cur)
-    // group the current generation's files by their prefix directory
+    // group the RESOLVED file set (own + referenced) by prefix name
     val byPrefix = dataFiles().map(new Path(_))
       .groupBy(_.getParent.getName)
     val dirty = byPrefix.filter(_._2.size > maxFilesUntouched).keySet
@@ -256,61 +339,57 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     val clean = byPrefix.keySet -- dirty
     val dirtyFiles = byPrefix.filter(kv => dirty.contains(kv._1))
       .values.flatten.map(_.toString).toSeq
-    val in = spark.read.option("basePath", curDir.toString)
-      .parquet(dirtyFiles: _*)
-    fold(in)
+    fold(readFiles(dirtyFiles))
       .withColumn("prefix", substring(col(prefixCol), 1, prefixChars))
       .repartition(col("prefix"))
       .write.mode("overwrite").partitionBy("prefix")
       .parquet(genDir(next).toString)
-    // Carrying clean prefixes into the new generation is a CLIENT-SIDE
-    // byte copy (FileUtil.copy streams through this JVM) — NOT a
-    // server-side COPY; a rename is not an option because the outgoing
-    // generation must keep its files until the NEXT compaction for
-    // pinned readers. The copies are independent per prefix directory,
-    // so they run on a thread pool: wall-clock is the largest prefix,
-    // not the sum. On an object store, swap the copy lambda for the
-    // store's server-side COPY (S3 CopyObject) or a generation manifest
-    // that references prior-generation directories in place — the
-    // steady-state DATA cost is already ingest-proportional (clean
-    // prefixes are one already-folded file); this transfer is the
-    // remaining term, bounded by accumulated state size.
-    if (clean.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, clean.size))
-      try {
-        val tasks = clean.toSeq.sorted.map { p =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = {
-              val ok = org.apache.hadoop.fs.FileUtil.copy(
-                fs, new Path(curDir, p), fs, new Path(genDir(next), p),
-                false, true, conf)
-              if (!ok) throw new IllegalStateException(
-                s"per-prefix compaction: copying untouched prefix $p " +
-                  s"into generation $next failed at $root")
-            }
-          })
-        }
-        tasks.foreach(_.get()) // propagate the first failure
-      } finally pool.shutdown()
-    }
+    // clean prefixes: referenced in place, resolved flat (the reference
+    // target is always the physical directory holding the files, never
+    // a chain through intermediate manifests)
+    if (clean.nonEmpty)
+      writeManifest(next, clean.toSeq.flatMap { p =>
+        byPrefix(p).map(_.getParent).distinct.map(d => p -> d)
+      })
     publishGen(next)
-    val stale = genDir(cur - 1) // resolves to the legacy dir for gen 0
-    if (cur > 0 && fs.exists(stale)) fs.delete(stale, true)
+    gcSuperseded(cur, next)
   }
 
-  /** Data files in the CURRENT generation (for append-only assertions). */
-  def dataFiles(): Seq[String] = {
-    val dir = genDir(currentGen)
-    if (!fs.exists(dir)) return Nil
-    val it = fs.listFiles(dir, true)
-    val buf = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet"))
-        buf += f.getPath.toString
+  /** Delete physical prefix directories no generation ≥ `cur` resolves:
+    * the outgoing generation `cur` keeps everything it referenced (the
+    * pinned-reader retention window), `next` keeps its own; anything
+    * older and unreferenced is superseded twice over and goes. */
+  private def gcSuperseded(cur: Long, next: Long): Unit = {
+    val keep = referencedPrefixDirs(cur) ++ referencedPrefixDirs(next)
+    val gens = fs.listStatus(rootPath).toSeq.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n == "data") Some(0L -> p)
+      else if (n.startsWith("data.") && !n.contains("tmp"))
+        n.stripPrefix("data.").toLongOption.map(_ -> p)
+      else None
     }
-    buf.toSeq
+    gens.filter(_._1 < cur).foreach { case (_, dir) =>
+      prefixDirsUnder(dir).foreach { pd =>
+        if (!keep.contains(pd.toString)) fs.delete(pd, true)
+      }
+      if (prefixDirsUnder(dir).isEmpty) fs.delete(dir, true)
+    }
+    // manifests of generations older than the retention window are
+    // never read again (resolution is flat; GC keys on cur/next only)
+    fs.listStatus(rootPath).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("_MANIFEST.") && !n.contains("tmp") &&
+          n.stripPrefix("_MANIFEST.").toLongOption.exists(_ < cur))
+        fs.delete(p, false)
+    }
+  }
+
+  /** Data files the CURRENT generation resolves — its own plus every
+    * manifest-referenced prefix directory (for append-only assertions
+    * and the read path). */
+  def dataFiles(): Seq[String] = {
+    val g = currentGen
+    listParquet(genDir(g)) ++
+      manifestRefs(g).flatMap { case (_, d) => listParquet(d) }
   }
 }
