@@ -161,6 +161,12 @@ object ChainedIvm {
             s"__qd_${math.round(p * 1e6)}")
         }
       }),
+      contQuantileCurrent = Map(es.valCol -> { ps =>
+        ps.foldLeft(MinMaxAgg.quantilesCont(st, es, ps)) { (d, p) =>
+          d.withColumnRenamed(MinMaxAgg.contLabel(p),
+            s"__qc_${math.round(p * 1e6)}")
+        }
+      }),
       countRowsExact = false)
   }
 

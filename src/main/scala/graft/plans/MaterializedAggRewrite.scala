@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   ApproximatePercentile, Average, Count, HyperLogLogPlusPlus, Max, Min,
-  PercentileDisc, Sum}
+  Percentile, PercentileDisc, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -80,6 +80,18 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     *                  is answered from it — EXACT on both sides, the
     *                  serve the retractable value-multiset state exists
     *                  for
+    * @param contQuantileCurrent per-column EXACT interpolated-quantile
+    *                  providers — normally the same [[graft.ops.MinMaxAgg]]
+    *                  value-multiset via `quantilesCont` (the state
+    *                  already holds the two rank-adjacent values an
+    *                  interpolation needs). The returned frame must
+    *                  carry keys ++ one DOUBLE column per requested
+    *                  probability named `__qc_<ppm>`. `percentile_cont(p)
+    *                  WITHIN GROUP (ORDER BY col)` with a literal `p`
+    *                  (seen post-analysis as Catalyst `Percentile`) is
+    *                  answered from it — bit-identical on both sides
+    *                  (the provider uses Percentile's exact weighted
+    *                  interpolation form)
     * @param countRowsExact whether `n_rows` counts EVERY source row.
     *                  A [[graft.ops.MinMaxAgg]]-backed registration
     *                  counts only non-null value rows, so it must set
@@ -100,6 +112,8 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
                            Map.empty,
                          discQuantileCurrent: Map[String, Seq[Double] => DataFrame] =
                            Map.empty,
+                         contQuantileCurrent: Map[String, Seq[Double] => DataFrame] =
+                           Map.empty,
                          countRowsExact: Boolean = true)
 
   /** How one output column maps onto the store. */
@@ -109,6 +123,7 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
   private final case class DistinctOf(c: String) extends StoreRef
   private final case class QuantileOf(c: String, p: Double) extends StoreRef
   private final case class DiscQuantileOf(c: String, p: Double) extends StoreRef
+  private final case class ContQuantileOf(c: String, p: Double) extends StoreRef
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
   // re-entrancy guard: building the replacement DataFrame analyzes a new
@@ -257,6 +272,19 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
             Some(DiscQuantileOf(a.name, p))
           case _ => None
         }
+      // percentile_cont(p) WITHIN GROUP (ORDER BY c): analysis replaces
+      // the RuntimeReplaceable PercentileCont with Percentile before any
+      // optimizer rule runs, so this is the shape the rewrite sees
+      case AggregateExpression(pc: Percentile, _, false, None, _)
+        if !pc.reverse =>
+        (pc.child, pc.percentageExpression, pc.frequencyExpression) match {
+          case (a: AttributeReference, Literal(p: Double, DoubleType),
+                Literal(1L, _))
+            if mv.contQuantileCurrent.contains(a.name) &&
+              p >= 0.0 && p <= 1.0 =>
+            Some(ContQuantileOf(a.name, p))
+          case _ => None
+        }
       case _ => None
     }
 
@@ -324,13 +352,24 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
       }
       val needDisc = refs.collect { case DiscQuantileOf(c, p) => (c, p) }
         .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
-      val refoldDf = needDisc.foldLeft(withQuantile) {
+      val withDisc = needDisc.foldLeft(withQuantile) {
         case (acc, (c, ps)) =>
           // provider contract: columns named __qd_<ppm>; re-prefix per
           // source column so two disc-served columns cannot collide
           val qdf = ps.foldLeft(mv.discQuantileCurrent(c)(ps)) { (d, p) =>
             d.withColumnRenamed(s"__qd_${math.round(p * 1e6)}",
               s"__qd_${c}_${math.round(p * 1e6)}")
+          }
+          acc.join(qdf.drop("n_rows"), mv.keyCols)
+      }
+      val needCont = refs.collect { case ContQuantileOf(c, p) => (c, p) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val refoldDf = needCont.foldLeft(withDisc) {
+        case (acc, (c, ps)) =>
+          // provider contract: columns named __qc_<ppm>, double
+          val qdf = ps.foldLeft(mv.contQuantileCurrent(c)(ps)) { (d, p) =>
+            d.withColumnRenamed(s"__qc_${math.round(p * 1e6)}",
+              s"__qc_${c}_${math.round(p * 1e6)}")
           }
           acc.join(qdf.drop("n_rows"), mv.keyCols)
       }
@@ -342,6 +381,7 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
         case DistinctOf(c) => Seq(s"n_distinct_$c")
         case QuantileOf(c, p) => Seq(s"__q_${c}_${math.round(p * 100)}")
         case DiscQuantileOf(c, p) => Seq(s"__qd_${c}_${math.round(p * 1e6)}")
+        case ContQuantileOf(c, p) => Seq(s"__qc_${c}_${math.round(p * 1e6)}")
       } ++ groupAttrs.map(_.name) ++
         keyPreds.flatMap(_.references.map(_.name))
       if (!neededNames.forall(byName.contains)) return None
@@ -361,6 +401,8 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
               byName(s"__q_${c}_${math.round(p * 100)}")
             case DiscQuantileOf(c, p) =>
               byName(s"__qd_${c}_${math.round(p * 1e6)}")
+            case ContQuantileOf(c, p) =>
+              byName(s"__qc_${c}_${math.round(p * 1e6)}")
           }
           if (raw.dataType == ae.dataType) raw else Cast(raw, ae.dataType)
         case a: AttributeReference => byName(a.name)

@@ -1070,16 +1070,22 @@ object FunctionQueries {
           }
       }.flatten
     try {
+      // percentile_cont rides the SAME extrema multiset (the two
+      // rank-adjacent values interpolate); ×4 quantizes the dyadic
+      // 0.25-rank interpolation of integer cents to an exact BIGINT so
+      // the DuckDB hash comparison never touches float formatting
       val res = s.read.parquet(oDir).join(s.read.parquet(lDir), Seq("okey"))
         .groupBy($"o_orderstatus")
         .agg(min($"cents").as("min_cents"), max($"cents").as("max_cents"),
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
-            .cast("long").as("p50"))
+            .cast("long").as("p50"),
+          (expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)") *
+            lit(4.0)).cast("long").as("p25x4"))
         .orderBy($"o_orderstatus")
       val p1 = scanPaths(res)
       require(p1.nonEmpty && p1.forall(_.startsWith(s"$chainRoot/extrema")),
-        s"q199: min/max/percentile_disc must serve from the extrema " +
-          s"multiset ONLY, scanned: $p1")
+        s"q199: min/max/percentile_disc/percentile_cont must serve from " +
+          s"the extrema multiset ONLY, scanned: $p1")
       // count(*) at the extrema grouping: the extrema level must
       // decline (it counts non-null VALUES, not rows) and the query
       // must land on the join-state multiset, never the raw paths
@@ -1232,11 +1238,18 @@ object FunctionQueries {
         |  FROM j GROUP BY 1, 2),
         |cum AS (SELECT o_orderstatus, cents,
         |  sum(net) OVER (PARTITION BY o_orderstatus ORDER BY cents) AS c,
-        |  sum(net) OVER (PARTITION BY o_orderstatus) AS tot FROM g)
-        |SELECT o_orderstatus, min(cents) AS min_cents,
+        |  sum(net) OVER (PARTITION BY o_orderstatus) AS tot FROM g),
+        |d AS (SELECT o_orderstatus, min(cents) AS min_cents,
         |  max(cents) AS max_cents,
         |  min(CASE WHEN c * 2 >= tot THEN cents END) AS p50
-        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM cum GROUP BY 1),
+        |pc AS (SELECT o_orderstatus,
+        |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) * 4
+        |    AS BIGINT) AS p25x4
+        |  FROM j GROUP BY 1)
+        |SELECT d.o_orderstatus, d.min_cents, d.max_cents, d.p50, pc.p25x4
+        |FROM d JOIN pc ON d.o_orderstatus = pc.o_orderstatus
+        |ORDER BY 1""".stripMargin,
     "q180_join_mv_chain" ->
       """SELECT o.o_orderstatus, l.l_returnflag,
         |  count(*) AS n_pairs,

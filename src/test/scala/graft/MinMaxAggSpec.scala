@@ -121,6 +121,49 @@ class MinMaxAggSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("quantilesDisc: histogram narrowing is bit-equal to the window path") {
+    val st = store()
+    // hot key with many distinct values (incl. negatives and clumps),
+    // plus a small key — the mixed regime the guard must not disturb
+    val rows = (1L to 3000L).map(i => ("hot", (i * 37) % 997 - 200, 1L)) ++
+      (1L to 2500L).map(i => ("hot", i % 13, 1L)) ++
+      Seq(("cold", 5L, 1L), ("cold", 7L, 1L), ("cold", 7L, 1L))
+    MinMaxAgg.appendDelta(st, rows.toDF("k", "v", "__delta"), spec, 0L)
+    // delete a slice so nets vary
+    MinMaxAgg.appendDelta(st, (1L to 900L).map(i =>
+      ("hot", (i * 37) % 997 - 200, -1L)).toDF("k", "v", "__delta"),
+      spec, 1L)
+    val qs = Seq(0.0, 0.005, 0.2, 0.25, 0.333, 0.5, 0.75, 0.999, 1.0)
+    def run(): Set[Seq[Any]] =
+      MinMaxAgg.quantilesDisc(st, spec, qs).collect().map(_.toSeq).toSet
+    val windowed = run() // default threshold: window path
+    val key = MinMaxAgg.DiscWindowMaxDistinctKey
+    spark.conf.set(key, "1") // force histogram narrowing for every key
+    try assert(run() == windowed,
+      "histogram narrowing must be bit-equal to the window path")
+    finally spark.conf.unset(key)
+  }
+
+  test("quantilesCont matches Spark's percentile_cont exactly, under deletes") {
+    val st = store()
+    val ins = (1L to 500L).map(i => (s"k${i % 3}", (i * 17) % 101, 1L))
+    MinMaxAgg.appendDelta(st, ins.toDF("k", "v", "__delta"), spec, 0L)
+    val del = ins.filter(_._2 % 4 == 0).map { case (k, v, _) => (k, v, -1L) }
+    MinMaxAgg.appendDelta(st, del.toDF("k", "v", "__delta"), spec, 1L)
+    val net = ins.filterNot(_._2 % 4 == 0).map { case (k, v, _) => (k, v) }
+    val qs = Seq(0.0, 0.25, 0.3, 0.5, 0.75, 1.0)
+    val want = net.toDF("k", "v").groupBy($"k")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        qs.map(q => org.apache.spark.sql.functions.expr(
+          s"percentile_cont($q) WITHIN GROUP (ORDER BY v)")
+          .as(MinMaxAgg.contLabel(q))): _*)
+      .collect().map(_.toSeq).toSet
+    val got = MinMaxAgg.quantilesCont(st, spec, qs)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "quantilesCont must be bit-identical to the builtin")
+  }
+
   test("chained one-shot equality on a larger random-ish multiset") {
     val st = store()
     val rows = (1L to 400L).map(i =>
