@@ -349,6 +349,97 @@ object DedupOps {
         .withColumn("__delta", lit(-1L)),
       signedBucketSpec(idCol), batchId, "__delta")
 
+  /** [[nearDupTakedown]]'s insert twin: land `docs`' LSH memberships as
+    * +1 deltas WITHOUT any admission decision — the maintenance write
+    * for an all-live-docs membership store (the candidate index a
+    * maintained dup-CLUSTER layer probes), as opposed to the
+    * admitted-only store [[signedMinhashDedupVerified]] keeps. */
+  def nearDupAdd(store: graft.sinks.AppendOnlyStore,
+                 docs: DataFrame, textCol: String, idCol: String,
+                 batchId: Long,
+                 k: Int = 64, bands: Int = 16,
+                 shingleLen: Int = 3, seed: Long = 42L): Unit =
+    IncrementalAgg.appendDelta(store,
+      bucketKeys(docs, textCol, idCol, k, bands, shingleLen, seed)
+        .withColumn("__delta", lit(1L)),
+      signedBucketSpec(idCol), batchId, "__delta")
+
+  /** The subset of `docs` holding ANY live membership in the signed
+    * store — the "was admitted and not yet taken down" probe a
+    * streaming takedown runs BEFORE retracting (retracting a
+    * never-admitted doc would leave a visible negative net). Read-only;
+    * candidate-bounded like every store probe here. */
+  def liveMembers(store: graft.sinks.AppendOnlyStore, docs: DataFrame,
+                  textCol: String, idCol: String,
+                  k: Int = 64, bands: Int = 16,
+                  shingleLen: Int = 3, seed: Long = 42L): DataFrame = {
+    if (!store.exists) return docs.limit(0)
+    val bk = bucketKeys(docs, textCol, idCol, k, bands, shingleLen, seed)
+    docs.join(
+      liveCollisions(store, bk, idCol, broadcastBatch = true)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+  }
+
+  /** VERIFIED near-dup pairs of `batch` — within the batch AND against
+    * the docs live in the signed membership store — as canonicalized
+    * distinct (id1 < id2) edges: the edge feed for a maintained
+    * dup-cluster layer ([[IncrementalCc]]'s signed CC). Exact
+    * shingle-set Jaccard ≥ `threshold` verifies every LSH candidate, so
+    * the pair set is a pure function of (live texts, batch texts).
+    * READ-ONLY: no membership is appended — callers maintain
+    * memberships separately ([[nearDupAdd]]/[[nearDupTakedown]]), AFTER
+    * deriving the pairs they need; in particular a takedown wave
+    * derives its −1 edges from the PRE-removal store. `lookup` must
+    * cover the texts of every live candidate id (a superset is fine —
+    * it is semi-joined to candidates before shingling). */
+  def signedNearDupPairs(batch: DataFrame, textCol: String, idCol: String,
+                         store: graft.sinks.AppendOnlyStore,
+                         lookup: DataFrame, threshold: Double,
+                         k: Int = 64, bands: Int = 16,
+                         shingleLen: Int = 3, seed: Long = 42L,
+                         maxBucketSize: Int = 1000,
+                         broadcastBatch: Boolean = true): DataFrame = {
+    val bk = bucketKeys(batch, textCol, idCol, k, bands, shingleLen, seed)
+      .cutLineage()
+    val withinPairs = bk.groupBy(col("bucket_key"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS id1, y AS id2))))""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2")).distinct()
+    val crossPairs =
+      if (store.exists)
+        liveCollisions(store, bk, idCol, broadcastBatch)
+          .withColumnRenamed(idCol, "id1")
+          .join((if (broadcastBatch) broadcast(bk) else bk)
+            .withColumnRenamed(idCol, "id2"), Seq("bucket_key"))
+          .filter(col("id1") =!= col("id2"))
+          .select(col("id1"), col("id2")).distinct()
+      else withinPairs.limit(0)
+    val cand = withinPairs.unionByName(crossPairs).cutLineage()
+    val candIds = cand.select(col("id1").as(idCol))
+      .unionByName(cand.select(col("id2").as(idCol))).distinct()
+    val texts = batch.select(col(idCol), col(textCol))
+      .unionByName(lookup.select(col(idCol), col(textCol)))
+      .join(candIds, Seq(idCol), "left_semi")
+      .dropDuplicates(idCol)
+      .select(col(idCol), TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .cutLineage()
+    cand
+      .join(texts.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(texts.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")) >= threshold)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .distinct()
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** Deterministic MinHash coefficient pairs (a,b) over the Mersenne prime

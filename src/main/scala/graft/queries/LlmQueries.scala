@@ -936,6 +936,71 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** END-TO-END right-to-be-forgotten (q205): ONE signed document topic
+    * drained in ONE AvailableNow pass
+    * ([[graft.streaming.CorpusStream.maintainRtbfAvailableNow]])
+    * maintains all three serving surfaces a takedown must reach — the
+    * BM25 search index, the near-dup ADMISSION store (q191's), and the
+    * dup-CLUSTER labels (q200's signed CC, edges derived per batch from
+    * an all-live-docs membership store) — then one takedown wave
+    * (doc_id ≡ 4 mod 9) must remove its docs from ALL of them at once.
+    * Per doc: net liveness, admission-store liveness, served cluster
+    * label (−1 when unclustered/removed), served BM25 score (−1 when
+    * not served). ONE oracle over the net corpus computes all four
+    * columns — shingle-set groups for admission/labels, the BM25 net
+    * formula for scores. */
+  def q205RtbfE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.ops.{IncrementalAgg, IncrementalCc, IncrementalTextIndex}
+    val docs = graft.ops.Lineage.cut(
+      withPlantedDups(Tables.load(s, dir, "documents")))
+    val topic = java.nio.file.Files.createTempDirectory("q205topic").toString
+    def emit(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(topic)
+    emit(docs.filter($"doc_id" % 2 === 0).withColumn("__delta", lit(1L)))
+    emit(docs.filter($"doc_id" % 2 === 1).withColumn("__delta", lit(1L)))
+    emit(docs.filter($"doc_id" % 9 === 4).withColumn("__delta", lit(-1L)))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("__delta", LongType)))
+    val root = java.nio.file.Files.createTempDirectory("q205").toString
+    val index = IncrementalTextIndex.stores(s, s"$root/index", "doc_id")
+    val admission = DedupOps.signedBucketStore(s, s"$root/admission")
+    val members = DedupOps.signedBucketStore(s, s"$root/members")
+    val cc = IncrementalCc.signedStores(s, s"$root/cc")
+    val nBatches = graft.streaming.CorpusStream.maintainRtbfAvailableNow(
+      s, topic, schema, index, admission, members, cc, lookup = docs,
+      checkpointDir = s"$root/_ckpt", k = 32, bands = 8,
+      maxFilesPerTrigger = Some(1))
+    require(nBatches >= 3,
+      s"expected one micro-batch per wave file at least, got $nBatches")
+    // compaction across every store, then serve — result-invariant
+    IncrementalTextIndex.compact(index)
+    IncrementalAgg.compact(admission, DedupOps.signedBucketSpec("doc_id"))
+    IncrementalAgg.compact(members, DedupOps.signedBucketSpec("doc_id"))
+    IncrementalCc.compact(cc)
+    val bm = IncrementalTextIndex.bm25(index, Seq("spark", "query", "fast"))
+      .select($"doc_id",
+        floor($"score" * 10000.0 + 0.5).cast("long").as("score_e4"))
+    val labels = IncrementalCc.currentLabels(cc)
+      .select($"node".as("doc_id"), $"label")
+    val adm = DedupOps.liveMembers(admission, docs, "text", "doc_id",
+        k = 32, bands = 8)
+      .select($"doc_id").withColumn("admitted", lit(1L))
+    docs.select($"doc_id")
+      .withColumn("live",
+        when($"doc_id" % 9 =!= 4, 1L).otherwise(0L))
+      .join(adm, Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
+      .join(bm, Seq("doc_id"), "left")
+      .select($"doc_id", $"live",
+        coalesce($"admitted", lit(0L)).as("admitted"),
+        coalesce($"label", lit(-1L)).as("label"),
+        coalesce($"score_e4", lit(-1L)).as("score_e4"))
+      .orderBy($"doc_id")
+  }
+
   /** Canonical retention after near-dup clustering — the pruning step a
     * curation pipeline actually runs: the q26/q59 edge list collapsed to
     * components, then ONE survivor per cluster picked by the
@@ -1394,6 +1459,7 @@ object LlmQueries {
     "q78_ann_int8" -> (q78AnnInt8 _),
     "q77_incremental_neardup" -> (q77IncrementalNearDedup _),
     "q191_takedown_neardup" -> (q191TakedownNearDedup _),
+    "q205_rtbf_e2e" -> (q205RtbfE2e _),
     "q74_bpe_pairs" -> (q74BpePairs _),
     "q73_repeated_spans" -> (q73RepeatedSpans _),
     "q70_repetition" -> (q70Repetition _),
@@ -2155,6 +2221,80 @@ object LlmQueries {
          |SELECT q_id, vec_id, cos, rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // q205: the end-to-end right-to-be-forgotten gate — one oracle over
+    // the net corpus computes net liveness, the admission store's final
+    // live set (even wave admits min-even per shingle group, odd wave
+    // admits min-odd only where no even exists, takedown %9=4 last),
+    // the dup-cluster labels (min net member of every ≥2-member net
+    // group), and the BM25 net scores
+    "q205_rtbf_e2e" -> {
+      val terms = Seq("spark", "query", "fast")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n    ")
+      val dfCols = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(",\n    ")
+      val scoreSql = terms.indices.map { i =>
+        s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
+           | * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"""
+          .stripMargin.replace("\n", "")
+      }.mkString("\n    + ")
+      s"""WITH base AS (
+         |  $plantedSql),
+         |keyed AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort($shingles3Sql), chr(30))) AS set_key
+         |  FROM base),
+         |g AS (
+         |  SELECT set_key,
+         |    min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS min_even,
+         |    min(CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS min_odd
+         |  FROM keyed GROUP BY set_key),
+         |adm AS (
+         |  SELECT k.doc_id,
+         |    CASE WHEN ((k.doc_id % 2 = 0 AND k.doc_id = g.min_even)
+         |           OR (k.doc_id % 2 = 1 AND g.min_even IS NULL
+         |               AND k.doc_id = g.min_odd))
+         |          AND k.doc_id % 9 <> 4 THEN 1 ELSE 0 END AS admitted
+         |  FROM keyed k JOIN g USING (set_key)),
+         |netkey AS (SELECT doc_id, set_key FROM keyed WHERE doc_id % 9 <> 4),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN count(*) OVER (PARTITION BY set_key) >= 2
+         |         THEN min(doc_id) OVER (PARTITION BY set_key)
+         |         ELSE -1 END AS label
+         |  FROM netkey),
+         |net AS (SELECT doc_id, text FROM base WHERE doc_id % 9 <> 4),
+         |toks AS (
+         |  SELECT doc_id, $toksSql AS t,
+         |    CAST($nTokSql AS DOUBLE) AS dl
+         |  FROM net),
+         |tf AS (
+         |  SELECT doc_id, dl,
+         |    $tfCols
+         |  FROM toks),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+         |    $dfCols
+         |  FROM tf),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(floor(($scoreSql) * 10000.0 + 0.5) AS BIGINT) AS score_e4
+         |  FROM tf, stats)
+         |SELECT b.doc_id,
+         |  CAST(CASE WHEN b.doc_id % 9 <> 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS live,
+         |  CAST(a.admitted AS BIGINT) AS admitted,
+         |  CAST(COALESCE(l.label, -1) AS BIGINT) AS label,
+         |  COALESCE(s.score_e4, -1) AS score_e4
+         |FROM base b
+         |JOIN adm a USING (doc_id)
+         |LEFT JOIN lab l USING (doc_id)
+         |LEFT JOIN sc s USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    },
     // q191: live = survives batch-1 (evens), the %10=4 takedown of its
     // admitted canonicals, and batch-2 (odds + twins of the taken-down)
     "q191_takedown_neardup" ->

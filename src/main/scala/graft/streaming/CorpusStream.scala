@@ -105,6 +105,105 @@ object CorpusStream {
     n.get()
   }
 
+  /** The END-TO-END right-to-be-forgotten drain: ONE signed document
+    * topic (insert +1, takedown −1) maintains, in a single AvailableNow
+    * pass with one checkpoint, every serving surface a takedown must
+    * reach:
+    *
+    *  1. the SEARCH index ([[graft.ops.IncrementalTextIndex]]) — a
+    *     taken-down doc leaves the served BM25 ranking;
+    *  2. the near-dup ADMISSION store ([[DedupOps
+    *     .signedMinhashDedupVerified]]) — its LSH memberships net to
+    *     zero, freeing the shingle group for future twins (the q191
+    *     contract), with the takedown probed against live membership
+    *     first so retracting a never-admitted doc cannot leave a
+    *     negative net;
+    *  3. the dup-CLUSTER labels ([[graft.ops.IncrementalCc]] signed
+    *     CC over an all-live-docs membership store) — the doc's
+    *     verified near-dup edges are derived from the PRE-removal
+    *     store and retracted, so it leaves the served labels and a
+    *     component it bridged splits exactly (the q200 contract).
+    *
+    * Per micro-batch: tokenize + candidate-bounded store probes +
+    * batch-sized appends — each store's manifest makes checkpoint
+    * replays exactly-once (sub-writes use deterministic ids 2·bid and
+    * 2·bid+1 where one micro-batch writes a store twice). Contract: a
+    * single micro-batch must not insert and delete near-dup-related
+    * docs together (deletes are resolved against pre-batch state);
+    * `lookup` maps every topic id to its text (ids are append-stable —
+    * an edit is a takedown plus a new id on this pipeline). */
+  def maintainRtbfAvailableNow(spark: SparkSession, docsDir: String,
+                               schema: StructType,
+                               index: graft.ops.IncrementalTextIndex.Stores,
+                               admission: AppendOnlyStore,
+                               members: AppendOnlyStore,
+                               cc: graft.ops.IncrementalCc.SignedStores,
+                               lookup: DataFrame,
+                               checkpointDir: String,
+                               textCol: String = "text",
+                               idCol: String = "doc_id",
+                               deltaCol: String = "__delta",
+                               threshold: Double = 1.0,
+                               k: Int = 32, bands: Int = 8,
+                               maxFilesPerTrigger: Option[Int] = None): Long = {
+    import graft.ops.{DedupOps, IncrementalCc, IncrementalTextIndex}
+    val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    var r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(m =>
+      r = r.option("maxFilesPerTrigger", m.toString))
+    val q = r.parquet(docsDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, bid: Long) =>
+        val batch = batch0.persist()
+        try {
+          // 1. search index (signed, batch-sized appends)
+          IncrementalTextIndex.appendDelta(index, batch, textCol, bid,
+            Some(deltaCol))
+          val ins = batch.filter(col(deltaCol) > 0)
+            .select(col(idCol), col(textCol))
+          val del = batch.filter(col(deltaCol) < 0)
+            .select(col(idCol), col(textCol))
+          // 3a. cluster edges derive from the PRE-batch membership
+          // state: an insert's edges reach the docs live before it, a
+          // takedown's −1 edges are exactly the edges its admit-time
+          // twins hold
+          val insPairs = DedupOps.signedNearDupPairs(ins, textCol, idCol,
+            members, lookup, threshold, k, bands)
+          val delPairs = DedupOps.signedNearDupPairs(del, textCol, idCol,
+            members, lookup, threshold, k, bands)
+          val ccDelta = insPairs.withColumn("__delta", lit(1L))
+            .unionByName(delPairs.withColumn("__delta", lit(-1L)))
+          IncrementalCc.appendDelta(cc, ccDelta, bid,
+            srcCol = "id1", dstCol = "id2")
+          // 3b. all-live-docs membership maintenance
+          DedupOps.nearDupAdd(members, ins, textCol, idCol, 2 * bid,
+            k, bands)
+          DedupOps.nearDupTakedown(members, del, textCol, idCol,
+            2 * bid + 1, k, bands)
+          // 2. admission store: q191 semantics — admit inserts against
+          // the live admitted set, retract only admitted takedowns
+          DedupOps.signedMinhashDedupVerified(ins, textCol, idCol,
+            admission, corpus = lookup, threshold, batchId = 2 * bid,
+            k = k, bands = bands)
+          val admDel = DedupOps.liveMembers(admission, del, textCol,
+            idCol, k, bands)
+          DedupOps.nearDupTakedown(admission, admDel, textCol, idCol,
+            2 * bid + 1, k, bands)
+          ()
+        } finally {
+          batch.unpersist(blocking = false)
+          ()
+        }
+        n.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    n.get()
+  }
+
   def ingestNearDedupedAvailableNow(spark: SparkSession, docsDir: String,
                                     schema: StructType,
                                     corpus: SnapshotTable,
