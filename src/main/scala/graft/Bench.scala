@@ -334,7 +334,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all = ("cdc_pipeline_2m" +: SparkEntry.queries.keys.toSeq.sorted)
       .filter(n => only.forall(_.contains(n)))
-    val chunks = all.grouped(chunkSize).toSeq
+    // Stream-driving / multi-store scenario queries get a SINGLETON
+    // chunk: a fresh JVM running exactly one query IS an isolated
+    // measurement, so the artifact's cpu_s for them cannot be polluted
+    // by chunk-mates (the r9 finding: cdc's in-sweep cpu samples ran
+    // 2-8× its isolated figure from in-chunk attribution bleed —
+    // stream micro-batch jobs and listener fallback billing across
+    // neighbors). Everything else stays ~chunkSize per JVM.
+    val singleton = Set("cdc_pipeline_2m", "q124_stream_windowed",
+      "q171_join_ivm_outer", "q172_cdc_stream", "q182_cdc_signed_join",
+      "q185_cdc_chain", "q194_cdc_text_index", "q205_rtbf_e2e")
+    val (solo, grouped) = all.partition(singleton.contains)
+    val chunks = grouped.grouped(chunkSize).toSeq ++ solo.map(Seq(_))
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory

@@ -1240,14 +1240,26 @@ object AnalyticsQueries {
     val e0 =
       if (netWhere.isEmpty) e0Body
       else s"""SELECT u, v FROM ($e0Body) WHERE $netWhere"""
+    // convergence assertion: an unrolled peel is exact ONLY if the last
+    // round was a fixpoint (|e_rounds| = |e_{rounds-1}|). At a larger
+    // scale factor a deeper cascade would otherwise leave the oracle
+    // silently under-peeled and fail the hash gate confusingly; this
+    // makes it fail LOUDLY with the remedy in the message.
     s"""WITH li AS MATERIALIZED (
        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
        |e0 AS MATERIALIZED (
        |  $e0),
-       |$peels
+       |$peels,
+       |conv AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM e$rounds) =
+       |                   (SELECT count(*) FROM e${rounds - 1})
+       |         THEN TRUE
+       |         ELSE error('k-core oracle under-peeled at rounds=$rounds' ||
+       |                    ' - raise rounds') END AS ok)
        |SELECT node, count(*) AS deg FROM (
        |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
        |GROUP BY node
+       |HAVING (SELECT ok FROM conv)
        |ORDER BY node""".stripMargin
   }
 

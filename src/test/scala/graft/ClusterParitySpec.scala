@@ -60,7 +60,12 @@ class ClusterParitySpec extends SparkSpec {
     // rewrite over the MinMaxAgg multiset, plan-asserted in-query) and
     // signed CC (edge-store re-solve + label retraction across
     // executor JVMs)
-    "q199_extrema_serve", "q200_signed_cc")
+    "q199_extrema_serve", "q200_signed_cc",
+    // round-10 additions: the four maintained graph algorithms —
+    // store-and-iterate, imperative-buffer, lineage-cut shapes whose
+    // closure re-solves and boundary-vector reads cross executor JVMs
+    "q201_inc_pagerank", "q202_inc_sssp", "q203_inc_kcore",
+    "q204_inc_nearest_seeds")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {
