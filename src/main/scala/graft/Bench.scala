@@ -59,11 +59,14 @@ object Bench {
         String, java.util.concurrent.atomic.AtomicLong], g: String) =
       m.computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicLong)
     // Streaming attribution: foreachBatch / stream-drain micro-batches
-    // run on StreamExecution threads under the QUERY's own job group,
-    // never the bench group — keyed on group alone their CPU lands
-    // nowhere. Samples run strictly serially, so ANY job that starts
-    // while a sample is active belongs to that sample: jobs without a
-    // bench group fall back to the currently-active one.
+    // run on StreamExecution threads under the QUERY's own run-id job
+    // group, never the bench group — keyed on group alone their CPU
+    // lands nowhere. Samples run strictly serially, so a FOREIGN-group
+    // job that starts while a sample is active belongs to that sample
+    // (only a stream the sample drives creates one). Jobs with NO
+    // group at all are daemon work and are deliberately NOT billed —
+    // the r9 finding was in-chunk cpu attribution bleeding across
+    // neighbors, so the fallback is as narrow as streaming needs.
     @volatile private var activeGroup: String = null
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -72,7 +75,8 @@ object Bench {
           val g0 = Option(js.properties)
             .map(_.getProperty("spark.jobGroup.id")).orNull
           val g = if (g0 != null && g0.startsWith("bench-")) g0
-                  else activeGroup
+                  else if (g0 != null) activeGroup
+                  else null
           if (g != null)
             js.stageIds.foreach(id => stageGroup.put(id, g))
         }

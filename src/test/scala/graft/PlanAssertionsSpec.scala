@@ -32,6 +32,7 @@ class PlanAssertionsSpec extends SparkSpec {
       "q190_inc_text_index" /* 1-row maintained-stats broadcast joins */,
       "q193_text_topk" /* same 1-row stats joins, candidate-bounded */,
       "q194_cdc_text_index" /* same 1-row stats joins at stream cadence */,
+      "q205_rtbf_e2e" /* serves BM25 → same 1-row stats broadcast joins */,
       "q195_inc_triangles" /* 1-row count x 1-row edge-count crossJoin */,
       "q197_inc_checks" /* three 1-row monitor aggregates crossJoined */,
       "q78_ann_int8" /* int8 coarse scan broadcasts the query batch */,
