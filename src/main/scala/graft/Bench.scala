@@ -347,7 +347,8 @@ object Bench {
     // neighbors). Everything else stays ~chunkSize per JVM.
     val singleton = Set("cdc_pipeline_2m", "q124_stream_windowed",
       "q171_join_ivm_outer", "q172_cdc_stream", "q182_cdc_signed_join",
-      "q185_cdc_chain", "q194_cdc_text_index", "q205_rtbf_e2e")
+      "q185_cdc_chain", "q194_cdc_text_index", "q205_rtbf_e2e",
+      "q208_cdc_tree")
     val (solo, grouped) = all.partition(singleton.contains)
     val chunks = grouped.grouped(chunkSize).toSeq ++ solo.map(Seq(_))
     val javaBin = java.nio.file.Paths

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+
+import graft.sinks.AppendOnlyStore
+
+/** N-ARY incremental view maintenance: a maintained LEFT-DEEP tree of
+  * equi-joins — `leaf0 ⋈ leaf1 ⋈ … ⋈ leaf(n−1)` kept current under
+  * signed deltas arriving on ANY leaf, with an optional maintained
+  * aggregate over the full join output. This is the multi-table
+  * dashboard shape (the reference's curated model is exactly a
+  * fact-⋈-dims join + group-by, `models/curated_provider_models.sql`
+  * joins two sources; TPC-H Q5 joins six) maintained end-to-end at
+  * delta cost per batch.
+  *
+  * '''Construction: a cascade of binary join IVMs.''' Level `j`
+  * (0-based, one per join in the tree) is an [[IncrementalJoin]] whose
+  * LEFT state is the (j+1)-prefix join multiset and whose RIGHT state
+  * is leaf `j+1`. The classic n-ary Δ-rule
+  * {{{ Δ(R⋈S⋈T) = ΔR⋈S⋈T ∪ R'⋈ΔS⋈T ∪ R'⋈S'⋈ΔT }}}
+  * falls out of the cascade without ever being written down: a batch on
+  * leaf `j` enters level `max(j−1, 0)` (left side for leaf 0, right side
+  * otherwise), and each level's signed Δ-output — a valid signed batch,
+  * multiplicities are products — is TAPPED into the next level's left
+  * side before the entry append commits. Because the single-writer
+  * contract serializes batches, every probe sees exactly the committed
+  * prefix state: the asymmetric old/new sides of the textbook rule are
+  * what the cascade's ordering produces naturally.
+  *
+  * '''Per-batch cost is delta-sized at every level.''' Each hop is
+  * [[IncrementalJoin.deltaJoin]]: the delta is the hash build, the
+  * bucketed state scan streams, zero exchange on state — so one batch
+  * costs `O(|Δ| · fanout^depth)` joined rows, never a state scan. The
+  * flat-shuffle-bytes gate (ShuffleBytesSpec) weighs this: bytes per
+  * append stay flat while tree state grows 10×.
+  *
+  * '''State cost — order your leaves.''' Level `j`'s left table IS the
+  * (j+1)-prefix join multiset, so total state is `Σ_j |leaf0⋈…⋈leaf(j)|`
+  * plus the leaves. With the FACT table as leaf 0 and dimension-sized
+  * leaves joined in (the star/snowflake shape this exists for), every
+  * prefix is fact-sized and total state is `depth × |fact⋈dims|` — the
+  * same constant-factor trade DBSP/differential-dataflow makes (each
+  * operator owns its input trace). An anti-pattern — two fact-sized
+  * leaves joined last — would square the stored prefix; put the
+  * selective joins first.
+  *
+  * '''Exactly-once composes.''' The ENTRY level's applied-batch manifest
+  * is the whole tree's replay boundary: a committed batch no-ops before
+  * its tap fires, so a replay reaches no downstream level twice. A crash
+  * INSIDE the cascade leaves downstream levels' own `started`/`done`
+  * markers to absorb the retry (a level that committed no-ops; one that
+  * crashed mid-write flags itself dirty and replay-dedups until
+  * compaction) — the same contract [[ChainedIvm]] documents for one
+  * downstream, applied recursively. Batch ids are disambiguated across
+  * leaves as `leaves·id + leaf` (ids must stay below `2⁶²/leaves`) so
+  * two leaves' batch 7 never collide in a shared level's manifest.
+  *
+  * Single-writer per tree. Non-equi trees, cyclic/worst-case-optimal
+  * join orders, and outer levels are out of scope — compose
+  * [[IncrementalOuterJoin]] manually for the latter.
+  */
+object JoinTreeIvm {
+
+  /** One maintained tree: `levels(j)` joins the (j+1)-prefix output with
+    * leaf `j+1` on `keys(j)`; `agg` optionally maintains an
+    * [[IncrementalAgg]] over the full join's signed Δ-output (spec
+    * columns refer to JOIN-OUTPUT columns). */
+  final case class Stores(levels: Vector[IncrementalJoin.Stores],
+                          keys: Vector[Seq[String]],
+                          agg: Option[(AppendOnlyStore, IncrementalAgg.Spec)]) {
+    /** Number of leaf inputs (= levels + 1). */
+    def leaves: Int = levels.length + 1
+  }
+
+  /** Open a tree under one root (level `j` under `<root>/j<j>`, the
+    * optional downstream aggregate under `<root>/agg`). `keys(j)` are
+    * the equi-join columns between the (j+1)-prefix output and leaf
+    * `j+1` — they must exist in both. */
+  def stores(spark: SparkSession, root: String, keys: Seq[Seq[String]],
+             buckets: Int = 16,
+             aggSpec: Option[IncrementalAgg.Spec] = None): Stores = {
+    require(keys.nonEmpty, "a join tree needs at least one join (two leaves)")
+    Stores(
+      keys.indices.map(j =>
+        IncrementalJoin.stores(spark, s"$root/j$j", buckets)).toVector,
+      keys.map(_.toSeq).toVector,
+      aggSpec.map(sp => (new AppendOnlyStore(spark, s"$root/agg",
+        prefixCol = "__agg_key", prefixChars = 1), sp)))
+  }
+
+  /** The cascade: level `j`'s Δ-output becomes a signed LEFT batch for
+    * level `j+1` (multiplicities are products, so the signed multiset
+    * IS the next level's delta); the LAST level's Δ-output feeds the
+    * optional maintained aggregate. Fires BEFORE the entry append's
+    * done-marker — see the exactly-once contract above. */
+  private def tapFor(st: Stores, level: Int,
+                     dsId: Long): Option[DataFrame => Unit] = {
+    def signedOf(dOut: DataFrame): DataFrame =
+      dOut.drop("__jk", "__lbid", "__rbid")
+        .withColumnRenamed("__mult", "__delta")
+    if (level == st.levels.length - 1)
+      st.agg.map { case (store, spec) => (dOut: DataFrame) =>
+        IncrementalAgg.appendDelta(store, signedOf(dOut), spec, dsId)
+      }
+    else Some { dOut =>
+      IncrementalJoin.appendSide(st.levels(level + 1), signedOf(dOut),
+        st.keys(level + 1), dsId, isLeft = true, Some("__delta"),
+        tapFor(st, level + 1, dsId))
+    }
+  }
+
+  private def append(st: Stores, leaf: Int, batch: DataFrame, batchId: Long,
+                     deltaCol: Option[String]): Unit = {
+    require(leaf >= 0 && leaf < st.leaves,
+      s"leaf $leaf out of range for a ${st.leaves}-leaf tree")
+    require(batchId >= 0 && batchId < (1L << 62) / st.leaves,
+      s"tree batch ids must be in [0, 2^62/${st.leaves}): $batchId")
+    val dsId = st.leaves.toLong * batchId + leaf
+    val level = math.max(leaf - 1, 0)
+    IncrementalJoin.appendSide(st.levels(level), batch, st.keys(level), dsId,
+      isLeft = leaf == 0, deltaCol, tapFor(st, level, dsId))
+  }
+
+  /** One INSERT batch on leaf `leaf`, propagated through every level it
+    * can reach (leaf 0 enters level 0's left side; leaf j>0 enters level
+    * j−1's right side). */
+  def appendLeaf(st: Stores, leaf: Int, batch: DataFrame,
+                 batchId: Long): Unit =
+    append(st, leaf, batch, batchId, None)
+
+  /** One SIGNED batch on leaf `leaf` (delete/update waves): `deltaCol`
+    * carries each row's multiplicity; retractions flow through every
+    * level as negative products — deleting one dimension row retracts
+    * every joined fact row it supported, with no recompute. */
+  def appendLeafDelta(st: Stores, leaf: Int, batch: DataFrame,
+                      batchId: Long, deltaCol: String = "__delta"): Unit =
+    append(st, leaf, batch, batchId, Some(deltaCol))
+
+  /** The current full join as a value multiset (`columns…, n`) — the
+    * last level's maintained output; never re-joins anything. */
+  def current(st: Stores): DataFrame = IncrementalJoin.current(st.levels.last)
+
+  /** The maintained aggregate over the full join (requires an `aggSpec`
+    * at open) — folds agg partials only; touches no join state. */
+  def currentAgg(st: Stores): DataFrame = {
+    val (store, spec) = st.agg.getOrElse(throw new IllegalStateException(
+      "this tree was opened without an aggSpec"))
+    IncrementalAgg.current(store, spec)
+  }
+
+  /** Compact every store in the tree (quiescence, single-writer):
+    * per-level out stores + bucketed sides, then the aggregate. */
+  def compact(st: Stores): Unit = {
+    st.levels.indices.foreach { j =>
+      IncrementalJoin.compactOut(st.levels(j))
+      IncrementalJoin.compactSides(st.levels(j), st.keys(j))
+    }
+    st.agg.foreach { case (store, spec) =>
+      IncrementalAgg.compact(store, spec)
+    }
+  }
+}

@@ -91,7 +91,25 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
                           aggServe: Seq[MaterializedAggRewrite.MvDef] =
                             Nil)
 
+  /** N-ARY registration: the maintained LEFT-DEEP join tree of ≥3 raw
+    * scans ([[graft.ops.JoinTreeIvm]]). `keys(j)` are level `j`'s
+    * equi-join columns (the prefix-output ⋈ leaf `j+1` condition);
+    * `current` is the full tree's value multiset (`columns…, n`) —
+    * normally `() => JoinTreeIvm.current(st)`. Inner joins only (the
+    * tree op's contract), so every collected deterministic predicate —
+    * above any level or on any leaf — commutes to a filter over the
+    * state, and key-name ambiguity between sides is harmless (inner
+    * equi-keys are equal). `aggServe` levels serve exactly as on
+    * [[JoinMv]]: a GROUP BY on a level's maintained keys folds agg
+    * PARTIALS instead of re-aggregating the tree multiset. */
+  final case class TreeMv(keys: Seq[Seq[String]],
+                          current: () => DataFrame,
+                          fresh: () => Boolean = () => true,
+                          aggServe: Seq[MaterializedAggRewrite.MvDef] =
+                            Nil)
+
   private val registry = new ConcurrentHashMap[(String, String), JoinMv]()
+  private val treeRegistry = new ConcurrentHashMap[Seq[String], TreeMv]()
   private val rewriting = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
@@ -108,10 +126,40 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
   def deregister(leftPath: String, rightPath: String): Unit =
     registry.remove((canon(leftPath), canon(rightPath)))
 
-  def clear(): Unit = registry.clear()
+  /** Register a maintained join TREE over the ordered raw-scan roots
+    * (`paths(0) ⋈ paths(1) ⋈ …` — the [[graft.ops.JoinTreeIvm]] leaf
+    * order; a query must join in the same left-deep order). */
+  def registerTree(paths: Seq[String], mv: TreeMv): Unit = {
+    require(paths.size >= 3 && mv.keys.size == paths.size - 1,
+      s"a tree registration needs ≥3 leaves and one key set per level")
+    treeRegistry.put(paths.map(canon), mv)
+  }
+
+  def deregisterTree(paths: Seq[String]): Unit =
+    treeRegistry.remove(paths.map(canon))
+
+  def clear(): Unit = { registry.clear(); treeRegistry.clear() }
+
+  /** Serve-hierarchy dispatch shared by the binary and tree paths:
+    * chained agg levels first (partials, the cheapest), then the state
+    * multiset re-weighting. */
+  private def serve(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
+                    aggServe: Seq[MaterializedAggRewrite.MvDef],
+                    current: () => DataFrame,
+                    preds: Seq[Expression]): Option[LogicalPlan] = {
+    val viaChain = aggServe.view.flatMap { amv =>
+      if (preds.forall(_.references.forall(a =>
+          amv.keyCols.contains(a.name)))) {
+        rewriting.set(true)
+        try MaterializedAggRewrite.rewriteWithMv(groups, aggExprs, amv, preds)
+        finally rewriting.set(false)
+      } else None
+    }.headOption
+    viaChain.orElse(rewrite(groups, aggExprs, current, preds))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty || rewriting.get()) plan
+    if ((registry.isEmpty && treeRegistry.isEmpty) || rewriting.get()) plan
     else plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
         matchJoin(child).flatMap { case (mv, preds, unsafeKeys) =>
@@ -127,23 +175,13 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
           val refs = AttributeSet(groups.flatMap(_.references) ++
             aggExprs.flatMap(_.references) ++ preds.flatMap(_.references))
           if (unsafeKeys.exists(refs.contains)) None
-          else {
-            // cheapest first: the chained downstream serve levels in
-            // registration order (agg partials, then extrema multiset),
-            // each tried when the query's shape maps onto it and every
-            // collected predicate touches that level's KEYS only (a
-            // key-only predicate commutes with the per-key aggregate;
-            // anything else needs the value groups → join-state path)
-            val viaChain = mv.aggServe.view.flatMap { amv =>
-              if (preds.forall(_.references.forall(a =>
-                  amv.keyCols.contains(a.name)))) {
-                rewriting.set(true)
-                try MaterializedAggRewrite.rewriteWithMv(
-                  groups, aggExprs, amv, preds)
-                finally rewriting.set(false)
-              } else None
-            }.headOption
-            viaChain.orElse(rewrite(groups, aggExprs, mv, preds))
+          else serve(groups, aggExprs, mv.aggServe, mv.current, preds)
+        }.orElse {
+          // n-ary: an aggregate over a registered left-deep INNER tree —
+          // no unsafe keys (inner equi-keys are equal on both sides) and
+          // every below-level predicate is pushdown-legal
+          matchTree(child).flatMap { case (mv, preds) =>
+            serve(groups, aggExprs, mv.aggServe, mv.current, preds)
           }
         }.getOrElse(agg)
     }
@@ -192,6 +230,57 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
           => a.name == nm && b.name == nm
         case _ => false
       } => matchJoin(child)
+    case _ => None
+  }
+
+  /** A registered left-deep INNER tree under the aggregate (through
+    * attribute-only Projects and deterministic Filters, collected). */
+  private def matchTree(p: LogicalPlan): Option[(TreeMv, Seq[Expression])] =
+    p match {
+      case j: Join if !treeRegistry.isEmpty =>
+        for {
+          (roots, preds, levels) <- flattenLeftDeep(j)
+          mv <- Option(treeRegistry.get(roots))
+          if mv.keys.size == levels.size
+          if levels.zip(mv.keys).forall { case ((cond, l, r), on) =>
+            keysMatch(cond, l, r, on) }
+          if mv.fresh()
+        } yield (mv, preds)
+      case Filter(pred, child) if pred.deterministic =>
+        matchTree(child).map { case (mv, ps) => (mv, pred +: ps) }
+      case Project(pl, child)
+        if pl.forall(_.isInstanceOf[AttributeReference]) => matchTree(child)
+      case _ => None
+    }
+
+  /** Flatten `((leaf0 ⋈ leaf1) ⋈ leaf2) ⋈ …` — INNER joins whose right
+    * side is always a leaf scan — into (ordered leaf roots, collected
+    * deterministic predicates, per-level (condition, left, right)).
+    * Attribute-only Projects and deterministic Filters between levels
+    * are unwrapped; inner-only means every collected predicate commutes
+    * to a filter over the tree's state multiset. Anything else (outer
+    * levels, bushy shapes) declines. */
+  private def flattenLeftDeep(p: LogicalPlan)
+      : Option[(Seq[String], Seq[Expression],
+        Seq[(Expression, LogicalPlan, LogicalPlan)])] = p match {
+    case Join(l, r, Inner, Some(cond), _) =>
+      scanUnder(r).flatMap { case (rRoot, rPreds) =>
+        scanUnder(l) match {
+          case Some((lRoot, lPreds)) => // two-leaf base of the recursion
+            Some((Seq(lRoot, rRoot), lPreds ++ rPreds,
+              Seq((cond, l, r))))
+          case None =>
+            flattenLeftDeep(l).map { case (roots, preds, levels) =>
+              (roots :+ rRoot, preds ++ rPreds, levels :+ ((cond, l, r)))
+            }
+        }
+      }
+    case Filter(pred, child) if pred.deterministic =>
+      flattenLeftDeep(child).map { case (roots, preds, levels) =>
+        (roots, pred +: preds, levels) }
+    case Project(pl, child)
+      if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      flattenLeftDeep(child)
     case _ => None
   }
 
@@ -268,7 +357,7 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(groups: Seq[Expression],
                       aggExprs: Seq[NamedExpression],
-                      mv: JoinMv,
+                      current: () => DataFrame,
                       preds: Seq[Expression]): Option[LogicalPlan] = {
     val groupAttrs = groups.collect { case a: AttributeReference => a }
     if (groupAttrs.size != groups.size) return None
@@ -320,7 +409,7 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
 
     rewriting.set(true)
     try {
-      val refold = mv.current().queryExecution.optimizedPlan
+      val refold = current().queryExecution.optimizedPlan
       val byName = refold.output.map(a => a.name -> a).toMap
       val n = byName.getOrElse("n", return None)
       val needed = groupAttrs.map(_.name) ++

@@ -377,7 +377,92 @@ object CdcQueries {
       .orderBy($"c_mktsegment", $"o_orderstatus")
   }
 
+  /** CDC → n-ary dashboard (q208): TWO signed Debezium topics — orders
+    * (insert + delete waves) and customer (insert + takedown waves) —
+    * drained into ONE maintained three-way join tree
+    * (`orders ⋈ customer ⋈ nation`, [[graft.ops.JoinTreeIvm]]) with a
+    * maintained `n_name → count, sum(cents)` aggregate downstream: the
+    * multi-source CDC pipeline whose dashboard stays current at delta
+    * cost per micro-batch, end to end. Each topic drains AvailableNow
+    * file-by-file (≥2 micro-batches each, asserted), sequentially
+    * (single-writer stores); the Δ-rule cascade makes the final state
+    * invariant to the drain interleaving. A customer takedown must
+    * retract every joined order through BOTH levels and the aggregate.
+    * Oracle = the 3-way join + GROUP BY over the net tables. */
+  def q208CdcTree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def mkTopic(prefix: String, waves: DataFrame): String = {
+      val topic =
+        java.nio.file.Files.createTempDirectory(prefix).toString
+      waves.repartition(col("partition"))
+        .write.mode("overwrite").partitionBy("partition").text(topic)
+      val topicPath = new org.apache.hadoop.fs.Path(topic)
+      val fs = topicPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(topicPath, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.startsWith("part-") && !f.getName.endsWith(".jsonl"))
+          fs.rename(f, new org.apache.hadoop.fs.Path(f.getParent,
+            f.getName + ".jsonl"))
+      }
+      topic
+    }
+    def env(before: Column, after: Column, op: String, wave: Int) =
+      to_json(struct(struct(
+        before.as("before"), after.as("after"),
+        lit(op).as("op"), lit(wave.toLong).as("ts_ms")).as("payload")))
+
+    val factRow = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("price_cents", LongType)))
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("price_cents"))
+    val factBase = struct($"o_orderkey", $"o_custkey", $"price_cents")
+    val factNull = lit(null).cast(factRow)
+    val factTopic = mkTopic("q208fact", ord.select(
+        env(factNull, factBase, "c", 0).as("value"), lit(0).as("partition"))
+      .unionByName(ord.where($"o_orderkey" % 7 === 0).select(
+        env(factBase, factNull, "d", 1).as("value"), lit(1).as("partition"))))
+
+    val custRow = StructType(Seq(
+      StructField("o_custkey", LongType),
+      StructField("c_nationkey", LongType)))
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_nationkey")
+    val custBase = struct($"o_custkey", $"c_nationkey")
+    val custNull = lit(null).cast(custRow)
+    val custTopic = mkTopic("q208cust", cust.select(
+        env(custNull, custBase, "c", 0).as("value"), lit(0).as("partition"))
+      .unionByName(cust.where($"o_custkey" % 13 === 0).select(
+        env(custBase, custNull, "d", 1).as("value"), lit(1).as("partition"))))
+
+    val root = java.nio.file.Files.createTempDirectory("q208tree").toString
+    val tree = graft.ops.JoinTreeIvm.stores(s, root,
+      Seq(Seq("o_custkey"), Seq("c_nationkey")),
+      aggSpec = Some(graft.ops.IncrementalAgg.Spec(
+        Seq("n_name"), Seq("price_cents"))))
+    val nat = Tables.load(s, dir, "nation")
+      .select($"n_nationkey".as("c_nationkey"), $"n_name")
+    graft.ops.JoinTreeIvm.appendLeaf(tree, 2, nat, 0L)
+    val nCust = graft.streaming.JoinStream.drainCdcTreeLeafAvailableNow(
+      s, custTopic, custRow, tree, leaf = 1,
+      checkpointDir = s"$root/_ckpt_cust", maxFilesPerTrigger = Some(1))
+    val nFact = graft.streaming.JoinStream.drainCdcTreeLeafAvailableNow(
+      s, factTopic, factRow, tree, leaf = 0,
+      checkpointDir = s"$root/_ckpt_fact", maxFilesPerTrigger = Some(1))
+    require(nCust >= 2 && nFact >= 2,
+      s"expected one micro-batch per wave file at least: cust=$nCust " +
+        s"fact=$nFact")
+    graft.ops.JoinTreeIvm.currentAgg(tree)
+      .select($"n_name", $"n_rows".as("n_orders"),
+        $"sum_price_cents".as("sum_cents"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q208_cdc_tree" -> (q208CdcTree _),
     "q185_cdc_chain" -> (q185CdcChain _),
     "q182_cdc_signed_join" -> (q182CdcSignedJoin _),
     "q172_cdc_stream" -> (q172CdcStream _),
@@ -390,6 +475,16 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q208_cdc_tree" ->
+      """SELECT n.n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderkey % 7 <> 0 AND c.c_custkey % 13 <> 0
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
     "q185_cdc_chain" ->
       """SELECT c.c_mktsegment,
         |  CASE WHEN o.o_orderkey % 5 = 0 THEN 'X' ELSE o.o_orderstatus

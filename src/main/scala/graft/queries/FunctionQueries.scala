@@ -550,6 +550,141 @@ object FunctionQueries {
       .orderBy($"st", $"flag")
   }
 
+  /** N-ARY join-tree IVM (q206): a maintained THREE-WAY join —
+    * `orders ⋈ customer ⋈ nation` — plus a maintained aggregate over its
+    * output (`n_name → count, sum(cents)`: the TPC-H-Q5-shaped dashboard)
+    * kept current via [[graft.ops.JoinTreeIvm]], a CASCADE of binary join
+    * IVMs whose per-level Δ-outputs feed the next level's left side. The
+    * scenario exercises every term of the n-ary Δ-rule: facts before
+    * dims, dims before facts, a LATE middle-leaf batch whose keys
+    * retro-match already-stored facts, a mid-stream whole-tree
+    * compaction, a customer TAKEDOWN wave (one −1 dimension row retracts
+    * every joined fact row it supported, through two levels and into the
+    * aggregate), and a replayed batch (entry-level manifest = tree-wide
+    * exactly-once). The final read folds agg partials only — it must
+    * equal the oracle's one-shot 3-way join + GROUP BY over net inputs. */
+  def q206JoinTreeIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{IncrementalAgg, JoinTreeIvm}
+    val fact = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_custkey".as("ck"),
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+    val nat = Tables.load(s, dir, "nation")
+      .select($"n_nationkey".as("nk"), $"n_name")
+    val st = JoinTreeIvm.stores(s,
+      java.nio.file.Files.createTempDirectory("q206jtree").toString,
+      Seq(Seq("ck"), Seq("nk")),
+      aggSpec = Some(IncrementalAgg.Spec(Seq("n_name"), Seq("cents"))))
+    // same AQE scoping rationale as q163: batch-sized pre-shaped stages
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      JoinTreeIvm.appendLeaf(st, 1, cust.filter($"ck" % 2 === 0), 0L)
+      JoinTreeIvm.appendLeaf(st, 2, nat, 1L)
+      JoinTreeIvm.appendLeaf(st, 0, fact.filter($"okey" % 2 === 0), 2L)
+      JoinTreeIvm.appendLeaf(st, 0, fact.filter($"okey" % 2 === 1), 3L)
+      JoinTreeIvm.compact(st)
+      // LATE middle leaf: odd customers arrive after both fact waves —
+      // their facts' joined rows materialize from stored prefix state
+      JoinTreeIvm.appendLeaf(st, 1, cust.filter($"ck" % 2 === 1), 4L)
+      // takedown: customers ck % 97 == 0 leave; every joined fact row
+      // they supported nets to zero through level 1 and the aggregate
+      JoinTreeIvm.appendLeafDelta(st, 1,
+        cust.filter($"ck" % 97 === 0).withColumn("__delta", lit(-1L)), 5L)
+      // committed replay of the even-fact wave: tree-wide no-op
+      JoinTreeIvm.appendLeaf(st, 0, fact.filter($"okey" % 2 === 0), 2L)
+    } finally s.conf.set(aqeKey, aqeWas)
+    JoinTreeIvm.currentAgg(st)
+      .select($"n_name", $"n_rows", $"sum_cents")
+      .orderBy($"n_name")
+  }
+
+  /** N-ary tree-MV SQL serving (q207): the q206 maintained 3-way join
+    * (`orders ⋈ customer ⋈ nation`, insert + takedown waves) registered
+    * with [[graft.plans.MaterializedJoinRewrite.registerTree]] — a user's
+    * PLAIN three-table SQL join + GROUP BY over the raw parquet paths is
+    * answered from maintained state, never re-joining the tables. The
+    * serve hierarchy is asserted in-query: `count/sum GROUP BY n_name`
+    * must scan ONLY the downstream agg store (partials, the cheapest
+    * level), while the same query plus `count(DISTINCT okey)` must fall
+    * back to the TREE MULTISET state (distinct counts are not mergeable
+    * from partials; exact from value groups) — and neither may touch a
+    * raw table. Oracle = the plain 3-way SQL over the net inputs. */
+  def q207TreeMvServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{IncrementalAgg, JoinTreeIvm}
+    val fDir = java.nio.file.Files.createTempDirectory("q207f").toString
+    val cDir = java.nio.file.Files.createTempDirectory("q207c").toString
+    val nDir = java.nio.file.Files.createTempDirectory("q207n").toString
+    val fact = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_custkey".as("ck"),
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+    val nat = Tables.load(s, dir, "nation")
+      .select($"n_nationkey".as("nk"), $"n_name")
+    // the raw dirs hold the NET tables; the tree absorbs the full insert
+    // stream plus the fact takedown so its state equals their join
+    fact.filter($"okey" % 11 =!= 0).write.mode("overwrite").parquet(fDir)
+    cust.write.mode("overwrite").parquet(cDir)
+    nat.write.mode("overwrite").parquet(nDir)
+    val treeRoot =
+      java.nio.file.Files.createTempDirectory("q207tree").toString
+    val st = JoinTreeIvm.stores(s, treeRoot, Seq(Seq("ck"), Seq("nk")),
+      aggSpec = Some(IncrementalAgg.Spec(Seq("n_name"), Seq("cents"))))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      JoinTreeIvm.appendLeaf(st, 1, cust, 0L)
+      JoinTreeIvm.appendLeaf(st, 2, nat, 1L)
+      JoinTreeIvm.appendLeaf(st, 0, fact, 2L)
+      JoinTreeIvm.appendLeafDelta(st, 0,
+        fact.filter($"okey" % 11 === 0).withColumn("__delta", lit(-1L)), 3L)
+      JoinTreeIvm.compact(st)
+    } finally s.conf.set(aqeKey, aqeWas)
+    graft.plans.MaterializedJoinRewrite.registerTree(Seq(fDir, cDir, nDir),
+      graft.plans.MaterializedJoinRewrite.TreeMv(Seq(Seq("ck"), Seq("nk")),
+        () => JoinTreeIvm.current(st),
+        aggServe = Seq(graft.plans.MaterializedAggRewrite.MvDef(
+          Seq("n_name"), Seq("cents"),
+          () => JoinTreeIvm.currentAgg(st)))))
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    try {
+      val threeWay = s.read.parquet(fDir)
+        .join(s.read.parquet(cDir), Seq("ck"))
+        .join(s.read.parquet(nDir), Seq("nk"))
+      val cheap = threeWay.groupBy($"n_name")
+        .agg(count(lit(1)).as("n_pairs"), sum($"cents").as("sum_cents"))
+      val p1 = scanPaths(cheap)
+      require(p1.nonEmpty && p1.forall(_.startsWith(s"$treeRoot/agg")),
+        s"q207: count/sum GROUP BY n_name must serve from the tree's agg " +
+          s"partials ONLY, scanned: $p1")
+      val res = threeWay.groupBy($"n_name")
+        .agg(count(lit(1)).as("n_pairs"), sum($"cents").as("sum_cents"),
+          countDistinct($"okey").as("n_orders"))
+        .orderBy($"n_name")
+      val p2 = scanPaths(res)
+      require(p2.nonEmpty && p2.forall(_.startsWith(treeRoot)) &&
+          !p2.exists(_.startsWith(s"$treeRoot/agg")),
+        s"q207: +count(DISTINCT okey) must fall back to the tree multiset " +
+          s"state (not agg partials, not raw tables), scanned: $p2")
+      res
+    } finally graft.plans.MaterializedJoinRewrite
+      .deregisterTree(Seq(fDir, cDir, nDir))
+  }
+
   /** SIGNED-delta join IVM (q177): q163's maintained orders ⋈ lineitem,
     * now absorbing DELETE and UPDATE waves — the takedown /
     * right-to-be-forgotten shape a 100 TB training-data lakehouse must
@@ -1187,6 +1322,8 @@ object FunctionQueries {
     "q178_agg_ivm_deletes" -> (q178AggIvmDeletes _),
     "q179_outer_ivm_deletes" -> (q179OuterIvmDeletes _),
     "q163_join_ivm" -> (q163JoinIvm _),
+    "q206_join_tree_ivm" -> (q206JoinTreeIvm _),
+    "q207_tree_mv_serve" -> (q207TreeMvServe _),
     "q171_join_ivm_outer" -> (q171JoinIvmOuter _),
     "q173_join_ivm_full" -> (q173JoinIvmFull _),
     "q151_kmv_overlap" -> (q151KmvOverlap _),
@@ -1405,6 +1542,31 @@ object FunctionQueries {
         |  ON o.o_orderkey = l.l_orderkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // q207: the plain 3-way SQL the rewrite answered from tree state
+    // (net = okey % 11 takedown applied on the fact leaf)
+    "q207_tree_mv_serve" ->
+      """SELECT n.n_name, count(*) AS n_pairs,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderkey % 11 <> 0
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+    // q206: the one-shot 3-way join + GROUP BY over NET inputs (the
+    // ck % 97 takedown wave removed those customers entirely)
+    "q206_join_tree_ivm" ->
+      """SELECT n.n_name, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_custkey % 97 <> 0
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
     "q163_join_ivm" ->
       """SELECT o.o_orderstatus, l.l_returnflag,
         |  count(*) AS n_pairs,

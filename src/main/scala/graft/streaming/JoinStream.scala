@@ -250,4 +250,45 @@ object JoinStream {
     q.awaitTermination()
     batches
   }
+
+  /** Drain a Debezium topic twin into one LEAF of a maintained join
+    * TREE ([[graft.ops.JoinTreeIvm]]): each micro-batch's signed deltas
+    * cascade through every level the leaf can reach — and into the
+    * tree's optional downstream aggregate — in one append. This is the
+    * n-ary dashboard kept current from CDC topics: one topic per
+    * source table, one drain per topic, delta cost per micro-batch at
+    * every level.
+    *
+    * Exactly-once for the whole cascade rides the ENTRY level's
+    * applied-batch-id manifest (JoinTreeIvmSpec): a checkpoint-replayed
+    * micro-batch no-ops before its tap fires. Leaves drain
+    * SEQUENTIALLY (single-writer store contract); the Δ-rule makes the
+    * final state interleaving-invariant. Per-leaf micro-batch ids need
+    * no offsets — the tree namespaces ids by leaf internally — but
+    * distinct drains of the SAME leaf (restart-resume shares the
+    * checkpoint, so this only matters for deliberate multi-topic
+    * feeds) must keep `idOffset` spaces disjoint. */
+  def drainCdcTreeLeafAvailableNow(spark: SparkSession, topicDir: String,
+                                   rowSchema: StructType,
+                                   tree: graft.ops.JoinTreeIvm.Stores,
+                                   leaf: Int,
+                                   checkpointDir: String,
+                                   idOffset: Long = 0L,
+                                   maxFilesPerTrigger: Option[Int] = None): Long = {
+    var batches = 0L
+    val q = CdcStream.readJsonlStream(spark, topicDir, maxFilesPerTrigger)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val signed = graft.sources.Debezium.signedDeltas(batch, rowSchema)
+        graft.ops.JoinTreeIvm.appendLeafDelta(tree, leaf, signed,
+          batchId + idOffset)
+        batches += 1
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
 }

@@ -65,7 +65,11 @@ class ClusterParitySpec extends SparkSpec {
     // store-and-iterate, imperative-buffer, lineage-cut shapes whose
     // closure re-solves and boundary-vector reads cross executor JVMs
     "q201_inc_pagerank", "q202_inc_sssp", "q203_inc_kcore",
-    "q204_inc_nearest_seeds")
+    "q204_inc_nearest_seeds",
+    // round-10 additions II: the n-ary join-tree cascade (per-level
+    // bucketed tables + Δ-taps crossing executor JVMs) and its SQL
+    // serve (tree-registry rewrite resolving store scans in-plan)
+    "q206_join_tree_ivm", "q207_tree_mv_serve")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

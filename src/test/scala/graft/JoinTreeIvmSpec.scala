@@ -1,0 +1,163 @@
+package graft
+
+import graft.ops.{IncrementalAgg, JoinTreeIvm}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-ary join-tree IVM vs the one-shot multi-way join, under
+  * interleavings across all leaves, duplicate rows, signed delete waves
+  * on fact AND dimension leaves, crash replays at every entry level,
+  * whole-tree compactions, and a 4-leaf tree. */
+class JoinTreeIvmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fact(ok, ck, v) ⋈ cust(ck, nk) on ck ⋈ nat(nk, name) on nk
+  private def tree(agg: Option[IncrementalAgg.Spec] = None) =
+    JoinTreeIvm.stores(spark, tmpDir("jtree"), Seq(Seq("ck"), Seq("nk")),
+      buckets = 4, aggSpec = agg)
+
+  private def fact(rows: (Long, Long, Long)*): DataFrame =
+    rows.toDF("ok", "ck", "v")
+  private def cust(rows: (Long, Long)*): DataFrame =
+    rows.toDF("ck", "nk")
+  private def nat(rows: (Long, String)*): DataFrame =
+    rows.toDF("nk", "name")
+
+  private def treeSet(st: JoinTreeIvm.Stores) =
+    JoinTreeIvm.current(st).select($"ok", $"ck", $"nk", $"name", $"n")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+
+  private def oneShot(f: DataFrame, c: DataFrame, n: DataFrame) =
+    f.join(c, Seq("ck")).join(n, Seq("nk"))
+      .groupBy($"ok", $"ck", $"nk", $"name").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+
+  test("interleaved inserts on all three leaves equal the one-shot 3-way join") {
+    val st = tree()
+    val f1 = fact((1L, 10L, 100L), (2L, 20L, 200L), (2L, 20L, 200L))
+    val c1 = cust(10L -> 1L, 30L -> 3L)
+    val n1 = nat(1L -> "de", 2L -> "fr")
+    val f2 = fact((3L, 30L, 300L), (4L, 10L, 400L))
+    val c2 = cust(20L -> 2L, 10L -> 2L) // ck=10 now matches TWO customers
+    val n2 = nat(3L -> "jp")
+    // every ordering constraint the cascade must honor: dims late, dims
+    // early, fact late — the Δ-rule's asymmetric terms all exercised
+    JoinTreeIvm.appendLeaf(st, 0, f1, 0L)
+    JoinTreeIvm.appendLeaf(st, 1, c1, 1L)
+    JoinTreeIvm.appendLeaf(st, 2, n1, 2L)
+    JoinTreeIvm.appendLeaf(st, 0, f2, 3L)
+    JoinTreeIvm.appendLeaf(st, 2, n2, 4L)
+    JoinTreeIvm.appendLeaf(st, 1, c2, 5L)
+    val want = oneShot(f1.unionByName(f2), c1.unionByName(c2),
+      n1.unionByName(n2))
+    assert(treeSet(st) == want)
+    // multiplicities are real products: ok=2 is a duplicate fact row
+    assert(treeSet(st).exists(_._5 > 1))
+  }
+
+  test("a dimension delete retracts every joined fact row it supported") {
+    val st = tree()
+    val f1 = fact((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+    val c1 = cust(10L -> 1L, 20L -> 2L)
+    val n1 = nat(1L -> "de", 2L -> "fr")
+    JoinTreeIvm.appendLeaf(st, 0, f1, 0L)
+    JoinTreeIvm.appendLeaf(st, 1, c1, 1L)
+    JoinTreeIvm.appendLeaf(st, 2, n1, 2L)
+    assert(treeSet(st).size == 3)
+    // right-to-be-forgotten on the MIDDLE leaf: customer 10 leaves —
+    // both its facts' joined rows must net to zero
+    JoinTreeIvm.appendLeafDelta(st, 1,
+      Seq((10L, 1L, -1L)).toDF("ck", "nk", "__delta"), 3L)
+    assert(treeSet(st) == oneShot(f1, cust(20L -> 2L), n1))
+    // fact-side delete rides the same path
+    JoinTreeIvm.appendLeafDelta(st, 0,
+      Seq((3L, 20L, 300L, -1L)).toDF("ok", "ck", "v", "__delta"), 4L)
+    assert(treeSet(st).isEmpty)
+    // re-insert the customer: the surviving facts re-join (ok=3 stays
+    // deleted) — state net-zero keys really vanished, not hid
+    JoinTreeIvm.appendLeaf(st, 1, cust(10L -> 1L), 5L)
+    assert(treeSet(st) == oneShot(fact((1L, 10L, 100L), (2L, 10L, 200L)),
+      cust(10L -> 1L, 20L -> 2L), n1))
+  }
+
+  test("replays no-op at every entry level; compaction is result-invariant") {
+    val st = tree()
+    val f1 = fact((1L, 10L, 100L), (2L, 20L, 200L))
+    val c1 = cust(10L -> 1L, 20L -> 1L)
+    val n1 = nat(1L -> "de")
+    JoinTreeIvm.appendLeaf(st, 0, f1, 0L)
+    JoinTreeIvm.appendLeaf(st, 1, c1, 1L)
+    JoinTreeIvm.appendLeaf(st, 2, n1, 2L)
+    val want = treeSet(st)
+    // committed replays on each leaf: the ENTRY level's manifest stops
+    // the whole cascade — no downstream level double-applies
+    JoinTreeIvm.appendLeaf(st, 0, f1, 0L)
+    JoinTreeIvm.appendLeaf(st, 1, c1, 1L)
+    JoinTreeIvm.appendLeaf(st, 2, n1, 2L)
+    assert(treeSet(st) == want)
+    JoinTreeIvm.compact(st)
+    assert(treeSet(st) == want)
+    // post-compaction batch still flows; pre-compaction replay still no-ops
+    JoinTreeIvm.appendLeaf(st, 2, nat(1L -> "de"), 3L) // name dup: n=2 rows
+    val after = treeSet(st)
+    assert(after.forall(_._5 == 2L))
+    JoinTreeIvm.appendLeaf(st, 1, c1, 1L)
+    assert(treeSet(st) == after)
+  }
+
+  test("maintained aggregate over the full join equals one-shot GROUP BY") {
+    val st = tree(Some(IncrementalAgg.Spec(Seq("name"), Seq("v"))))
+    val f1 = fact((1L, 10L, 100L), (2L, 20L, 200L), (3L, 10L, 50L))
+    val c1 = cust(10L -> 1L, 20L -> 2L)
+    val n1 = nat(1L -> "de", 2L -> "fr")
+    JoinTreeIvm.appendLeaf(st, 1, c1, 0L)
+    JoinTreeIvm.appendLeaf(st, 2, n1, 1L)
+    JoinTreeIvm.appendLeaf(st, 0, f1, 2L)
+    def agg() = JoinTreeIvm.currentAgg(st).select($"name", $"n_rows", $"sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg() == Set(("de", 2L, 150L), ("fr", 1L, 200L)))
+    // a dimension takedown reaches the aggregate: fr nets to zero rows
+    JoinTreeIvm.appendLeafDelta(st, 1,
+      Seq((20L, 2L, -1L)).toDF("ck", "nk", "__delta"), 3L)
+    assert(agg() == Set(("de", 2L, 150L)))
+    JoinTreeIvm.compact(st)
+    assert(agg() == Set(("de", 2L, 150L)))
+  }
+
+  test("a 4-leaf tree maintains the 4-way join") {
+    val st = JoinTreeIvm.stores(spark, tmpDir("jtree4"),
+      Seq(Seq("b"), Seq("c"), Seq("d")), buckets = 2)
+    val l0 = Seq((1L, 10L), (2L, 20L)).toDF("a", "b")
+    val l1 = Seq((10L, 100L), (20L, 200L)).toDF("b", "c")
+    val l2 = Seq((100L, 1000L), (200L, 2000L)).toDF("c", "d")
+    val l3 = Seq((1000L, "x"), (2000L, "y")).toDF("d", "t")
+    JoinTreeIvm.appendLeaf(st, 3, l3, 0L)
+    JoinTreeIvm.appendLeaf(st, 0, l0, 1L)
+    JoinTreeIvm.appendLeaf(st, 2, l2, 2L)
+    JoinTreeIvm.appendLeaf(st, 1, l1, 3L)
+    val got = JoinTreeIvm.current(st).select($"a", $"t", $"n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "x", 1L), (2L, "y", 1L)))
+    // deep retraction: deleting the LAST leaf's row unwinds the chain
+    JoinTreeIvm.appendLeafDelta(st, 3,
+      Seq((2000L, "y", -1L)).toDF("d", "t", "__delta"), 4L)
+    val got2 = JoinTreeIvm.current(st).select($"a", $"t", $"n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got2 == Set((1L, "x", 1L)))
+  }
+
+  test("batch-id disambiguation: same logical id on two leaves does not collide") {
+    val st = tree()
+    // leaf 1 and leaf 2 batches BOTH carry logical id 0: leaf 2's entry
+    // is level 1's right side, leaf 1's cascade lands on level 1's left
+    // side — the leaves-scaled dsId keeps their manifests distinct
+    JoinTreeIvm.appendLeaf(st, 0, fact((1L, 10L, 100L)), 0L)
+    JoinTreeIvm.appendLeaf(st, 1, cust(10L -> 1L), 0L)
+    JoinTreeIvm.appendLeaf(st, 2, nat(1L -> "de"), 0L)
+    assert(treeSet(st) == Set((1L, 10L, 1L, "de", 1L)))
+  }
+}

@@ -413,4 +413,39 @@ class ShuffleBytesSpec extends SparkSpec {
     assert(histBytes * 4 < summaryBytes,
       s"hist=$histBytes summary=$summaryBytes — bin counts lost their edge")
   }
+
+  test("join-tree appends shuffle flat bytes while tree state grows 10×") {
+    // A 3-leaf tree (fact ⋈ dimA ⋈ dimB). Dimensions loaded once; 10
+    // rounds of constant-size fact batches on round-disjoint keys. Each
+    // append must cost O(|Δ|) at EVERY level — the delta is the hash
+    // build, both levels' bucketed state streams — so per-append shuffle
+    // bytes stay flat while the stored prefix multisets grow 10×. A
+    // cascade that exchanged state (or re-joined the prefix) grows
+    // linearly here.
+    import graft.ops.JoinTreeIvm
+    val root = java.nio.file.Files.createTempDirectory("jtree-bytes").toString
+    val st = JoinTreeIvm.stores(spark, root, Seq(Seq("a"), Seq("b")),
+      buckets = 4)
+    val dimA = (0 until 200).map(a => (a.toLong, (a % 50).toLong))
+      .toDF("a", "b").localCheckpoint()
+    val dimB = (0 until 50).map(b => (b.toLong, s"g${b % 7}"))
+      .toDF("b", "g").localCheckpoint()
+    JoinTreeIvm.appendLeaf(st, 1, dimA, 0L)
+    JoinTreeIvm.appendLeaf(st, 2, dimB, 1L)
+    def factBatch(round: Int): org.apache.spark.sql.DataFrame = {
+      val base = round * 1000000L
+      (0 until 5000).map(j => (base + j, (j % 200).toLong, j.toLong))
+        .toDF("k", "a", "v").localCheckpoint()
+    }
+    val perRound = (0 until 10).map { i =>
+      val b = factBatch(i)
+      shuffleBytes(JoinTreeIvm.appendLeaf(st, 0, b, 10L + i))
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 2.0,
+      s"per-append shuffle grew with tree state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+  }
 }
