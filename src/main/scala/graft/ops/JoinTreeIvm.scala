@@ -149,6 +149,48 @@ object JoinTreeIvm {
     IncrementalAgg.current(store, spec)
   }
 
+  /** Register the tree's whole serve LATTICE over the ordered raw-scan
+    * roots the leaves mirror: a user query joining ANY PREFIX of the
+    * leaves — `paths(0) ⋈ paths(1)`, `… ⋈ paths(2)`, …, the full tree —
+    * is answered from that prefix's maintained multiset (level `j`'s
+    * out store IS the (j+2)-leaf prefix join), and a full-tree
+    * aggregate matching the maintained `aggSpec` keys serves from agg
+    * PARTIALS. One call in, one [[deregisterServe]] out; `fresh` is the
+    * shared staleness guard. This is the MV-lattice behavior a
+    * dashboard layer wants: the maintenance work of one tree serves
+    * every join prefix a query planner can ask for. */
+  def registerServe(st: Stores, paths: Seq[String],
+                    fresh: () => Boolean = () => true): Unit = {
+    require(paths.size == st.leaves,
+      s"registerServe needs one raw path per leaf: ${paths.size} given, " +
+        s"${st.leaves} leaves")
+    graft.plans.MaterializedJoinRewrite.register(paths(0), paths(1),
+      graft.plans.MaterializedJoinRewrite.JoinMv(st.keys(0),
+        org.apache.spark.sql.catalyst.plans.Inner,
+        () => IncrementalJoin.current(st.levels(0)), fresh))
+    (3 to st.leaves).foreach { n =>
+      val aggServe =
+        if (n == st.leaves)
+          st.agg.toSeq.map { case (store, spec) =>
+            graft.plans.MaterializedAggRewrite.MvDef(spec.keyCols,
+              spec.sumCols, () => IncrementalAgg.current(store, spec))
+          }
+        else Nil
+      graft.plans.MaterializedJoinRewrite.registerTree(paths.take(n),
+        graft.plans.MaterializedJoinRewrite.TreeMv(st.keys.take(n - 1),
+          () => IncrementalJoin.current(st.levels(n - 2)), fresh,
+          aggServe))
+    }
+  }
+
+  /** Remove every registration [[registerServe]] installed. */
+  def deregisterServe(st: Stores, paths: Seq[String]): Unit = {
+    graft.plans.MaterializedJoinRewrite.deregister(paths(0), paths(1))
+    (3 to st.leaves).foreach { n =>
+      graft.plans.MaterializedJoinRewrite.deregisterTree(paths.take(n))
+    }
+  }
+
   /** Compact every store in the tree (quiescence, single-writer):
     * per-level out stores + bucketed sides, then the aggregate. */
   def compact(st: Stores): Unit = {

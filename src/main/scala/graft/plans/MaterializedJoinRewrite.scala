@@ -253,9 +253,11 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Flatten `((leaf0 ⋈ leaf1) ⋈ leaf2) ⋈ …` — INNER joins whose right
-    * side is always a leaf scan — into (ordered leaf roots, collected
-    * deterministic predicates, per-level (condition, left, right)).
+  /** Flatten `((leaf0 ⋈ leaf1) ⋈ leaf2) ⋈ …` — INNER joins where one
+    * side of every level is a leaf scan — into (ordered leaf roots,
+    * collected deterministic predicates, per-level (condition, left,
+    * right)). A level with the LEAF ON THE LEFT matches too (inner is
+    * symmetric; a planner side-swap must not lose the serve).
     * Attribute-only Projects and deterministic Filters between levels
     * are unwrapped; inner-only means every collected predicate commutes
     * to a filter over the tree's state multiset. Anything else (outer
@@ -264,16 +266,19 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
       : Option[(Seq[String], Seq[Expression],
         Seq[(Expression, LogicalPlan, LogicalPlan)])] = p match {
     case Join(l, r, Inner, Some(cond), _) =>
-      scanUnder(r).flatMap { case (rRoot, rPreds) =>
-        scanUnder(l) match {
-          case Some((lRoot, lPreds)) => // two-leaf base of the recursion
-            Some((Seq(lRoot, rRoot), lPreds ++ rPreds,
-              Seq((cond, l, r))))
-          case None =>
-            flattenLeftDeep(l).map { case (roots, preds, levels) =>
-              (roots :+ rRoot, preds ++ rPreds, levels :+ ((cond, l, r)))
-            }
-        }
+      (scanUnder(l), scanUnder(r)) match {
+        case (Some((lRoot, lPreds)), Some((rRoot, rPreds))) =>
+          // two-leaf base of the recursion
+          Some((Seq(lRoot, rRoot), lPreds ++ rPreds, Seq((cond, l, r))))
+        case (None, Some((rRoot, rPreds))) =>
+          flattenLeftDeep(l).map { case (roots, preds, levels) =>
+            (roots :+ rRoot, preds ++ rPreds, levels :+ ((cond, l, r)))
+          }
+        case (Some((lRoot, lPreds)), None) => // flipped level
+          flattenLeftDeep(r).map { case (roots, preds, levels) =>
+            (roots :+ lRoot, preds ++ lPreds, levels :+ ((cond, l, r)))
+          }
+        case (None, None) => None
       }
     case Filter(pred, child) if pred.deterministic =>
       flattenLeftDeep(child).map { case (roots, preds, levels) =>

@@ -353,4 +353,204 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
         s"key-only predicate should stay on extrema: $pPred")
     } finally MaterializedJoinRewrite.clear()
   }
+
+  // ------------------------------------------------- n-ary tree serve
+
+  /** Three raw tables + a maintained 3-leaf tree over all their rows:
+    * fact(k, grp, v) ⋈ dimA(k, m) ⋈ dimB(m, tag), with a downstream
+    * aggregate keyed on tag. */
+  private def treeFixture(): (String, String, String, String,
+      graft.ops.JoinTreeIvm.Stores) = {
+    import graft.ops.{IncrementalAgg, JoinTreeIvm}
+    val fDir = tmpDir("tmv-f"); val aDir = tmpDir("tmv-a")
+    val bDir = tmpDir("tmv-b")
+    val fact = (0L until 30L).flatMap { k =>
+      val base = Seq((k, s"g${k % 4}", k * 10 + 1))
+      if (k % 5 == 0) base ++ base else base // dup rows: multiplicity 2
+    }.toDF("k", "grp", "v")
+    val dimA = (0L until 30L).filter(_ % 3 != 0)
+      .map(k => (k, k % 6)).toDF("k", "m")
+    val dimB = (0L until 6L).map(m => (m, s"t${m % 2}")).toDF("m", "tag")
+    fact.write.mode("overwrite").parquet(fDir)
+    dimA.write.mode("overwrite").parquet(aDir)
+    dimB.write.mode("overwrite").parquet(bDir)
+    val root = tmpDir("tmv-tree")
+    val st = JoinTreeIvm.stores(spark, root, Seq(Seq("k"), Seq("m")),
+      buckets = 4,
+      aggSpec = Some(IncrementalAgg.Spec(Seq("tag"), Seq("v"))))
+    JoinTreeIvm.appendLeaf(st, 1, spark.read.parquet(aDir), 0L)
+    JoinTreeIvm.appendLeaf(st, 2, spark.read.parquet(bDir), 1L)
+    JoinTreeIvm.appendLeaf(st, 0, spark.read.parquet(fDir), 2L)
+    (fDir, aDir, bDir, root, st)
+  }
+
+  private def treeRegistered[T](paths: Seq[String],
+                                st: graft.ops.JoinTreeIvm.Stores,
+                                fresh: () => Boolean = () => true)
+                               (f: => T): T = {
+    MaterializedJoinRewrite.registerTree(paths,
+      MaterializedJoinRewrite.TreeMv(Seq(Seq("k"), Seq("m")),
+        () => graft.ops.JoinTreeIvm.current(st), fresh,
+        aggServe = Seq(graft.plans.MaterializedAggRewrite.MvDef(
+          Seq("tag"), Seq("v"),
+          () => graft.ops.JoinTreeIvm.currentAgg(st)))))
+    try f finally MaterializedJoinRewrite.clear()
+  }
+
+  test("3-way aggregate answers from tree state, same result, no raw scans") {
+    val (fDir, aDir, bDir, root, st) = treeFixture()
+    val raw = spark.read.parquet(fDir)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .join(spark.read.parquet(bDir), Seq("m"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        countDistinct($"k").as("dk"))
+    val want = rows(raw)
+    treeRegistered(Seq(fDir, aDir, bDir), st) {
+      val got = spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k"))
+        .join(spark.read.parquet(bDir), Seq("m"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+          countDistinct($"k").as("dk"))
+      val ps = scanPaths(got)
+      assert(ps.nonEmpty && ps.forall(_.startsWith(root)),
+        s"3-way aggregate must scan tree state only: $ps")
+      assert(rows(got) == want)
+    }
+  }
+
+  test("tree agg partials serve matching groupings; others fall to the multiset") {
+    val (fDir, aDir, bDir, root, st) = treeFixture()
+    treeRegistered(Seq(fDir, aDir, bDir), st) {
+      def threeWay = spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k"))
+        .join(spark.read.parquet(bDir), Seq("m"))
+      val byTag = threeWay.groupBy($"tag")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      val p1 = scanPaths(byTag)
+      assert(p1.nonEmpty && p1.forall(_.startsWith(s"$root/agg")),
+        s"count/sum GROUP BY tag must serve from agg partials: $p1")
+      val byGrp = threeWay.groupBy($"grp").agg(count(lit(1)).as("n"))
+      val p2 = scanPaths(byGrp)
+      assert(p2.nonEmpty && p2.forall(_.startsWith(root)) &&
+        !p2.exists(_.startsWith(s"$root/agg")),
+        s"a finer grouping must fall back to the tree multiset: $p2")
+      // result parity for both paths against a fresh unregistered run
+      val gotTag = rows(byTag); val gotGrp = rows(byGrp)
+      MaterializedJoinRewrite.clear()
+      assert(gotTag == rows(threeWay.groupBy($"tag")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))))
+      assert(gotGrp == rows(threeWay.groupBy($"grp")
+        .agg(count(lit(1)).as("n"))))
+    }
+  }
+
+  test("tree declines: wrong leaf order, outer level, partial prefix, staleness") {
+    val (fDir, aDir, bDir, _, st) = treeFixture()
+    treeRegistered(Seq(fDir, aDir, bDir), st) {
+      // leaf order is the registration: dimA ⋈ fact ⋈ dimB stays raw
+      val reordered = spark.read.parquet(aDir)
+        .join(spark.read.parquet(fDir), Seq("k"))
+        .join(spark.read.parquet(bDir), Seq("m"))
+        .groupBy($"tag").agg(count(lit(1)).as("n"))
+      assert(scansRaw(reordered, fDir),
+        "a different join order must not match the tree registration")
+      // an OUTER level declines (tree registrations are inner-only)
+      val outer = spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k"))
+        .join(spark.read.parquet(bDir), Seq("m"), "left_outer")
+        .groupBy($"grp").agg(count(lit(1)).as("n"))
+      assert(scansRaw(outer, fDir),
+        "an outer level must not match an inner tree registration")
+      // the 2-leaf PREFIX alone is not the registered tree
+      val prefix = spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k"))
+        .groupBy($"grp").agg(count(lit(1)).as("n"))
+      assert(scansRaw(prefix, fDir),
+        "the bare prefix join must not match the 3-leaf registration")
+    }
+    treeRegistered(Seq(fDir, aDir, bDir), st, fresh = () => false) {
+      val stale = spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k"))
+        .join(spark.read.parquet(bDir), Seq("m"))
+        .groupBy($"tag").agg(count(lit(1)).as("n"))
+      assert(scansRaw(stale, fDir),
+        "fresh=false must decline and leave the raw plan")
+    }
+  }
+
+  test("registerServe: every join PREFIX of the tree serves from its level") {
+    import graft.ops.JoinTreeIvm
+    val (fDir, aDir, bDir, root, st) = treeFixture()
+    def prefix2 = spark.read.parquet(fDir)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    def full = spark.read.parquet(fDir)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .join(spark.read.parquet(bDir), Seq("m"))
+      .groupBy($"tag").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val want2 = rows(prefix2); val wantF = rows(full)
+    JoinTreeIvm.registerServe(st, Seq(fDir, aDir, bDir))
+    try {
+      val p2 = scanPaths(prefix2)
+      assert(p2.nonEmpty && p2.forall(_.startsWith(s"$root/j0")),
+        s"the 2-leaf prefix must serve from level 0's multiset: $p2")
+      assert(rows(prefix2) == want2)
+      val pF = scanPaths(full)
+      assert(pF.nonEmpty && pF.forall(_.startsWith(s"$root/agg")),
+        s"the full tree's matching aggregate must serve from partials: $pF")
+      assert(rows(full) == wantF)
+    } finally JoinTreeIvm.deregisterServe(st, Seq(fDir, aDir, bDir))
+    assert(scansRaw(prefix2, fDir) && scansRaw(full, fDir),
+      "deregisterServe must restore the raw plans")
+  }
+
+  test("a planner side-swap inside a level still matches (flipped leaf)") {
+    val (fDir, aDir, bDir, root, st) = treeFixture()
+    // leaf on the LEFT of the last level: dimB ⋈ (fact ⋈ dimA) — the
+    // same tree, sides swapped at the top; inner symmetry must serve
+    def flipped = spark.read.parquet(bDir)
+      .join(spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k")), Seq("m"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"))
+    val want = rows(flipped)
+    treeRegistered(Seq(fDir, aDir, bDir), st) {
+      val served = flipped
+      val ps = scanPaths(served)
+      assert(ps.nonEmpty && ps.forall(_.startsWith(root)),
+        s"a flipped level must still match the tree registration: $ps")
+      assert(rows(served) == want)
+    }
+  }
+
+  test("tree filters (above or on any leaf) re-apply over state, results equal") {
+    val (fDir, aDir, bDir, root, st) = treeFixture()
+    def threeWay = spark.read.parquet(fDir)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .join(spark.read.parquet(bDir), Seq("m"))
+    val wantAbove = rows(threeWay.filter($"tag" === "t1")
+      .groupBy($"grp").agg(sum($"v").as("s")))
+    val wantLeaf = rows(spark.read.parquet(fDir).filter($"v" > 50)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .join(spark.read.parquet(bDir), Seq("m"))
+      .groupBy($"tag").agg(count(lit(1)).as("n")))
+    treeRegistered(Seq(fDir, aDir, bDir), st) {
+      val above = threeWay.filter($"tag" === "t1")
+        .groupBy($"grp").agg(sum($"v").as("s"))
+      assert(!scansRaw(above, fDir) && rows(above) == wantAbove)
+      // a leaf-side predicate is collected and re-applied over state —
+      // it references a non-key column, so the agg level declines and
+      // the tree multiset serves
+      val onLeaf = spark.read.parquet(fDir).filter($"v" > 50)
+        .join(spark.read.parquet(aDir), Seq("k"))
+        .join(spark.read.parquet(bDir), Seq("m"))
+        .groupBy($"tag").agg(count(lit(1)).as("n"))
+      val ps = scanPaths(onLeaf)
+      assert(ps.nonEmpty && ps.forall(_.startsWith(root)) &&
+        !ps.exists(_.startsWith(s"$root/agg")),
+        s"leaf predicate must serve from the tree multiset: $ps")
+      assert(rows(onLeaf) == wantLeaf)
+    }
+  }
 }
