@@ -56,37 +56,63 @@ import graft.sinks.AppendOnlyStore
   * leaves as `leaves·id + leaf` (ids must stay below `2⁶²/leaves`) so
   * two leaves' batch 7 never collide in a shared level's manifest.
   *
-  * Single-writer per tree. Non-equi trees, cyclic/worst-case-optimal
-  * join orders, and outer levels are out of scope — compose
-  * [[IncrementalOuterJoin]] manually for the latter.
+  * Single-writer per tree. The LAST level may be a LEFT OUTER join
+  * (`outerLast = true` — the prefix Δ feeds [[IncrementalOuterJoin]]'s
+  * signed left path, so null-extension flips ride the cascade); non-equi
+  * trees, cyclic/worst-case-optimal join orders, and MID-tree outer
+  * levels stay out of scope — a mid-tree null-extended group has no
+  * join key for the next level's Δ-rule to probe.
   */
 object JoinTreeIvm {
 
   /** One maintained tree: `levels(j)` joins the (j+1)-prefix output with
     * leaf `j+1` on `keys(j)`; `agg` optionally maintains an
     * [[IncrementalAgg]] over the full join's signed Δ-output (spec
-    * columns refer to JOIN-OUTPUT columns). */
+    * columns refer to JOIN-OUTPUT columns). When `outerUn` is set the
+    * LAST level is a LEFT OUTER join (`…prefix ⟕ leaf(n−1)` — the
+    * enrichment shape where facts keep flowing when the last dimension
+    * has no row yet): `levels.last` is that level's inner Δ-rule store
+    * and `outerUn` its signed unmatched multiset
+    * ([[IncrementalOuterJoin]]'s layout). */
   final case class Stores(levels: Vector[IncrementalJoin.Stores],
                           keys: Vector[Seq[String]],
-                          agg: Option[(AppendOnlyStore, IncrementalAgg.Spec)]) {
+                          agg: Option[(AppendOnlyStore, IncrementalAgg.Spec)],
+                          outerUn: Option[AppendOnlyStore] = None) {
     /** Number of leaf inputs (= levels + 1). */
     def leaves: Int = levels.length + 1
+    private[ops] def outer: IncrementalOuterJoin.Stores =
+      IncrementalOuterJoin.Stores(levels.last, outerUn.get)
   }
 
   /** Open a tree under one root (level `j` under `<root>/j<j>`, the
     * optional downstream aggregate under `<root>/agg`). `keys(j)` are
     * the equi-join columns between the (j+1)-prefix output and leaf
-    * `j+1` — they must exist in both. */
+    * `j+1` — they must exist in both. `outerLast` makes the final level
+    * a LEFT OUTER join; it cannot carry an `aggSpec` (the downstream tap
+    * rides the inner Δ-output only — a null-extension flip would bypass
+    * it) and needs ≥3 leaves (use [[IncrementalOuterJoin]] directly for
+    * the binary shape). */
   def stores(spark: SparkSession, root: String, keys: Seq[Seq[String]],
              buckets: Int = 16,
-             aggSpec: Option[IncrementalAgg.Spec] = None): Stores = {
+             aggSpec: Option[IncrementalAgg.Spec] = None,
+             outerLast: Boolean = false): Stores = {
     require(keys.nonEmpty, "a join tree needs at least one join (two leaves)")
+    require(!outerLast || keys.size >= 2,
+      "an outer-last tree needs >=3 leaves; use IncrementalOuterJoin " +
+        "for the binary left-outer shape")
+    require(!outerLast || aggSpec.isEmpty,
+      "an outer-last tree cannot chain a maintained aggregate: the tap " +
+        "rides the inner Δ-output and would miss null-extension flips")
     Stores(
       keys.indices.map(j =>
         IncrementalJoin.stores(spark, s"$root/j$j", buckets)).toVector,
       keys.map(_.toSeq).toVector,
       aggSpec.map(sp => (new AppendOnlyStore(spark, s"$root/agg",
-        prefixCol = "__agg_key", prefixChars = 1), sp)))
+        prefixCol = "__agg_key", prefixChars = 1), sp)),
+      if (outerLast)
+        Some(new AppendOnlyStore(spark, s"$root/j${keys.size - 1}/un",
+          prefixCol = "__jk", prefixChars = 1))
+      else None)
   }
 
   /** The cascade: level `j`'s Δ-output becomes a signed LEFT batch for
@@ -103,6 +129,15 @@ object JoinTreeIvm {
       st.agg.map { case (store, spec) => (dOut: DataFrame) =>
         IncrementalAgg.appendDelta(store, signedOf(dOut), spec, dsId)
       }
+    else if (level == st.levels.length - 2 && st.outerUn.isDefined)
+      // the next level is the OUTER last level: its left side takes the
+      // prefix Δ as a full signed outer append (unmatched bookkeeping
+      // included); exactly-once still rides the ENTRY level's manifest —
+      // the outer level's own manifest absorbs mid-cascade crash retries
+      Some { dOut =>
+        IncrementalOuterJoin.appendLeftDelta(st.outer, signedOf(dOut),
+          st.keys(level + 1), dsId)
+      }
     else Some { dOut =>
       IncrementalJoin.appendSide(st.levels(level + 1), signedOf(dOut),
         st.keys(level + 1), dsId, isLeft = true, Some("__delta"),
@@ -118,8 +153,19 @@ object JoinTreeIvm {
       s"tree batch ids must be in [0, 2^62/${st.leaves}): $batchId")
     val dsId = st.leaves.toLong * batchId + leaf
     val level = math.max(leaf - 1, 0)
-    IncrementalJoin.appendSide(st.levels(level), batch, st.keys(level), dsId,
-      isLeft = leaf == 0, deltaCol, tapFor(st, level, dsId))
+    if (leaf == st.leaves - 1 && st.outerUn.isDefined)
+      // the last leaf is the OUTER level's right side
+      deltaCol match {
+        case Some(dc) =>
+          IncrementalOuterJoin.appendRightDelta(st.outer, batch,
+            st.keys(level), dsId, dc)
+        case None =>
+          IncrementalOuterJoin.appendRight(st.outer, batch,
+            st.keys(level), dsId)
+      }
+    else
+      IncrementalJoin.appendSide(st.levels(level), batch, st.keys(level),
+        dsId, isLeft = leaf == 0, deltaCol, tapFor(st, level, dsId))
   }
 
   /** One INSERT batch on leaf `leaf`, propagated through every level it
@@ -138,8 +184,12 @@ object JoinTreeIvm {
     append(st, leaf, batch, batchId, Some(deltaCol))
 
   /** The current full join as a value multiset (`columns…, n`) — the
-    * last level's maintained output; never re-joins anything. */
-  def current(st: Stores): DataFrame = IncrementalJoin.current(st.levels.last)
+    * last level's maintained output; never re-joins anything. On an
+    * outer-last tree this is the OUTER multiset: the inner rows plus one
+    * null-extended row per currently-unmatched prefix group. */
+  def current(st: Stores): DataFrame =
+    if (st.outerUn.isDefined) IncrementalOuterJoin.current(st.outer)
+    else IncrementalJoin.current(st.levels.last)
 
   /** The maintained aggregate over the full join (requires an `aggSpec`
     * at open) — folds agg partials only; touches no join state. */
@@ -164,11 +214,14 @@ object JoinTreeIvm {
     require(paths.size == st.leaves,
       s"registerServe needs one raw path per leaf: ${paths.size} given, " +
         s"${st.leaves} leaves")
+    // an outer LAST level is not an inner multiset — its prefixes still
+    // serve, the full tree does not (TreeMv registrations are inner-only)
+    val innerLeaves = if (st.outerUn.isDefined) st.leaves - 1 else st.leaves
     graft.plans.MaterializedJoinRewrite.register(paths(0), paths(1),
       graft.plans.MaterializedJoinRewrite.JoinMv(st.keys(0),
         org.apache.spark.sql.catalyst.plans.Inner,
         () => IncrementalJoin.current(st.levels(0)), fresh))
-    (3 to st.leaves).foreach { n =>
+    (3 to innerLeaves).foreach { n =>
       val aggServe =
         if (n == st.leaves)
           st.agg.toSeq.map { case (store, spec) =>
@@ -185,19 +238,22 @@ object JoinTreeIvm {
 
   /** Remove every registration [[registerServe]] installed. */
   def deregisterServe(st: Stores, paths: Seq[String]): Unit = {
+    val innerLeaves = if (st.outerUn.isDefined) st.leaves - 1 else st.leaves
     graft.plans.MaterializedJoinRewrite.deregister(paths(0), paths(1))
-    (3 to st.leaves).foreach { n =>
+    (3 to innerLeaves).foreach { n =>
       graft.plans.MaterializedJoinRewrite.deregisterTree(paths.take(n))
     }
   }
 
   /** Compact every store in the tree (quiescence, single-writer):
-    * per-level out stores + bucketed sides, then the aggregate. */
+    * per-level out stores + bucketed sides, the outer level's unmatched
+    * multiset, then the aggregate. */
   def compact(st: Stores): Unit = {
     st.levels.indices.foreach { j =>
       IncrementalJoin.compactOut(st.levels(j))
       IncrementalJoin.compactSides(st.levels(j), st.keys(j))
     }
+    st.outerUn.foreach(_ => IncrementalOuterJoin.compactUn(st.outer))
     st.agg.foreach { case (store, spec) =>
       IncrementalAgg.compact(store, spec)
     }

@@ -602,6 +602,61 @@ object FunctionQueries {
       .orderBy($"n_name")
   }
 
+  /** OUTER-last join-tree IVM (q209): the q206 tree with its final
+    * level LEFT OUTER — `orders ⋈ customer ⟕ nation-subset` — the
+    * enrichment shape where facts keep flowing while the last dimension
+    * is partial ([[graft.ops.JoinTreeIvm]] `outerLast`; the prefix Δ
+    * feeds [[graft.ops.IncrementalOuterJoin]]'s signed path). The
+    * scenario runs the transitions only the signed unmatched multiset
+    * can absorb at scale: the sparse dimension arrives LATE (thousands
+    * of null-extended rows retract), a dimension DELETE wave un-matches
+    * them again (null rows re-added), a customer takedown cascades into
+    * the outer level, and a replayed batch no-ops. Oracle = the one-shot
+    * LEFT JOIN over net inputs. */
+  def q209OuterTreeIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.JoinTreeIvm
+    val fact = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_custkey".as("ck"),
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+    val natSub = Tables.load(s, dir, "nation")
+      .filter($"n_nationkey" < 13)
+      .select($"n_nationkey".as("nk"), $"n_name")
+    val st = JoinTreeIvm.stores(s,
+      java.nio.file.Files.createTempDirectory("q209otree").toString,
+      Seq(Seq("ck"), Seq("nk")), outerLast = true)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      JoinTreeIvm.appendLeaf(st, 1, cust, 0L)
+      JoinTreeIvm.appendLeaf(st, 0, fact.filter($"okey" % 2 === 0), 1L)
+      // seed the outer level's right schema, then let MOST of the
+      // dimension arrive late so the retraction path runs at data scale
+      JoinTreeIvm.appendLeaf(st, 2, natSub.filter($"nk" === 0), 2L)
+      JoinTreeIvm.appendLeaf(st, 0, fact.filter($"okey" % 2 === 1), 3L)
+      JoinTreeIvm.appendLeaf(st, 2, natSub.filter($"nk" > 0), 4L)
+      // dimension DELETE wave: nk % 5 == 2 leaves — its facts flip BACK
+      // to unmatched (the transition only the signed un-store can take)
+      JoinTreeIvm.appendLeafDelta(st, 2,
+        natSub.filter($"nk" % 5 === 2).withColumn("__delta", lit(-1L)), 5L)
+      // customer takedown cascades through the inner level INTO the
+      // outer level (matched and unmatched rows both vanish)
+      JoinTreeIvm.appendLeafDelta(st, 1,
+        cust.filter($"ck" % 97 === 0).withColumn("__delta", lit(-1L)), 6L)
+      // committed replay: entry-level manifest no-ops the cascade
+      JoinTreeIvm.appendLeaf(st, 2, natSub.filter($"nk" > 0), 4L)
+      JoinTreeIvm.compact(st)
+    } finally s.conf.set(aqeKey, aqeWas)
+    JoinTreeIvm.current(st)
+      .groupBy(coalesce($"n_name", lit("~")).as("n_name"))
+      .agg(sum($"n").as("n_pairs"),
+        sum($"cents" * $"n").as("sum_cents"))
+      .orderBy($"n_name")
+  }
+
   /** N-ary tree-MV SQL serving (q207): the q206 maintained 3-way join
     * (`orders ⋈ customer ⋈ nation`, insert + takedown waves) registered
     * with [[graft.plans.MaterializedJoinRewrite.registerTree]] — a user's
@@ -1324,6 +1379,7 @@ object FunctionQueries {
     "q163_join_ivm" -> (q163JoinIvm _),
     "q206_join_tree_ivm" -> (q206JoinTreeIvm _),
     "q207_tree_mv_serve" -> (q207TreeMvServe _),
+    "q209_outer_tree_ivm" -> (q209OuterTreeIvm _),
     "q171_join_ivm_outer" -> (q171JoinIvmOuter _),
     "q173_join_ivm_full" -> (q173JoinIvmFull _),
     "q151_kmv_overlap" -> (q151KmvOverlap _),
@@ -1542,6 +1598,21 @@ object FunctionQueries {
         |  ON o.o_orderkey = l.l_orderkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // q209: one-shot LEFT JOIN over net inputs (nation subset minus the
+    // delete wave; customers minus the ck % 97 takedown)
+    "q209_outer_tree_ivm" ->
+      """SELECT coalesce(n.n_name, '~') AS n_name,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_custkey % 97 <> 0
+        |LEFT JOIN (SELECT * FROM nation
+        |           WHERE n_nationkey < 13 AND n_nationkey % 5 <> 2) n
+        |  ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q207: the plain 3-way SQL the rewrite answered from tree state
     // (net = okey % 11 takedown applied on the fact leaf)
     "q207_tree_mv_serve" ->

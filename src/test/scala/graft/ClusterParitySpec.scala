@@ -69,7 +69,7 @@ class ClusterParitySpec extends SparkSpec {
     // round-10 additions II: the n-ary join-tree cascade (per-level
     // bucketed tables + Δ-taps crossing executor JVMs) and its SQL
     // serve (tree-registry rewrite resolving store scans in-plan)
-    "q206_join_tree_ivm", "q207_tree_mv_serve")
+    "q206_join_tree_ivm", "q207_tree_mv_serve", "q209_outer_tree_ivm")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

@@ -150,6 +150,66 @@ class JoinTreeIvmSpec extends SparkSpec {
     assert(got2 == Set((1L, "x", 1L)))
   }
 
+  test("outer LAST level: facts keep flowing without the dimension") {
+    val st = JoinTreeIvm.stores(spark, tmpDir("jtreeO"),
+      Seq(Seq("ck"), Seq("nk")), buckets = 4, outerLast = true)
+    def cur() = JoinTreeIvm.current(st)
+      .select($"ok", $"ck", $"nk", $"name", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getLong(4))).toSet
+    JoinTreeIvm.appendLeaf(st, 0,
+      fact((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L)), 0L)
+    JoinTreeIvm.appendLeaf(st, 1, cust(10L -> 1L, 20L -> 2L, 30L -> 3L), 1L)
+    JoinTreeIvm.appendLeaf(st, 2, nat(1L -> "de"), 2L)
+    assert(cur() == Set(
+      (1L, 10L, 1L, Some("de"), 1L),
+      (2L, 20L, 2L, None, 1L),
+      (3L, 30L, 3L, None, 1L)))
+    // LATE right batch: nk=2's null-extended row must be RETRACTED
+    JoinTreeIvm.appendLeaf(st, 2, nat(2L -> "fr"), 3L)
+    assert(cur() == Set(
+      (1L, 10L, 1L, Some("de"), 1L),
+      (2L, 20L, 2L, Some("fr"), 1L),
+      (3L, 30L, 3L, None, 1L)))
+    // right DELETE: nk=2 loses its last row — the null row is RE-ADDED
+    JoinTreeIvm.appendLeafDelta(st, 2,
+      Seq((2L, "fr", -1L)).toDF("nk", "name", "__delta"), 4L)
+    assert(cur() == Set(
+      (1L, 10L, 1L, Some("de"), 1L),
+      (2L, 20L, 2L, None, 1L),
+      (3L, 30L, 3L, None, 1L)))
+    // a MIDDLE-leaf takedown cascades into the outer level: customer 30
+    // leaves, its fact's outer row (matched or not) must vanish
+    JoinTreeIvm.appendLeafDelta(st, 1,
+      Seq((30L, 3L, -1L)).toDF("ck", "nk", "__delta"), 5L)
+    val want = Set(
+      (1L, 10L, 1L, Some("de"): Option[String], 1L),
+      (2L, 20L, 2L, None: Option[String], 1L))
+    assert(cur() == want)
+    // replay + compaction invariance
+    JoinTreeIvm.appendLeaf(st, 2, nat(2L -> "fr"), 3L)
+    assert(cur() == want)
+    JoinTreeIvm.compact(st)
+    assert(cur() == want)
+    // post-compaction: the dimension returns, the null row retracts again
+    JoinTreeIvm.appendLeaf(st, 2, nat(2L -> "fr2"), 6L)
+    assert(cur() == Set(
+      (1L, 10L, 1L, Some("de"), 1L),
+      (2L, 20L, 2L, Some("fr2"), 1L)))
+  }
+
+  test("outer-last trees refuse an aggSpec and binary shapes") {
+    intercept[IllegalArgumentException] {
+      JoinTreeIvm.stores(spark, tmpDir("jtreeOa"),
+        Seq(Seq("ck"), Seq("nk")), outerLast = true,
+        aggSpec = Some(IncrementalAgg.Spec(Seq("name"), Seq("v"))))
+    }
+    intercept[IllegalArgumentException] {
+      JoinTreeIvm.stores(spark, tmpDir("jtreeOb"), Seq(Seq("ck")),
+        outerLast = true)
+    }
+  }
+
   test("batch-id disambiguation: same logical id on two leaves does not collide") {
     val st = tree()
     // leaf 1 and leaf 2 batches BOTH carry logical id 0: leaf 2's entry
