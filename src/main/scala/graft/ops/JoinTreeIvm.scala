@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 
+import graft.ops.Lineage.LineageSyntax
 import graft.sinks.AppendOnlyStore
 
 /** N-ARY incremental view maintenance: a maintained LEFT-DEEP tree of
@@ -77,7 +78,9 @@ object JoinTreeIvm {
   final case class Stores(levels: Vector[IncrementalJoin.Stores],
                           keys: Vector[Seq[String]],
                           agg: Option[(AppendOnlyStore, IncrementalAgg.Spec)],
-                          outerUn: Option[AppendOnlyStore] = None) {
+                          outerUn: Option[AppendOnlyStore] = None,
+                          extrema: Option[(AppendOnlyStore, MinMaxAgg.Spec)] =
+                            None) {
     /** Number of leaf inputs (= levels + 1). */
     def leaves: Int = levels.length + 1
     private[ops] def outer: IncrementalOuterJoin.Stores =
@@ -95,14 +98,16 @@ object JoinTreeIvm {
   def stores(spark: SparkSession, root: String, keys: Seq[Seq[String]],
              buckets: Int = 16,
              aggSpec: Option[IncrementalAgg.Spec] = None,
-             outerLast: Boolean = false): Stores = {
+             outerLast: Boolean = false,
+             extremaSpec: Option[MinMaxAgg.Spec] = None): Stores = {
     require(keys.nonEmpty, "a join tree needs at least one join (two leaves)")
     require(!outerLast || keys.size >= 2,
       "an outer-last tree needs >=3 leaves; use IncrementalOuterJoin " +
         "for the binary left-outer shape")
-    require(!outerLast || aggSpec.isEmpty,
-      "an outer-last tree cannot chain a maintained aggregate: the tap " +
-        "rides the inner Δ-output and would miss null-extension flips")
+    require(!outerLast || (aggSpec.isEmpty && extremaSpec.isEmpty),
+      "an outer-last tree cannot chain a maintained aggregate or extrema " +
+        "multiset: the tap rides the inner Δ-output and would miss " +
+        "null-extension flips")
     Stores(
       keys.indices.map(j =>
         IncrementalJoin.stores(spark, s"$root/j$j", buckets)).toVector,
@@ -112,7 +117,9 @@ object JoinTreeIvm {
       if (outerLast)
         Some(new AppendOnlyStore(spark, s"$root/j${keys.size - 1}/un",
           prefixCol = "__jk", prefixChars = 1))
-      else None)
+      else None,
+      extremaSpec.map(es => (new AppendOnlyStore(spark, s"$root/extrema",
+        prefixCol = "__agg_key", prefixChars = 1), es)))
   }
 
   /** The cascade: level `j`'s Δ-output becomes a signed LEFT batch for
@@ -125,10 +132,24 @@ object JoinTreeIvm {
     def signedOf(dOut: DataFrame): DataFrame =
       dOut.drop("__jk", "__lbid", "__rbid")
         .withColumnRenamed("__mult", "__delta")
-    if (level == st.levels.length - 1)
-      st.agg.map { case (store, spec) => (dOut: DataFrame) =>
-        IncrementalAgg.appendDelta(store, signedOf(dOut), spec, dsId)
+    if (level == st.levels.length - 1) {
+      if (st.agg.isEmpty && st.extrema.isEmpty) None
+      else Some { dOut =>
+        val signed0 = signedOf(dOut)
+        // two sinks re-read the frame — cut once so the delta join
+        // behind it is not recomputed per sink (the ChainedIvm trade)
+        val signed =
+          if (st.agg.isDefined && st.extrema.isDefined)
+            signed0.cutLineage()
+          else signed0
+        st.agg.foreach { case (store, spec) =>
+          IncrementalAgg.appendDelta(store, signed, spec, dsId)
+        }
+        st.extrema.foreach { case (store, es) =>
+          MinMaxAgg.appendDelta(store, signed, es, dsId)
+        }
       }
+    }
     else if (level == st.levels.length - 2 && st.outerUn.isDefined)
       // the next level is the OUTER last level: its left side takes the
       // prefix Δ as a full signed outer append (unmatched bookkeeping
@@ -227,7 +248,7 @@ object JoinTreeIvm {
           st.agg.toSeq.map { case (store, spec) =>
             graft.plans.MaterializedAggRewrite.MvDef(spec.keyCols,
               spec.sumCols, () => IncrementalAgg.current(store, spec))
-          }
+          } ++ st.extrema.toSeq.map(_ => extremaServe(st))
         else Nil
       graft.plans.MaterializedJoinRewrite.registerTree(paths.take(n),
         graft.plans.MaterializedJoinRewrite.TreeMv(st.keys.take(n - 1),
@@ -245,9 +266,51 @@ object JoinTreeIvm {
     }
   }
 
+  /** The maintained extrema over the full join output (requires an
+    * `extremaSpec` at open): per-key `n_rows`/`n_vals`/`min_`/`max_`. */
+  def currentExtrema(st: Stores): DataFrame = {
+    val (store, es) = requireExtrema(st)
+    MinMaxAgg.current(store, es)
+  }
+
+  /** Exact discrete quantiles of the joined column (requires an
+    * `extremaSpec` at open). */
+  def quantiles(st: Stores, qs: Seq[Double]): DataFrame = {
+    val (store, es) = requireExtrema(st)
+    MinMaxAgg.quantilesDisc(store, es, qs)
+  }
+
+  /** The extrema store as a SERVE LEVEL for the SQL rewrite — same
+    * contract as [[ChainedIvm.extremaServe]] (min/max/percentile_disc/
+    * percentile_cont GROUP BY the extrema keys, `count(*)` declined). */
+  def extremaServe(st: Stores): graft.plans.MaterializedAggRewrite.MvDef = {
+    val (store, es) = requireExtrema(st)
+    graft.plans.MaterializedAggRewrite.MvDef(
+      keyCols = es.keyCols, sumCols = Nil,
+      current = () => MinMaxAgg.current(store, es),
+      minCols = Seq(es.valCol), maxCols = Seq(es.valCol),
+      discQuantileCurrent = Map(es.valCol -> { ps =>
+        ps.foldLeft(MinMaxAgg.quantilesDisc(store, es, ps)) { (d, p) =>
+          d.withColumnRenamed(MinMaxAgg.quantileLabel(p),
+            s"__qd_${math.round(p * 1e6)}")
+        }
+      }),
+      contQuantileCurrent = Map(es.valCol -> { ps =>
+        ps.foldLeft(MinMaxAgg.quantilesCont(store, es, ps)) { (d, p) =>
+          d.withColumnRenamed(MinMaxAgg.contLabel(p),
+            s"__qc_${math.round(p * 1e6)}")
+        }
+      }),
+      countRowsExact = false)
+  }
+
+  private def requireExtrema(st: Stores) = st.extrema.getOrElse(
+    throw new IllegalStateException(
+      "this tree was opened without an extremaSpec"))
+
   /** Compact every store in the tree (quiescence, single-writer):
     * per-level out stores + bucketed sides, the outer level's unmatched
-    * multiset, then the aggregate. */
+    * multiset, then the aggregate and extrema. */
   def compact(st: Stores): Unit = {
     st.levels.indices.foreach { j =>
       IncrementalJoin.compactOut(st.levels(j))
@@ -257,5 +320,6 @@ object JoinTreeIvm {
     st.agg.foreach { case (store, spec) =>
       IncrementalAgg.compact(store, spec)
     }
+    st.extrema.foreach { case (store, es) => MinMaxAgg.compact(store, es) }
   }
 }

@@ -602,6 +602,76 @@ object FunctionQueries {
       .orderBy($"n_name")
   }
 
+  /** Tree-extrema SQL serving (q210): q207's maintained 3-way join
+    * opened with an EXTREMA multiset downstream (keyed `n_name` over
+    * order cents) — a plain `min/max/percentile_disc/percentile_cont
+    * GROUP BY n_name` over the three RAW paths is answered from
+    * `<tree>/extrema` ONLY (in-query plan assert), exactly, through a
+    * fact takedown wave that moves the extrema (retractability at the
+    * n-ary level). Oracle = exact-rational percentile SQL over the net
+    * 3-way join. */
+  def q210TreeExtremaServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{JoinTreeIvm, MinMaxAgg}
+    val fDir = java.nio.file.Files.createTempDirectory("q210f").toString
+    val cDir = java.nio.file.Files.createTempDirectory("q210c").toString
+    val nDir = java.nio.file.Files.createTempDirectory("q210n").toString
+    val fact = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_custkey".as("ck"),
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+    val nat = Tables.load(s, dir, "nation")
+      .select($"n_nationkey".as("nk"), $"n_name")
+    fact.filter($"okey" % 9 =!= 4).write.mode("overwrite").parquet(fDir)
+    cust.write.mode("overwrite").parquet(cDir)
+    nat.write.mode("overwrite").parquet(nDir)
+    val treeRoot =
+      java.nio.file.Files.createTempDirectory("q210tree").toString
+    val st = JoinTreeIvm.stores(s, treeRoot, Seq(Seq("ck"), Seq("nk")),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("n_name"), "cents")))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      JoinTreeIvm.appendLeaf(st, 1, cust, 0L)
+      JoinTreeIvm.appendLeaf(st, 2, nat, 1L)
+      JoinTreeIvm.appendLeaf(st, 0, fact, 2L)
+      // fact takedown: the deleted orders' cents leave the multiset —
+      // served min/max/percentiles must move exactly
+      JoinTreeIvm.appendLeafDelta(st, 0,
+        fact.filter($"okey" % 9 === 4).withColumn("__delta", lit(-1L)), 3L)
+      JoinTreeIvm.compact(st)
+    } finally s.conf.set(aqeKey, aqeWas)
+    JoinTreeIvm.registerServe(st, Seq(fDir, cDir, nDir))
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    try {
+      val res = s.read.parquet(fDir)
+        .join(s.read.parquet(cDir), Seq("ck"))
+        .join(s.read.parquet(nDir), Seq("nk"))
+        .groupBy($"n_name")
+        .agg(min($"cents").as("min_cents"), max($"cents").as("max_cents"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as("p50"),
+          (expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)") *
+            lit(4.0)).cast("long").as("p25x4"))
+        .orderBy($"n_name")
+      val ps = scanPaths(res)
+      require(ps.nonEmpty && ps.forall(_.startsWith(s"$treeRoot/extrema")),
+        s"q210: min/max/percentiles over the 3-way join must serve from " +
+          s"the tree extrema ONLY, scanned: $ps")
+      res
+    } finally JoinTreeIvm.deregisterServe(st, Seq(fDir, cDir, nDir))
+  }
+
   /** OUTER-last join-tree IVM (q209): the q206 tree with its final
     * level LEFT OUTER — `orders ⋈ customer ⟕ nation-subset` — the
     * enrichment shape where facts keep flowing while the last dimension
@@ -1380,6 +1450,7 @@ object FunctionQueries {
     "q206_join_tree_ivm" -> (q206JoinTreeIvm _),
     "q207_tree_mv_serve" -> (q207TreeMvServe _),
     "q209_outer_tree_ivm" -> (q209OuterTreeIvm _),
+    "q210_tree_extrema_serve" -> (q210TreeExtremaServe _),
     "q171_join_ivm_outer" -> (q171JoinIvmOuter _),
     "q173_join_ivm_full" -> (q173JoinIvmFull _),
     "q151_kmv_overlap" -> (q151KmvOverlap _),
@@ -1598,6 +1669,32 @@ object FunctionQueries {
         |  ON o.o_orderkey = l.l_orderkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // q210: exact-rational percentiles over the net 3-way join (facts
+    // minus the okey % 9 takedown) — the q199 oracle lifted to the tree
+    "q210_tree_extrema_serve" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS okey, o_custkey AS ck,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 9 <> 4),
+        |j AS (SELECT n.n_name, f.cents
+        |  FROM f
+        |  JOIN customer c ON f.ck = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |g AS (SELECT n_name, cents, count(*) AS net FROM j GROUP BY 1, 2),
+        |cum AS (SELECT n_name, cents,
+        |  sum(net) OVER (PARTITION BY n_name ORDER BY cents) AS c,
+        |  sum(net) OVER (PARTITION BY n_name) AS tot FROM g),
+        |d AS (SELECT n_name, min(cents) AS min_cents,
+        |  max(cents) AS max_cents,
+        |  min(CASE WHEN c * 2 >= tot THEN cents END) AS p50
+        |  FROM cum GROUP BY 1),
+        |pc AS (SELECT n_name,
+        |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) * 4
+        |    AS BIGINT) AS p25x4
+        |  FROM j GROUP BY 1)
+        |SELECT d.n_name, d.min_cents, d.max_cents, d.p50, pc.p25x4
+        |FROM d JOIN pc ON d.n_name = pc.n_name
+        |ORDER BY 1""".stripMargin,
     // q209: one-shot LEFT JOIN over net inputs (nation subset minus the
     // delete wave; customers minus the ck % 97 takedown)
     "q209_outer_tree_ivm" ->

@@ -176,4 +176,61 @@ class JoinStreamSpec extends SparkSpec {
     assert(multiset(IncrementalJoin.current(st)) == Set(
       (1L, "a2", "x", 1L), (3L, "c", "z", 1L)))
   }
+
+  test("CDC tree drain: restart-resume processes only new files, state nets") {
+    import org.apache.spark.sql.types._
+    import graft.ops.JoinTreeIvm
+    val root = tmpDir("treestream-cdc")
+    val fTopic = s"$root/ftopic"; val cTopic = s"$root/ctopic"
+    Files.createDirectories(Paths.get(fTopic))
+    Files.createDirectories(Paths.get(cTopic))
+    val factRow = StructType(Seq(StructField("k", LongType),
+      StructField("fv", StringType)))
+    val custRow = StructType(Seq(StructField("k", LongType),
+      StructField("m", LongType)))
+    def env(op: String, before: String, after: String) =
+      s"""{"payload": {"before": $before, "after": $after, "op": "$op", "ts_ms": 1}}"""
+    def writeWave(topic: String, name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(topic, name), lines.mkString("\n").getBytes)
+
+    val tree = JoinTreeIvm.stores(spark, s"$root/tree",
+      Seq(Seq("k"), Seq("m")), buckets = 2)
+    JoinTreeIvm.appendLeaf(tree, 2,
+      Seq(10L -> "t0", 20L -> "t1").toDF("m", "tag"), 0L)
+    writeWave(cTopic, "w0.jsonl", Seq(
+      env("c", "null", """{"k": 1, "m": 10}"""),
+      env("c", "null", """{"k": 2, "m": 20}""")))
+    writeWave(fTopic, "w0.jsonl", Seq(
+      env("c", "null", """{"k": 1, "fv": "a"}"""),
+      env("c", "null", """{"k": 2, "fv": "b"}""")))
+    JoinStream.drainCdcTreeLeafAvailableNow(spark, cTopic, custRow, tree,
+      leaf = 1, checkpointDir = s"$root/ckptC")
+    JoinStream.drainCdcTreeLeafAvailableNow(spark, fTopic, factRow, tree,
+      leaf = 0, checkpointDir = s"$root/ckptF")
+    def cur() = JoinTreeIvm.current(tree)
+      .select(col("k"), col("fv"), col("tag"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(cur() == Set((1L, "a", "t0", 1L), (2L, "b", "t1", 1L)))
+
+    // later files on both topics: a fact update and a customer TAKEDOWN;
+    // the resumed drains process ONLY them (same checkpoints) and the
+    // takedown cascades through both levels
+    writeWave(fTopic, "w1.jsonl", Seq(
+      env("u", """{"k": 1, "fv": "a"}""", """{"k": 1, "fv": "a2"}""")))
+    writeWave(cTopic, "w1.jsonl", Seq(
+      env("d", """{"k": 2, "m": 20}""", "null")))
+    JoinStream.drainCdcTreeLeafAvailableNow(spark, cTopic, custRow, tree,
+      leaf = 1, checkpointDir = s"$root/ckptC")
+    JoinStream.drainCdcTreeLeafAvailableNow(spark, fTopic, factRow, tree,
+      leaf = 0, checkpointDir = s"$root/ckptF")
+    assert(cur() == Set((1L, "a2", "t0", 1L)))
+
+    // idle re-drains change nothing
+    JoinStream.drainCdcTreeLeafAvailableNow(spark, cTopic, custRow, tree,
+      leaf = 1, checkpointDir = s"$root/ckptC")
+    JoinStream.drainCdcTreeLeafAvailableNow(spark, fTopic, factRow, tree,
+      leaf = 0, checkpointDir = s"$root/ckptF")
+    assert(cur() == Set((1L, "a2", "t0", 1L)))
+  }
 }

@@ -198,6 +198,31 @@ class JoinTreeIvmSpec extends SparkSpec {
       (2L, 20L, 2L, Some("fr2"), 1L)))
   }
 
+  test("maintained extrema over the full join: deletes move min/median exactly") {
+    import graft.ops.MinMaxAgg
+    val st = JoinTreeIvm.stores(spark, tmpDir("jtreeX"),
+      Seq(Seq("ck"), Seq("nk")), buckets = 4,
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("name"), "v")))
+    JoinTreeIvm.appendLeaf(st, 1, cust(10L -> 1L, 20L -> 1L), 0L)
+    JoinTreeIvm.appendLeaf(st, 2, nat(1L -> "de"), 1L)
+    JoinTreeIvm.appendLeaf(st, 0,
+      fact((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 200L)), 2L)
+    def mm() = JoinTreeIvm.currentExtrema(st)
+      .select($"name", $"min_v", $"max_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mm() == Set(("de", 50L, 200L)))
+    // delete the fact holding the min: the runner-up must surface
+    JoinTreeIvm.appendLeafDelta(st, 0,
+      Seq((2L, 10L, 50L, -1L)).toDF("ok", "ck", "v", "__delta"), 3L)
+    assert(mm() == Set(("de", 100L, 200L)))
+    val q = JoinTreeIvm.quantiles(st, Seq(0.5)).collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex(
+        MinMaxAgg.quantileLabel(0.5))))).toSet
+    assert(q == Set(("de", 100L)))
+    JoinTreeIvm.compact(st)
+    assert(mm() == Set(("de", 100L, 200L)))
+  }
+
   test("outer-last trees refuse an aggSpec and binary shapes") {
     intercept[IllegalArgumentException] {
       JoinTreeIvm.stores(spark, tmpDir("jtreeOa"),

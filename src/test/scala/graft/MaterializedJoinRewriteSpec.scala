@@ -524,6 +524,40 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("tree extrema level: min/max/percentile over the 3-way join from the multiset") {
+    import graft.ops.{JoinTreeIvm, MinMaxAgg}
+    val fDir = tmpDir("tmx-f"); val aDir = tmpDir("tmx-a")
+    val bDir = tmpDir("tmx-b")
+    val fact = (0L until 30L).map(k => (k, s"g${k % 4}", k * 10 + 1))
+      .toDF("k", "grp", "v")
+    val dimA = (0L until 30L).map(k => (k, k % 6)).toDF("k", "m")
+    val dimB = (0L until 6L).map(m => (m, s"t${m % 2}")).toDF("m", "tag")
+    fact.write.mode("overwrite").parquet(fDir)
+    dimA.write.mode("overwrite").parquet(aDir)
+    dimB.write.mode("overwrite").parquet(bDir)
+    val root = tmpDir("tmx-tree")
+    val st = JoinTreeIvm.stores(spark, root, Seq(Seq("k"), Seq("m")),
+      buckets = 4, extremaSpec = Some(MinMaxAgg.Spec(Seq("tag"), "v")))
+    JoinTreeIvm.appendLeaf(st, 1, spark.read.parquet(aDir), 0L)
+    JoinTreeIvm.appendLeaf(st, 2, spark.read.parquet(bDir), 1L)
+    JoinTreeIvm.appendLeaf(st, 0, spark.read.parquet(fDir), 2L)
+    def threeWay = spark.read.parquet(fDir)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .join(spark.read.parquet(bDir), Seq("m"))
+    def extremaQ = threeWay.groupBy($"tag")
+      .agg(min($"v").as("mn"), max($"v").as("mx"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+          .cast("long").as("p50"))
+    val want = rows(extremaQ)
+    JoinTreeIvm.registerServe(st, Seq(fDir, aDir, bDir))
+    try {
+      val ps = scanPaths(extremaQ)
+      assert(ps.nonEmpty && ps.forall(_.startsWith(s"$root/extrema")),
+        s"min/max/percentile_disc must serve from the tree extrema: $ps")
+      assert(rows(extremaQ) == want)
+    } finally JoinTreeIvm.deregisterServe(st, Seq(fDir, aDir, bDir))
+  }
+
   test("tree filters (above or on any leaf) re-apply over state, results equal") {
     val (fDir, aDir, bDir, root, st) = treeFixture()
     def threeWay = spark.read.parquet(fDir)
