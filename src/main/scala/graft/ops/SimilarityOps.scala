@@ -28,6 +28,17 @@ object SimilarityOps {
     graft.functions.DotProductF.register(df.sparkSession)
   }
 
+  /** Size-guarded broadcast for an ANN query batch. The family contract
+    * says query batches are broadcast-small, but a caller mistake — a
+    * corpus passed as the query side — must degrade to a shuffle join
+    * (equi-keyed sites) or a shuffle cartesian (brute-force sites),
+    * never a driver OOM: past [[GraphIvmKit.BroadcastLimitKey]] rows
+    * (default 4M) the hint is dropped and the planner falls back to the
+    * bounded-memory plan. Costs one count job of the batch per call —
+    * noise against the corpus scan the join performs. Results are
+    * bit-identical in both regimes (AnnGuardSpec forces limit=0). */
+  private def guardedQ(q: DataFrame): DataFrame = GraphIvmKit.guarded(q)
+
   /** Σ aᵢ·bᵢ with double accumulation — written to be expressible
     * identically in other engines (sequential left fold). */
   def dot(a: Column, b: Column): Column =
@@ -49,7 +60,7 @@ object SimilarityOps {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     fused(corpus)
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = corpus.crossJoin(guardedQ(queries))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
@@ -88,7 +99,7 @@ object SimilarityOps {
     val planes = hyperplanes(bits, dim, seed)
     val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
     val qBucketed = queries.withColumn("bucket", lshBucket(col(qVecCol), planes))
-    val scored = bucketed.join(broadcast(qBucketed), Seq("bucket"))
+    val scored = bucketed.join(guardedQ(qBucketed), Seq("bucket"))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
@@ -138,7 +149,7 @@ object SimilarityOps {
             org.apache.spark.sql.functions.call_function("shiftleft",
               lit(1L), f.getField("j")))))))
       .drop("bucket0", "__flips")
-    val scored = bucketed.join(broadcast(qProbed), Seq("bucket"))
+    val scored = bucketed.join(guardedQ(qProbed), Seq("bucket"))
       .filter(col(idCol) =!= col(qIdCol))
       // a candidate can arrive via several probed buckets → dedup pairs
       .select(col(qIdCol), col(idCol), col(vecCol), col(qVecCol))
@@ -222,7 +233,7 @@ object SimilarityOps {
     val probed = queries.withColumn("probe",
       explode(slice(reverse(array_sort(cellScores(col(qVecCol)))), 1, nprobe)))
       .withColumn("cell", col("probe.cid")).drop("probe")
-    val scored = assigned.join(broadcast(probed), Seq("cell"))
+    val scored = assigned.join(guardedQ(probed), Seq("cell"))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
@@ -323,7 +334,7 @@ object SimilarityOps {
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val scan = spark.read.parquet(index.cellsPath)
       .filter(col("cell").isin(cells: _*)) // partition-pruned: nprobe dirs
-    val scored = scan.join(broadcast(probed), Seq("cell"))
+    val scored = scan.join(guardedQ(probed), Seq("cell"))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
@@ -422,7 +433,7 @@ object SimilarityOps {
     val cells = probed.select("cell").distinct().collect()
       .map(_.getInt(0)).toSeq
     val scored = signedIvfLive(idx, cells)
-      .join(broadcast(probed), Seq("cell"))
+      .join(guardedQ(probed), Seq("cell"))
       .filter(col(idx.idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(idx.vecCol), col(qVecCol)), 4))
@@ -672,7 +683,7 @@ object SimilarityOps {
     val qq = quantizeInt8(queries, qVecCol, qCol = "q_qvec", scaleCol = "q_scale")
       .select(col(qIdCol), col(qVecCol), col("q_qvec"), col("q_scale"))
     val coarse = qc.select(col(idCol), col("qvec"), col("scale"))
-      .crossJoin(broadcast(qq))
+      .crossJoin(guardedQ(qq))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("approx",
         graft.functions.DotProductI8(col("qvec"), col("q_qvec"))
@@ -685,7 +696,7 @@ object SimilarityOps {
     // candidate-sized joins back to the float vectors, then exact top-k
     val rescored = cands
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .join(guardedQ(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
     RankOps.topKPerKey(rescored.select(col(qIdCol), col("cos"),
@@ -837,7 +848,7 @@ object SimilarityOps {
     val qt = queries
       .withColumn("__table", pqAdcTable(col(qVecCol), cb))
       .select(col(qIdCol), col("__table"))
-    val coarse = encoded.crossJoin(broadcast(qt))
+    val coarse = encoded.crossJoin(guardedQ(qt))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("approx",
         graft.functions.PqAdcScore(col("pq_codes"), col("__table"), cb.ksub))
@@ -848,7 +859,7 @@ object SimilarityOps {
       .select(col(qIdCol), col(idCol))
     val rescored = cands
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .join(guardedQ(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
     RankOps.topKPerKey(rescored.select(col(qIdCol), col("cos"),
@@ -896,7 +907,7 @@ object SimilarityOps {
       .withColumn("cell", col("probe.cid"))
       .withColumn("__table", pqAdcTable(col(qVecCol), cb))
       .select(col(qIdCol), col("cell"), col("__table"))
-    val coarse = encoded.join(broadcast(probed), Seq("cell"))
+    val coarse = encoded.join(guardedQ(probed), Seq("cell"))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("approx",
         graft.functions.PqAdcScore(col("pq_codes"), col("__table"), cb.ksub))
@@ -907,7 +918,7 @@ object SimilarityOps {
       .select(col(qIdCol), col(idCol))
     val rescored = cands
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .join(guardedQ(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
     RankOps.topKPerKey(rescored.select(col(qIdCol), col("cos"),
