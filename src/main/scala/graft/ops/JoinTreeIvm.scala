@@ -122,6 +122,11 @@ object JoinTreeIvm {
         prefixCol = "__agg_key", prefixChars = 1), es)))
   }
 
+  /** The tree's root directory (levels live under `<root>/j<j>`) — the
+    * anchor for tree-wide side metadata like drain claims. */
+  private[graft] def rootOf(st: Stores): String =
+    new org.apache.hadoop.fs.Path(st.levels(0).root).getParent.toString
+
   /** The cascade: level `j`'s Δ-output becomes a signed LEFT batch for
     * level `j+1` (multiplicities are products, so the signed multiset
     * IS the next level's delta); the LAST level's Δ-output feeds the
@@ -238,10 +243,17 @@ object JoinTreeIvm {
     // an outer LAST level is not an inner multiset — its prefixes still
     // serve, the full tree does not (TreeMv registrations are inner-only)
     val innerLeaves = if (st.outerUn.isDefined) st.leaves - 1 else st.leaves
-    graft.plans.MaterializedJoinRewrite.register(paths(0), paths(1),
-      graft.plans.MaterializedJoinRewrite.JoinMv(st.keys(0),
-        org.apache.spark.sql.catalyst.plans.Inner,
-        () => IncrementalJoin.current(st.levels(0)), fresh))
+    // The 2-leaf prefix is a COURTESY registration: claim the pair only
+    // if no independent binary MV already serves it (overwriting would
+    // clobber that registration's serve and its own fresh() guard), and
+    // remember the instance so deregisterServe removes only what this
+    // tree installed.
+    val binMv = graft.plans.MaterializedJoinRewrite.JoinMv(st.keys(0),
+      org.apache.spark.sql.catalyst.plans.Inner,
+      () => IncrementalJoin.current(st.levels(0)), fresh)
+    if (graft.plans.MaterializedJoinRewrite.registerIfAbsent(
+        paths(0), paths(1), binMv))
+      ownedPrefix.put((paths(0), paths(1)), binMv)
     (3 to innerLeaves).foreach { n =>
       val aggServe =
         if (n == st.leaves)
@@ -257,10 +269,22 @@ object JoinTreeIvm {
     }
   }
 
-  /** Remove every registration [[registerServe]] installed. */
+  /** The binary-prefix JoinMvs trees actually installed (vs found an
+    * independent registration already holding the pair), so
+    * [[deregisterServe]] removes exactly what [[registerServe]] put. */
+  private val ownedPrefix =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      graft.plans.MaterializedJoinRewrite.JoinMv]()
+
+  /** Remove every registration [[registerServe]] installed — and ONLY
+    * those: an independent binary MV that already held the 2-leaf pair
+    * at register time was never overwritten and is left in place. */
   def deregisterServe(st: Stores, paths: Seq[String]): Unit = {
     val innerLeaves = if (st.outerUn.isDefined) st.leaves - 1 else st.leaves
-    graft.plans.MaterializedJoinRewrite.deregister(paths(0), paths(1))
+    Option(ownedPrefix.remove((paths(0), paths(1)))).foreach { mv =>
+      graft.plans.MaterializedJoinRewrite.deregisterIfSame(
+        paths(0), paths(1), mv)
+    }
     (3 to innerLeaves).foreach { n =>
       graft.plans.MaterializedJoinRewrite.deregisterTree(paths.take(n))
     }

@@ -126,6 +126,24 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
   def deregister(leftPath: String, rightPath: String): Unit =
     registry.remove((canon(leftPath), canon(rightPath)))
 
+  /** Register only when the pair is unclaimed. Returns true when THIS
+    * call installed `mv` (the caller then owns deregistration via
+    * [[deregisterIfSame]]); false leaves a pre-existing independent
+    * registration — and its own `fresh` guard — untouched. The
+    * courteous form for registrations that are a side effect of a
+    * larger structure (a tree's 2-leaf prefix) rather than the user's
+    * explicit binary MV. */
+  def registerIfAbsent(leftPath: String, rightPath: String,
+                       mv: JoinMv): Boolean =
+    registry.putIfAbsent((canon(leftPath), canon(rightPath)), mv) == null
+
+  /** Remove the pair's registration only when it is exactly `mv` — the
+    * ownership-checked inverse of [[registerIfAbsent]]: a registration
+    * someone else installed over the same pair survives. */
+  def deregisterIfSame(leftPath: String, rightPath: String,
+                       mv: JoinMv): Unit =
+    registry.remove((canon(leftPath), canon(rightPath)), mv)
+
   /** Register a maintained join TREE over the ordered raw-scan roots
     * (`paths(0) ⋈ paths(1) ⋈ …` — the [[graft.ops.JoinTreeIvm]] leaf
     * order; a query must join in the same left-deep order). */
@@ -415,6 +433,13 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
     rewriting.set(true)
     try {
       val refold = current().queryExecution.optimizedPlan
+      // Duplicate output names make name-resolution ambiguous — in
+      // particular a value column literally named `n` would collide
+      // with the multiplicity column and silently resolve group-by/agg
+      // references to the wrong attribute. Decline; the raw plan is
+      // always correct.
+      if (refold.output.map(_.name).distinct.size != refold.output.size)
+        return None
       val byName = refold.output.map(a => a.name -> a).toMap
       val n = byName.getOrElse("n", return None)
       val needed = groupAttrs.map(_.name) ++

@@ -267,7 +267,13 @@ object JoinStream {
     * no offsets — the tree namespaces ids by leaf internally — but
     * distinct drains of the SAME leaf (restart-resume shares the
     * checkpoint, so this only matters for deliberate multi-topic
-    * feeds) must keep `idOffset` spaces disjoint. */
+    * feeds) must keep `idOffset` spaces disjoint. That requirement is
+    * ENFORCED, not just documented: each drain claims
+    * `<treeRoot>/drains/leaf<leaf>_<ckptHash>` recording its idOffset,
+    * and a second checkpoint claiming the same leaf at an
+    * already-claimed offset fails fast — without the claim its batch
+    * ids would collide with the first drain's in the entry manifest
+    * and its data would be silently swallowed as replay no-ops. */
   def drainCdcTreeLeafAvailableNow(spark: SparkSession, topicDir: String,
                                    rowSchema: StructType,
                                    tree: graft.ops.JoinTreeIvm.Stores,
@@ -275,6 +281,7 @@ object JoinStream {
                                    checkpointDir: String,
                                    idOffset: Long = 0L,
                                    maxFilesPerTrigger: Option[Int] = None): Long = {
+    claimLeafDrain(spark, tree, leaf, idOffset, checkpointDir)
     var batches = 0L
     val q = CdcStream.readJsonlStream(spark, topicDir, maxFilesPerTrigger)
       .writeStream
@@ -290,5 +297,66 @@ object JoinStream {
       .start()
     q.awaitTermination()
     batches
+  }
+
+  /** Claim (leaf, idOffset) for one checkpoint under
+    * `<treeRoot>/drains/` — a tiny persisted marker per (leaf,
+    * checkpoint) pair. Resume under the SAME checkpoint re-reads its
+    * own marker and proceeds; a DIFFERENT checkpoint claiming the same
+    * leaf must present an idOffset no other checkpoint holds, because
+    * two drains counting micro-batches from zero in one id space make
+    * the second drain's batches collide with committed ids in the
+    * tree's entry manifest — absorbed as exactly-once replay no-ops,
+    * i.e. silent data loss. Markers are one line (`idOffset`) plus the
+    * claiming checkpoint path; written via temp-file + rename so a
+    * crashed claim never leaves a readable half-marker. */
+  private def claimLeafDrain(spark: SparkSession,
+                             tree: graft.ops.JoinTreeIvm.Stores,
+                             leaf: Int, idOffset: Long,
+                             checkpointDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ckpt = new Path(checkpointDir).toUri.toString
+    val dir = new Path(graft.ops.JoinTreeIvm.rootOf(tree), "drains")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(ckpt.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val mine = new Path(dir, s"leaf${leaf}_$hash")
+    def read(p: Path): (Long, String) = {
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList
+        (lines.head.toLong, lines(1))
+      } finally in.close()
+    }
+    if (fs.exists(mine)) {
+      val (prevOff, _) = read(mine)
+      require(prevOff == idOffset,
+        s"checkpoint $ckpt previously drained leaf $leaf at " +
+          s"idOffset=$prevOff, now asked for $idOffset — changing the " +
+          "offset mid-stream would re-id committed micro-batches")
+      return // restart-resume: same checkpoint, same offset
+    }
+    fs.mkdirs(dir)
+    val others = Option(fs.globStatus(new Path(dir, s"leaf${leaf}_*")))
+      .getOrElse(Array.empty)
+    others.foreach { st =>
+      val (off, owner) = read(st.getPath)
+      require(off != idOffset,
+        s"leaf $leaf of tree ${graft.ops.JoinTreeIvm.rootOf(tree)} is " +
+          s"already drained by checkpoint $owner at idOffset=$off; a " +
+          "second drain in the same id space would collide in the entry " +
+          "manifest and be silently swallowed as replays — give this " +
+          "drain a disjoint idOffset (e.g. spaced by RightIdOffset)")
+    }
+    val tmp = new Path(dir, s".leaf${leaf}_$hash.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$idOffset\n$ckpt\n".getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, mine)) {
+      // lost a race to a concurrent claimer — re-run the checks
+      fs.delete(tmp, false)
+      claimLeafDrain(spark, tree, leaf, idOffset, checkpointDir)
+    }
   }
 }

@@ -233,4 +233,59 @@ class JoinStreamSpec extends SparkSpec {
       leaf = 0, checkpointDir = s"$root/ckptF")
     assert(cur() == Set((1L, "a2", "t0", 1L)))
   }
+
+  test("two topics on ONE leaf: overlapping id spaces fail fast, disjoint ones merge") {
+    // Both drains count micro-batches from zero; at the same idOffset
+    // the second topic's batches would collide with committed ids in
+    // the entry manifest and be swallowed as exactly-once replays —
+    // silent data loss. The drain claim turns that into an error.
+    import org.apache.spark.sql.types._
+    import graft.ops.JoinTreeIvm
+    val root = tmpDir("treestream-claim")
+    val topicA = s"$root/tA"; val topicB = s"$root/tB"
+    Files.createDirectories(Paths.get(topicA))
+    Files.createDirectories(Paths.get(topicB))
+    val custRow = StructType(Seq(StructField("k", LongType),
+      StructField("m", LongType)))
+    def env(after: String) =
+      s"""{"payload": {"before": null, "after": $after, "op": "c", "ts_ms": 1}}"""
+    val tree = JoinTreeIvm.stores(spark, s"$root/tree",
+      Seq(Seq("k"), Seq("m")), buckets = 2)
+    JoinTreeIvm.appendLeaf(tree, 2,
+      Seq(10L -> "t0", 20L -> "t1").toDF("m", "tag"), 0L)
+    JoinTreeIvm.appendLeaf(tree, 0,
+      Seq(1L -> "a", 2L -> "b").toDF("k", "fv"), 1L)
+    Files.write(Paths.get(topicA, "w0.jsonl"),
+      env("""{"k": 1, "m": 10}""").getBytes)
+    Files.write(Paths.get(topicB, "w0.jsonl"),
+      env("""{"k": 2, "m": 20}""").getBytes)
+    JoinStream.drainCdcTreeLeafAvailableNow(spark, topicA, custRow, tree,
+      leaf = 1, checkpointDir = s"$root/ckptA")
+    // same leaf, DIFFERENT checkpoint, same (default) idOffset: refused
+    val e = intercept[IllegalArgumentException] {
+      JoinStream.drainCdcTreeLeafAvailableNow(spark, topicB, custRow, tree,
+        leaf = 1, checkpointDir = s"$root/ckptB")
+    }
+    assert(e.getMessage.contains("disjoint idOffset"), e.getMessage)
+    // a disjoint id space merges cleanly
+    JoinStream.drainCdcTreeLeafAvailableNow(spark, topicB, custRow, tree,
+      leaf = 1, checkpointDir = s"$root/ckptB",
+      idOffset = JoinStream.RightIdOffset)
+    def cur() = JoinTreeIvm.current(tree)
+      .select(col("k"), col("fv"), col("tag"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(cur() == Set((1L, "a", "t0", 1L), (2L, "b", "t1", 1L)),
+      "both topics' rows must reach the tree")
+    // restart-resume under the SAME checkpoint and offset stays legal...
+    JoinStream.drainCdcTreeLeafAvailableNow(spark, topicA, custRow, tree,
+      leaf = 1, checkpointDir = s"$root/ckptA")
+    assert(cur() == Set((1L, "a", "t0", 1L), (2L, "b", "t1", 1L)))
+    // ...but the same checkpoint changing its offset mid-stream is not
+    val e2 = intercept[IllegalArgumentException] {
+      JoinStream.drainCdcTreeLeafAvailableNow(spark, topicA, custRow, tree,
+        leaf = 1, checkpointDir = s"$root/ckptA", idOffset = 7L)
+    }
+    assert(e2.getMessage.contains("mid-stream"), e2.getMessage)
+  }
 }

@@ -587,4 +587,102 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
       assert(rows(onLeaf) == wantLeaf)
     }
   }
+
+  test("registerServe leaves an independent binary MV over the prefix pair intact") {
+    import graft.ops.{IncrementalJoin, JoinTreeIvm}
+    val (fDir, aDir, bDir, _, st) = treeFixture()
+    // an INDEPENDENT binary MV someone registered over the same pair —
+    // its own store, its own fresh() guard
+    val binRoot = tmpDir("indep-bin")
+    val bst = IncrementalJoin.stores(spark, binRoot)
+    IncrementalJoin.appendLeft(bst, spark.read.parquet(fDir), Seq("k"), 0L)
+    IncrementalJoin.appendRight(bst, spark.read.parquet(aDir), Seq("k"), 1L)
+    def prefix2 = spark.read.parquet(fDir)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val want = rows(prefix2)
+    MaterializedJoinRewrite.register(fDir, aDir,
+      MaterializedJoinRewrite.JoinMv(Seq("k"),
+        org.apache.spark.sql.catalyst.plans.Inner,
+        () => IncrementalJoin.current(bst)))
+    try {
+      JoinTreeIvm.registerServe(st, Seq(fDir, aDir, bDir))
+      // the pair still serves from the INDEPENDENT store — the tree's
+      // courtesy prefix registration must not have clobbered it
+      val ps = scanPaths(prefix2)
+      assert(ps.nonEmpty && ps.forall(_.startsWith(binRoot)),
+        s"the independent binary MV must keep serving the pair: $ps")
+      assert(rows(prefix2) == want)
+      // ...and deregisterServe removes only what registerServe put
+      JoinTreeIvm.deregisterServe(st, Seq(fDir, aDir, bDir))
+      val after = scanPaths(prefix2)
+      assert(after.nonEmpty && after.forall(_.startsWith(binRoot)),
+        s"deregisterServe must not remove the independent MV: $after")
+      assert(rows(prefix2) == want)
+    } finally MaterializedJoinRewrite.clear()
+  }
+
+  test("a state output with duplicate names declines the rewrite (raw plan, correct result)") {
+    // `n` is the state multiset's multiplicity column. A maintained
+    // store cannot even be BUILT over a value column named `n` (the
+    // analyzer raises AMBIGUOUS_REFERENCE at append), but a
+    // registration's current() thunk is arbitrary user code — if its
+    // output carries duplicate names, byName resolution would silently
+    // bind group-by/agg references to the wrong column. Must decline.
+    val (aDir, bDir, st) = fixture()
+    def query() = spark.read.parquet(aDir)
+      .join(spark.read.parquet(bDir), Seq("k"))
+      .groupBy($"grp").agg(count(lit(1)).as("cnt"))
+      .orderBy($"grp")
+    val want = rows(query())
+    val dupe = () => {
+      val cur = IncrementalJoin.current(st)
+      cur.select(cur("k"), cur("grp"), cur("lv").as("n"), cur("n"))
+    }
+    MaterializedJoinRewrite.register(aDir, bDir,
+      MaterializedJoinRewrite.JoinMv(Seq("k"),
+        org.apache.spark.sql.catalyst.plans.Inner, dupe))
+    try {
+      val df = query()
+      assert(scansRaw(df, aDir),
+        "a duplicate `n` output name must decline the rewrite")
+      assert(rows(df) == want)
+    } finally MaterializedJoinRewrite.clear()
+  }
+
+  test("tree serve staleness: a post-registration leaf append is seen or declined, never served stale") {
+    import graft.ops.JoinTreeIvm
+    val (fDir, aDir, bDir, root, st) = treeFixture()
+    @volatile var upToDate = true
+    def full = spark.read.parquet(fDir)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .join(spark.read.parquet(bDir), Seq("m"))
+      .groupBy($"tag").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    JoinTreeIvm.registerServe(st, Seq(fDir, aDir, bDir),
+      fresh = () => upToDate)
+    try {
+      val before = rows(full)
+      // a raw-side fact append lands; the maintenance loop hasn't
+      // applied it to the tree yet — the serve must DECLINE, not
+      // answer from the old state
+      val extra = Seq((7L, "g9", 7000L)).toDF("k", "grp", "v")
+      extra.write.mode("append").parquet(fDir)
+      upToDate = false
+      val declined = full
+      assert(scansRaw(declined, fDir),
+        "a stale tree must decline and leave the raw plan")
+      val rawNow = rows(declined)
+      assert(rawNow != before,
+        "fixture error: the appended row must change the aggregate")
+      // maintenance applies the batch; the serve resumes and agrees
+      JoinTreeIvm.appendLeaf(st, 0, extra, 3L)
+      upToDate = true
+      val served = full
+      val ps = scanPaths(served)
+      assert(ps.nonEmpty && ps.forall(_.startsWith(s"$root/agg")),
+        s"the refreshed tree must serve from partials again: $ps")
+      assert(rows(served) == rawNow,
+        "the served result must include the appended batch")
+    } finally JoinTreeIvm.deregisterServe(st, Seq(fDir, aDir, bDir))
+  }
 }

@@ -442,10 +442,154 @@ class ShuffleBytesSpec extends SparkSpec {
       shuffleBytes(JoinTreeIvm.appendLeaf(st, 0, b, 10L + i))
     }
     assert(perRound.forall(_ > 0), perRound.mkString(","))
+    // Tighter than the sibling 2.0× gates: a cascade leaking ~linear
+    // state bytes at a shallow slope could hide under 2.0 (bytes c+m·i
+    // pass while m < c/4); at 1.5 the slope bound is m < c/12, and the
+    // per-round cap catches a single state-sized excursion the
+    // three-round averages would smooth over.
     val early = perRound.slice(1, 4).sum / 3.0
     val late = perRound.slice(7, 10).sum / 3.0
-    assert(late < early * 2.0,
+    assert(late < early * 1.5,
       s"per-append shuffle grew with tree state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+    assert(perRound.drop(1).max < early * 2.0,
+      s"one append exceeded 2× the early average: " +
+        s"(${perRound.mkString(",")})")
+  }
+
+  test("outer-last tree appends shuffle flat bytes while state grows 10×") {
+    // The q209 shape: fact ⋈ dimA ⟕ dimB with the LAST level LEFT
+    // OUTER. Every round appends round-disjoint dims + a constant fact
+    // batch, half of whose groups are UNMATCHED on dimB (odd b — the
+    // un-store path runs every round), then a signed dimB flip wave
+    // that null-extends one matched group and match-extends one
+    // unmatched group (the retraction/extension machinery). All four
+    // appends per round are constant-size; prefix state, inner state
+    // and the unmatched multiset all grow 10× — bytes must stay flat.
+    import graft.ops.JoinTreeIvm
+    val root = java.nio.file.Files.createTempDirectory("otree-bytes").toString
+    val st = JoinTreeIvm.stores(spark, root, Seq(Seq("a"), Seq("b")),
+      buckets = 4, outerLast = true)
+    def dimA(i: Int) = (0 until 200)
+      .map(t => ((i * 200 + t).toLong, (i * 50 + t % 50).toLong))
+      .toDF("a", "b").localCheckpoint()
+    def dimB(i: Int) = (0 until 25)
+      .map(s => ((i * 50 + 2 * s).toLong, s"g${s % 7}"))
+      .toDF("b", "g").localCheckpoint()
+    def fact(i: Int) = (0 until 5000)
+      .map(j => (i * 1000000L + j, (i * 200 + j % 200).toLong, j.toLong))
+      .toDF("k", "a", "v").localCheckpoint()
+    def flips(i: Int) = Seq(
+      ((i * 50 + 1).toLong, "gx", 1L),   // odd b: unmatched → matched
+      ((i * 50).toLong, s"g0", -1L))     // even b: matched → unmatched
+      .toDF("b", "g", "__delta").localCheckpoint()
+    val perRound = (0 until 10).map { i =>
+      val (da, db, f, fl) = (dimA(i), dimB(i), fact(i), flips(i))
+      shuffleBytes {
+        JoinTreeIvm.appendLeaf(st, 1, da, 100L + 4 * i)
+        JoinTreeIvm.appendLeaf(st, 2, db, 101L + 4 * i)
+        JoinTreeIvm.appendLeaf(st, 0, f, 102L + 4 * i)
+        JoinTreeIvm.appendLeafDelta(st, 2, fl, 103L + 4 * i)
+      }
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 1.5,
+      s"per-append shuffle grew with outer-tree state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+    assert(perRound.drop(1).max < early * 2.0,
+      s"one append exceeded 2× the early average: " +
+        s"(${perRound.mkString(",")})")
+  }
+
+  test("RTBF drain micro-batches shuffle flat bytes while all three stores grow 10×") {
+    // The q205 shape: one signed doc topic maintains the BM25 index,
+    // the near-dup admission store and the CC labels under ONE
+    // checkpoint. Ten rounds of constant-size waves (an insert file
+    // with one exact-twin pair + a takedown file retracting three of
+    // the previous round's docs); every store grows ~10×. Per-round
+    // drain bytes must stay flat — the delta-sized-append proof for
+    // the round-10 verdict's biggest scenario surface.
+    //
+    // Streaming micro-batches run on the stream's own thread under its
+    // OWN job group, so the job-group isolation above cannot see them;
+    // instead jobs are matched on the `sql.streaming.queryId` local
+    // property — the query id is pinned in the checkpoint's metadata
+    // file after round 0, and belongs to this drain alone.
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.ops.{DedupOps, IncrementalCc, IncrementalTextIndex}
+    import graft.streaming.CorpusStream
+    val root = java.nio.file.Files.createTempDirectory("rtbf-bytes").toString
+    val topic = s"$root/topic"
+    val index = IncrementalTextIndex.stores(spark, s"$root/index", "doc_id")
+    val admission = DedupOps.signedBucketStore(spark, s"$root/admission")
+    val members = DedupOps.signedBucketStore(spark, s"$root/members")
+    val cc = IncrementalCc.signedStores(spark, s"$root/cc")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("__delta", LongType)))
+    def text(round: Int, j: Int): String =
+      s"round$round doc$j " + (0 until 24)
+        .map(w => s"w${(round * 131 + j * 17 + w * 7) % 9973}").mkString(" ")
+    def docsOf(round: Int): Seq[(Long, String)] = {
+      val ids = (0 until 40).map(j => round * 1000L + j)
+      // one exact-twin pair per round so the near-dup/CC paths carry load
+      ids.map(id => (id, text(round, (id % 1000L).toInt min 38)))
+    }
+    val allDocs = (0 until 10).flatMap(docsOf).toDF("doc_id", "text")
+      .localCheckpoint()
+    def emit(rows: Seq[(Long, String)], delta: Long): Unit =
+      rows.toDF("doc_id", "text").withColumn("__delta", lit(delta))
+        .coalesce(1).write.mode("append").parquet(topic)
+    def drain(): Long = CorpusStream.maintainRtbfAvailableNow(
+      spark, topic, schema, index, admission, members, cc,
+      lookup = allDocs, checkpointDir = s"$root/ckpt", k = 16, bands = 4,
+      maxFilesPerTrigger = Some(1))
+    // round 0 unmeasured: creates the checkpoint and pins the query id
+    emit(docsOf(0), 1L)
+    drain()
+    val meta = scala.io.Source.fromFile(
+      new java.io.File(s"$root/ckpt/metadata"))
+    val queryId =
+      try "\"id\"\\s*:\\s*\"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(meta.mkString).get.group(1)
+      finally meta.close()
+    def drainBytes(action: => Unit): Long = {
+      val stages = mutable.Set[Int]()
+      @volatile var bytes = 0L
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          if (Option(js.properties).exists(p =>
+              p.getProperty("sql.streaming.queryId") == queryId))
+            stages.synchronized { stages ++= js.stageIds }
+        }
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          if (stages.synchronized(stages.contains(sc.stageInfo.stageId)))
+            bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        action
+        var last = -1L
+        var spins = 0
+        while (bytes != last && spins < 50) {
+          last = bytes; spins += 1; Thread.sleep(100)
+        }
+        bytes
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val perRound = (1 until 10).map { i =>
+      emit(docsOf(i), 1L)
+      emit(docsOf(i - 1).take(3), -1L) // separate micro-batch (1 file each)
+      drainBytes { drain(); () }
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(0, 3).sum / 3.0
+    val late = perRound.slice(6, 9).sum / 3.0
+    assert(late < early * 2.0,
+      s"per-drain shuffle grew with store state: early=$early " +
         s"late=$late (${perRound.mkString(",")})")
   }
 }
