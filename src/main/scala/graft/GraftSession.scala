@@ -60,6 +60,13 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Serve-registry restore: the in-memory MV registries are
+    // process-local, so a restarted session would answer dashboard
+    // queries from raw scans until re-registration. When
+    // `spark.graft.servesDir` / GRAFT_SERVES_DIR names a persisted
+    // serve catalog, re-register its entries now (ServeCatalogSpec
+    // pins the across-restart scan-paths contract).
+    graft.plans.ServeCatalog.restore(spark)
     spark
   }
 }

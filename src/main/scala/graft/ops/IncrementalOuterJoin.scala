@@ -220,11 +220,23 @@ object IncrementalOuterJoin {
     * store (when `otherUn` is tracked) — retraction for keys whose net
     * went 0→positive, re-add for keys whose net went positive→0. A key's
     * net going NEGATIVE (retracting more than was inserted) is refused
-    * loudly before anything is committed. */
+    * loudly before anything is committed.
+    *
+    * `tap` (the mid-tree cascade seam — [[graft.ops.JoinTreeIvm]]):
+    * when set, receives this append's OUTER Δ — the inner Δ-rule rows
+    * PLUS the signed null-extension deltas this batch just stored
+    * (unmatched `+mult` rows and transition waves, right columns
+    * null-extended) — in plain `(values…, __mult)` form. It fires
+    * BEFORE the done-marker, like [[IncrementalJoin.appendSide]]'s tap,
+    * so a mid-cascade crash retry re-presents the identical Δ (every
+    * frame derives from PRE-batch state) and downstream manifests
+    * dedup. Only the LEFT-OUTER shape taps (the un stores track left
+    * groups; right columns are the null side). */
   private[ops] def signedAppendSide(in: IncrementalJoin.Stores,
       batch: DataFrame, on: Seq[String], batchId: Long, isLeft: Boolean,
       deltaCol: String, ownUn: Option[AppendOnlyStore],
-      otherUn: Option[AppendOnlyStore]): Unit = {
+      otherUn: Option[AppendOnlyStore],
+      tap: Option[DataFrame => Unit] = None): Unit = {
     val side = in.sideName(isLeft)
     if (in.hasMarker(s"$side.$batchId.done")) return
     if (in.hasMarker(s"$side.$batchId.started")) in.touch(s"$side.dirty")
@@ -235,6 +247,10 @@ object IncrementalOuterJoin {
     val d = IncrementalJoin.foldSigned(batch, on, batchId, deltaCol)
       .cutLineage()
     val otherExists = in.sideExists(!isLeft)
+    require(tap.isEmpty || !isLeft || otherExists,
+      "an outer level with a downstream tap needs its right (dim) side " +
+        "loaded before prefix rows flow through — the null extension " +
+        "needs the dim schema (an empty right batch is fine)")
 
     // transition waves FIRST (they read the other side's un semantics off
     // this side's state BEFORE this batch lands in it) — and the
@@ -250,22 +266,32 @@ object IncrementalOuterJoin {
         "net key count would go negative; deltas must never delete " +
         "rows that were not inserted")
 
-    if (otherExists)
-      in.out.append(IncrementalJoin.deltaJoin(d,
-        IncrementalJoin.sideState(in, !isLeft), on, deltaIsLeft = isLeft))
+    val dOut =
+      if (otherExists) {
+        val o0 = IncrementalJoin.deltaJoin(d,
+          IncrementalJoin.sideState(in, !isLeft), on, deltaIsLeft = isLeft)
+        // the tap is a second consumer — cut so the delta join is not
+        // recomputed (same trade as the inner appendSide)
+        val o = if (tap.isDefined) o0.cutLineage() else o0
+        in.out.append(o)
+        Some(o)
+      } else None
 
-    ownUn.foreach { un =>
-      val unmatched =
+    val ownUnmatched = ownUn.map { un =>
+      val unmatched0 =
         if (otherExists) {
           val dk = d.select(on.map(col): _*).distinct()
           val matched = netPresentKeys(in, !isLeft, dk, on)
           d.join(matched.hint("SHUFFLE_HASH"), on, "left_anti")
         } else d
+      val unmatched =
+        if (tap.isDefined) unmatched0.cutLineage() else unmatched0
       un.append(unmatched.withColumn("__tbid", lit(batchId))
         .withColumn("__tside", lit(if (isLeft) "L" else "R")))
+      unmatched
     }
 
-    otherUn.foreach { un =>
+    val waveDeltas = otherUn.flatMap { un =>
       if (otherExists) {
         val nowMatched = trans
           .filter(col("__before") <= 0 && col("__after") > 0)
@@ -273,11 +299,33 @@ object IncrementalOuterJoin {
         val nowUnmatched = trans
           .filter(col("__before") > 0 && col("__after") <= 0)
           .select(on.map(col): _*)
-        un.append(unWave(in, !isLeft, nowMatched, on, batchId,
-          negate = true))
-        un.append(unWave(in, !isLeft, nowUnmatched, on, batchId,
-          negate = false))
+        val retract0 = unWave(in, !isLeft, nowMatched, on, batchId,
+          negate = true)
+        val readd0 = unWave(in, !isLeft, nowUnmatched, on, batchId,
+          negate = false)
+        val (retract, readd) =
+          if (tap.isDefined) (retract0.cutLineage(), readd0.cutLineage())
+          else (retract0, readd0)
+        un.append(retract)
+        un.append(readd)
+        Some(retract.unionByName(readd))
+      } else None
+    }
+
+    // every frame above derives from PRE-batch state, so firing the tap
+    // before appendToTable keeps a retry's recomputation identical
+    tap.foreach { t =>
+      val nullDeltas = (ownUnmatched.toSeq ++ waveDeltas.toSeq)
+        .map(_.drop("__bid", "__jk", "__tbid", "__tside"))
+      dOut.foreach { o =>
+        val inner = o.drop("__jk", "__lbid", "__rbid")
+        val full = nullDeltas.foldLeft(inner) { (acc, nd) =>
+          acc.unionByName(nullExtendTo(acc, nd, in.spark, in.rightTable))
+        }
+        t(full)
       }
+      // no other-side state: inner Δ is empty and (for a right batch)
+      // no waves exist — nothing flows downstream this batch
     }
 
     IncrementalJoin.appendToTable(in, isLeft, d, on)
@@ -291,18 +339,20 @@ object IncrementalOuterJoin {
     * side), so the only new work vs the append-only path is netting the
     * matched-key probe. */
   def appendLeftDelta(st: Stores, batch: DataFrame, on: Seq[String],
-                      batchId: Long, deltaCol: String = "__delta"): Unit =
+                      batchId: Long, deltaCol: String = "__delta",
+                      tap: Option[DataFrame => Unit] = None): Unit =
     signedAppendSide(st.inner, batch, on, batchId, isLeft = true, deltaCol,
-      ownUn = Some(st.un), otherUn = None)
+      ownUn = Some(st.un), otherUn = None, tap = tap)
 
   /** Apply one SIGNED right-side batch. A right delete wave can make a
     * key's net count reach zero — every left group with that key becomes
     * unmatched AGAIN and its null-extended row is RE-ADDED to the signed
     * store (the transition direction append-only inputs can never take). */
   def appendRightDelta(st: Stores, batch: DataFrame, on: Seq[String],
-                       batchId: Long, deltaCol: String = "__delta"): Unit =
+                       batchId: Long, deltaCol: String = "__delta",
+                       tap: Option[DataFrame => Unit] = None): Unit =
     signedAppendSide(st.inner, batch, on, batchId, isLeft = false, deltaCol,
-      ownUn = None, otherUn = Some(st.un))
+      ownUn = None, otherUn = Some(st.un), tap = tap)
 
   /** Collapse the un store's signed contributions to one netted row per
     * value group, dropping fully-retracted (net-0) groups — the

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 
 import graft.ops.Lineage.LineageSyntax
 import graft.sinks.AppendOnlyStore
@@ -69,42 +70,70 @@ object JoinTreeIvm {
   /** One maintained tree: `levels(j)` joins the (j+1)-prefix output with
     * leaf `j+1` on `keys(j)`; `agg` optionally maintains an
     * [[IncrementalAgg]] over the full join's signed Δ-output (spec
-    * columns refer to JOIN-OUTPUT columns). When `outerUn` is set the
-    * LAST level is a LEFT OUTER join (`…prefix ⟕ leaf(n−1)` — the
-    * enrichment shape where facts keep flowing when the last dimension
-    * has no row yet): `levels.last` is that level's inner Δ-rule store
-    * and `outerUn` its signed unmatched multiset
-    * ([[IncrementalOuterJoin]]'s layout). */
+    * columns refer to JOIN-OUTPUT columns). `outerUns` maps each LEFT
+    * OUTER level to its signed unmatched multiset
+    * ([[IncrementalOuterJoin]]'s layout; that level's `levels(j)` is
+    * its inner Δ-rule store): the LAST level may always be outer (the
+    * q209 enrichment shape), and a MID level may be outer when the tree
+    * is PREFIX-KEYED past it — every later level's join keys derive
+    * from prefix-side columns, so a null-extended group never loses a
+    * downstream probe key (checked against the dim schema on first
+    * flow-through). */
   final case class Stores(levels: Vector[IncrementalJoin.Stores],
                           keys: Vector[Seq[String]],
                           agg: Option[(AppendOnlyStore, IncrementalAgg.Spec)],
-                          outerUn: Option[AppendOnlyStore] = None,
+                          outerUns: Map[Int, AppendOnlyStore] = Map.empty,
                           extrema: Option[(AppendOnlyStore, MinMaxAgg.Spec)] =
                             None) {
     /** Number of leaf inputs (= levels + 1). */
     def leaves: Int = levels.length + 1
+    /** The last level's outer stores, when the last level is outer. */
+    private[ops] def outerUn: Option[AppendOnlyStore] =
+      outerUns.get(levels.length - 1)
     private[ops] def outer: IncrementalOuterJoin.Stores =
-      IncrementalOuterJoin.Stores(levels.last, outerUn.get)
+      outerAt(levels.length - 1)
+    private[ops] def outerAt(j: Int): IncrementalOuterJoin.Stores =
+      IncrementalOuterJoin.Stores(levels(j), outerUns(j))
   }
 
   /** Open a tree under one root (level `j` under `<root>/j<j>`, the
     * optional downstream aggregate under `<root>/agg`). `keys(j)` are
     * the equi-join columns between the (j+1)-prefix output and leaf
-    * `j+1` — they must exist in both. `outerLast` makes the final level
-    * a LEFT OUTER join; it cannot carry an `aggSpec` (the downstream tap
-    * rides the inner Δ-output only — a null-extension flip would bypass
-    * it) and needs ≥3 leaves (use [[IncrementalOuterJoin]] directly for
-    * the binary shape). */
+    * `j+1` — they must exist in both.
+    *
+    * `outerLast` makes the final level a LEFT OUTER join; it cannot
+    * carry an `aggSpec` (the downstream tap rides the inner Δ-output
+    * only — a null-extension flip would bypass it) and needs ≥3 leaves
+    * (use [[IncrementalOuterJoin]] directly for the binary shape).
+    *
+    * `outerLevels` makes MID levels LEFT OUTER — the prefix-keyed
+    * enrichment chain `fact ⟕ dim1 ⟕ dim2` where every join key derives
+    * from FACT columns, so a null-extended group keeps its downstream
+    * probe keys. Each mid outer level's OUTER Δ (inner rows plus signed
+    * null-extension deltas) feeds the next level through the cascade,
+    * so retraction waves on ANY leaf — including a late dim arrival
+    * flipping null-extended groups to matched — propagate exactly.
+    * Provenance is enforced when the level's dim schema is known: a
+    * downstream key among the null-extendable dim columns raises.
+    * Mid-outer levels run the SIGNED path (unsigned appends are lifted
+    * to +1 deltas); a maintained `aggSpec`/`extremaSpec` composes fine
+    * (the last level's tap sees the full outer Δ stream). */
   def stores(spark: SparkSession, root: String, keys: Seq[Seq[String]],
              buckets: Int = 16,
              aggSpec: Option[IncrementalAgg.Spec] = None,
              outerLast: Boolean = false,
-             extremaSpec: Option[MinMaxAgg.Spec] = None): Stores = {
+             extremaSpec: Option[MinMaxAgg.Spec] = None,
+             outerLevels: Seq[Int] = Nil): Stores = {
     require(keys.nonEmpty, "a join tree needs at least one join (two leaves)")
-    require(!outerLast || keys.size >= 2,
+    val outs = (outerLevels ++ (if (outerLast) Seq(keys.size - 1) else Nil))
+      .distinct.sorted
+    require(outs.forall(j => j >= 0 && j < keys.size),
+      s"outer levels $outs out of range for ${keys.size} levels")
+    val lastIsOuter = outs.contains(keys.size - 1)
+    require(!lastIsOuter || keys.size >= 2,
       "an outer-last tree needs >=3 leaves; use IncrementalOuterJoin " +
         "for the binary left-outer shape")
-    require(!outerLast || (aggSpec.isEmpty && extremaSpec.isEmpty),
+    require(!lastIsOuter || (aggSpec.isEmpty && extremaSpec.isEmpty),
       "an outer-last tree cannot chain a maintained aggregate or extrema " +
         "multiset: the tap rides the inner Δ-output and would miss " +
         "null-extension flips")
@@ -114,10 +143,8 @@ object JoinTreeIvm {
       keys.map(_.toSeq).toVector,
       aggSpec.map(sp => (new AppendOnlyStore(spark, s"$root/agg",
         prefixCol = "__agg_key", prefixChars = 1), sp)),
-      if (outerLast)
-        Some(new AppendOnlyStore(spark, s"$root/j${keys.size - 1}/un",
-          prefixCol = "__jk", prefixChars = 1))
-      else None,
+      outs.map(j => j -> new AppendOnlyStore(spark, s"$root/j$j/un",
+        prefixCol = "__jk", prefixChars = 1)).toMap,
       extremaSpec.map(es => (new AppendOnlyStore(spark, s"$root/extrema",
         prefixCol = "__agg_key", prefixChars = 1), es)))
   }
@@ -155,20 +182,59 @@ object JoinTreeIvm {
         }
       }
     }
-    else if (level == st.levels.length - 2 && st.outerUn.isDefined)
-      // the next level is the OUTER last level: its left side takes the
+    else if (st.outerUns.contains(level + 1)) {
+      // the next level is an OUTER level: its left side takes the
       // prefix Δ as a full signed outer append (unmatched bookkeeping
       // included); exactly-once still rides the ENTRY level's manifest —
-      // the outer level's own manifest absorbs mid-cascade crash retries
-      Some { dOut =>
-        IncrementalOuterJoin.appendLeftDelta(st.outer, signedOf(dOut),
-          st.keys(level + 1), dsId)
-      }
+      // the outer level's own manifest absorbs mid-cascade crash retries.
+      // A MID outer level additionally hands its OUTER Δ (inner rows +
+      // signed null-extension deltas) onward through the outer tap.
+      val next = level + 1
+      if (next == st.levels.length - 1)
+        Some { dOut =>
+          IncrementalOuterJoin.appendLeftDelta(st.outer, signedOf(dOut),
+            st.keys(next), dsId)
+        }
+      else
+        Some { dOut =>
+          requirePrefixKeyed(st, next)
+          IncrementalOuterJoin.appendLeftDelta(st.outerAt(next),
+            signedOf(dOut), st.keys(next), dsId,
+            tap = Some(outerD => tapFor(st, next, dsId)
+              .foreach(_(outerD))))
+        }
+    }
     else Some { dOut =>
       IncrementalJoin.appendSide(st.levels(level + 1), signedOf(dOut),
         st.keys(level + 1), dsId, isLeft = true, Some("__delta"),
         tapFor(st, level + 1, dsId))
     }
+  }
+
+  /** Key provenance for a MID-tree outer level `j`: every LATER level's
+    * join keys must come from the prefix side — a null-extended group
+    * must never lose a downstream probe key. Checked against the dim
+    * (right) schema, known once the dim leaf has its first append: the
+    * null-extendable set is the dim's value columns minus the level's
+    * own equi-keys (which equal the prefix side's on inner rows and
+    * stay non-null on null-extended ones). */
+  private def requirePrefixKeyed(st: Stores, j: Int): Unit = {
+    val in = st.levels(j)
+    require(in.sideExists(false),
+      s"mid-tree outer level $j needs its dim leaf loaded before any " +
+        "prefix rows flow through — the null extension needs the dim " +
+        "schema (an empty batch is fine)")
+    val nullable = in.spark.table(in.rightTable).columns
+      .filterNot(c => c == "__mult" || c == "__bid" ||
+        c == IncrementalJoin.BucketGroupCol)
+      .filterNot(st.keys(j).contains).toSet
+    val laterKeys = st.keys.drop(j + 1).flatten.toSet
+    val clash = laterKeys.intersect(nullable)
+    require(clash.isEmpty,
+      s"mid-tree outer level $j is not prefix-keyed: downstream join " +
+        s"keys ${clash.mkString(", ")} come from its null-extendable " +
+        "dim columns, so a null-extended group would lose its probe " +
+        "key — reorder leaves or key later levels on prefix columns")
   }
 
   private def append(st: Stores, leaf: Int, batch: DataFrame, batchId: Long,
@@ -180,7 +246,7 @@ object JoinTreeIvm {
     val dsId = st.leaves.toLong * batchId + leaf
     val level = math.max(leaf - 1, 0)
     if (leaf == st.leaves - 1 && st.outerUn.isDefined)
-      // the last leaf is the OUTER level's right side
+      // the last leaf is the (outer-last) OUTER level's right side
       deltaCol match {
         case Some(dc) =>
           IncrementalOuterJoin.appendRightDelta(st.outer, batch,
@@ -189,6 +255,27 @@ object JoinTreeIvm {
           IncrementalOuterJoin.appendRight(st.outer, batch,
             st.keys(level), dsId)
       }
+    else if (st.outerUns.contains(level)) {
+      // a MID outer level (or outer level 0): unsigned appends lift to
+      // +1 deltas (the outer tap needs the signed path), and the OUTER
+      // Δ cascades onward. The dim's own FIRST append is what creates
+      // the right schema, so provenance waits for it (nothing can have
+      // flowed through before — the left-flow check gates on the dim).
+      if (leaf == 0 || st.levels(level).sideExists(false))
+        requirePrefixKeyed(st, level)
+      val (b, dc) = deltaCol match {
+        case Some(c) => (batch, c)
+        case None => (batch.withColumn("__delta", lit(1L)), "__delta")
+      }
+      val tap = Some((outerD: DataFrame) =>
+        tapFor(st, level, dsId).foreach(_(outerD)))
+      if (leaf == 0)
+        IncrementalOuterJoin.appendLeftDelta(st.outerAt(level), b,
+          st.keys(level), dsId, dc, tap = tap)
+      else
+        IncrementalOuterJoin.appendRightDelta(st.outerAt(level), b,
+          st.keys(level), dsId, dc, tap = tap)
+    }
     else
       IncrementalJoin.appendSide(st.levels(level), batch, st.keys(level),
         dsId, isLeft = leaf == 0, deltaCol, tapFor(st, level, dsId))
@@ -240,9 +327,12 @@ object JoinTreeIvm {
     require(paths.size == st.leaves,
       s"registerServe needs one raw path per leaf: ${paths.size} given, " +
         s"${st.leaves} leaves")
-    // an outer LAST level is not an inner multiset — its prefixes still
-    // serve, the full tree does not (TreeMv registrations are inner-only)
-    val innerLeaves = if (st.outerUn.isDefined) st.leaves - 1 else st.leaves
+    // an outer level's output is not an inner multiset — prefixes
+    // STRICTLY BEFORE the first outer level still serve, nothing at or
+    // past it does (TreeMv registrations are inner-only; an INNER-join
+    // query over those paths must not be answered from outer state)
+    val innerLeaves = innerLeavesOf(st)
+    if (innerLeaves < 2) return
     // The 2-leaf prefix is a COURTESY registration: claim the pair only
     // if no independent binary MV already serves it (overwriting would
     // clobber that registration's serve and its own fresh() guard), and
@@ -276,11 +366,17 @@ object JoinTreeIvm {
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       graft.plans.MaterializedJoinRewrite.JoinMv]()
 
+  /** Leaf prefixes servable as INNER multisets: those strictly before
+    * the first outer level. */
+  private def innerLeavesOf(st: Stores): Int =
+    st.outerUns.keys.minOption.getOrElse(st.levels.length) + 1
+
   /** Remove every registration [[registerServe]] installed — and ONLY
     * those: an independent binary MV that already held the 2-leaf pair
     * at register time was never overwritten and is left in place. */
   def deregisterServe(st: Stores, paths: Seq[String]): Unit = {
-    val innerLeaves = if (st.outerUn.isDefined) st.leaves - 1 else st.leaves
+    val innerLeaves = innerLeavesOf(st)
+    if (innerLeaves < 2) return
     Option(ownedPrefix.remove((paths(0), paths(1)))).foreach { mv =>
       graft.plans.MaterializedJoinRewrite.deregisterIfSame(
         paths(0), paths(1), mv)
@@ -340,7 +436,8 @@ object JoinTreeIvm {
       IncrementalJoin.compactOut(st.levels(j))
       IncrementalJoin.compactSides(st.levels(j), st.keys(j))
     }
-    st.outerUn.foreach(_ => IncrementalOuterJoin.compactUn(st.outer))
+    st.outerUns.keys.foreach(j =>
+      IncrementalOuterJoin.compactUn(st.outerAt(j)))
     st.agg.foreach { case (store, spec) =>
       IncrementalAgg.compact(store, spec)
     }

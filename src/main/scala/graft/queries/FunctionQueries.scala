@@ -727,6 +727,70 @@ object FunctionQueries {
       .orderBy($"n_name")
   }
 
+  /** MID-TREE LEFT OUTER IVM (q211): the prefix-keyed enrichment chain
+    * `lineitem ⟕ supplier ⟕ part` with LEFT OUTER at BOTH levels —
+    * level 0 is a MID-tree outer (the shape [[graft.ops.JoinTreeIvm]]
+    * refused until round 11) and level 1 is the outer last. Both join
+    * keys (`sk`, `pk`) derive from the FACT leaf, so a null-extended
+    * group never loses its downstream probe key; each mid-outer append
+    * hands its OUTER Δ (inner rows + signed null-extension deltas)
+    * down the cascade. The waves exercise every transition on BOTH
+    * levels: late-dim arrivals flip unmatched groups to matched ACROSS
+    * the downstream level, dim DELETE waves flip them back (the signed
+    * un-store's re-add path), a fact takedown retracts matched and
+    * null-extended rows alike, and a committed replay no-ops at the
+    * entry manifest. Oracle = the one-shot chained LEFT JOIN over the
+    * net inputs. */
+  def q211MidTreeOuterIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.JoinTreeIvm
+    val factAll = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_suppkey".as("sk"),
+        $"l_partkey".as("pk"),
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val supp = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey".as("sk"), $"s_nationkey".cast("long").as("snk"))
+    val part = Tables.load(s, dir, "part")
+      .select($"p_partkey".as("pk"), $"p_size".cast("long").as("psize"))
+    val st = JoinTreeIvm.stores(s,
+      java.nio.file.Files.createTempDirectory("q211mtree").toString,
+      Seq(Seq("sk"), Seq("pk")), outerLevels = Seq(0), outerLast = true)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      // partial dim seeds: most facts start life null-extended
+      JoinTreeIvm.appendLeaf(st, 1, supp.filter($"sk" % 4 === 0), 0L)
+      JoinTreeIvm.appendLeaf(st, 2, part.filter($"pk" % 3 === 0), 1L)
+      JoinTreeIvm.appendLeaf(st, 0,
+        factAll.filter($"okey" % 2 === 0).drop("okey"), 2L)
+      // late dim1: unmatched→matched flips cascade THROUGH level 1
+      JoinTreeIvm.appendLeaf(st, 1, supp.filter($"sk" % 4 =!= 0), 3L)
+      JoinTreeIvm.appendLeaf(st, 0,
+        factAll.filter($"okey" % 2 === 1).drop("okey"), 4L)
+      // late dim2: the outer-last level's own flips
+      JoinTreeIvm.appendLeaf(st, 2, part.filter($"pk" % 3 =!= 0), 5L)
+      // dim DELETE waves on BOTH levels: matched→unmatched re-adds
+      JoinTreeIvm.appendLeafDelta(st, 1,
+        supp.filter($"sk" % 7 === 3).withColumn("__delta", lit(-1L)), 6L)
+      JoinTreeIvm.appendLeafDelta(st, 2,
+        part.filter($"pk" % 11 === 5).withColumn("__delta", lit(-1L)), 7L)
+      // fact takedown: matched and null-extended rows retract alike
+      JoinTreeIvm.appendLeafDelta(st, 0,
+        factAll.filter($"okey" % 13 === 1).drop("okey")
+          .withColumn("__delta", lit(-1L)), 8L)
+      // committed replay: the entry manifest no-ops the whole cascade
+      JoinTreeIvm.appendLeaf(st, 2, part.filter($"pk" % 3 =!= 0), 5L)
+      JoinTreeIvm.compact(st)
+    } finally s.conf.set(aqeKey, aqeWas)
+    JoinTreeIvm.current(st)
+      .groupBy(coalesce($"snk", lit(-1L)).as("snk"),
+        coalesce($"psize", lit(-1L)).as("psize"))
+      .agg(sum($"n").as("n_rows"),
+        sum($"cents" * $"n").as("sum_cents"))
+      .orderBy($"snk", $"psize")
+  }
+
   /** N-ary tree-MV SQL serving (q207): the q206 maintained 3-way join
     * (`orders ⋈ customer ⋈ nation`, insert + takedown waves) registered
     * with [[graft.plans.MaterializedJoinRewrite.registerTree]] — a user's
@@ -1451,6 +1515,7 @@ object FunctionQueries {
     "q207_tree_mv_serve" -> (q207TreeMvServe _),
     "q209_outer_tree_ivm" -> (q209OuterTreeIvm _),
     "q210_tree_extrema_serve" -> (q210TreeExtremaServe _),
+    "q211_midtree_outer_ivm" -> (q211MidTreeOuterIvm _),
     "q171_join_ivm_outer" -> (q171JoinIvmOuter _),
     "q173_join_ivm_full" -> (q173JoinIvmFull _),
     "q151_kmv_overlap" -> (q151KmvOverlap _),
@@ -1710,6 +1775,25 @@ object FunctionQueries {
         |  ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // q211: one-shot chained LEFT JOIN over net inputs (suppliers minus
+    // the sk % 7 wave, parts minus the pk % 11 wave, facts minus the
+    // okey % 13 takedown) — both outer levels null-extend
+    "q211_midtree_outer_ivm" ->
+      """WITH f AS (SELECT l_suppkey sk, l_partkey pk,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) cents
+        |  FROM lineitem WHERE l_orderkey % 13 <> 1),
+        |sup AS (SELECT s_suppkey sk, CAST(s_nationkey AS BIGINT) snk
+        |  FROM supplier WHERE s_suppkey % 7 <> 3),
+        |prt AS (SELECT p_partkey pk, CAST(p_size AS BIGINT) psize
+        |  FROM part WHERE p_partkey % 11 <> 5)
+        |SELECT CAST(coalesce(s.snk, -1) AS BIGINT) AS snk,
+        |  CAST(coalesce(p.psize, -1) AS BIGINT) AS psize,
+        |  count(*) AS n_rows,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_cents
+        |FROM f LEFT JOIN sup s ON f.sk = s.sk
+        |  LEFT JOIN prt p ON f.pk = p.pk
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q207: the plain 3-way SQL the rewrite answered from tree state
     // (net = okey % 11 takedown applied on the fact leaf)
     "q207_tree_mv_serve" ->

@@ -69,7 +69,12 @@ class ClusterParitySpec extends SparkSpec {
     // round-10 additions II: the n-ary join-tree cascade (per-level
     // bucketed tables + Δ-taps crossing executor JVMs) and its SQL
     // serve (tree-registry rewrite resolving store scans in-plan)
-    "q206_join_tree_ivm", "q207_tree_mv_serve", "q209_outer_tree_ivm")
+    "q206_join_tree_ivm", "q207_tree_mv_serve", "q209_outer_tree_ivm",
+    // round-11 additions: the tree extrema serve (percentile_cont/
+    // disc rewrite resolving MinMaxAgg store scans in-plan under a
+    // multi-executor scheduler) and the CDC-topics → tree drain
+    // (streaming micro-batches cascading Δ-taps across executor JVMs)
+    "q210_tree_extrema_serve", "q208_cdc_tree")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

@@ -235,6 +235,91 @@ class JoinTreeIvmSpec extends SparkSpec {
     }
   }
 
+  test("MID-tree outer level: prefix-keyed null-extension flips cascade exactly") {
+    // fact(ok, sk, pk, v) ⟕ sup(sk, sn) ⟕ prt(pk, pn): both join keys
+    // derive from the fact leaf, so a null-extended group keeps its
+    // downstream probe key — the case mid-tree outer exists for
+    val st = JoinTreeIvm.stores(spark, tmpDir("mjtree"),
+      Seq(Seq("sk"), Seq("pk")), buckets = 4,
+      outerLevels = Seq(0), outerLast = true)
+    def facts(rows: (Long, Long, Long, Long)*) =
+      rows.toDF("ok", "sk", "pk", "v")
+    def sups(rows: (Long, String)*) = rows.toDF("sk", "sn")
+    def prts(rows: (Long, String)*) = rows.toDF("pk", "pn")
+    var f = facts(); var su = sups(); var pr = prts()
+    def cur() = JoinTreeIvm.current(st)
+      .select($"ok", $"sk", $"pk", $"v", $"sn", $"pn", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5)), r.getLong(6)))
+      .toSet
+    def oneShot() = f.join(su, Seq("sk"), "left")
+      .join(pr, Seq("pk"), "left")
+      .groupBy($"ok", $"sk", $"pk", $"v", $"sn", $"pn")
+      .agg(count(lit(1)).as("n"))
+      .select($"ok", $"sk", $"pk", $"v", $"sn", $"pn", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5)), r.getLong(6)))
+      .toSet
+    def check(): Unit = assert(cur() == oneShot(),
+      s"tree diverged from one-shot chained LEFT JOIN:\n${cur()}\nvs\n${oneShot()}")
+
+    JoinTreeIvm.appendLeaf(st, 1, sups(1L -> "s1"), 0L)
+    su = sups(1L -> "s1")
+    JoinTreeIvm.appendLeaf(st, 2, prts(10L -> "p10"), 1L)
+    pr = prts(10L -> "p10")
+    JoinTreeIvm.appendLeaf(st, 0,
+      facts((1L, 1L, 10L, 5L), (2L, 2L, 20L, 6L), (3L, 1L, 20L, 7L)), 2L)
+    f = facts((1L, 1L, 10L, 5L), (2L, 2L, 20L, 6L), (3L, 1L, 20L, 7L))
+    check() // fact 2 null on BOTH levels; fact 3 matched-sup, null-prt
+    // late sup: fact 2 flips matched at level 0 — the flip CASCADES
+    JoinTreeIvm.appendLeaf(st, 1, sups(2L -> "s2"), 3L)
+    su = sups(1L -> "s1", 2L -> "s2"); check()
+    // late prt: facts 2 and 3 flip at the outer-last level
+    JoinTreeIvm.appendLeaf(st, 2, prts(20L -> "p20"), 4L)
+    pr = prts(10L -> "p10", 20L -> "p20"); check()
+    // sup DELETE: facts 1 and 3 flip BACK to null sn — fact 3 keeps its
+    // matched pn (a null-extended group keeps probing: prefix-keyed)
+    JoinTreeIvm.appendLeafDelta(st, 1,
+      Seq((1L, "s1", -1L)).toDF("sk", "sn", "__delta"), 5L)
+    su = sups(2L -> "s2"); check()
+    // prt DELETE: fact 1 now null-extended on both levels
+    JoinTreeIvm.appendLeafDelta(st, 2,
+      Seq((10L, "p10", -1L)).toDF("pk", "pn", "__delta"), 6L)
+    pr = prts(20L -> "p20"); check()
+    // fact takedown retracts a fully-matched row through both levels
+    JoinTreeIvm.appendLeafDelta(st, 0,
+      Seq((2L, 2L, 20L, 6L, -1L)).toDF("ok", "sk", "pk", "v", "__delta"),
+      7L)
+    f = facts((1L, 1L, 10L, 5L), (3L, 1L, 20L, 7L)); check()
+    // committed replay no-ops; compaction is result-invariant
+    JoinTreeIvm.appendLeaf(st, 2, prts(20L -> "p20"), 4L)
+    check()
+    JoinTreeIvm.compact(st)
+    check()
+  }
+
+  test("mid-tree outer refuses non-prefix-keyed trees and unseeded dims") {
+    // keys(1) = nk comes from the OUTER level's dim (cust) — a
+    // null-extended group would lose its downstream probe key
+    val st = JoinTreeIvm.stores(spark, tmpDir("badtree"),
+      Seq(Seq("ck"), Seq("nk")), buckets = 4, outerLevels = Seq(0))
+    JoinTreeIvm.appendLeaf(st, 1, cust(1L -> 10L), 0L)
+    val e = intercept[IllegalArgumentException] {
+      JoinTreeIvm.appendLeaf(st, 0, fact((1L, 1L, 5L)), 1L)
+    }
+    assert(e.getMessage.contains("not prefix-keyed"), e.getMessage)
+    // prefix rows may not flow through a mid outer level before its dim
+    // schema exists
+    val st2 = JoinTreeIvm.stores(spark, tmpDir("unseeded"),
+      Seq(Seq("sk"), Seq("pk")), buckets = 4,
+      outerLevels = Seq(0), outerLast = true)
+    val e2 = intercept[IllegalArgumentException] {
+      JoinTreeIvm.appendLeaf(st2, 0,
+        Seq((1L, 1L, 10L, 5L)).toDF("ok", "sk", "pk", "v"), 0L)
+    }
+    assert(e2.getMessage.contains("dim leaf loaded"), e2.getMessage)
+  }
+
   test("batch-id disambiguation: same logical id on two leaves does not collide") {
     val st = tree()
     // leaf 1 and leaf 2 batches BOTH carry logical id 0: leaf 2's entry
