@@ -428,6 +428,35 @@ object JoinTreeIvm {
     throw new IllegalStateException(
       "this tree was opened without an extremaSpec"))
 
+  /** The tree's SERVING surfaces (the stores [[current]]/[[currentAgg]]/
+    * [[currentExtrema]] read) as one [[graft.sinks.StoreSetRef]] store
+    * map. A batch commits these sequentially (levels → agg → extrema),
+    * so a reader listing them directly can see a mid-batch mix;
+    * construct a `StoreSetRef` over this map, commit it once per batch
+    * (the CDC tree drain does when given one), and read through
+    * [[pinnedView]] for all-old-or-all-new. */
+  def serveSurfaces(st: Stores): Map[String, graft.sinks.AppendOnlyStore] =
+    Map("out" -> st.levels.last.out) ++
+      st.outerUn.map("un" -> _) ++
+      st.agg.map { case (store, _) => "agg" -> store } ++
+      st.extrema.map { case (store, _) => "extrema" -> store }
+
+  /** A CONSISTENCY-PINNED read handle: the same tree with its serving
+    * stores replaced by one committed ref's pinned views, so
+    * [[current]]/[[currentAgg]]/[[currentExtrema]] over it observe one
+    * batch boundary across ALL surfaces. Maintenance calls on the
+    * pinned view raise (the views are read-only). */
+  def pinnedView(st: Stores,
+                 snap: Map[String, graft.sinks.AppendOnlyStore]): Stores = {
+    val last = st.levels.length - 1
+    st.copy(
+      levels = st.levels.updated(last,
+        st.levels(last).copy(out = snap("out"))),
+      outerUns = st.outerUns ++ st.outerUn.map(_ => last -> snap("un")),
+      agg = st.agg.map { case (_, sp) => (snap("agg"), sp) },
+      extrema = st.extrema.map { case (_, es) => (snap("extrema"), es) })
+  }
+
   /** Compact every store in the tree (quiescence, single-writer):
     * per-level out stores + bucketed sides, the outer level's unmatched
     * multiset, then the aggregate and extrema. */

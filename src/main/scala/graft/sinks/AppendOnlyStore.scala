@@ -235,8 +235,37 @@ class AppendOnlyStore(spark: SparkSession, root: String,
     * OWN fingerprints when the plan re-evaluates after `append` — and
     * survives one concurrent compaction (the superseded generation's
     * files are retained until the following one). */
-  def read(): DataFrame = {
-    val files = dataFiles()
+  def read(): DataFrame = readAt(dataFiles())
+
+  /** The store's current physical file listing — the pin unit for
+    * cross-store consistent reads ([[StoreSetRef]]). Stable only under
+    * the store's single-writer contract (record it between batches). */
+  def fileListing(): Seq[String] = dataFiles()
+
+  /** A READ-ONLY view pinned to an explicit file listing (normally one
+    * a [[StoreSetRef]] committed): `read()`/`exists` resolve exactly
+    * those files regardless of appends or compactions since — pinned
+    * files survive one subsequent compaction, the same retention
+    * [[read]]'s own snapshot isolation rests on. Every read-side
+    * consumer ([[graft.ops.IncrementalAgg.current]], BM25, CC labels,
+    * join-state folds) takes the store handle, so a pinned view slots
+    * into any of them unchanged. Mutations raise. */
+  def pinned(files: Seq[String]): AppendOnlyStore = {
+    val outer = this
+    new AppendOnlyStore(spark, root, prefixCol, prefixChars) {
+      override def read(): DataFrame = outer.readAt(files)
+      override def exists: Boolean = files.nonEmpty
+      override def append(df: DataFrame): Unit =
+        throw new UnsupportedOperationException(
+          s"pinned view of $root is read-only")
+      override def compactWith(fold: DataFrame => DataFrame,
+                               maxFilesUntouched: Int): Unit =
+        throw new UnsupportedOperationException(
+          s"pinned view of $root is read-only")
+    }
+  }
+
+  private[sinks] def readAt(files: Seq[String]): DataFrame = {
     if (files.isEmpty) {
       // A store whose every row was retracted (signed IVM) compacts to
       // ZERO data files — a legal state a serve path must still read.

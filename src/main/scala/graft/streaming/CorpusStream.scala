@@ -145,7 +145,9 @@ object CorpusStream {
                                deltaCol: String = "__delta",
                                threshold: Double = 1.0,
                                k: Int = 32, bands: Int = 8,
-                               maxFilesPerTrigger: Option[Int] = None): Long = {
+                               maxFilesPerTrigger: Option[Int] = None,
+                               setRef: Option[graft.sinks.StoreSetRef] = None,
+                               midBatch: () => Unit = () => ()): Long = {
     import graft.ops.{DedupOps, IncrementalCc, IncrementalTextIndex}
     val n = new java.util.concurrent.atomic.AtomicLong(0L)
     var r = spark.readStream.schema(schema)
@@ -161,6 +163,10 @@ object CorpusStream {
           // 1. search index (signed, batch-sized appends)
           IncrementalTextIndex.appendDelta(index, batch, textCol, bid,
             Some(deltaCol))
+          // injectable mid-batch seam (CrossSurfaceRefSpec): the index
+          // has this batch, the admission store and labels do not yet —
+          // a StoreSetRef reader must still see all-old
+          midBatch()
           val ins = batch.filter(col(deltaCol) > 0)
             .select(col(idCol), col(textCol))
           val del = batch.filter(col(deltaCol) < 0)
@@ -191,6 +197,10 @@ object CorpusStream {
             idCol, k, bands)
           DedupOps.nearDupTakedown(admission, admDel, textCol, idCol,
             2 * bid + 1, k, bands)
+          // every surface committed: publish ONE cross-store ref so a
+          // concurrent reader pinning it sees this batch on all three
+          // surfaces or on none
+          setRef.foreach(_.commit())
           ()
         } finally {
           batch.unpersist(blocking = false)
@@ -202,6 +212,32 @@ object CorpusStream {
       .start()
     q.awaitTermination()
     n.get()
+  }
+
+  /** The RTBF drain's serving surfaces as one [[graft.sinks.StoreSetRef]]
+    * store map — construct the ref over these (same root as the drain's
+    * stores or anywhere durable), pass it to [[maintainRtbfAvailableNow]]
+    * and read via [[rtbfSnapshot]]. */
+  def rtbfSurfaces(index: graft.ops.IncrementalTextIndex.Stores,
+                   admission: AppendOnlyStore, members: AppendOnlyStore,
+                   cc: graft.ops.IncrementalCc.SignedStores)
+      : Map[String, AppendOnlyStore] = Map(
+    "index_postings" -> index.postings, "index_docs" -> index.docs,
+    "index_stats" -> index.stats, "admission" -> admission,
+    "members" -> members, "cc_labels" -> cc.labels,
+    "cc_edges" -> cc.edges)
+
+  /** A CONSISTENT read handle over the drain's three surfaces: typed
+    * store handles whose reads all resolve the same committed ref —
+    * all-old or all-new, never a mid-batch mix. */
+  def rtbfSnapshot(ref: graft.sinks.StoreSetRef, idCol: String)
+      : (graft.ops.IncrementalTextIndex.Stores, AppendOnlyStore,
+         graft.ops.IncrementalCc.SignedStores) = {
+    val s = ref.snapshot()
+    (graft.ops.IncrementalTextIndex.Stores(
+      s("index_postings"), s("index_docs"), s("index_stats"), idCol),
+      s("admission"),
+      graft.ops.IncrementalCc.SignedStores(s("cc_labels"), s("cc_edges")))
   }
 
   def ingestNearDedupedAvailableNow(spark: SparkSession, docsDir: String,

@@ -280,7 +280,9 @@ object JoinStream {
                                    leaf: Int,
                                    checkpointDir: String,
                                    idOffset: Long = 0L,
-                                   maxFilesPerTrigger: Option[Int] = None): Long = {
+                                   maxFilesPerTrigger: Option[Int] = None,
+                                   setRef: Option[graft.sinks.StoreSetRef] =
+                                     None): Long = {
     claimLeafDrain(spark, tree, leaf, idOffset, checkpointDir)
     var batches = 0L
     val q = CdcStream.readJsonlStream(spark, topicDir, maxFilesPerTrigger)
@@ -291,6 +293,10 @@ object JoinStream {
         val signed = graft.sources.Debezium.signedDeltas(batch, rowSchema)
         graft.ops.JoinTreeIvm.appendLeafDelta(tree, leaf, signed,
           batchId + idOffset)
+        // the cascade committed every level + downstream store: publish
+        // ONE cross-store ref so a reader pinning it never sees the
+        // aggregate ahead of the multiset (or vice versa)
+        setRef.foreach(_.commit())
         batches += 1
         ()
       }
