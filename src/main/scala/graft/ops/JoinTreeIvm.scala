@@ -60,10 +60,13 @@ import graft.sinks.AppendOnlyStore
   *
   * Single-writer per tree. The LAST level may be a LEFT OUTER join
   * (`outerLast = true` — the prefix Δ feeds [[IncrementalOuterJoin]]'s
-  * signed left path, so null-extension flips ride the cascade); non-equi
-  * trees, cyclic/worst-case-optimal join orders, and MID-tree outer
-  * levels stay out of scope — a mid-tree null-extended group has no
-  * join key for the next level's Δ-rule to probe.
+  * signed left path, so null-extension flips ride the cascade). MID
+  * levels may be LEFT OUTER when the tree is PREFIX-KEYED past them
+  * (`outerLevels` — every later join key derives from prefix columns,
+  * so a null-extended group keeps its downstream probe keys; the
+  * general case, where a downstream key comes from the outer level's
+  * dim, is refused at first flow-through). Non-equi trees and
+  * cyclic/worst-case-optimal join orders stay out of scope.
   */
 object JoinTreeIvm {
 
@@ -133,10 +136,14 @@ object JoinTreeIvm {
     require(!lastIsOuter || keys.size >= 2,
       "an outer-last tree needs >=3 leaves; use IncrementalOuterJoin " +
         "for the binary left-outer shape")
-    require(!lastIsOuter || (aggSpec.isEmpty && extremaSpec.isEmpty),
-      "an outer-last tree cannot chain a maintained aggregate or extrema " +
-        "multiset: the tap rides the inner Δ-output and would miss " +
-        "null-extension flips")
+    // An outer-last tree MAY chain an aggSpec/extremaSpec since round
+    // 11: the downstream consumes the OUTER Δ through the signed outer
+    // append's tap, so null-extension flips reach the aggregate (a late
+    // dim retracts the null group and inserts the named one). Two
+    // contracts follow: the outer dim must be seeded before prefix rows
+    // flow (the null extension needs its schema — an empty batch is
+    // fine), and an extrema valCol should be effectively non-null
+    // (prefix-derived), the same registrant contract as extremaServe.
     Stores(
       keys.indices.map(j =>
         IncrementalJoin.stores(spark, s"$root/j$j", buckets)).toVector,
@@ -159,41 +166,49 @@ object JoinTreeIvm {
     * IS the next level's delta); the LAST level's Δ-output feeds the
     * optional maintained aggregate. Fires BEFORE the entry append's
     * done-marker — see the exactly-once contract above. */
-  private def tapFor(st: Stores, level: Int,
-                     dsId: Long): Option[DataFrame => Unit] = {
-    def signedOf(dOut: DataFrame): DataFrame =
-      dOut.drop("__jk", "__lbid", "__rbid")
-        .withColumnRenamed("__mult", "__delta")
-    if (level == st.levels.length - 1) {
-      if (st.agg.isEmpty && st.extrema.isEmpty) None
-      else Some { dOut =>
-        val signed0 = signedOf(dOut)
-        // two sinks re-read the frame — cut once so the delta join
-        // behind it is not recomputed per sink (the ChainedIvm trade)
-        val signed =
-          if (st.agg.isDefined && st.extrema.isDefined)
-            signed0.cutLineage()
-          else signed0
-        st.agg.foreach { case (store, spec) =>
-          IncrementalAgg.appendDelta(store, signed, spec, dsId)
-        }
-        st.extrema.foreach { case (store, es) =>
-          MinMaxAgg.appendDelta(store, signed, es, dsId)
-        }
+  private def signedOf(dOut: DataFrame): DataFrame =
+    dOut.drop("__jk", "__lbid", "__rbid")
+      .withColumnRenamed("__mult", "__delta")
+
+  /** The downstream agg/extrema consumer of the FINAL level's Δ-output
+    * — inner Δ frames from an inner last level, OUTER Δ frames (null
+    * flips included, via the outer append's tap) from an outer last
+    * level. None when nothing is chained. */
+  private def downstreamFor(st: Stores,
+                            dsId: Long): Option[DataFrame => Unit] =
+    if (st.agg.isEmpty && st.extrema.isEmpty) None
+    else Some { dOut =>
+      val signed0 = signedOf(dOut)
+      // two sinks re-read the frame — cut once so the delta join
+      // behind it is not recomputed per sink (the ChainedIvm trade)
+      val signed =
+        if (st.agg.isDefined && st.extrema.isDefined)
+          signed0.cutLineage()
+        else signed0
+      st.agg.foreach { case (store, spec) =>
+        IncrementalAgg.appendDelta(store, signed, spec, dsId)
+      }
+      st.extrema.foreach { case (store, es) =>
+        MinMaxAgg.appendDelta(store, signed, es, dsId)
       }
     }
+
+  private def tapFor(st: Stores, level: Int,
+                     dsId: Long): Option[DataFrame => Unit] = {
+    if (level == st.levels.length - 1) downstreamFor(st, dsId)
     else if (st.outerUns.contains(level + 1)) {
       // the next level is an OUTER level: its left side takes the
       // prefix Δ as a full signed outer append (unmatched bookkeeping
       // included); exactly-once still rides the ENTRY level's manifest —
       // the outer level's own manifest absorbs mid-cascade crash retries.
-      // A MID outer level additionally hands its OUTER Δ (inner rows +
-      // signed null-extension deltas) onward through the outer tap.
+      // A MID outer level hands its OUTER Δ (inner rows + signed
+      // null-extension deltas) onward through the outer tap; an outer
+      // LAST level hands it to the chained agg/extrema the same way.
       val next = level + 1
       if (next == st.levels.length - 1)
         Some { dOut =>
           IncrementalOuterJoin.appendLeftDelta(st.outer, signedOf(dOut),
-            st.keys(next), dsId)
+            st.keys(next), dsId, tap = downstreamFor(st, dsId))
         }
       else
         Some { dOut =>
@@ -245,16 +260,25 @@ object JoinTreeIvm {
       s"tree batch ids must be in [0, 2^62/${st.leaves}): $batchId")
     val dsId = st.leaves.toLong * batchId + leaf
     val level = math.max(leaf - 1, 0)
-    if (leaf == st.leaves - 1 && st.outerUn.isDefined)
-      // the last leaf is the (outer-last) OUTER level's right side
-      deltaCol match {
-        case Some(dc) =>
+    if (leaf == st.leaves - 1 && st.outerUn.isDefined) {
+      // the last leaf is the (outer-last) OUTER level's right side; a
+      // chained agg/extrema consumes the OUTER Δ through the tap (null
+      // flips this dim batch causes included), which needs the signed
+      // path — unsigned appends lift to +1 deltas then
+      val downstream = downstreamFor(st, dsId)
+      (deltaCol, downstream) match {
+        case (Some(dc), _) =>
           IncrementalOuterJoin.appendRightDelta(st.outer, batch,
-            st.keys(level), dsId, dc)
-        case None =>
+            st.keys(level), dsId, dc, tap = downstream)
+        case (None, Some(_)) =>
+          IncrementalOuterJoin.appendRightDelta(st.outer,
+            batch.withColumn("__delta", lit(1L)), st.keys(level), dsId,
+            "__delta", tap = downstream)
+        case (None, None) =>
           IncrementalOuterJoin.appendRight(st.outer, batch,
             st.keys(level), dsId)
       }
+    }
     else if (st.outerUns.contains(level)) {
       // a MID outer level (or outer level 0): unsigned appends lift to
       // +1 deltas (the outer tap needs the signed path), and the OUTER
@@ -344,19 +368,25 @@ object JoinTreeIvm {
     if (graft.plans.MaterializedJoinRewrite.registerIfAbsent(
         paths(0), paths(1), binMv))
       ownedPrefix.put((paths(0), paths(1)), binMv)
+    val downstreamServe = st.agg.toSeq.map { case (store, spec) =>
+      graft.plans.MaterializedAggRewrite.MvDef(spec.keyCols,
+        spec.sumCols, () => IncrementalAgg.current(store, spec))
+    } ++ st.extrema.toSeq.map(_ => extremaServe(st))
     (3 to innerLeaves).foreach { n =>
-      val aggServe =
-        if (n == st.leaves)
-          st.agg.toSeq.map { case (store, spec) =>
-            graft.plans.MaterializedAggRewrite.MvDef(spec.keyCols,
-              spec.sumCols, () => IncrementalAgg.current(store, spec))
-          } ++ st.extrema.toSeq.map(_ => extremaServe(st))
-        else Nil
+      val aggServe = if (n == st.leaves) downstreamServe else Nil
       graft.plans.MaterializedJoinRewrite.registerTree(paths.take(n),
         graft.plans.MaterializedJoinRewrite.TreeMv(st.keys.take(n - 1),
           () => IncrementalJoin.current(st.levels(n - 2)), fresh,
           aggServe))
     }
+    // an outer-LAST tree (no mid-outer levels) serves its FULL outer
+    // multiset too — the rewrite matches the query's final LEFT OUTER
+    // level against it — with the chained agg/extrema (q212 trees) as
+    // the cheaper serve levels
+    if (st.outerUns.keySet == Set(st.levels.length - 1))
+      graft.plans.MaterializedJoinRewrite.registerTree(paths,
+        graft.plans.MaterializedJoinRewrite.TreeMv(st.keys,
+          () => current(st), fresh, downstreamServe, outerLast = true))
   }
 
   /** The binary-prefix JoinMvs trees actually installed (vs found an
@@ -384,6 +414,8 @@ object JoinTreeIvm {
     (3 to innerLeaves).foreach { n =>
       graft.plans.MaterializedJoinRewrite.deregisterTree(paths.take(n))
     }
+    if (st.outerUns.keySet == Set(st.levels.length - 1))
+      graft.plans.MaterializedJoinRewrite.deregisterTree(paths)
   }
 
   /** The maintained extrema over the full join output (requires an

@@ -106,7 +106,8 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
                           current: () => DataFrame,
                           fresh: () => Boolean = () => true,
                           aggServe: Seq[MaterializedAggRewrite.MvDef] =
-                            Nil)
+                            Nil,
+                          outerLast: Boolean = false)
 
   private val registry = new ConcurrentHashMap[(String, String), JoinMv]()
   private val treeRegistry = new ConcurrentHashMap[Seq[String], TreeMv]()
@@ -195,11 +196,15 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
           if (unsafeKeys.exists(refs.contains)) None
           else serve(groups, aggExprs, mv.aggServe, mv.current, preds)
         }.orElse {
-          // n-ary: an aggregate over a registered left-deep INNER tree —
-          // no unsafe keys (inner equi-keys are equal on both sides) and
-          // every below-level predicate is pushdown-legal
-          matchTree(child).flatMap { case (mv, preds) =>
-            serve(groups, aggExprs, mv.aggServe, mv.current, preds)
+          // n-ary: an aggregate over a registered left-deep tree —
+          // inner levels have no unsafe keys (equi-keys are equal on
+          // both sides); an outer-LAST registration guards the null
+          // side's key attrs exactly like the binary LeftOuter path
+          matchTree(child).flatMap { case (mv, preds, unsafeKeys) =>
+            val refs = AttributeSet(groups.flatMap(_.references) ++
+              aggExprs.flatMap(_.references) ++ preds.flatMap(_.references))
+            if (unsafeKeys.exists(refs.contains)) None
+            else serve(groups, aggExprs, mv.aggServe, mv.current, preds)
           }
         }.getOrElse(agg)
     }
@@ -253,50 +258,74 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
 
   /** A registered left-deep INNER tree under the aggregate (through
     * attribute-only Projects and deterministic Filters, collected). */
-  private def matchTree(p: LogicalPlan): Option[(TreeMv, Seq[Expression])] =
+  private def matchTree(p: LogicalPlan)
+      : Option[(TreeMv, Seq[Expression], Seq[Attribute])] =
     p match {
       case j: Join if !treeRegistry.isEmpty =>
         for {
           (roots, preds, levels) <- flattenLeftDeep(j)
           mv <- Option(treeRegistry.get(roots))
           if mv.keys.size == levels.size
-          if levels.zip(mv.keys).forall { case ((cond, l, r), on) =>
+          if levels.zip(mv.keys).forall { case ((cond, l, r, _), on) =>
             keysMatch(cond, l, r, on) }
+          // every non-final level must be INNER; the final level's type
+          // must be exactly what the registration maintains
+          if levels.init.forall(_._4 == Inner)
+          if (levels.last._4 == LeftOuter) == mv.outerLast
           if mv.fresh()
-        } yield (mv, preds)
+        } yield {
+          // outer-last: the null side's join keys are NULL on unmatched
+          // rows while the state carries the preserved side's — byName
+          // resolution of the leaf's key attrs would be wrong (the same
+          // guard as the binary LeftOuter path)
+          val unsafe: Seq[Attribute] =
+            if (mv.outerLast)
+              levels.last._3.output
+                .filter(a => mv.keys.last.contains(a.name))
+            else Nil
+          (mv, preds, unsafe)
+        }
       case Filter(pred, child) if pred.deterministic =>
-        matchTree(child).map { case (mv, ps) => (mv, pred +: ps) }
+        matchTree(child).map { case (mv, ps, uk) => (mv, pred +: ps, uk) }
       case Project(pl, child)
         if pl.forall(_.isInstanceOf[AttributeReference]) => matchTree(child)
       case _ => None
     }
 
-  /** Flatten `((leaf0 ⋈ leaf1) ⋈ leaf2) ⋈ …` — INNER joins where one
-    * side of every level is a leaf scan — into (ordered leaf roots,
-    * collected deterministic predicates, per-level (condition, left,
-    * right)). A level with the LEAF ON THE LEFT matches too (inner is
-    * symmetric; a planner side-swap must not lose the serve).
-    * Attribute-only Projects and deterministic Filters between levels
-    * are unwrapped; inner-only means every collected predicate commutes
-    * to a filter over the tree's state multiset. Anything else (outer
-    * levels, bushy shapes) declines. */
+  /** Flatten `((leaf0 ⋈ leaf1) ⋈ leaf2) ⋈ …` — joins where one side of
+    * every level is a leaf scan — into (ordered leaf roots, collected
+    * deterministic predicates, per-level (condition, left, right,
+    * joinType)). An INNER level with the LEAF ON THE LEFT matches too
+    * (inner is symmetric; a planner side-swap must not lose the serve).
+    * A LEFT OUTER level matches only with the leaf on the RIGHT (left
+    * outer is not symmetric) and only with NO predicates collected
+    * under that leaf (null-side pushdown is not semantics-preserving —
+    * a filtered null side changes which prefix groups null-extend);
+    * [[matchTree]] additionally pins it to the FINAL level of an
+    * outer-last registration. Attribute-only Projects and deterministic
+    * Filters between levels are unwrapped; every surviving predicate
+    * commutes to a filter over the state multiset. Anything else
+    * (other outer types, bushy shapes) declines. */
   private def flattenLeftDeep(p: LogicalPlan)
       : Option[(Seq[String], Seq[Expression],
-        Seq[(Expression, LogicalPlan, LogicalPlan)])] = p match {
-    case Join(l, r, Inner, Some(cond), _) =>
+        Seq[(Expression, LogicalPlan, LogicalPlan, JoinType)])] = p match {
+    case Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _) =>
       (scanUnder(l), scanUnder(r)) match {
-        case (Some((lRoot, lPreds)), Some((rRoot, rPreds))) =>
+        case (Some((lRoot, lPreds)), Some((rRoot, rPreds)))
+          if jt == Inner || rPreds.isEmpty =>
           // two-leaf base of the recursion
-          Some((Seq(lRoot, rRoot), lPreds ++ rPreds, Seq((cond, l, r))))
-        case (None, Some((rRoot, rPreds))) =>
+          Some((Seq(lRoot, rRoot), lPreds ++ rPreds,
+            Seq((cond, l, r, jt))))
+        case (None, Some((rRoot, rPreds)))
+          if jt == Inner || rPreds.isEmpty =>
           flattenLeftDeep(l).map { case (roots, preds, levels) =>
-            (roots :+ rRoot, preds ++ rPreds, levels :+ ((cond, l, r)))
+            (roots :+ rRoot, preds ++ rPreds, levels :+ ((cond, l, r, jt)))
           }
-        case (Some((lRoot, lPreds)), None) => // flipped level
+        case (Some((lRoot, lPreds)), None) if jt == Inner => // flipped
           flattenLeftDeep(r).map { case (roots, preds, levels) =>
-            (roots :+ lRoot, preds ++ lPreds, levels :+ ((cond, l, r)))
+            (roots :+ lRoot, preds ++ lPreds, levels :+ ((cond, l, r, jt)))
           }
-        case (None, None) => None
+        case _ => None
       }
     case Filter(pred, child) if pred.deterministic =>
       flattenLeftDeep(child).map { case (roots, preds, levels) =>

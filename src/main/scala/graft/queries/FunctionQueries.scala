@@ -727,6 +727,160 @@ object FunctionQueries {
       .orderBy($"n_name")
   }
 
+  /** OUTER-last tree with a CHAINED maintained aggregate AND extrema
+    * (q212): the q209 enrichment shape (`orders ⋈ customer ⟕ nation
+    * subset`) now feeds a maintained per-n_name aggregate and a
+    * MinMaxAgg extrema multiset THROUGH the outer level — the
+    * round-10 restriction lifted by the outer-Δ tap. A late dimension
+    * arrival moves fact rows from the NULL group into the named one
+    * inside both downstreams; a dimension delete wave moves them
+    * back; a customer takedown drains whichever group holds each row;
+    * a committed replay no-ops at the entry manifest. The served
+    * result folds agg PARTIALS and the extrema multiset only (never
+    * re-joins); oracle = the one-shot LEFT JOIN GROUP BY over net
+    * inputs. */
+  def q212OuterTreeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{IncrementalAgg, JoinTreeIvm, MinMaxAgg}
+    val fact = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_custkey".as("ck"),
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+    val natSub = Tables.load(s, dir, "nation")
+      .filter($"n_nationkey" < 13)
+      .select($"n_nationkey".as("nk"), $"n_name")
+    val st = JoinTreeIvm.stores(s,
+      java.nio.file.Files.createTempDirectory("q212otree").toString,
+      Seq(Seq("ck"), Seq("nk")), outerLast = true,
+      aggSpec = Some(IncrementalAgg.Spec(Seq("n_name"), Seq("cents"))),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("n_name"), "cents")))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      // the outer dim seeds FIRST: the agg tap null-extends with its
+      // schema (contrast q209, which has no downstream and can let
+      // facts flow before any nation row exists)
+      JoinTreeIvm.appendLeaf(st, 2, natSub.filter($"nk" === 0), 0L)
+      JoinTreeIvm.appendLeaf(st, 1, cust, 1L)
+      JoinTreeIvm.appendLeaf(st, 0, fact.filter($"okey" % 2 === 0), 2L)
+      JoinTreeIvm.appendLeaf(st, 0, fact.filter($"okey" % 2 === 1), 3L)
+      // late dimension: NULL-group rows flip into named groups inside
+      // the maintained agg and extrema
+      JoinTreeIvm.appendLeaf(st, 2, natSub.filter($"nk" > 0), 4L)
+      // dimension DELETE wave: nk % 5 == 2 flips back to the null group
+      JoinTreeIvm.appendLeafDelta(st, 2,
+        natSub.filter($"nk" % 5 === 2).withColumn("__delta", lit(-1L)), 5L)
+      // customer takedown cascades through both levels into both sinks
+      JoinTreeIvm.appendLeafDelta(st, 1,
+        cust.filter($"ck" % 97 === 0).withColumn("__delta", lit(-1L)), 6L)
+      // committed replay: entry-level manifest no-ops the cascade
+      JoinTreeIvm.appendLeaf(st, 2, natSub.filter($"nk" > 0), 4L)
+      JoinTreeIvm.compact(st)
+    } finally s.conf.set(aqeKey, aqeWas)
+    val agg = JoinTreeIvm.currentAgg(st)
+      .select(coalesce($"n_name", lit("~")).as("n_name"),
+        $"n_rows", $"sum_cents")
+    val ext = JoinTreeIvm.currentExtrema(st)
+      .select(coalesce($"n_name", lit("~")).as("n_name"),
+        $"min_cents", $"max_cents")
+    agg.join(ext, Seq("n_name")).orderBy($"n_name")
+  }
+
+  /** OUTER-tree SQL serving (q213): the q212 maintained outer-last tree
+    * (`orders ⋈ customer ⟕ nation`, chained agg) registered with
+    * [[graft.ops.JoinTreeIvm.registerServe]] — a user's plain LEFT JOIN
+    * SQL over the raw parquet paths is answered from maintained state.
+    * Serve hierarchy asserted in-query: `count/sum GROUP BY n_name`
+    * scans ONLY the downstream agg partials; a grouping the partials
+    * can't express (by `ck`) falls back to the maintained OUTER
+    * multiset (never a raw table); and a filter planted UNDER the null
+    * side DECLINES to the raw plan (null-side pushdown is not
+    * semantics-preserving). Oracle = the same LEFT JOIN GROUP BY over
+    * net inputs. */
+  def q213OuterTreeServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{IncrementalAgg, JoinTreeIvm, MinMaxAgg}
+    val oDir = java.nio.file.Files.createTempDirectory("q213o").toString
+    val cDir = java.nio.file.Files.createTempDirectory("q213c").toString
+    val nDir = java.nio.file.Files.createTempDirectory("q213n").toString
+    val fact = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_custkey".as("ck"),
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+    val natSub = Tables.load(s, dir, "nation")
+      .filter($"n_nationkey" < 13)
+      .select($"n_nationkey".as("nk"), $"n_name")
+    // raw dirs hold the NET inputs the maintained state must equal
+    fact.write.mode("overwrite").parquet(oDir)
+    cust.filter($"ck" % 97 =!= 0).write.mode("overwrite").parquet(cDir)
+    natSub.filter($"nk" % 5 =!= 2).write.mode("overwrite").parquet(nDir)
+    val treeRoot =
+      java.nio.file.Files.createTempDirectory("q213tree").toString
+    val st = JoinTreeIvm.stores(s, treeRoot, Seq(Seq("ck"), Seq("nk")),
+      outerLast = true,
+      aggSpec = Some(IncrementalAgg.Spec(Seq("n_name"), Seq("cents"))),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("n_name"), "cents")))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      JoinTreeIvm.appendLeaf(st, 2, natSub.filter($"nk" === 0), 0L)
+      JoinTreeIvm.appendLeaf(st, 1, cust, 1L)
+      JoinTreeIvm.appendLeaf(st, 0, fact, 2L)
+      JoinTreeIvm.appendLeaf(st, 2, natSub.filter($"nk" > 0), 3L)
+      JoinTreeIvm.appendLeafDelta(st, 2,
+        natSub.filter($"nk" % 5 === 2).withColumn("__delta", lit(-1L)), 4L)
+      JoinTreeIvm.appendLeafDelta(st, 1,
+        cust.filter($"ck" % 97 === 0).withColumn("__delta", lit(-1L)), 5L)
+      JoinTreeIvm.compact(st)
+    } finally s.conf.set(aqeKey, aqeWas)
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def raw(p: String) =
+      p.startsWith(oDir) || p.startsWith(cDir) || p.startsWith(nDir)
+    JoinTreeIvm.registerServe(st, Seq(oDir, cDir, nDir))
+    try {
+      def threeWay = s.read.parquet(oDir)
+        .join(s.read.parquet(cDir), Seq("ck"))
+        .join(s.read.parquet(nDir), Seq("nk"), "left")
+      val res = threeWay.groupBy($"n_name")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .select(coalesce($"n_name", lit("~")).as("n_name"),
+          $"n_rows", $"sum_cents")
+        .orderBy($"n_name")
+      val p1 = scanPaths(res)
+      require(p1.nonEmpty && p1.forall(_.startsWith(s"$treeRoot/agg")),
+        s"q213: count/sum GROUP BY n_name must fold agg partials ONLY, " +
+          s"scanned: $p1")
+      // a grouping the partials can't serve: the OUTER tree multiset
+      // answers (null-extended rows included), raw tables never scanned
+      val byCk = threeWay.groupBy($"ck").agg(count(lit(1)).as("n"))
+      val p2 = scanPaths(byCk)
+      require(p2.nonEmpty && !p2.exists(raw),
+        s"q213: GROUP BY ck must serve from the outer multiset, " +
+          s"never raw: $p2")
+      // a filter UNDER the null side cannot commute — decline to raw
+      val filteredLeaf = s.read.parquet(oDir)
+        .join(s.read.parquet(cDir), Seq("ck"))
+        .join(s.read.parquet(nDir).filter($"n_name" =!= "KENYA"),
+          Seq("nk"), "left")
+        .groupBy($"n_name").agg(count(lit(1)).as("n"))
+      require(scanPaths(filteredLeaf).exists(raw),
+        "q213: a null-side leaf filter must decline the rewrite")
+      res
+    } finally JoinTreeIvm.deregisterServe(st, Seq(oDir, cDir, nDir))
+  }
+
   /** MID-TREE LEFT OUTER IVM (q211): the prefix-keyed enrichment chain
     * `lineitem ⟕ supplier ⟕ part` with LEFT OUTER at BOTH levels —
     * level 0 is a MID-tree outer (the shape [[graft.ops.JoinTreeIvm]]
@@ -1516,6 +1670,8 @@ object FunctionQueries {
     "q209_outer_tree_ivm" -> (q209OuterTreeIvm _),
     "q210_tree_extrema_serve" -> (q210TreeExtremaServe _),
     "q211_midtree_outer_ivm" -> (q211MidTreeOuterIvm _),
+    "q212_outer_tree_agg" -> (q212OuterTreeAgg _),
+    "q213_outer_tree_serve" -> (q213OuterTreeServe _),
     "q171_join_ivm_outer" -> (q171JoinIvmOuter _),
     "q173_join_ivm_full" -> (q173JoinIvmFull _),
     "q151_kmv_overlap" -> (q151KmvOverlap _),
@@ -1775,6 +1931,36 @@ object FunctionQueries {
         |  ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // q213: the plain LEFT JOIN GROUP BY the rewrite answered from the
+    // outer tree's maintained agg partials (net inputs in the raw dirs)
+    "q213_outer_tree_serve" ->
+      """SELECT coalesce(n.n_name, '~') AS n_name,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_custkey % 97 <> 0
+        |LEFT JOIN (SELECT * FROM nation
+        |           WHERE n_nationkey < 13 AND n_nationkey % 5 <> 2) n
+        |  ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // q212: the q209 net-input LEFT JOIN aggregated per (coalesced)
+    // nation group, with min/max folded from the same rows
+    "q212_outer_tree_agg" ->
+      """WITH j AS (SELECT coalesce(n.n_name, '~') AS n_name,
+        |    CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |    AND c.c_custkey % 97 <> 0
+        |  LEFT JOIN (SELECT * FROM nation
+        |             WHERE n_nationkey < 13 AND n_nationkey % 5 <> 2) n
+        |    ON c.c_nationkey = n.n_nationkey)
+        |SELECT n_name, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // q211: one-shot chained LEFT JOIN over net inputs (suppliers minus
     // the sk % 7 wave, parts minus the pk % 11 wave, facts minus the
     // okey % 13 takedown) — both outer levels null-extend

@@ -74,7 +74,12 @@ class ClusterParitySpec extends SparkSpec {
     // disc rewrite resolving MinMaxAgg store scans in-plan under a
     // multi-executor scheduler) and the CDC-topics → tree drain
     // (streaming micro-batches cascading Δ-taps across executor JVMs)
-    "q210_tree_extrema_serve", "q208_cdc_tree")
+    "q210_tree_extrema_serve", "q208_cdc_tree",
+    // round-11 additions II: the mid-tree outer cascade (outer Δ taps
+    // with typed null extensions crossing executor JVMs) and the
+    // outer-last tree's chained agg/extrema (null-group flips through
+    // the downstream stores)
+    "q211_midtree_outer_ivm", "q212_outer_tree_agg")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

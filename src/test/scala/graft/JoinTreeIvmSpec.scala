@@ -223,16 +223,60 @@ class JoinTreeIvmSpec extends SparkSpec {
     assert(mm() == Set(("de", 100L, 200L)))
   }
 
-  test("outer-last trees refuse an aggSpec and binary shapes") {
-    intercept[IllegalArgumentException] {
-      JoinTreeIvm.stores(spark, tmpDir("jtreeOa"),
-        Seq(Seq("ck"), Seq("nk")), outerLast = true,
-        aggSpec = Some(IncrementalAgg.Spec(Seq("name"), Seq("v"))))
-    }
+  test("outer-last trees refuse binary shapes") {
     intercept[IllegalArgumentException] {
       JoinTreeIvm.stores(spark, tmpDir("jtreeOb"), Seq(Seq("ck")),
         outerLast = true)
     }
+  }
+
+  test("outer-last tree with a chained aggregate: null flips reach the agg") {
+    // the round-10 restriction lifted: the downstream consumes the
+    // OUTER Δ through the signed outer append's tap, so a late dim's
+    // unmatched→matched flip moves rows from the NULL group to the
+    // named one inside the maintained aggregate — and a dim delete
+    // moves them back
+    val st = JoinTreeIvm.stores(spark, tmpDir("jtreeAggO"),
+      Seq(Seq("ck"), Seq("nk")), buckets = 4, outerLast = true,
+      aggSpec = Some(IncrementalAgg.Spec(Seq("name"), Seq("v"))))
+    var f = fact(); var c = cust(); var n = nat()
+    def aggSet() = JoinTreeIvm.currentAgg(st)
+      .select(coalesce($"name", lit("~")).as("g"), $"n_rows", $"sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def oneShotAgg() = f.join(c, Seq("ck"))
+      .join(n, Seq("nk"), "left")
+      .groupBy(coalesce($"name", lit("~")).as("g"))
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def check(): Unit = assert(aggSet() == oneShotAgg(),
+      s"maintained agg diverged:\n${aggSet()}\nvs\n${oneShotAgg()}")
+    // outer dim seeded FIRST (the agg tap needs its schema)
+    JoinTreeIvm.appendLeaf(st, 2, nat(10L -> "n10"), 0L)
+    n = nat(10L -> "n10")
+    JoinTreeIvm.appendLeaf(st, 1, cust(1L -> 10L, 2L -> 20L), 1L)
+    c = cust(1L -> 10L, 2L -> 20L)
+    JoinTreeIvm.appendLeaf(st, 0,
+      fact((1L, 1L, 5L), (2L, 2L, 7L), (3L, 2L, 9L)), 2L)
+    f = fact((1L, 1L, 5L), (2L, 2L, 7L), (3L, 2L, 9L))
+    check() // facts 2,3 in the NULL group
+    // late dim: the null group shrinks, n20 appears — THROUGH the agg
+    JoinTreeIvm.appendLeaf(st, 2, nat(20L -> "n20"), 3L)
+    n = nat(10L -> "n10", 20L -> "n20"); check()
+    // dim delete flips them back to the null group
+    JoinTreeIvm.appendLeafDelta(st, 2,
+      Seq((20L, "n20", -1L)).toDF("nk", "name", "__delta"), 4L)
+    n = nat(10L -> "n10"); check()
+    // fact takedown retracts from whichever group holds the row
+    JoinTreeIvm.appendLeafDelta(st, 0,
+      Seq((1L, 1L, 5L, -1L)).toDF("ok", "ck", "v", "__delta"), 5L)
+    f = fact((2L, 2L, 7L), (3L, 2L, 9L)); check()
+    // committed replay no-ops; compaction result-invariant
+    JoinTreeIvm.appendLeaf(st, 2, nat(20L -> "n20"), 3L)
+    check()
+    JoinTreeIvm.compact(st)
+    check()
   }
 
   test("MID-tree outer level: prefix-keyed null-extension flips cascade exactly") {

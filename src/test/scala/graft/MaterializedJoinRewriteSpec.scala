@@ -588,6 +588,77 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("outer-last tree serves LEFT OUTER queries; inner/null-key/leaf-filter decline") {
+    import graft.ops.{IncrementalAgg, JoinTreeIvm, MinMaxAgg}
+    val fDir = tmpDir("omv-f"); val aDir = tmpDir("omv-a")
+    val bDir = tmpDir("omv-b")
+    val fact = (0L until 30L).map(k => (k, s"g${k % 4}", k * 10 + 1))
+      .toDF("k", "grp", "v")
+    val dimA = (0L until 30L).map(k => (k, k % 6)).toDF("k", "m")
+    // sparse: odd m never matches — the null extension is real
+    val dimB = (0L until 6L).filter(_ % 2 == 0)
+      .map(m => (m, s"t$m")).toDF("m", "tag")
+    fact.write.mode("overwrite").parquet(fDir)
+    dimA.write.mode("overwrite").parquet(aDir)
+    dimB.write.mode("overwrite").parquet(bDir)
+    val root = tmpDir("omv-tree")
+    val st = JoinTreeIvm.stores(spark, root, Seq(Seq("k"), Seq("m")),
+      buckets = 4, outerLast = true,
+      aggSpec = Some(IncrementalAgg.Spec(Seq("tag"), Seq("v"))),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("tag"), "v")))
+    JoinTreeIvm.appendLeaf(st, 2, spark.read.parquet(bDir), 0L)
+    JoinTreeIvm.appendLeaf(st, 1, spark.read.parquet(aDir), 1L)
+    JoinTreeIvm.appendLeaf(st, 0, spark.read.parquet(fDir), 2L)
+    def outer3 = spark.read.parquet(fDir)
+      .join(spark.read.parquet(aDir), Seq("k"))
+      .join(spark.read.parquet(bDir), Seq("m"), "left")
+    val wantTag = rows(outer3.groupBy($"tag")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    val wantGrp = rows(outer3.groupBy($"grp").agg(count(lit(1)).as("n")))
+    JoinTreeIvm.registerServe(st, Seq(fDir, aDir, bDir))
+    try {
+      // agg partials serve the matching grouping (NULL tag group incl.)
+      val byTag = outer3.groupBy($"tag")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      val p1 = scanPaths(byTag)
+      assert(p1.nonEmpty && p1.forall(_.startsWith(s"$root/agg")),
+        s"outer tree count/sum by tag must fold agg partials: $p1")
+      assert(rows(byTag) == wantTag)
+      // a finer grouping falls back to the maintained OUTER multiset
+      val byGrp = outer3.groupBy($"grp").agg(count(lit(1)).as("n"))
+      val p2 = scanPaths(byGrp)
+      assert(p2.nonEmpty && !p2.exists(_.startsWith(fDir)) &&
+        !p2.exists(_.startsWith(bDir)),
+        s"outer multiset must serve GROUP BY grp, never raw: $p2")
+      assert(rows(byGrp) == wantGrp)
+      // an INNER query must NOT be answered from outer state
+      val inner3 = spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k"))
+        .join(spark.read.parquet(bDir), Seq("m"))
+        .groupBy($"tag").agg(count(lit(1)).as("n"))
+      assert(scansRaw(inner3, fDir),
+        "an inner query must decline an outer-last registration")
+      // grouping by the NULL side's key attr (non-USING join) declines
+      val pre = spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k"))
+      val b = spark.read.parquet(bDir)
+      val nonUsing = pre.join(b, pre("m") === b("m"), "left")
+        .groupBy(b("m")).agg(count(lit(1)).as("n"))
+      assert(scansRaw(nonUsing, fDir),
+        "grouping by the null side's key must decline")
+      // a filter under the null-side leaf declines (no legal pushdown)
+      val leafFiltered = spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k"))
+        .join(spark.read.parquet(bDir).filter($"tag" =!= "t0"),
+          Seq("m"), "left")
+        .groupBy($"tag").agg(count(lit(1)).as("n"))
+      assert(scansRaw(leafFiltered, fDir),
+        "a null-side leaf filter must decline")
+    } finally JoinTreeIvm.deregisterServe(st, Seq(fDir, aDir, bDir))
+    assert(scansRaw(outer3.groupBy($"tag").agg(count(lit(1)).as("n")), fDir),
+      "deregisterServe must restore the raw plan")
+  }
+
   test("registerServe leaves an independent binary MV over the prefix pair intact") {
     import graft.ops.{IncrementalJoin, JoinTreeIvm}
     val (fDir, aDir, bDir, _, st) = treeFixture()
