@@ -340,82 +340,90 @@ object JoinTreeIvm {
     * roots the leaves mirror: a user query joining ANY PREFIX of the
     * leaves — `paths(0) ⋈ paths(1)`, `… ⋈ paths(2)`, …, the full tree —
     * is answered from that prefix's maintained multiset (level `j`'s
-    * out store IS the (j+2)-leaf prefix join), and a full-tree
-    * aggregate matching the maintained `aggSpec` keys serves from agg
-    * PARTIALS. One call in, one [[deregisterServe]] out; `fresh` is the
-    * shared staleness guard. This is the MV-lattice behavior a
-    * dashboard layer wants: the maintenance work of one tree serves
-    * every join prefix a query planner can ask for. */
+    * out store IS the (j+2)-leaf prefix join; an OUTER level's prefix
+    * serves its outer multiset, and the query must use LEFT OUTER at
+    * exactly the maintained levels), and a full-tree aggregate matching
+    * the maintained `aggSpec` keys serves from agg PARTIALS. One call
+    * in, one [[deregisterServe]] out; `fresh` is the shared staleness
+    * guard. This is the MV-lattice behavior a dashboard layer wants:
+    * the maintenance work of one tree — inner, outer-last, or mid-tree
+    * outer — serves every join prefix a query planner can ask for. */
   def registerServe(st: Stores, paths: Seq[String],
                     fresh: () => Boolean = () => true): Unit = {
     require(paths.size == st.leaves,
       s"registerServe needs one raw path per leaf: ${paths.size} given, " +
         s"${st.leaves} leaves")
-    // an outer level's output is not an inner multiset — prefixes
-    // STRICTLY BEFORE the first outer level still serve, nothing at or
-    // past it does (TreeMv registrations are inner-only; an INNER-join
-    // query over those paths must not be answered from outer state)
-    val innerLeaves = innerLeavesOf(st)
-    if (innerLeaves < 2) return
+    val outs = st.outerUns.keySet
     // The 2-leaf prefix is a COURTESY registration: claim the pair only
     // if no independent binary MV already serves it (overwriting would
     // clobber that registration's serve and its own fresh() guard), and
-    // remember the instance so deregisterServe removes only what this
-    // tree installed.
-    val binMv = graft.plans.MaterializedJoinRewrite.JoinMv(st.keys(0),
-      org.apache.spark.sql.catalyst.plans.Inner,
-      () => IncrementalJoin.current(st.levels(0)), fresh)
+    // remember the instance — keyed by CANONICAL paths plus this tree —
+    // so deregisterServe removes only what THIS tree installed (two
+    // trees sharing a 2-leaf prefix must not clobber each other's
+    // bookkeeping). Level 0's type decides the shape: an outer level 0
+    // registers the LEFT OUTER binary MV over its outer multiset.
+    val binMv =
+      if (outs.contains(0))
+        graft.plans.MaterializedJoinRewrite.JoinMv(st.keys(0),
+          org.apache.spark.sql.catalyst.plans.LeftOuter,
+          () => IncrementalOuterJoin.current(st.outerAt(0)), fresh)
+      else
+        graft.plans.MaterializedJoinRewrite.JoinMv(st.keys(0),
+          org.apache.spark.sql.catalyst.plans.Inner,
+          () => IncrementalJoin.current(st.levels(0)), fresh)
     if (graft.plans.MaterializedJoinRewrite.registerIfAbsent(
         paths(0), paths(1), binMv))
-      ownedPrefix.put((paths(0), paths(1)), binMv)
+      ownedPrefix.put(ownKey(st, paths), binMv)
     val downstreamServe = st.agg.toSeq.map { case (store, spec) =>
       graft.plans.MaterializedAggRewrite.MvDef(spec.keyCols,
         spec.sumCols, () => IncrementalAgg.current(store, spec))
     } ++ st.extrema.toSeq.map(_ => extremaServe(st))
-    (3 to innerLeaves).foreach { n =>
+    // every longer prefix serves its own maintained multiset: the
+    // (n−1)-level prefix ends at level n−2, whose store is the OUTER
+    // multiset when that level is outer (inner rows + null extensions)
+    // and the inner out-store otherwise; `outerLevels` records the
+    // outer levels INSIDE the prefix so the rewrite matches a query
+    // with exactly those LEFT OUTER joins — an inner query over the
+    // same scans is never answered from outer state, nor vice versa.
+    // The chained agg/extrema (when maintained) serve the FULL tree
+    // only — their taps consume the final level's Δ stream.
+    (3 to st.leaves).foreach { n =>
+      val lvl = n - 2
       val aggServe = if (n == st.leaves) downstreamServe else Nil
+      val cur: () => DataFrame =
+        if (outs.contains(lvl)) () => IncrementalOuterJoin.current(st.outerAt(lvl))
+        else () => IncrementalJoin.current(st.levels(lvl))
       graft.plans.MaterializedJoinRewrite.registerTree(paths.take(n),
         graft.plans.MaterializedJoinRewrite.TreeMv(st.keys.take(n - 1),
-          () => IncrementalJoin.current(st.levels(n - 2)), fresh,
-          aggServe))
+          cur, fresh, aggServe,
+          outerLevels = outs.filter(_ <= lvl).toSeq.sorted))
     }
-    // an outer-LAST tree (no mid-outer levels) serves its FULL outer
-    // multiset too — the rewrite matches the query's final LEFT OUTER
-    // level against it — with the chained agg/extrema (q212 trees) as
-    // the cheaper serve levels
-    if (st.outerUns.keySet == Set(st.levels.length - 1))
-      graft.plans.MaterializedJoinRewrite.registerTree(paths,
-        graft.plans.MaterializedJoinRewrite.TreeMv(st.keys,
-          () => current(st), fresh, downstreamServe, outerLast = true))
   }
 
   /** The binary-prefix JoinMvs trees actually installed (vs found an
     * independent registration already holding the pair), so
-    * [[deregisterServe]] removes exactly what [[registerServe]] put. */
+    * [[deregisterServe]] removes exactly what [[registerServe]] put —
+    * keyed by canonicalized pair + tree instance, so equivalent path
+    * spellings hit one entry and co-prefixed trees keep separate ones. */
   private val ownedPrefix =
-    new java.util.concurrent.ConcurrentHashMap[(String, String),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Stores),
       graft.plans.MaterializedJoinRewrite.JoinMv]()
 
-  /** Leaf prefixes servable as INNER multisets: those strictly before
-    * the first outer level. */
-  private def innerLeavesOf(st: Stores): Int =
-    st.outerUns.keys.minOption.getOrElse(st.levels.length) + 1
+  private def ownKey(st: Stores, paths: Seq[String]): (String, String, Stores) =
+    (graft.plans.MaterializedJoinRewrite.canonPath(paths(0)),
+      graft.plans.MaterializedJoinRewrite.canonPath(paths(1)), st)
 
   /** Remove every registration [[registerServe]] installed — and ONLY
     * those: an independent binary MV that already held the 2-leaf pair
     * at register time was never overwritten and is left in place. */
   def deregisterServe(st: Stores, paths: Seq[String]): Unit = {
-    val innerLeaves = innerLeavesOf(st)
-    if (innerLeaves < 2) return
-    Option(ownedPrefix.remove((paths(0), paths(1)))).foreach { mv =>
+    Option(ownedPrefix.remove(ownKey(st, paths))).foreach { mv =>
       graft.plans.MaterializedJoinRewrite.deregisterIfSame(
         paths(0), paths(1), mv)
     }
-    (3 to innerLeaves).foreach { n =>
+    (3 to st.leaves).foreach { n =>
       graft.plans.MaterializedJoinRewrite.deregisterTree(paths.take(n))
     }
-    if (st.outerUns.keySet == Set(st.levels.length - 1))
-      graft.plans.MaterializedJoinRewrite.deregisterTree(paths)
   }
 
   /** The maintained extrema over the full join output (requires an

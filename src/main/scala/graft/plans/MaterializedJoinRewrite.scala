@@ -95,19 +95,35 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
     * scans ([[graft.ops.JoinTreeIvm]]). `keys(j)` are level `j`'s
     * equi-join columns (the prefix-output ⋈ leaf `j+1` condition);
     * `current` is the full tree's value multiset (`columns…, n`) —
-    * normally `() => JoinTreeIvm.current(st)`. Inner joins only (the
-    * tree op's contract), so every collected deterministic predicate —
-    * above any level or on any leaf — commutes to a filter over the
-    * state, and key-name ambiguity between sides is harmless (inner
-    * equi-keys are equal). `aggServe` levels serve exactly as on
-    * [[JoinMv]]: a GROUP BY on a level's maintained keys folds agg
-    * PARTIALS instead of re-aggregating the tree multiset. */
+    * normally `() => JoinTreeIvm.current(st)`. Every collected
+    * deterministic predicate — above any level or on a leaf the level
+    * type admits — commutes to a filter over the state: inner-level
+    * equi-keys are equal on both sides (name ambiguity harmless), and
+    * LEFT OUTER levels preserve every prefix column value on
+    * null-extended rows, so a filter between levels keeps/drops exactly
+    * the rows the same filter over the final multiset would. `aggServe`
+    * levels serve exactly as on [[JoinMv]]: a GROUP BY on a level's
+    * maintained keys folds agg PARTIALS instead of re-aggregating the
+    * tree multiset.
+    *
+    * `outerLevels` names the levels maintained as LEFT OUTER joins (the
+    * [[graft.ops.JoinTreeIvm]] `outerLevels`/`outerLast` shape); a
+    * query matches only when its LEFT OUTER levels are EXACTLY this set
+    * — an inner query over the same scans must never be answered from
+    * outer state, nor vice versa. `outerLast` is kept as sugar for
+    * `outerLevels = Seq(keys.size - 1)` (the pre-round-12 registrations
+    * and their call sites). */
   final case class TreeMv(keys: Seq[Seq[String]],
                           current: () => DataFrame,
                           fresh: () => Boolean = () => true,
                           aggServe: Seq[MaterializedAggRewrite.MvDef] =
                             Nil,
-                          outerLast: Boolean = false)
+                          outerLast: Boolean = false,
+                          outerLevels: Seq[Int] = Nil) {
+    /** The effective LEFT OUTER level set (`outerLast` folded in). */
+    def outerSet: Set[Int] =
+      (outerLevels ++ (if (outerLast) Seq(keys.size - 1) else Nil)).toSet
+  }
 
   private val registry = new ConcurrentHashMap[(String, String), JoinMv]()
   private val treeRegistry = new ConcurrentHashMap[Seq[String], TreeMv]()
@@ -117,6 +133,11 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
 
   private def canon(p: String): String =
     new Path(p).toUri.getPath.stripSuffix("/")
+
+  /** The registry's path canonicalization, for callers that key their
+    * own bookkeeping by registered pairs (JoinTreeIvm's prefix
+    * ownership) — raw-vs-canon spelling must not split an entry. */
+  private[graft] def canonPath(p: String): String = canon(p)
 
   /** Register the maintained join of the raw tables rooted at
     * `leftPath` ⋈ `rightPath`. Side order is the registration's side
@@ -198,8 +219,8 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
         }.orElse {
           // n-ary: an aggregate over a registered left-deep tree —
           // inner levels have no unsafe keys (equi-keys are equal on
-          // both sides); an outer-LAST registration guards the null
-          // side's key attrs exactly like the binary LeftOuter path
+          // both sides); each LEFT OUTER level guards its null side's
+          // key attrs exactly like the binary LeftOuter path
           matchTree(child).flatMap { case (mv, preds, unsafeKeys) =>
             val refs = AttributeSet(groups.flatMap(_.references) ++
               aggExprs.flatMap(_.references) ++ preds.flatMap(_.references))
@@ -256,8 +277,10 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** A registered left-deep INNER tree under the aggregate (through
-    * attribute-only Projects and deterministic Filters, collected). */
+  /** A registered left-deep tree under the aggregate (through
+    * attribute-only Projects and deterministic Filters, collected). The
+    * query's LEFT OUTER level set must equal the registration's
+    * `outerSet` exactly; every other level must be INNER. */
   private def matchTree(p: LogicalPlan)
       : Option[(TreeMv, Seq[Expression], Seq[Attribute])] =
     p match {
@@ -268,21 +291,21 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
           if mv.keys.size == levels.size
           if levels.zip(mv.keys).forall { case ((cond, l, r, _), on) =>
             keysMatch(cond, l, r, on) }
-          // every non-final level must be INNER; the final level's type
-          // must be exactly what the registration maintains
-          if levels.init.forall(_._4 == Inner)
-          if (levels.last._4 == LeftOuter) == mv.outerLast
+          // the query's outer levels must be EXACTLY the maintained
+          // ones (flattenLeftDeep admits Inner | LeftOuter only)
+          if levels.zipWithIndex.collect {
+            case ((_, _, _, LeftOuter), i) => i
+          }.toSet == mv.outerSet
           if mv.fresh()
         } yield {
-          // outer-last: the null side's join keys are NULL on unmatched
-          // rows while the state carries the preserved side's — byName
-          // resolution of the leaf's key attrs would be wrong (the same
-          // guard as the binary LeftOuter path)
-          val unsafe: Seq[Attribute] =
-            if (mv.outerLast)
-              levels.last._3.output
-                .filter(a => mv.keys.last.contains(a.name))
-            else Nil
+          // each outer level's null side exposes its join keys as NULL
+          // on unmatched rows while the state carries the preserved
+          // side's — byName resolution of those leaf key attrs would be
+          // wrong (the same guard as the binary LeftOuter path), so any
+          // reference to them declines
+          val unsafe: Seq[Attribute] = mv.outerSet.toSeq.flatMap { i =>
+            levels(i)._3.output.filter(a => mv.keys(i).contains(a.name))
+          }
           (mv, preds, unsafe)
         }
       case Filter(pred, child) if pred.deterministic =>
@@ -301,8 +324,8 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
     * outer is not symmetric) and only with NO predicates collected
     * under that leaf (null-side pushdown is not semantics-preserving —
     * a filtered null side changes which prefix groups null-extend);
-    * [[matchTree]] additionally pins it to the FINAL level of an
-    * outer-last registration. Attribute-only Projects and deterministic
+    * [[matchTree]] additionally requires the query's outer-level SET to
+    * equal the registration's. Attribute-only Projects and deterministic
     * Filters between levels are unwrapped; every surviving predicate
     * commutes to a filter over the state multiset. Anything else
     * (other outer types, bushy shapes) declines. */

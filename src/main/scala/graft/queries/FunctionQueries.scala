@@ -945,6 +945,191 @@ object FunctionQueries {
       .orderBy($"snk", $"psize")
   }
 
+  /** MID-TREE outer IVM with a CHAINED maintained aggregate AND extrema
+    * (q214): the q211 two-outer-level enrichment chain (`lineitem ⟕
+    * supplier ⟕ part`, both keys fact-derived) now feeds a maintained
+    * per-(snk, psize) aggregate and a MinMaxAgg extrema multiset — the
+    * composition [[graft.ops.JoinTreeIvm]] claims but q211 (no
+    * downstream) and q212 (outer-LAST only) never exercised together.
+    * Every wave class crosses BOTH outer levels INTO both sinks: a late
+    * dim1 arrival flips null-extended groups to matched ACROSS level 1
+    * and re-groups them inside the agg and extrema; a dim1 delete wave
+    * flips them back; a fact takedown drains whichever group holds each
+    * row; a committed replay no-ops at the entry manifest. The served
+    * result folds agg PARTIALS and the extrema multiset only (never
+    * re-joins); oracle = the one-shot chained LEFT JOIN GROUP BY over
+    * net inputs. */
+  def q214MidTreeOuterAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{IncrementalAgg, JoinTreeIvm, MinMaxAgg}
+    val factAll = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_suppkey".as("sk"),
+        $"l_partkey".as("pk"),
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val supp = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey".as("sk"), $"s_nationkey".cast("long").as("snk"))
+    val part = Tables.load(s, dir, "part")
+      .select($"p_partkey".as("pk"), $"p_size".cast("long").as("psize"))
+    val st = JoinTreeIvm.stores(s,
+      java.nio.file.Files.createTempDirectory("q214mtree").toString,
+      Seq(Seq("sk"), Seq("pk")), outerLevels = Seq(0), outerLast = true,
+      aggSpec = Some(IncrementalAgg.Spec(Seq("snk", "psize"),
+        Seq("cents"))),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("snk", "psize"), "cents")))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      // both dims seed (partially) before facts: the null extension at
+      // each level needs its dim schema once a downstream tap exists
+      JoinTreeIvm.appendLeaf(st, 1, supp.filter($"sk" % 4 === 0), 0L)
+      JoinTreeIvm.appendLeaf(st, 2, part.filter($"pk" % 3 === 0), 1L)
+      JoinTreeIvm.appendLeaf(st, 0, factAll.drop("okey"), 2L)
+      // late dim1: null→matched flips cascade through level 1 into the
+      // agg and extrema (group moves from (-1, psize) to (snk, psize))
+      JoinTreeIvm.appendLeaf(st, 1, supp.filter($"sk" % 4 =!= 0), 3L)
+      // late dim2: the outer-last level's own flips
+      JoinTreeIvm.appendLeaf(st, 2, part.filter($"pk" % 3 =!= 0), 4L)
+      // dim1 DELETE wave: matched→unmatched re-adds cross level 1 too
+      JoinTreeIvm.appendLeafDelta(st, 1,
+        supp.filter($"sk" % 7 === 3).withColumn("__delta", lit(-1L)), 5L)
+      // fact takedown drains matched and null-extended rows alike
+      JoinTreeIvm.appendLeafDelta(st, 0,
+        Tables.load(s, dir, "lineitem").filter($"l_orderkey" % 13 === 1)
+          .select($"l_suppkey".as("sk"), $"l_partkey".as("pk"),
+            floor($"l_extendedprice" * 100.0 + 0.5).cast("long")
+              .as("cents"))
+          .withColumn("__delta", lit(-1L)), 6L)
+      // committed replay: the entry manifest no-ops the whole cascade
+      JoinTreeIvm.appendLeaf(st, 2, part.filter($"pk" % 3 =!= 0), 4L)
+      JoinTreeIvm.compact(st)
+    } finally s.conf.set(aqeKey, aqeWas)
+    val agg = JoinTreeIvm.currentAgg(st)
+      .select(coalesce($"snk", lit(-1L)).as("snk"),
+        coalesce($"psize", lit(-1L)).as("psize"), $"n_rows", $"sum_cents")
+    val ext = JoinTreeIvm.currentExtrema(st)
+      .select(coalesce($"snk", lit(-1L)).as("snk"),
+        coalesce($"psize", lit(-1L)).as("psize"),
+        $"min_cents", $"max_cents")
+    agg.join(ext, Seq("snk", "psize")).orderBy($"snk", $"psize")
+  }
+
+  /** MID-TREE outer SQL serving (q215): the q211 two-outer-level chain
+    * (`lineitem ⟕ supplier ⟕ part`) registered with
+    * [[graft.ops.JoinTreeIvm.registerServe]] — since round 12 the serve
+    * lattice covers prefixes AT and PAST outer levels, so a user's
+    * plain chained-LEFT-JOIN SQL over the raw parquet paths is answered
+    * from maintained state. Serve hierarchy asserted in-query:
+    * `count/sum GROUP BY snk` folds ONLY the downstream agg partials;
+    * `GROUP BY snk, psize` (inexpressible from partials) falls back to
+    * the maintained OUTER multiset; the 2-leaf prefix `fact ⟕ supplier`
+    * serves from level 0's outer multiset (the binary LEFT OUTER MV);
+    * an INNER 3-way query over the same scans DECLINES to raw (outer
+    * state must never answer it); and a filter planted UNDER a null
+    * side declines too. Oracle = the same chained LEFT JOIN GROUP BY
+    * over net inputs. */
+  def q215MidTreeOuterServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{IncrementalAgg, JoinTreeIvm}
+    val fDir = java.nio.file.Files.createTempDirectory("q215f").toString
+    val sDir = java.nio.file.Files.createTempDirectory("q215s").toString
+    val pDir = java.nio.file.Files.createTempDirectory("q215p").toString
+    // a quarter of lineitem keeps the gate's IO proportionate; the
+    // oracle applies the same cut in its CTE
+    val fact = Tables.load(s, dir, "lineitem")
+      .filter($"l_orderkey" % 4 === 0)
+      .select($"l_suppkey".as("sk"), $"l_partkey".as("pk"),
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val supp = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey".as("sk"), $"s_nationkey".cast("long").as("snk"))
+    val part = Tables.load(s, dir, "part")
+      .select($"p_partkey".as("pk"), $"p_size".cast("long").as("psize"))
+    // raw dirs hold the NET inputs the maintained state must equal
+    fact.write.mode("overwrite").parquet(fDir)
+    supp.filter($"sk" % 7 =!= 3).write.mode("overwrite").parquet(sDir)
+    part.filter($"pk" % 11 =!= 5).write.mode("overwrite").parquet(pDir)
+    val treeRoot =
+      java.nio.file.Files.createTempDirectory("q215tree").toString
+    val st = JoinTreeIvm.stores(s, treeRoot, Seq(Seq("sk"), Seq("pk")),
+      outerLevels = Seq(0), outerLast = true,
+      aggSpec = Some(IncrementalAgg.Spec(Seq("snk"), Seq("cents"))))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      JoinTreeIvm.appendLeaf(st, 1, supp.filter($"sk" % 4 === 0), 0L)
+      JoinTreeIvm.appendLeaf(st, 2, part.filter($"pk" % 3 === 0), 1L)
+      JoinTreeIvm.appendLeaf(st, 0, fact, 2L)
+      JoinTreeIvm.appendLeaf(st, 1, supp.filter($"sk" % 4 =!= 0), 3L)
+      JoinTreeIvm.appendLeaf(st, 2, part.filter($"pk" % 3 =!= 0), 4L)
+      JoinTreeIvm.appendLeafDelta(st, 1,
+        supp.filter($"sk" % 7 === 3).withColumn("__delta", lit(-1L)), 5L)
+      JoinTreeIvm.appendLeafDelta(st, 2,
+        part.filter($"pk" % 11 === 5).withColumn("__delta", lit(-1L)), 6L)
+      JoinTreeIvm.compact(st)
+    } finally s.conf.set(aqeKey, aqeWas)
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def raw(p: String) =
+      p.startsWith(fDir) || p.startsWith(sDir) || p.startsWith(pDir)
+    JoinTreeIvm.registerServe(st, Seq(fDir, sDir, pDir))
+    try {
+      def chained = s.read.parquet(fDir)
+        .join(s.read.parquet(sDir), Seq("sk"), "left")
+        .join(s.read.parquet(pDir), Seq("pk"), "left")
+      val res = chained.groupBy($"snk")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .select(coalesce($"snk", lit(-1L)).as("snk"),
+          $"n_rows", $"sum_cents")
+        .orderBy($"snk")
+      val p1 = scanPaths(res)
+      require(p1.nonEmpty && p1.forall(_.startsWith(s"$treeRoot/agg")),
+        s"q215: count/sum GROUP BY snk must fold agg partials ONLY, " +
+          s"scanned: $p1")
+      // a grouping the partials can't serve: the full OUTER multiset
+      // answers (both levels' null-extended rows included), raw never
+      val byBoth = chained.groupBy($"snk", $"psize")
+        .agg(count(lit(1)).as("n"))
+      val p2 = scanPaths(byBoth)
+      require(p2.nonEmpty && !p2.exists(raw),
+        s"q215: GROUP BY snk, psize must serve from the outer " +
+          s"multiset, never raw: $p2")
+      // the 2-leaf OUTER prefix: fact ⟕ supplier from level 0's
+      // maintained outer multiset (the binary LEFT OUTER registration)
+      val prefix = s.read.parquet(fDir)
+        .join(s.read.parquet(sDir), Seq("sk"), "left")
+        .groupBy($"snk").agg(count(lit(1)).as("n"))
+      val p3 = scanPaths(prefix)
+      require(p3.nonEmpty && !p3.exists(raw),
+        s"q215: the fact ⟕ supplier prefix must serve from level 0's " +
+          s"outer multiset, never raw: $p3")
+      // an INNER query over the same scans must NOT be answered from
+      // outer state — decline to the raw plan
+      val innerQ = s.read.parquet(fDir)
+        .join(s.read.parquet(sDir), Seq("sk"))
+        .join(s.read.parquet(pDir), Seq("pk"))
+        .groupBy($"snk").agg(count(lit(1)).as("n"))
+      require(scanPaths(innerQ).exists(raw),
+        "q215: an inner-join query must decline the outer-tree serve")
+      // a filter UNDER a null side cannot commute — decline to raw
+      val filteredLeaf = s.read.parquet(fDir)
+        .join(s.read.parquet(sDir).filter($"snk" =!= 3L), Seq("sk"),
+          "left")
+        .join(s.read.parquet(pDir), Seq("pk"), "left")
+        .groupBy($"snk").agg(count(lit(1)).as("n"))
+      require(scanPaths(filteredLeaf).exists(raw),
+        "q215: a null-side leaf filter must decline the rewrite")
+      res
+    } finally JoinTreeIvm.deregisterServe(st, Seq(fDir, sDir, pDir))
+  }
+
   /** N-ary tree-MV SQL serving (q207): the q206 maintained 3-way join
     * (`orders ⋈ customer ⋈ nation`, insert + takedown waves) registered
     * with [[graft.plans.MaterializedJoinRewrite.registerTree]] — a user's
@@ -1672,6 +1857,8 @@ object FunctionQueries {
     "q211_midtree_outer_ivm" -> (q211MidTreeOuterIvm _),
     "q212_outer_tree_agg" -> (q212OuterTreeAgg _),
     "q213_outer_tree_serve" -> (q213OuterTreeServe _),
+    "q214_midtree_outer_agg" -> (q214MidTreeOuterAgg _),
+    "q215_midtree_outer_serve" -> (q215MidTreeOuterServe _),
     "q171_join_ivm_outer" -> (q171JoinIvmOuter _),
     "q173_join_ivm_full" -> (q173JoinIvmFull _),
     "q151_kmv_overlap" -> (q151KmvOverlap _),
@@ -1961,6 +2148,43 @@ object FunctionQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(cents) AS min_cents, max(cents) AS max_cents
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q215: the plain chained LEFT JOIN GROUP BY the rewrite answered
+    // from the mid-outer tree's maintained agg partials (net inputs in
+    // the raw dirs; the okey % 4 cut is the fact subset itself)
+    "q215_midtree_outer_serve" ->
+      """WITH f AS (SELECT l_suppkey sk, l_partkey pk,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) cents
+        |  FROM lineitem WHERE l_orderkey % 4 = 0),
+        |sup AS (SELECT s_suppkey sk, CAST(s_nationkey AS BIGINT) snk
+        |  FROM supplier WHERE s_suppkey % 7 <> 3),
+        |prt AS (SELECT p_partkey pk, CAST(p_size AS BIGINT) psize
+        |  FROM part WHERE p_partkey % 11 <> 5)
+        |SELECT CAST(coalesce(s.snk, -1) AS BIGINT) AS snk,
+        |  count(*) AS n_rows,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_cents
+        |FROM f LEFT JOIN sup s ON f.sk = s.sk
+        |  LEFT JOIN prt p ON f.pk = p.pk
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // q214: one-shot chained LEFT JOIN over net inputs aggregated per
+    // (coalesced) dim group pair, min/max folded from the same rows
+    "q214_midtree_outer_agg" ->
+      """WITH f AS (SELECT l_suppkey sk, l_partkey pk,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) cents
+        |  FROM lineitem WHERE l_orderkey % 13 <> 1),
+        |sup AS (SELECT s_suppkey sk, CAST(s_nationkey AS BIGINT) snk
+        |  FROM supplier WHERE s_suppkey % 7 <> 3),
+        |prt AS (SELECT p_partkey pk, CAST(p_size AS BIGINT) psize
+        |  FROM part)
+        |SELECT CAST(coalesce(s.snk, -1) AS BIGINT) AS snk,
+        |  CAST(coalesce(p.psize, -1) AS BIGINT) AS psize,
+        |  count(*) AS n_rows,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_cents,
+        |  min(f.cents) AS min_cents, max(f.cents) AS max_cents
+        |FROM f LEFT JOIN sup s ON f.sk = s.sk
+        |  LEFT JOIN prt p ON f.pk = p.pk
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q211: one-shot chained LEFT JOIN over net inputs (suppliers minus
     // the sk % 7 wave, parts minus the pk % 11 wave, facts minus the
     // okey % 13 takedown) — both outer levels null-extend
