@@ -65,7 +65,12 @@ object GraftSession {
     // queries from raw scans until re-registration. When
     // `spark.graft.servesDir` / GRAFT_SERVES_DIR names a persisted
     // serve catalog, re-register its entries now (ServeCatalogSpec
-    // pins the across-restart scan-paths contract).
+    // pins the across-restart scan-paths contract). The hook runs at
+    // most once per catalog dir per JVM and registers if-absent, and
+    // each restored entry carries a raw-source fingerprint witness —
+    // getOrCreate being the standard idempotent accessor, a repeat
+    // call can neither clobber a live writer's fresh() guard nor
+    // re-enable a serve whose raw inputs ran ahead.
     graft.plans.ServeCatalog.restore(spark)
     spark
   }

@@ -348,8 +348,13 @@ object JoinTreeIvm {
     * guard. This is the MV-lattice behavior a dashboard layer wants:
     * the maintenance work of one tree — inner, outer-last, or mid-tree
     * outer — serves every join prefix a query planner can ask for. */
+  /** `ifAbsent = true` (the [[graft.plans.ServeCatalog]] restore path)
+    * skips any prefix whose registration slot a live writer already
+    * holds — a replayed catalog must never clobber a live `fresh`
+    * guard. */
   def registerServe(st: Stores, paths: Seq[String],
-                    fresh: () => Boolean = () => true): Unit = {
+                    fresh: () => Boolean = () => true,
+                    ifAbsent: Boolean = false): Unit = {
     require(paths.size == st.leaves,
       s"registerServe needs one raw path per leaf: ${paths.size} given, " +
         s"${st.leaves} leaves")
@@ -393,10 +398,14 @@ object JoinTreeIvm {
       val cur: () => DataFrame =
         if (outs.contains(lvl)) () => IncrementalOuterJoin.current(st.outerAt(lvl))
         else () => IncrementalJoin.current(st.levels(lvl))
-      graft.plans.MaterializedJoinRewrite.registerTree(paths.take(n),
-        graft.plans.MaterializedJoinRewrite.TreeMv(st.keys.take(n - 1),
-          cur, fresh, aggServe,
-          outerLevels = outs.filter(_ <= lvl).toSeq.sorted))
+      val mv = graft.plans.MaterializedJoinRewrite.TreeMv(
+        st.keys.take(n - 1), cur, fresh, aggServe,
+        outerLevels = outs.filter(_ <= lvl).toSeq.sorted)
+      if (ifAbsent)
+        graft.plans.MaterializedJoinRewrite.registerTreeIfAbsent(
+          paths.take(n), mv)
+      else
+        graft.plans.MaterializedJoinRewrite.registerTree(paths.take(n), mv)
     }
   }
 

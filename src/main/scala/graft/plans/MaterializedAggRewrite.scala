@@ -114,7 +114,8 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
                            Map.empty,
                          contQuantileCurrent: Map[String, Seq[Double] => DataFrame] =
                            Map.empty,
-                         countRowsExact: Boolean = true)
+                         countRowsExact: Boolean = true,
+                         fresh: () => Boolean = () => true)
 
   /** How one output column maps onto the store. */
   private sealed trait StoreRef
@@ -141,6 +142,13 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
   def register(sourcePath: String, mv: MvDef): Unit =
     registry.put(canon(sourcePath), mv)
 
+  /** Register only when the source is unclaimed — the restore path's
+    * form: a live writer's registration (and its own `fresh` guard)
+    * must never be clobbered by a catalog replay. Returns true when
+    * THIS call installed `mv`. */
+  def registerIfAbsent(sourcePath: String, mv: MvDef): Boolean =
+    registry.putIfAbsent(canon(sourcePath), mv) == null
+
   def deregister(sourcePath: String): Unit = registry.remove(canon(sourcePath))
 
   def clear(): Unit = registry.clear()
@@ -149,11 +157,15 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     if (registry.isEmpty || rewriting.get()) plan
     else plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
+        // a registration's fresh() is its staleness guard (a restored
+        // serve whose raw source ran ahead declines to the raw plan)
         sourceOf(child).flatMap { case (_, mv, preds) =>
-          rewriteWithMv(groups, aggExprs, mv, preds)
+          if (!mv.fresh()) None
+          else rewriteWithMv(groups, aggExprs, mv, preds)
         }.orElse {
           joinSourceOf(child).flatMap { case (mv, preds, dimPlan, pairs) =>
-            rewriteJoin(groups, aggExprs, mv, preds, dimPlan, pairs)
+            if (!mv.fresh()) None
+            else rewriteJoin(groups, aggExprs, mv, preds, dimPlan, pairs)
           }
         }.getOrElse(agg)
     }

@@ -175,6 +175,16 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
     treeRegistry.put(paths.map(canon), mv)
   }
 
+  /** [[registerTree]] only when the path tuple is unclaimed — the
+    * restore path's form (a live registration's `fresh` guard must
+    * never be clobbered by a catalog replay). Returns true when THIS
+    * call installed `mv`. */
+  def registerTreeIfAbsent(paths: Seq[String], mv: TreeMv): Boolean = {
+    require(paths.size >= 3 && mv.keys.size == paths.size - 1,
+      s"a tree registration needs ≥3 leaves and one key set per level")
+    treeRegistry.putIfAbsent(paths.map(canon), mv) == null
+  }
+
   def deregisterTree(paths: Seq[String]): Unit =
     treeRegistry.remove(paths.map(canon))
 

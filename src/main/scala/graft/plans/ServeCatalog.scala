@@ -26,19 +26,33 @@ import graft.sinks.AppendOnlyStore
   * names the catalog directory.
   *
   * '''Freshness contract.''' A descriptor cannot carry the writer's
-  * in-memory `fresh()` guard, so a restored registration serves the
-  * store's CURRENT COMMITTED state unconditionally. Recording an entry
-  * is therefore the single-writer's assertion that the store is kept
-  * current for as long as the entry exists — remove it ([[remove]])
-  * before letting raw inputs run ahead of maintenance, exactly as a
-  * database MV registry expects `DROP MATERIALIZED VIEW` before the
-  * base table diverges. A live writer that wants a tighter window
-  * passes its own `fresh` to [[record]], which applies to THIS
-  * process's registration only.
+  * in-memory `fresh()` guard, so [[record]] captures a MECHANICAL
+  * witness instead: a fingerprint of every raw source path's file
+  * listing (name, length, mtime — manifest cost, no data read). A
+  * RESTORED registration's `fresh()` recomputes the fingerprints and
+  * DECLINES the serve whenever any raw path has newer content than the
+  * recording writer saw — a restarted session can never serve stale
+  * maintained state just because raw inputs ran ahead while it was
+  * down; the query falls back to the raw scan (correct, merely
+  * uncached) until a writer re-records. The per-query cost is one FS
+  * listing per source path — a metadata round-trip, noise against the
+  * scan it guards. The recording process's own registration keeps the
+  * caller's `fresh` (the live writer maintains the store; its
+  * fingerprint would go stale on the very first append it absorbs).
+  * Witnesses dedupe re-recording: a writer that appends raw data and
+  * maintains the store re-records to refresh the fingerprint.
   *
-  * The file is single-writer (read-modify-rename, the engine-wide
-  * store posture); entries dedupe by their serve target, so
-  * re-recording after a store migration just overwrites.
+  * '''Replay safety.''' The conf-keyed [[restore(spark:*]] hook runs at
+  * most once per catalog directory per JVM, and every restore
+  * registers with put-IF-ABSENT semantics — a live writer's
+  * registration (and its own `fresh` guard) is never clobbered by a
+  * second `getOrCreate` replaying the catalog.
+  *
+  * The file is single-writer (read-modify-rename with an
+  * overwrite-capable rename, so a concurrent reader always sees a
+  * complete catalog — never a missing-file window); entries dedupe by
+  * their serve target, so re-recording after a store migration just
+  * overwrites.
   */
 object ServeCatalog {
 
@@ -54,6 +68,9 @@ object ServeCatalog {
   sealed trait Entry {
     /** The serve target — entries dedupe on it. */
     def id: String
+    /** The raw source paths whose divergence staleness-guards a
+      * restored registration. */
+    def sources: Seq[String]
   }
 
   /** A maintained single-source aggregate ([[IncrementalAgg]] store):
@@ -62,6 +79,7 @@ object ServeCatalog {
                             keyCols: Seq[String], sumCols: Seq[String])
       extends Entry {
     def id: String = s"agg:$source"
+    def sources: Seq[String] = Seq(source)
   }
 
   /** A maintained single-source extrema multiset ([[MinMaxAgg]] store):
@@ -71,6 +89,7 @@ object ServeCatalog {
                                 keyCols: Seq[String], valCol: String)
       extends Entry {
     def id: String = s"extrema:$source"
+    def sources: Seq[String] = Seq(source)
   }
 
   /** A maintained binary-join chain ([[ChainedIvm]] layout under
@@ -86,6 +105,7 @@ object ServeCatalog {
                               extremaValCol: String = "")
       extends Entry {
     def id: String = s"chain:$left⋈$right"
+    def sources: Seq[String] = Seq(left, right)
   }
 
   /** A maintained left-deep join tree ([[JoinTreeIvm]] layout under
@@ -98,9 +118,11 @@ object ServeCatalog {
                              aggSumCols: Seq[String] = Nil,
                              outerLast: Boolean = false,
                              extremaKeyCols: Seq[String] = Nil,
-                             extremaValCol: String = "")
+                             extremaValCol: String = "",
+                             outerLevels: Seq[Int] = Nil)
       extends Entry {
     def id: String = s"tree:${paths.mkString("⋈")}"
+    def sources: Seq[String] = paths
   }
 
   // ------------------------------------------------------------- apply
@@ -133,38 +155,42 @@ object ServeCatalog {
 
   /** Register `entry` in the in-memory registries — the ONE
     * registration path shared by live recording and restore, so the
-    * served plans are identical across a session boundary. */
+    * served plans are identical across a session boundary. `ifAbsent`
+    * (the restore path) never clobbers a live registration's slot —
+    * and with it, its own `fresh` guard. */
   def applyEntry(spark: SparkSession, entry: Entry,
-                 fresh: () => Boolean = () => true): Unit = entry match {
+                 fresh: () => Boolean = () => true,
+                 ifAbsent: Boolean = false): Unit = entry match {
     case AggServe(source, root, keyCols, sumCols) =>
-      // the agg rewrite carries no fresh guard (its registrations are
-      // store-backed by construction); `fresh` applies to the join
-      // shapes below only
       val store = aggStore(spark, root)
       val spec = IncrementalAgg.Spec(keyCols, sumCols)
-      MaterializedAggRewrite.register(source,
-        MaterializedAggRewrite.MvDef(keyCols, sumCols,
-          () => IncrementalAgg.current(store, spec)))
+      val mv = MaterializedAggRewrite.MvDef(keyCols, sumCols,
+        () => IncrementalAgg.current(store, spec), fresh = fresh)
+      if (ifAbsent) MaterializedAggRewrite.registerIfAbsent(source, mv)
+      else MaterializedAggRewrite.register(source, mv)
     case ExtremaServe(source, root, keyCols, valCol) =>
       val store = aggStore(spark, root)
-      MaterializedAggRewrite.register(source,
-        extremaMvDef(store, MinMaxAgg.Spec(keyCols, valCol)))
+      val mv = extremaMvDef(store, MinMaxAgg.Spec(keyCols, valCol))
+        .copy(fresh = fresh)
+      if (ifAbsent) MaterializedAggRewrite.registerIfAbsent(source, mv)
+      else MaterializedAggRewrite.register(source, mv)
     case ChainServe(left, right, on, chainRoot, buckets,
                     aggKeys, aggSums, exKeys, exVal) =>
       val exSpec =
         if (exVal.nonEmpty) Some(MinMaxAgg.Spec(exKeys, exVal)) else None
       val chain = ChainedIvm.stores(spark, chainRoot, on,
         IncrementalAgg.Spec(aggKeys, aggSums), buckets, exSpec)
-      MaterializedJoinRewrite.register(left, right,
-        MaterializedJoinRewrite.JoinMv(on,
-          org.apache.spark.sql.catalyst.plans.Inner,
-          () => ChainedIvm.currentJoin(chain), fresh,
-          aggServe = Seq(
-            MaterializedAggRewrite.MvDef(aggKeys, aggSums,
-              () => ChainedIvm.currentAgg(chain))) ++
-            exSpec.map(_ => ChainedIvm.extremaServe(chain)).toSeq))
+      val mv = MaterializedJoinRewrite.JoinMv(on,
+        org.apache.spark.sql.catalyst.plans.Inner,
+        () => ChainedIvm.currentJoin(chain), fresh,
+        aggServe = Seq(
+          MaterializedAggRewrite.MvDef(aggKeys, aggSums,
+            () => ChainedIvm.currentAgg(chain))) ++
+          exSpec.map(_ => ChainedIvm.extremaServe(chain)).toSeq)
+      if (ifAbsent) MaterializedJoinRewrite.registerIfAbsent(left, right, mv)
+      else MaterializedJoinRewrite.register(left, right, mv)
     case TreeServe(paths, keys, treeRoot, buckets, aggKeys, aggSums,
-                   outerLast, exKeys, exVal) =>
+                   outerLast, exKeys, exVal, outerLevels) =>
       val st = JoinTreeIvm.stores(spark, treeRoot, keys, buckets,
         aggSpec =
           if (aggSums.nonEmpty || aggKeys.nonEmpty)
@@ -173,11 +199,52 @@ object ServeCatalog {
         outerLast = outerLast,
         extremaSpec =
           if (exVal.nonEmpty) Some(MinMaxAgg.Spec(exKeys, exVal))
-          else None)
-      JoinTreeIvm.registerServe(st, paths, fresh)
+          else None,
+        outerLevels = outerLevels)
+      JoinTreeIvm.registerServe(st, paths, fresh, ifAbsent = ifAbsent)
   }
 
+  // ------------------------------------------------ freshness witness
+
+  /** A manifest-cost fingerprint of one raw source path: the sorted
+    * (relative name, length, mtime) listing hashed. Any append,
+    * overwrite or delete under the path changes it; no data is read. */
+  private[graft] def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        lines += s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
+      }
+      lines.sorted.foreach(l => md.update(l.getBytes("UTF-8")))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def witnessOf(spark: SparkSession, entry: Entry)
+      : Map[String, String] =
+    entry.sources.map(p => p -> fingerprint(spark, p)).toMap
+
+  /** The staleness guard a RESTORED entry registers with: every source
+    * path's current fingerprint must equal the recorded one. Empty
+    * witness (a pre-witness catalog file) keeps the old always-fresh
+    * behavior. */
+  private def witnessFresh(spark: SparkSession, entry: Entry,
+                           witness: Map[String, String]): () => Boolean =
+    if (witness.isEmpty) () => true
+    else () => entry.sources.forall(p =>
+      witness.get(p).forall(_ == fingerprint(spark, p)))
+
   // ----------------------------------------------------------- persist
+
+  /** One catalog line: the entry plus the per-source freshness witness
+    * captured at record time. */
+  final case class Persisted(entry: Entry,
+                             witness: Map[String, String] = Map.empty)
 
   private implicit val formats: org.json4s.Formats =
     org.json4s.DefaultFormats +
@@ -187,7 +254,7 @@ object ServeCatalog {
 
   private def file(dir: String) = new Path(dir, FileName)
 
-  private def readAll(spark: SparkSession, dir: String): Seq[Entry] = {
+  private def readAll(spark: SparkSession, dir: String): Seq[Persisted] = {
     val p = file(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
@@ -195,11 +262,19 @@ object ServeCatalog {
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    org.json4s.jackson.JsonMethods.parse(text).extract[List[Entry]]
+    val json = org.json4s.jackson.JsonMethods.parse(text)
+    json match {
+      // pre-witness catalogs hold bare entries — restore them with an
+      // empty witness (always-fresh, the old contract)
+      case org.json4s.JArray(items)
+        if items.forall(i => (i \ "entry") == org.json4s.JNothing) =>
+        json.extract[List[Entry]].map(Persisted(_))
+      case _ => json.extract[List[Persisted]]
+    }
   }
 
   private def writeAll(spark: SparkSession, dir: String,
-                       entries: Seq[Entry]): Unit = {
+                       entries: Seq[Persisted]): Unit = {
     val p = file(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(dir))
@@ -208,38 +283,57 @@ object ServeCatalog {
     try out.write(org.json4s.jackson.Serialization.writePretty(entries)
       .getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"could not publish $p")
+    // overwrite-capable rename: a delete-then-rename pair would leave a
+    // window where a concurrent restore sees NO catalog and silently
+    // registers nothing — FileContext renames over the target instead
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Register `entry` now (with this process's `fresh` guard) AND
-    * persist its descriptor under `dir` for future sessions. */
+    * persist its descriptor under `dir` — with a freshly-captured
+    * source witness — for future sessions. */
   def record(spark: SparkSession, dir: String, entry: Entry,
              fresh: () => Boolean = () => true): Unit = {
     applyEntry(spark, entry, fresh)
-    val kept = readAll(spark, dir).filterNot(_.id == entry.id)
-    writeAll(spark, dir, kept :+ entry)
+    val kept = readAll(spark, dir).filterNot(_.entry.id == entry.id)
+    writeAll(spark, dir, kept :+ Persisted(entry, witnessOf(spark, entry)))
   }
 
   /** Drop the entry serving `id` from the persisted catalog (the
     * in-memory registration, if any, is left to its owner). */
   def remove(spark: SparkSession, dir: String, id: String): Unit =
-    writeAll(spark, dir, readAll(spark, dir).filterNot(_.id == id))
+    writeAll(spark, dir, readAll(spark, dir).filterNot(_.entry.id == id))
 
   def list(spark: SparkSession, dir: String): Seq[Entry] =
-    readAll(spark, dir)
+    readAll(spark, dir).map(_.entry)
 
-  /** Re-register every persisted entry — the session-build hook. */
+  /** Re-register every persisted entry — the session-build hook. Each
+    * restored registration carries the witness staleness guard
+    * ([[witnessFresh]]) and registers if-absent, so a live writer's
+    * registration is never clobbered. */
   def restore(spark: SparkSession, dir: String): Seq[Entry] = {
     val entries = readAll(spark, dir)
-    entries.foreach(applyEntry(spark, _))
-    entries
+    entries.foreach(pe => applyEntry(spark, pe.entry,
+      fresh = witnessFresh(spark, pe.entry, pe.witness), ifAbsent = true))
+    entries.map(_.entry)
   }
 
-  /** [[restore]] from the conf-keyed directory, when one is set. */
+  // conf-hook restores run once per catalog dir per JVM: getOrCreate is
+  // the standard idempotent accessor, and a second call must not replay
+  // the catalog over live registrations (ifAbsent already protects the
+  // slots; this avoids even re-reading the file on every session build)
+  private val restoredDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[restore]] from the conf-keyed directory, when one is set — at
+    * most once per directory per JVM. */
   def restore(spark: SparkSession): Seq[Entry] = {
     val dir = spark.conf.get(ConfKey,
       sys.env.getOrElse("GRAFT_SERVES_DIR", ""))
-    if (dir.isEmpty) Nil else restore(spark, dir)
+    if (dir.isEmpty || !restoredDirs.add(new Path(dir).toUri.getPath))
+      Nil
+    else restore(spark, dir)
   }
 }

@@ -29,13 +29,14 @@ class ServeCatalogSpec extends SparkSpec {
 
   /** The restart simulation: wipe the process-local registries the way
     * a fresh JVM starts, make a NEW session, restore from the catalog
-    * directory through the GraftSession conf hook. */
+    * directory (the explicit-dir form — the conf-keyed GraftSession
+    * hook additionally runs once per dir per JVM, pinned below). */
   private def restarted(dir: String): org.apache.spark.sql.SparkSession = {
     MaterializedAggRewrite.clear()
     MaterializedJoinRewrite.clear()
     val s2 = spark.newSession()
     s2.conf.set(ServeCatalog.ConfKey, dir)
-    ServeCatalog.restore(s2)
+    ServeCatalog.restore(s2, dir)
     s2
   }
 
@@ -146,6 +147,178 @@ class ServeCatalogSpec extends SparkSpec {
       val s3 = restarted(catDir)
       assert(scanPaths(full(s3)).exists(_.startsWith(fDir)),
         "a removed entry must not be restored")
+    } finally {
+      MaterializedAggRewrite.clear(); MaterializedJoinRewrite.clear()
+    }
+  }
+
+  test("a restored serve DECLINES when the raw source ran ahead of the store") {
+    val oDir = tmpDir("svc-stale-o")
+    val orders = (0L until 50L).map(k => (k, s"s${k % 3}", k * 7 + 1))
+      .toDF("okey", "status", "cents")
+    orders.write.mode("overwrite").parquet(oDir)
+    val aggRoot = tmpDir("svc-stale-agg")
+    val store = new graft.sinks.AppendOnlyStore(spark, aggRoot,
+      prefixCol = "__agg_key", prefixChars = 1)
+    val spec = IncrementalAgg.Spec(Seq("status"), Seq("cents"))
+    IncrementalAgg.appendBatch(store, spark.read.parquet(oDir), spec, 0L)
+    val catDir = tmpDir("svc-stale-cat")
+    ServeCatalog.record(spark, catDir,
+      ServeCatalog.AggServe(oDir, aggRoot, Seq("status"), Seq("cents")))
+    def query(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(oDir).groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .orderBy(col("status"))
+    try {
+      // restart with the raw path UNCHANGED: the witness matches and
+      // the restored serve answers from the store
+      val s2 = restarted(catDir)
+      val p2 = scanPaths(query(s2))
+      assert(p2.nonEmpty && p2.forall(_.startsWith(aggRoot)),
+        s"witness-matching restore must serve from the store: $p2")
+      // raw data runs AHEAD while the process is 'down' (no store
+      // maintenance): the restored registration must DECLINE — stale
+      // partials must never answer; the raw plan is the correct one
+      (50L until 60L).map(k => (k, s"s${k % 3}", k * 7 + 1))
+        .toDF("okey", "status", "cents")
+        .write.mode("append").parquet(oDir)
+      val s3 = restarted(catDir)
+      val p3 = scanPaths(query(s3))
+      assert(p3.nonEmpty && p3.forall(_.startsWith(oDir)),
+        s"a stale restored serve must decline to the raw scan: $p3")
+      assert(rows(query(s3)) == rows(query(spark)),
+        "the declined query must see the appended raw rows")
+      // the writer catches the store up and RE-RECORDS: the refreshed
+      // witness re-enables the serve across the next restart
+      IncrementalAgg.appendBatch(store,
+        spark.read.parquet(oDir).filter(col("okey") >= 50L), spec, 1L)
+      ServeCatalog.record(spark, catDir,
+        ServeCatalog.AggServe(oDir, aggRoot, Seq("status"), Seq("cents")))
+      val s4 = restarted(catDir)
+      val p4 = scanPaths(query(s4))
+      assert(p4.nonEmpty && p4.forall(_.startsWith(aggRoot)),
+        s"re-recording must refresh the witness and serve again: $p4")
+      assert(rows(query(s4)) == rows(query(spark)))
+    } finally {
+      MaterializedAggRewrite.clear(); MaterializedJoinRewrite.clear()
+    }
+  }
+
+  test("restore never clobbers a live registration's fresh guard") {
+    val oDir = tmpDir("svc-live-o")
+    val orders = (0L until 40L).map(k => (k, s"s${k % 2}", k + 1))
+      .toDF("okey", "status", "cents")
+    orders.write.mode("overwrite").parquet(oDir)
+    val aggRoot = tmpDir("svc-live-agg")
+    val store = new graft.sinks.AppendOnlyStore(spark, aggRoot,
+      prefixCol = "__agg_key", prefixChars = 1)
+    val spec = IncrementalAgg.Spec(Seq("status"), Seq("cents"))
+    IncrementalAgg.appendBatch(store, spark.read.parquet(oDir), spec, 0L)
+    val catDir = tmpDir("svc-live-cat")
+    def query() =
+      spark.read.parquet(oDir).groupBy(col("status"))
+        .agg(sum(col("cents")).as("s")).orderBy(col("status"))
+    try {
+      // the LIVE writer registers with its own (currently-declining)
+      // fresh guard and persists the entry
+      ServeCatalog.record(spark, catDir,
+        ServeCatalog.AggServe(oDir, aggRoot, Seq("status"), Seq("cents")),
+        fresh = () => false)
+      assert(scanPaths(query()).forall(_.startsWith(oDir)),
+        "the live guard declines, so the query runs raw")
+      // a second restore over the LIVE process (the double-getOrCreate
+      // shape) must not replace the live guard with the witness guard
+      ServeCatalog.restore(spark, catDir)
+      assert(scanPaths(query()).forall(_.startsWith(oDir)),
+        "a catalog replay must not re-enable a live-declined serve")
+    } finally {
+      MaterializedAggRewrite.clear(); MaterializedJoinRewrite.clear()
+    }
+  }
+
+  test("the conf-keyed hook restores once per dir per JVM") {
+    val oDir = tmpDir("svc-once-o")
+    (0L until 20L).map(k => (k, s"s${k % 2}", k + 1))
+      .toDF("okey", "status", "cents")
+      .write.mode("overwrite").parquet(oDir)
+    val aggRoot = tmpDir("svc-once-agg")
+    val store = new graft.sinks.AppendOnlyStore(spark, aggRoot,
+      prefixCol = "__agg_key", prefixChars = 1)
+    IncrementalAgg.appendBatch(store, spark.read.parquet(oDir),
+      IncrementalAgg.Spec(Seq("status"), Seq("cents")), 0L)
+    val catDir = tmpDir("svc-once-cat")
+    ServeCatalog.record(spark, catDir,
+      ServeCatalog.AggServe(oDir, aggRoot, Seq("status"), Seq("cents")))
+    try {
+      val s2 = spark.newSession()
+      s2.conf.set(ServeCatalog.ConfKey, catDir)
+      assert(ServeCatalog.restore(s2).nonEmpty,
+        "first conf-keyed restore registers the catalog")
+      assert(ServeCatalog.restore(s2).isEmpty,
+        "a second conf-keyed restore of the same dir must no-op")
+    } finally {
+      MaterializedAggRewrite.clear(); MaterializedJoinRewrite.clear()
+    }
+  }
+
+  test("mid-outer tree serve (outerLevels) survives a restart") {
+    val fDir = tmpDir("svc-mo-f"); val aDir = tmpDir("svc-mo-a")
+    val bDir = tmpDir("svc-mo-b")
+    // fact ⟕ dimA ⟕ dimB, both keys fact-derived (prefix-keyed) and
+    // both dims PARTIAL so null-extended groups exist at both levels
+    val fact = (0L until 40L).map(k => (k % 7, k % 5, k + 1))
+      .toDF("ak", "bk", "cents")
+    val dimA = (0L until 5L).map(a => (a, s"ga$a")).toDF("ak", "aname")
+    val dimB = (0L until 3L).map(b => (b, s"gb$b")).toDF("bk", "bname")
+    fact.write.mode("overwrite").parquet(fDir)
+    dimA.write.mode("overwrite").parquet(aDir)
+    dimB.write.mode("overwrite").parquet(bDir)
+    val treeRoot = tmpDir("svc-mo-tree")
+    val st = JoinTreeIvm.stores(spark, treeRoot,
+      Seq(Seq("ak"), Seq("bk")), buckets = 4,
+      outerLevels = Seq(0), outerLast = true,
+      aggSpec = Some(IncrementalAgg.Spec(Seq("aname"), Seq("cents"))))
+    JoinTreeIvm.appendLeaf(st, 1, spark.read.parquet(aDir), 0L)
+    JoinTreeIvm.appendLeaf(st, 2, spark.read.parquet(bDir), 1L)
+    JoinTreeIvm.appendLeaf(st, 0, spark.read.parquet(fDir), 2L)
+    val catDir = tmpDir("svc-mo-cat")
+    ServeCatalog.record(spark, catDir,
+      ServeCatalog.TreeServe(Seq(fDir, aDir, bDir),
+        Seq(Seq("ak"), Seq("bk")), treeRoot, buckets = 4,
+        aggKeyCols = Seq("aname"), aggSumCols = Seq("cents"),
+        outerLast = true, outerLevels = Seq(0)))
+    def chained(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(fDir)
+        .join(s.read.parquet(aDir), Seq("ak"), "left")
+        .join(s.read.parquet(bDir), Seq("bk"), "left")
+    def byA(s: org.apache.spark.sql.SparkSession) =
+      chained(s).groupBy(col("aname"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .orderBy(col("aname"))
+    def byBoth(s: org.apache.spark.sql.SparkSession) =
+      chained(s).groupBy(col("aname"), col("bname"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("aname"), col("bname"))
+    val wantA = rows(byA(spark)); val wantBoth = rows(byBoth(spark))
+    try {
+      val s2 = restarted(catDir)
+      val pA = scanPaths(byA(s2))
+      assert(pA.nonEmpty && pA.forall(_.startsWith(s"$treeRoot/agg")),
+        s"restored mid-outer tree agg must fold partials: $pA")
+      assert(rows(byA(s2)) == wantA)
+      val pBoth = scanPaths(byBoth(s2))
+      val rawDirs = Seq(fDir, aDir, bDir)
+      assert(pBoth.nonEmpty &&
+        !pBoth.exists(p => rawDirs.exists(p.startsWith)),
+        s"restored outer-multiset serve must never scan raw: $pBoth")
+      assert(rows(byBoth(s2)) == wantBoth)
+      // an INNER query over the same scans must still decline
+      def innerQ = s2.read.parquet(fDir)
+        .join(s2.read.parquet(aDir), Seq("ak"))
+        .join(s2.read.parquet(bDir), Seq("bk"))
+        .groupBy(col("aname")).agg(count(lit(1)).as("n"))
+      assert(scanPaths(innerQ).exists(p => rawDirs.exists(p.startsWith)),
+        "an inner query must not be served from restored outer state")
     } finally {
       MaterializedAggRewrite.clear(); MaterializedJoinRewrite.clear()
     }
