@@ -37,14 +37,30 @@ object Bench {
   private def sfDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+  /** Session thread count — RECORDED IN EVERY ARTIFACT because the
+    * executor-CPU signal scales with it: the same scenario gate at the
+    * same wall burns 3-5× the aggregate cpu-seconds at 32 threads as at
+    * 4 (shuffle partitions = cores, so every micro-wave stage fans out
+    * 8× the tasks, each paying scheduling/codegen-init/small-file
+    * overhead; parallel GC and spin-wait time bill to task threads
+    * too). cpu_s figures are therefore comparable ONLY between runs
+    * with equal `cpus` — the r11 "in-sweep cpu 4-5× isolated" anomaly
+    * was exactly a 32-core driver sweep (BENCH_r11.json: `"cpus": 32`)
+    * read against 4-core isolated pairs, not an attribution bug
+    * (bench/isolated_r12* commits the same queries at both core counts
+    * showing the scaling). Measure isolated pairs with SPARK_GRAFT_CPUS
+    * set to the sweep's value when adjudicating sweep figures. */
+  private def cores: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+
   /** Session + measurement machinery shared by every in-JVM mode: a
     * job-group-scoped listener accumulating executor CPU and shuffle
     * bytes (the cross-boot-stable signals wall time on a shared VM is
     * not), whole-JVM GC wall per sample, and per-sample drains of
     * [[PhaseTimer]] so multi-phase scenarios commit a breakdown. */
   private final class Run {
-    val spark = GraftSession.builder("graft-bench",
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt).getOrCreate()
+    val spark = GraftSession.builder("graft-bench", cores = cores)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(df: DataFrame): Unit =
@@ -213,7 +229,7 @@ object Bench {
       val ts = (1 to 3).map(_ => time(materialize(fn(spark, sfDir))))
       s"\"" + name + "\":[" + ts.mkString(",") + "]"
     }
-    println(s"""{"metric":"isolated","samples":${
+    println(s"""{"metric":"isolated","cpus":$cores,"samples":${
       samples.mkString("{", ",", "}")},"cpu_samples":${seqJson(rawCpu)
       },"gc_samples":${seqJson(rawGc)},"phase_samples":$phasesJson,"sf":"$sfDir"}""")
     spark.stop()
@@ -271,7 +287,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cores,""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     if (!chunkMode) println(json)
     writeArtifact(json, raw, r)
     spark.stop()
@@ -392,8 +409,8 @@ object Bench {
     val total = queries.flatMap(kv => kv._2.toDoubleOption).filter(_ >= 0).sum
     def obj(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      obj(queries)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cores,""" +
+      s""""queries":${obj(queries)},"sf":"$sfDir"}"""
     println(line)
     try {
       val out = artifactPath()

@@ -79,7 +79,15 @@ class ClusterParitySpec extends SparkSpec {
     // with typed null extensions crossing executor JVMs) and the
     // outer-last tree's chained agg/extrema (null-group flips through
     // the downstream stores)
-    "q211_midtree_outer_ivm", "q212_outer_tree_agg")
+    "q211_midtree_outer_ivm", "q212_outer_tree_agg",
+    // round-12 additions: the outer-tree SQL rewrites (q213 outer-last,
+    // q215 mid-outer) resolve store scans in-plan under a
+    // multi-executor scheduler — exactly the shape this gate exists
+    // for — and q214 chains agg/extrema through BOTH outer levels'
+    // flip waves (typed null-extension deltas into two downstream
+    // stores across executor JVMs)
+    "q213_outer_tree_serve", "q214_midtree_outer_agg",
+    "q215_midtree_outer_serve")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {

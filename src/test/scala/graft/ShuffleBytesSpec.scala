@@ -503,6 +503,57 @@ class ShuffleBytesSpec extends SparkSpec {
         s"(${perRound.mkString(",")})")
   }
 
+  test("mid-tree outer cascade shuffles flat bytes while state grows 10×") {
+    // The q211 shape: fact ⟕ dimA ⟕ dimB with LEFT OUTER at BOTH
+    // levels (level 0 is MID-tree outer), both join keys fact-derived.
+    // Every round appends round-disjoint dims + a constant fact batch
+    // — half of whose groups are UNMATCHED on dimA and half on dimB,
+    // so null extensions ride every append — then a signed dimA flip
+    // wave whose outer Δ (a retraction of the null-extended group plus
+    // the matched insert, and the reverse) must propagate THROUGH
+    // level 1 as a delta, never a state re-join. All four appends per
+    // round are constant-size; level-0 outer state, level-1 state and
+    // both unmatched multisets grow 10× — bytes must stay flat.
+    import graft.ops.JoinTreeIvm
+    val root = java.nio.file.Files.createTempDirectory("motree-bytes").toString
+    val st = JoinTreeIvm.stores(spark, root, Seq(Seq("a"), Seq("b")),
+      buckets = 4, outerLevels = Seq(0), outerLast = true)
+    // dimA covers EVEN a-keys of its round only (odd a null-extends)
+    def dimA(i: Int) = (0 until 100)
+      .map(t => ((i * 200 + 2 * t).toLong, s"a${t % 7}"))
+      .toDF("a", "aval").localCheckpoint()
+    // dimB covers even b-keys of its round only (odd b null-extends)
+    def dimB(i: Int) = (0 until 25)
+      .map(s => ((i * 50 + 2 * s).toLong, s"b${s % 5}"))
+      .toDF("b", "bval").localCheckpoint()
+    def fact(i: Int) = (0 until 5000)
+      .map(j => (i * 1000000L + j, (i * 200 + j % 200).toLong,
+        (i * 50 + j % 50).toLong, j.toLong))
+      .toDF("k", "a", "b", "v").localCheckpoint()
+    def flipsA(i: Int) = Seq(
+      ((i * 200 + 1).toLong, "ax", 1L),   // odd a: unmatched → matched
+      ((i * 200).toLong, "a0", -1L))      // even a: matched → unmatched
+      .toDF("a", "aval", "__delta").localCheckpoint()
+    val perRound = (0 until 10).map { i =>
+      val (da, db, f, fl) = (dimA(i), dimB(i), fact(i), flipsA(i))
+      shuffleBytes {
+        JoinTreeIvm.appendLeaf(st, 1, da, 100L + 4 * i)
+        JoinTreeIvm.appendLeaf(st, 2, db, 101L + 4 * i)
+        JoinTreeIvm.appendLeaf(st, 0, f, 102L + 4 * i)
+        JoinTreeIvm.appendLeafDelta(st, 1, fl, 103L + 4 * i)
+      }
+    }
+    assert(perRound.forall(_ > 0), perRound.mkString(","))
+    val early = perRound.slice(1, 4).sum / 3.0
+    val late = perRound.slice(7, 10).sum / 3.0
+    assert(late < early * 1.5,
+      s"per-append shuffle grew with mid-outer tree state: early=$early " +
+        s"late=$late (${perRound.mkString(",")})")
+    assert(perRound.drop(1).max < early * 2.0,
+      s"one append exceeded 2× the early average: " +
+        s"(${perRound.mkString(",")})")
+  }
+
   test("RTBF drain micro-batches shuffle flat bytes while all three stores grow 10×") {
     // The q205 shape: one signed doc topic maintains the BM25 index,
     // the near-dup admission store and the CC labels under ONE
