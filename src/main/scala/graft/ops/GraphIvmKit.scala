@@ -104,6 +104,13 @@ private[ops] object GraphIvmKit {
   def guardedBy(df: DataFrame, bound: DataFrame): DataFrame =
     if (sizeOf(bound) <= broadcastRowLimit(df)) broadcast(df) else df
 
+  /** [[guardedBy]] with a caller-computed row bound (`|df| ≤ rows`) —
+    * for derivations whose fan-out is a known multiplier of a base
+    * frame (a multi-probe explode: `|probed| ≤ nprobe·|queries|`), so
+    * the guard costs no job on the derived plan at all. */
+  def guardedByCount(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= broadcastRowLimit(df)) broadcast(df) else df
+
   /** A checkpointed frame REBUILT from its RDD — strips origin-plan
     * constraints that otherwise trip Union constraint rewriting when
     * derived frames meet (the hazard [[IncrementalCc]] documents). */

@@ -351,13 +351,31 @@ object JoinTreeIvm {
   /** `ifAbsent = true` (the [[graft.plans.ServeCatalog]] restore path)
     * skips any prefix whose registration slot a live writer already
     * holds — a replayed catalog must never clobber a live `fresh`
-    * guard. */
+    * guard.
+    *
+    * `setRef` (a [[graft.sinks.StoreSetRef]] over [[serveSurfaces]],
+    * committed once per batch by the writer) pins the FULL tree's serve
+    * closures to ONE committed ref per query: a query touching two
+    * serve levels (agg partials + the extrema multiset, or either +
+    * the tree multiset) observes one batch boundary across all of
+    * them, never a mid-commit mix ([[graft.plans.ServePin]] memoizes
+    * the snapshot per rewrite scope). Before the first commit, reads
+    * fall back to live stores. Prefix serves read one store per query
+    * — nothing to straddle — and stay live. */
   def registerServe(st: Stores, paths: Seq[String],
                     fresh: () => Boolean = () => true,
-                    ifAbsent: Boolean = false): Unit = {
+                    ifAbsent: Boolean = false,
+                    setRef: Option[graft.sinks.StoreSetRef] = None): Unit = {
     require(paths.size == st.leaves,
       s"registerServe needs one raw path per leaf: ${paths.size} given, " +
         s"${st.leaves} leaves")
+    def served(): Stores = setRef match {
+      case Some(ref) => graft.plans.ServePin.resolve(ref) {
+        if (ref.currentSeq().isDefined) pinnedView(st, ref.snapshot())
+        else st
+      }
+      case None => st
+    }
     val outs = st.outerUns.keySet
     // The 2-leaf prefix is a COURTESY registration: claim the pair only
     // if no independent binary MV already serves it (overwriting would
@@ -379,10 +397,10 @@ object JoinTreeIvm {
     if (graft.plans.MaterializedJoinRewrite.registerIfAbsent(
         paths(0), paths(1), binMv))
       ownedPrefix.put(ownKey(st, paths), binMv)
-    val downstreamServe = st.agg.toSeq.map { case (store, spec) =>
+    val downstreamServe = st.agg.toSeq.map { case (_, spec) =>
       graft.plans.MaterializedAggRewrite.MvDef(spec.keyCols,
-        spec.sumCols, () => IncrementalAgg.current(store, spec))
-    } ++ st.extrema.toSeq.map(_ => extremaServe(st))
+        spec.sumCols, () => currentAgg(served()))
+    } ++ st.extrema.toSeq.map(_ => extremaServeOf(st, () => served()))
     // every longer prefix serves its own maintained multiset: the
     // (n−1)-level prefix ends at level n−2, whose store is the OUTER
     // multiset when that level is outer (inner rows + null extensions)
@@ -396,7 +414,8 @@ object JoinTreeIvm {
       val lvl = n - 2
       val aggServe = if (n == st.leaves) downstreamServe else Nil
       val cur: () => DataFrame =
-        if (outs.contains(lvl)) () => IncrementalOuterJoin.current(st.outerAt(lvl))
+        if (n == st.leaves) () => current(served())
+        else if (outs.contains(lvl)) () => IncrementalOuterJoin.current(st.outerAt(lvl))
         else () => IncrementalJoin.current(st.levels(lvl))
       val mv = graft.plans.MaterializedJoinRewrite.TreeMv(
         st.keys.take(n - 1), cur, fresh, aggServe,
@@ -452,20 +471,28 @@ object JoinTreeIvm {
   /** The extrema store as a SERVE LEVEL for the SQL rewrite — same
     * contract as [[ChainedIvm.extremaServe]] (min/max/percentile_disc/
     * percentile_cont GROUP BY the extrema keys, `count(*)` declined). */
-  def extremaServe(st: Stores): graft.plans.MaterializedAggRewrite.MvDef = {
-    val (store, es) = requireExtrema(st)
+  def extremaServe(st: Stores): graft.plans.MaterializedAggRewrite.MvDef =
+    extremaServeOf(st, () => st)
+
+  /** [[extremaServe]] with the store resolved per invocation — the
+    * [[registerServe]] `setRef` path reads through the query's pinned
+    * view; the spec (key/value columns) is static across pins. */
+  private def extremaServeOf(st0: Stores, stOf: () => Stores)
+      : graft.plans.MaterializedAggRewrite.MvDef = {
+    val (_, es) = requireExtrema(st0)
+    def store() = requireExtrema(stOf())._1
     graft.plans.MaterializedAggRewrite.MvDef(
       keyCols = es.keyCols, sumCols = Nil,
-      current = () => MinMaxAgg.current(store, es),
+      current = () => MinMaxAgg.current(store(), es),
       minCols = Seq(es.valCol), maxCols = Seq(es.valCol),
       discQuantileCurrent = Map(es.valCol -> { ps =>
-        ps.foldLeft(MinMaxAgg.quantilesDisc(store, es, ps)) { (d, p) =>
+        ps.foldLeft(MinMaxAgg.quantilesDisc(store(), es, ps)) { (d, p) =>
           d.withColumnRenamed(MinMaxAgg.quantileLabel(p),
             s"__qd_${math.round(p * 1e6)}")
         }
       }),
       contQuantileCurrent = Map(es.valCol -> { ps =>
-        ps.foldLeft(MinMaxAgg.quantilesCont(store, es, ps)) { (d, p) =>
+        ps.foldLeft(MinMaxAgg.quantilesCont(store(), es, ps)) { (d, p) =>
           d.withColumnRenamed(MinMaxAgg.contLabel(p),
             s"__qc_${math.round(p * 1e6)}")
         }

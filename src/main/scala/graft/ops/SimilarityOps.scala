@@ -34,10 +34,25 @@ object SimilarityOps {
     * (equi-keyed sites) or a shuffle cartesian (brute-force sites),
     * never a driver OOM: past [[GraphIvmKit.BroadcastLimitKey]] rows
     * (default 4M) the hint is dropped and the planner falls back to the
-    * bounded-memory plan. Costs one count job of the batch per call —
-    * noise against the corpus scan the join performs. Results are
-    * bit-identical in both regimes (AnnGuardSpec forces limit=0). */
-  private def guardedQ(q: DataFrame): DataFrame = GraphIvmKit.guarded(q)
+    * bounded-memory plan. Results are bit-identical in both regimes
+    * (AnnGuardSpec forces limit=0).
+    *
+    * The guard decision counts the BASE queries frame (memoized by
+    * identity in [[GraphIvmKit.sizeOf]] — one cheap scan per frame per
+    * query build), never the derived projection `q` itself: the derived
+    * plans carry bucket-code / ADC-table / quantization expressions
+    * whose re-execution for a count would double the projection cost,
+    * and their row count is bounded by `factor · |base|` by
+    * construction (1 for per-query projections; the probe fan-out for
+    * multi-probe explodes). The bound errs toward shuffle, never toward
+    * an oversized broadcast. */
+  private def guardedQ(q: DataFrame, base: DataFrame,
+                       factor: Long = 1L): DataFrame = {
+    val bound =
+      try math.multiplyExact(GraphIvmKit.sizeOf(base), factor)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    GraphIvmKit.guardedByCount(q, bound)
+  }
 
   /** Σ aᵢ·bᵢ with double accumulation — written to be expressible
     * identically in other engines (sequential left fold). */
@@ -60,7 +75,7 @@ object SimilarityOps {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     fused(corpus)
-    val scored = corpus.crossJoin(guardedQ(queries))
+    val scored = corpus.crossJoin(guardedQ(queries, queries))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
@@ -99,7 +114,7 @@ object SimilarityOps {
     val planes = hyperplanes(bits, dim, seed)
     val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
     val qBucketed = queries.withColumn("bucket", lshBucket(col(qVecCol), planes))
-    val scored = bucketed.join(guardedQ(qBucketed), Seq("bucket"))
+    val scored = bucketed.join(guardedQ(qBucketed, queries), Seq("bucket"))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
@@ -149,7 +164,8 @@ object SimilarityOps {
             org.apache.spark.sql.functions.call_function("shiftleft",
               lit(1L), f.getField("j")))))))
       .drop("bucket0", "__flips")
-    val scored = bucketed.join(guardedQ(qProbed), Seq("bucket"))
+    val scored = bucketed.join(
+      guardedQ(qProbed, queries, factor = probes + 1L), Seq("bucket"))
       .filter(col(idCol) =!= col(qIdCol))
       // a candidate can arrive via several probed buckets → dedup pairs
       .select(col(qIdCol), col(idCol), col(vecCol), col(qVecCol))
@@ -233,7 +249,8 @@ object SimilarityOps {
     val probed = queries.withColumn("probe",
       explode(slice(reverse(array_sort(cellScores(col(qVecCol)))), 1, nprobe)))
       .withColumn("cell", col("probe.cid")).drop("probe")
-    val scored = assigned.join(guardedQ(probed), Seq("cell"))
+    val scored = assigned.join(
+      guardedQ(probed, queries, factor = nprobe.toLong), Seq("cell"))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
@@ -334,7 +351,8 @@ object SimilarityOps {
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val scan = spark.read.parquet(index.cellsPath)
       .filter(col("cell").isin(cells: _*)) // partition-pruned: nprobe dirs
-    val scored = scan.join(guardedQ(probed), Seq("cell"))
+    val scored = scan.join(
+      guardedQ(probed, queries, factor = nprobe.toLong), Seq("cell"))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
@@ -433,7 +451,7 @@ object SimilarityOps {
     val cells = probed.select("cell").distinct().collect()
       .map(_.getInt(0)).toSeq
     val scored = signedIvfLive(idx, cells)
-      .join(guardedQ(probed), Seq("cell"))
+      .join(guardedQ(probed, queries, factor = nprobe.toLong), Seq("cell"))
       .filter(col(idx.idCol) =!= col(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(idx.vecCol), col(qVecCol)), 4))
@@ -683,7 +701,7 @@ object SimilarityOps {
     val qq = quantizeInt8(queries, qVecCol, qCol = "q_qvec", scaleCol = "q_scale")
       .select(col(qIdCol), col(qVecCol), col("q_qvec"), col("q_scale"))
     val coarse = qc.select(col(idCol), col("qvec"), col("scale"))
-      .crossJoin(guardedQ(qq))
+      .crossJoin(guardedQ(qq, queries))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("approx",
         graft.functions.DotProductI8(col("qvec"), col("q_qvec"))
@@ -696,7 +714,8 @@ object SimilarityOps {
     // candidate-sized joins back to the float vectors, then exact top-k
     val rescored = cands
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(guardedQ(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .join(guardedQ(queries.select(col(qIdCol), col(qVecCol)), queries),
+        Seq(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
     RankOps.topKPerKey(rescored.select(col(qIdCol), col("cos"),
@@ -848,7 +867,7 @@ object SimilarityOps {
     val qt = queries
       .withColumn("__table", pqAdcTable(col(qVecCol), cb))
       .select(col(qIdCol), col("__table"))
-    val coarse = encoded.crossJoin(guardedQ(qt))
+    val coarse = encoded.crossJoin(guardedQ(qt, queries))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("approx",
         graft.functions.PqAdcScore(col("pq_codes"), col("__table"), cb.ksub))
@@ -859,7 +878,8 @@ object SimilarityOps {
       .select(col(qIdCol), col(idCol))
     val rescored = cands
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(guardedQ(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .join(guardedQ(queries.select(col(qIdCol), col(qVecCol)), queries),
+        Seq(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
     RankOps.topKPerKey(rescored.select(col(qIdCol), col("cos"),
@@ -907,7 +927,8 @@ object SimilarityOps {
       .withColumn("cell", col("probe.cid"))
       .withColumn("__table", pqAdcTable(col(qVecCol), cb))
       .select(col(qIdCol), col("cell"), col("__table"))
-    val coarse = encoded.join(guardedQ(probed), Seq("cell"))
+    val coarse = encoded.join(
+      guardedQ(probed, queries, factor = nprobe.toLong), Seq("cell"))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("approx",
         graft.functions.PqAdcScore(col("pq_codes"), col("__table"), cb.ksub))
@@ -918,7 +939,8 @@ object SimilarityOps {
       .select(col(qIdCol), col(idCol))
     val rescored = cands
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(guardedQ(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .join(guardedQ(queries.select(col(qIdCol), col(qVecCol)), queries),
+        Seq(qIdCol))
       .withColumn("cos", round(
         graft.functions.CosineSimilarity(col(vecCol), col(qVecCol)), 4))
     RankOps.topKPerKey(rescored.select(col(qIdCol), col("cos"),

@@ -210,7 +210,10 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if ((registry.isEmpty && treeRegistry.isEmpty) || rewriting.get()) plan
-    else plan.transformUp {
+    // one ServePin scope per query plan: every serve closure invoked
+    // below resolves StoreSetRef-pinned stores against ONE snapshot,
+    // so two serve levels of one query cannot straddle a batch boundary
+    else ServePin.scoped { plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
         matchJoin(child).flatMap { case (mv, preds, unsafeKeys) =>
           // OUTER-join key ambiguity guard: a non-USING outer join
@@ -238,7 +241,7 @@ object MaterializedJoinRewrite extends Rule[LogicalPlan] {
             else serve(groups, aggExprs, mv.aggServe, mv.current, preds)
           }
         }.getOrElse(agg)
-    }
+    } }
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -88,13 +88,28 @@ class StoreSetRef(spark: SparkSession, root: String,
     snapshotAt(seqs.maxBy(_._1)._1)
   }
 
-  /** [[snapshot]] pinned to a specific ref — set-level time travel. */
+  /** [[snapshot]] pinned to a specific ref — set-level time travel.
+    * Validates the pinned listings UP FRONT: a retained ref's files
+    * survive only ONE subsequent compaction per store (the
+    * [[AppendOnlyStore.read]] retention rule), so an older ref whose
+    * files a second compaction already deleted must fail HERE with a
+    * clear expiry error — fast, at snapshot time — rather than as a
+    * partial read or a missing-file failure deep inside a job. One
+    * existence probe per pinned file: manifest cost, same order as
+    * reading the ref itself. */
   def snapshotAt(seq: Long): Map[String, AppendOnlyStore] = {
     val p = new Path(rootPath, s"_SSREF.$seq")
     require(fs.exists(p), s"no store-set ref $seq under $root")
     val listing = parseRef(p)
     stores.map { case (n, st) =>
-      n -> st.pinned(listing.getOrElse(n, Nil))
+      val files = listing.getOrElse(n, Nil)
+      val gone = files.filterNot(f => fs.exists(new Path(f)))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"store-set ref $seq under $root expired by compaction: " +
+            s"surface '$n' lost ${gone.size}/${files.size} pinned " +
+            s"files (first: ${gone.head}); pin a newer ref")
+      n -> st.pinned(files)
     }
   }
 }

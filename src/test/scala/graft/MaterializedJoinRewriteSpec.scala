@@ -756,4 +756,88 @@ class MaterializedJoinRewriteSpec extends SparkSpec {
         "the served result must include the appended batch")
     } finally JoinTreeIvm.deregisterServe(st, Seq(fDir, aDir, bDir))
   }
+
+  test("setRef-pinned serving: two serve levels of one query answer from ONE committed ref") {
+    // The tree's writer commits serve surfaces sequentially (levels →
+    // agg → extrema), so a query whose plan reads TWO serve levels
+    // (count/sum from agg partials + min/max from the extrema
+    // multiset) could straddle a batch boundary between the two
+    // resolutions. Registering with a StoreSetRef pins every serve
+    // closure of one query to ONE committed ref: here a maintenance
+    // batch + ref commit are INJECTED between the first and second
+    // level's resolution (the ServePin.onPin seam), and both halves
+    // must still answer from the pre-batch ref — all-old, never mixed.
+    import graft.ops.{IncrementalAgg, JoinTreeIvm, MinMaxAgg}
+    import graft.plans.ServePin
+    import graft.sinks.StoreSetRef
+    val fDir = tmpDir("pin-f"); val aDir = tmpDir("pin-a")
+    val bDir = tmpDir("pin-b")
+    val fact = (0L until 24L).map(k => (k, k * 10 + 1)).toDF("k", "v")
+    val dimA = (0L until 24L).map(k => (k, k % 6)).toDF("k", "m")
+    val dimB = (0L until 6L).map(m => (m, s"t${m % 2}")).toDF("m", "tag")
+    fact.write.mode("overwrite").parquet(fDir)
+    dimA.write.mode("overwrite").parquet(aDir)
+    dimB.write.mode("overwrite").parquet(bDir)
+    val root = tmpDir("pin-tree")
+    val st = JoinTreeIvm.stores(spark, root, Seq(Seq("k"), Seq("m")),
+      buckets = 4,
+      aggSpec = Some(IncrementalAgg.Spec(Seq("tag"), Seq("v"))),
+      extremaSpec = Some(MinMaxAgg.Spec(Seq("tag"), "v")))
+    JoinTreeIvm.appendLeaf(st, 1, spark.read.parquet(aDir), 0L)
+    JoinTreeIvm.appendLeaf(st, 2, spark.read.parquet(bDir), 1L)
+    JoinTreeIvm.appendLeaf(st, 0, spark.read.parquet(fDir), 2L)
+    val ref = new StoreSetRef(spark, s"$root/_refs",
+      JoinTreeIvm.serveSurfaces(st))
+    ref.commit()
+    def query() = {
+      def threeWay = spark.read.parquet(fDir)
+        .join(spark.read.parquet(aDir), Seq("k"))
+        .join(spark.read.parquet(bDir), Seq("m"))
+      val a = threeWay.groupBy($"tag")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      val b = threeWay.groupBy($"tag")
+        .agg(min($"v").as("lo"), max($"v").as("hi"))
+      a.join(b, Seq("tag")).orderBy($"tag")
+    }
+    val want = rows(query()) // the raw batch-1 truth, pre-registration
+    JoinTreeIvm.registerServe(st, Seq(fDir, aDir, bDir),
+      setRef = Some(ref))
+    try {
+      // the injected mid-read batch: k=5 exists in dimA (tag group),
+      // so it moves BOTH the count/sum partials and the extrema max
+      val extra = Seq((5L, 999999L)).toDF("k", "v")
+      @volatile var injected = false
+      ServePin.onPin = () => {
+        if (!injected) {
+          injected = true
+          JoinTreeIvm.appendLeaf(st, 0, extra, 3L)
+          ref.commit()
+        }
+      }
+      val pinnedQ = query()
+      val ps = scanPaths(pinnedQ)
+      assert(ps.nonEmpty && ps.forall(_.startsWith(root)),
+        s"both levels must serve from tree stores: $ps")
+      val got = rows(pinnedQ)
+      assert(injected,
+        "fixture error: the mid-read injection never fired")
+      assert(got == want,
+        "both serve levels must answer from the PINNED pre-batch ref " +
+          "(a mixed read would show the injected batch in one half)")
+      // a NEW query pins the new ref and sees the batch on BOTH levels
+      ServePin.onPin = () => ()
+      extra.write.mode("append").parquet(fDir)
+      val after = query()
+      val psAfter = scanPaths(after)
+      assert(psAfter.nonEmpty && psAfter.forall(_.startsWith(root)))
+      val gotAfter = rows(after)
+      assert(gotAfter != want)
+      JoinTreeIvm.deregisterServe(st, Seq(fDir, aDir, bDir))
+      assert(gotAfter == rows(query()),
+        "the post-batch pinned read must equal the raw recompute")
+    } finally {
+      ServePin.onPin = () => ()
+      JoinTreeIvm.deregisterServe(st, Seq(fDir, aDir, bDir))
+    }
+  }
 }
