@@ -238,6 +238,17 @@ object IncrementalJoin {
       .partitionBy(BucketGroupCol)
       .bucketBy(st.buckets, on.head, on.tail: _*)
       .saveAsTable(name)
+    // Invalidate the STORES' session's cached file listings explicitly:
+    // the write's own refresh lands on `rows`' session, which inside a
+    // streaming foreachBatch is the micro-batch CLONE — while every
+    // state read goes through st.spark. Without this, st.spark's
+    // file-status cache keeps serving the PRE-append listing for
+    // partition dirs it has already scanned (new dirs appear, appends
+    // into existing dirs silently vanish) — rows written by a drain
+    // were invisible to the very next batch's transition probe. One
+    // metadata invalidation per append; the next scan re-lists the
+    // table's dirs at manifest cost.
+    st.spark.catalog.refreshTable(name)
   }
 
   private[ops] def appendSide(st: Stores, batch: DataFrame, on: Seq[String],

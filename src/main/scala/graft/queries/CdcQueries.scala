@@ -461,7 +461,129 @@ object CdcQueries {
       .orderBy($"n_name")
   }
 
+  /** CDC → MID-outer enrichment dashboard (q216): the q211/q215 shape
+    * (`lineitem ⟕ supplier ⟕ part`, LEFT OUTER at BOTH levels, both
+    * keys fact-derived) maintained FROM SIGNED DEBEZIUM TOPICS at
+    * micro-batch cadence, with cross-surface read atomicity. The fact
+    * topic drains insert + takedown waves onto a tree whose supplier
+    * dim is only PARTIALLY seeded — most facts start life
+    * null-extended at level 0 — then the supplier topic's late-insert
+    * wave flips them to matched THROUGH level 1 and into the
+    * maintained (snk, psize) aggregate, and its delete wave flips a
+    * slice back. Every micro-batch commits ONE [[graft.sinks.StoreSetRef]]
+    * over the tree's serving surfaces (the drain's `setRef` hook), and
+    * the final read goes through a PINNED snapshot —
+    * [[graft.ops.JoinTreeIvm.pinnedView]] — so the dashboard can never
+    * see the aggregate ahead of the multiset. The two drains use
+    * disjoint id offsets ([[graft.streaming.JoinStream]] drain claims
+    * enforce it). Result folds agg PARTIALS only; oracle = the
+    * one-shot chained LEFT JOIN GROUP BY over net inputs. */
+  def q216CdcMidTreeOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Waves are written SEQUENTIALLY with strictly increasing mtimes:
+    // the file stream orders micro-batches by file timestamp, and a
+    // one-shot partitioned write gives every wave file the same stamp —
+    // ties order arbitrarily, and an outer tree (unlike the
+    // commutative inner signed folds) REFUSES a delete wave that
+    // arrives before its inserts (net key counts must never go
+    // negative mid-stream). CDC topic semantics promise in-order
+    // delivery per key; the fixture must too.
+    def mkTopic(prefix: String, waves: Seq[DataFrame]): String = {
+      val topic =
+        java.nio.file.Files.createTempDirectory(prefix).toString
+      val topicPath = new org.apache.hadoop.fs.Path(topic)
+      val fs = topicPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val t0 = System.currentTimeMillis()
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val waveDir = new org.apache.hadoop.fs.Path(topic, s"_w$i")
+        w.coalesce(1).write.mode("overwrite").text(waveDir.toString)
+        val it = fs.listFiles(waveDir, false)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.startsWith("part-")) {
+            val dst = new org.apache.hadoop.fs.Path(topicPath,
+              s"wave$i.jsonl")
+            fs.rename(f, dst)
+            fs.setTimes(dst, t0 + i * 60000L, -1L)
+          }
+        }
+        fs.delete(waveDir, true)
+      }
+      topic
+    }
+    def env(before: Column, after: Column, op: String, wave: Int) =
+      to_json(struct(struct(
+        before.as("before"), after.as("after"),
+        lit(op).as("op"), lit(wave.toLong).as("ts_ms")).as("payload")))
+
+    val factRow = StructType(Seq(
+      StructField("sk", LongType), StructField("pk", LongType),
+      StructField("cents", LongType)))
+    val fact = Tables.load(s, dir, "lineitem")
+      .filter($"l_orderkey" % 4 === 0)
+      .select($"l_orderkey".as("okey"), $"l_suppkey".as("sk"),
+        $"l_partkey".as("pk"),
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    val factBase = struct($"sk", $"pk", $"cents")
+    val factNull = lit(null).cast(factRow)
+    val factTopic = mkTopic("q216fact", Seq(
+      fact.select(env(factNull, factBase, "c", 0).as("value")),
+      fact.where($"okey" % 13 === 1)
+        .select(env(factBase, factNull, "d", 1).as("value"))))
+
+    val supRow = StructType(Seq(
+      StructField("sk", LongType), StructField("snk", LongType)))
+    val supp = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey".as("sk"), $"s_nationkey".cast("long").as("snk"))
+    val supBase = struct($"sk", $"snk")
+    val supNull = lit(null).cast(supRow)
+    val supTopic = mkTopic("q216sup", Seq(
+      supp.where($"sk" % 4 =!= 0)
+        .select(env(supNull, supBase, "c", 0).as("value")),
+      supp.where($"sk" % 7 === 3)
+        .select(env(supBase, supNull, "d", 1).as("value"))))
+
+    val root = java.nio.file.Files.createTempDirectory("q216tree").toString
+    val tree = graft.ops.JoinTreeIvm.stores(s, root,
+      Seq(Seq("sk"), Seq("pk")), outerLevels = Seq(0), outerLast = true,
+      aggSpec = Some(graft.ops.IncrementalAgg.Spec(
+        Seq("snk", "psize"), Seq("cents"))))
+    val ref = new graft.sinks.StoreSetRef(s, s"$root/_refs",
+      graft.ops.JoinTreeIvm.serveSurfaces(tree))
+    // direct seeds: the PARTIAL supplier slice (sk % 4 == 0 — the rest
+    // arrives late over the topic) and the permanently-partial part dim
+    val part = Tables.load(s, dir, "part")
+      .filter($"p_partkey" % 3 === 0)
+      .select($"p_partkey".as("pk"), $"p_size".cast("long").as("psize"))
+    graft.ops.JoinTreeIvm.appendLeaf(tree, 1, supp.filter($"sk" % 4 === 0), 0L)
+    graft.ops.JoinTreeIvm.appendLeaf(tree, 2, part, 1L)
+    ref.commit()
+    val nFact = graft.streaming.JoinStream.drainCdcTreeLeafAvailableNow(
+      s, factTopic, factRow, tree, leaf = 0,
+      checkpointDir = s"$root/_ckpt_fact", maxFilesPerTrigger = Some(1),
+      setRef = Some(ref))
+    // the supplier topic drains AFTER the facts: its insert file is the
+    // late-dim wave (null→matched flips across level 1 into the agg),
+    // its delete file the flip-back; disjoint id space via idOffset
+    val nSup = graft.streaming.JoinStream.drainCdcTreeLeafAvailableNow(
+      s, supTopic, supRow, tree, leaf = 1,
+      checkpointDir = s"$root/_ckpt_sup", idOffset = 1000L,
+      maxFilesPerTrigger = Some(1), setRef = Some(ref))
+    require(nFact >= 2 && nSup >= 2,
+      s"expected one micro-batch per wave file at least: fact=$nFact " +
+        s"sup=$nSup")
+    // the dashboard read: every surface pinned to the LAST committed
+    // ref — the aggregate can never be observed ahead of the multiset
+    val pinned = graft.ops.JoinTreeIvm.pinnedView(tree, ref.snapshot())
+    graft.ops.JoinTreeIvm.currentAgg(pinned)
+      .select(coalesce($"snk", lit(-1L)).as("snk"),
+        coalesce($"psize", lit(-1L)).as("psize"),
+        $"n_rows", $"sum_cents")
+      .orderBy($"snk", $"psize")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q216_cdc_midtree_outer" -> (q216CdcMidTreeOuter _),
     "q208_cdc_tree" -> (q208CdcTree _),
     "q185_cdc_chain" -> (q185CdcChain _),
     "q182_cdc_signed_join" -> (q182CdcSignedJoin _),
@@ -475,6 +597,26 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q216: one-shot chained LEFT JOIN over the net topic contents —
+    // facts minus the okey % 13 takedown, suppliers minus the sk % 7
+    // delete wave, the part dim permanently partial (pk % 3 == 0)
+    "q216_cdc_midtree_outer" ->
+      """WITH f AS (SELECT l_suppkey sk, l_partkey pk,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) cents
+        |  FROM lineitem WHERE l_orderkey % 4 = 0
+        |    AND l_orderkey % 13 <> 1),
+        |sup AS (SELECT s_suppkey sk, CAST(s_nationkey AS BIGINT) snk
+        |  FROM supplier WHERE s_suppkey % 7 <> 3),
+        |prt AS (SELECT p_partkey pk, CAST(p_size AS BIGINT) psize
+        |  FROM part WHERE p_partkey % 3 = 0)
+        |SELECT CAST(coalesce(s.snk, -1) AS BIGINT) AS snk,
+        |  CAST(coalesce(p.psize, -1) AS BIGINT) AS psize,
+        |  count(*) AS n_rows,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_cents
+        |FROM f LEFT JOIN sup s ON f.sk = s.sk
+        |  LEFT JOIN prt p ON f.pk = p.pk
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q208_cdc_tree" ->
       """SELECT n.n_name, count(*) AS n_orders,
         |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))

@@ -87,7 +87,11 @@ class ClusterParitySpec extends SparkSpec {
     // flip waves (typed null-extension deltas into two downstream
     // stores across executor JVMs)
     "q213_outer_tree_serve", "q214_midtree_outer_agg",
-    "q215_midtree_outer_serve")
+    "q215_midtree_outer_serve",
+    // ... and q216: the CDC drain into a mid-outer tree (streaming
+    // micro-batches cascading outer Δ taps + per-batch StoreSetRef
+    // commits + a pinned final read, all across executor JVMs)
+    "q216_cdc_midtree_outer")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("local-cluster answers equal local answers for the parity set") {
