@@ -30,8 +30,14 @@ object ClusterParityDemo {
     spark.sparkContext.setLogLevel("WARN")
     var failed = false
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // per-query progress + wall to the parent's log: a parity
+        // timeout then names the query that ate the budget
+        println(f"[parity] $name ok ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
       catch { case e: Throwable =>
         failed = true
         System.err.println(s"[parity] $name failed: ${e.getMessage}")

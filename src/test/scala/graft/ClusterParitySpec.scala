@@ -106,7 +106,12 @@ class ClusterParitySpec extends SparkSpec {
     pb.redirectErrorStream(true)
     pb.redirectOutput(logF.toFile)
     val p = pb.start()
-    val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+    // 600 s sufficed through round 11 (53 queries); the round-12 build
+    // added q213-q216 — four multi-wave tree-IVM scenario gates — and
+    // the demo ran past 600 s on this box (the one inherited-state
+    // failure this optimization round found: 708/709). The budget
+    // follows the set it times.
+    val done = p.waitFor(1500, java.util.concurrent.TimeUnit.SECONDS)
     val log = java.nio.file.Files.readString(logF)
     if (!done) { p.destroyForcibly(); fail(s"parity demo timed out; tail:\n${log.takeRight(2000)}") }
     assert(p.exitValue() == 0,
