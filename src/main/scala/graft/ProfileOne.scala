@@ -50,7 +50,11 @@ object ProfileOne {
         gcMs.addAndGet(m.jvmGCTime)
         shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         tasks.addAndGet(sc.stageInfo.numTasks)
-        topStages.add((sc.stageInfo.name.takeWhile(_ != '\n').take(90),
+        topStages.add((f"in=${m.inputMetrics.bytesRead / 1e6}%.0fMB " +
+          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0fMB " +
+          f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB " +
+          f"cpu=${m.executorCpuTime / 1e9}%.1fs deser=${m.executorDeserializeTime / 1e3}%.1fs " +
+          sc.stageInfo.name.takeWhile(_ != '\n').take(70),
           m.executorRunTime, sc.stageInfo.numTasks))
       }
     })

@@ -39,7 +39,7 @@ object HeavyHitterAgg {
                         capacity: Int = 64)
 
   private def aggKey(spec: Spec) =
-    md5(to_json(struct(spec.keyCols.map(col): _*)))
+    IncrementalJoin.storeKey(spec.keyCols.map(col))
 
   private val CompactedBatchId = Long.MinValue
 
@@ -71,7 +71,8 @@ object HeavyHitterAgg {
     store.appendOnce(partials(batch, spec, batchId), batchId)
 
   private def deduped(store: AppendOnlyStore, spec: Spec): DataFrame =
-    store.read().dropDuplicates(spec.keyCols :+ "__batch_id")
+    IncrementalJoin.clusterByKeys(store.read(), spec.keyCols)
+      .dropDuplicates(spec.keyCols :+ "__batch_id")
 
   /** Current top-`k` items per key from stored summaries alone: merged
     * summary, exploded to one ranked row per item with its count estimate
@@ -96,7 +97,8 @@ object HeavyHitterAgg {
     * [[IncrementalAgg.compact]]). */
   def compact(store: AppendOnlyStore, spec: Spec): Unit =
     store.compactWith { df =>
-      df.dropDuplicates(spec.keyCols :+ "__batch_id")
+      IncrementalJoin.clusterByKeys(df, spec.keyCols)
+        .dropDuplicates(spec.keyCols :+ "__batch_id")
         .groupBy(spec.keyCols.map(col): _*)
         .agg(mergeUdaf(spec.capacity)(col("__sketch")).as("__sketch"),
           sum(col("__cnt")).as("__cnt"))

@@ -40,7 +40,7 @@ object IncrementalAgg {
 
   /** Null-safe stable hash of the key tuple — the store's prefix column. */
   private def aggKey(spec: Spec) =
-    md5(to_json(struct(spec.keyCols.map(col): _*)))
+    IncrementalJoin.storeKey(spec.keyCols.map(col))
 
   /** The batch id [[compact]] stamps on folded rows — below any real
     * batch id, so a fold is never mistaken for a replayed append. */
@@ -119,9 +119,12 @@ object IncrementalAgg {
                   batchId: Long, deltaCol: String = "__delta"): Unit =
     store.appendOnce(partialsSigned(batch, spec, batchId, deltaCol), batchId)
 
-  /** All stored partials with crash-replay duplicates removed. */
+  /** All stored partials with crash-replay duplicates removed,
+    * pre-clustered on the keys so the dedup and the refold share one
+    * exchange ([[IncrementalJoin.clusterByKeys]]). */
   private def dedupedPartials(store: AppendOnlyStore, spec: Spec): DataFrame =
-    store.read().dropDuplicates(spec.keyCols :+ "__batch_id")
+    IncrementalJoin.clusterByKeys(store.read(), spec.keyCols)
+      .dropDuplicates(spec.keyCols :+ "__batch_id")
 
   private def refoldAggs(spec: Spec) =
     spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")) ++
@@ -163,7 +166,8 @@ object IncrementalAgg {
     * identical key values) — a batch-id or value-column restriction
     * would refold a key from half its history and is unsound here. */
   def currentFrom(partials: DataFrame, spec: Spec): DataFrame =
-    partials.dropDuplicates(spec.keyCols :+ "__batch_id")
+    IncrementalJoin.clusterByKeys(partials, spec.keyCols)
+      .dropDuplicates(spec.keyCols :+ "__batch_id")
       .groupBy(spec.keyCols.map(col): _*)
       .agg(sum(col("__cnt")).as("n_rows"), refoldAggs(spec): _*)
       .filter(col("n_rows") =!= 0)
@@ -180,7 +184,8 @@ object IncrementalAgg {
           spec.sumCols.map(c => sum(col(s"__cnt_$c")).as(s"__cnt_$c")) ++
           spec.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
           spec.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c"))
-      df.dropDuplicates(spec.keyCols :+ "__batch_id")
+      IncrementalJoin.clusterByKeys(df, spec.keyCols)
+        .dropDuplicates(spec.keyCols :+ "__batch_id")
         .groupBy(spec.keyCols.map(col): _*)
         .agg(sum(col("__cnt")).as("__cnt"), folded: _*)
         .filter(col("__cnt") =!= 0) // fully-retracted keys leave the store

@@ -153,6 +153,35 @@ object IncrementalJoin {
   private val Reserved = Set("__mult", "__bid", "__jk", "__lbid", "__rbid",
     "prefix", BucketGroupCol)
 
+  /** Cheap deterministic row key over `cols` for store bookkeeping
+    * (`__jk` / `__agg_key` prefix clustering): fixed-width hex of
+    * xxhash64 — wholly codegen-friendly, no per-row JSON/MD5 allocation
+    * (the md5(to_json(struct(…))) it replaces dominated fold CPU on
+    * wide deltas). Purely internal: the value is only ever a clustering
+    * prefix and a groupBy co-key alongside the actual key columns, so
+    * hash collisions (including xxhash64's null-skip making e.g.
+    * (null,"a") collide with ("a",null)) affect layout, never results.
+    * Empty key lists (scalar aggregates) get a constant key. */
+  private[ops] def storeKey(cols: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column =
+    if (cols.isEmpty) lit("0000000000000000")
+    else lpad(hex(xxhash64(cols: _*)), 16, "0")
+
+  /** Pre-cluster `df` on `keys` so the maintained-read fold pattern —
+    * `dropDuplicates(keys ++ stamps)` followed by `groupBy(keys)` — runs
+    * over ONE exchange instead of two: hash-partitioning on `keys`
+    * satisfies the clustered distribution of BOTH aggregates (partition
+    * expressions are a subset of each grouping), so EnsureRequirements
+    * inserts no further shuffle. Every read-side fold in the IVM family
+    * (join multisets, unmatched nets, agg partial refolds, extrema
+    * groups) was paying a state-sized second exchange for the
+    * crash-replay dedup (guide §2.4: two operations keyed the same way
+    * share one exchange). Results are unchanged — the dedup and refold
+    * see identical row groups. Empty key lists (scalar refolds) keep
+    * their original single-partition plan. */
+  private[ops] def clusterByKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) df else df.repartition(keys.map(col): _*)
+
   /** Fold one batch to deterministic value-groups: all columns grouped,
     * multiplicity counted, batch id and join-key hash stamped. */
   private[ops] def fold(batch: DataFrame, on: Seq[String], batchId: Long): DataFrame = {
@@ -163,7 +192,7 @@ object IncrementalJoin {
     batch.groupBy(batch.columns.map(col): _*)
       .agg(count(lit(1)).as("__mult"))
       .withColumn("__bid", lit(batchId))
-      .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
+      .withColumn("__jk", storeKey(on.map(col)))
   }
 
   /** [[fold]] for a SIGNED batch: `deltaCol` carries each row's signed
@@ -183,7 +212,7 @@ object IncrementalJoin {
       .agg(sum(col(deltaCol).cast("long")).as("__mult"))
       .filter(col("__mult") =!= 0)
       .withColumn("__bid", lit(batchId))
-      .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
+      .withColumn("__jk", storeKey(on.map(col)))
   }
 
   /** A side's current state: the bucketed table scan, served as-is on
@@ -271,7 +300,9 @@ object IncrementalJoin {
       case Some(dc) => foldSigned(batch, on, batchId, dc)
       case None => fold(batch, on, batchId)
     }
-    val d = if (joins) d0.cutLineage() else d0
+    // lazy: the first consumer (out.append's write, or appendToTable
+    // when no join runs) is a full pass that materializes the blocks
+    val d = if (joins) d0.cutLineage(eager = false) else d0
     if (joins) {
       val dOut0 = deltaJoin(d, sideState(st, !isLeft), on,
         deltaIsLeft = isLeft)
@@ -280,7 +311,8 @@ object IncrementalJoin {
       // downstream maintained aggregates from exactly this Δ-output; a
       // replayed batch returns above before the tap runs, so the join's
       // manifest is the whole CHAIN's exactly-once boundary)
-      val dOut = if (tap.isDefined) dOut0.cutLineage() else dOut0
+      val dOut = if (tap.isDefined) dOut0.cutLineage(eager = false)
+        else dOut0
       st.out.append(dOut)
       tap.foreach(_(dOut))
     }
@@ -356,7 +388,8 @@ object IncrementalJoin {
     // groups netting to 0 (a signed delta fully retracted them) vanish;
     // negative nets — retractions exceeding insertions, a contract
     // violation — stay VISIBLE rather than being silently clamped
-    df.dropDuplicates(valueCols ++ Seq("__lbid", "__rbid"))
+    clusterByKeys(df, valueCols.toSeq)
+      .dropDuplicates(valueCols ++ Seq("__lbid", "__rbid"))
       .groupBy(valueCols.map(col): _*)
       .agg(sum(col("__mult")).as("n"))
       .filter(col("n") =!= 0)
@@ -377,7 +410,8 @@ object IncrementalJoin {
     stores.out.compactWith { df0 =>
       val df = df0.drop("prefix")
       val valueCols = df.columns.filterNot(c => Meta.contains(c) || c == "__jk")
-      df.dropDuplicates(valueCols ++ Seq("__lbid", "__rbid"))
+      clusterByKeys(df, valueCols.toSeq)
+        .dropDuplicates(valueCols ++ Seq("__lbid", "__rbid"))
         .groupBy((valueCols :+ "__jk").map(col): _*)
         .agg(sum(col("__mult")).as("__mult"))
         .filter(col("__mult") =!= 0)

@@ -170,7 +170,7 @@ object IncrementalOuterJoin {
     IncrementalJoin.sideState(in, targetIsLeft)
       .join(keys.hint("SHUFFLE_HASH"), on, "left_semi")
       .withColumn("__mult", if (negate) -col("__mult") else col("__mult"))
-      .withColumn("__jk", md5(to_json(struct(on.map(col): _*))))
+      .withColumn("__jk", IncrementalJoin.storeKey(on.map(col)))
       .withColumn("__tbid", lit(triggerBatchId))
       .withColumn("__tside", lit(if (targetIsLeft) "R" else "L"))
 
@@ -244,8 +244,13 @@ object IncrementalOuterJoin {
     // must route through netting even if this very batch crashes mid-way
     in.touch("signed")
     in.touch(s"$side.$batchId.started")
+    // LAZY cuts throughout this append: every cut frame's FIRST
+    // consumer is a full pass (the summary aggregate, a store append),
+    // so materialization piggybacks on that job instead of paying a
+    // dedicated eager-checkpoint job per frame (guide §1.2: remove
+    // whole passes before tuning inside them).
     val d = IncrementalJoin.foldSigned(batch, on, batchId, deltaCol)
-      .cutLineage()
+      .cutLineage(eager = false)
     val otherExists = in.sideExists(!isLeft)
     require(tap.isEmpty || !isLeft || otherExists,
       "an outer level with a downstream tap needs its right (dim) side " +
@@ -258,13 +263,30 @@ object IncrementalOuterJoin {
     // cut + guard lead. Computed unconditionally: a net key count going
     // negative poisons every later matched-ness decision, so it is
     // refused loudly on every signed append, not only wave-emitting ones.
-    val trans = keyTransitions(in, d, isLeft, on, batchId).cutLineage()
-    val bad = trans.filter(col("__after") < 0).limit(1).collect()
-    require(bad.isEmpty,
-      s"signed $side batch $batchId retracts more than was inserted " +
-        s"for key ${bad.headOption.map(_.toString).getOrElse("")} — " +
-        "net key count would go negative; deltas must never delete " +
-        "rows that were not inserted")
+    val trans = keyTransitions(in, d, isLeft, on, batchId)
+      .cutLineage(eager = false)
+    // ONE summary job over the materialized transitions replaces the
+    // over-retraction probe AND tells the wave emitters below whether
+    // any key actually flipped — a wave-free batch (the common fact
+    // append) then skips the state semi-join and store write entirely
+    // (guide §2.4: remove jobs/shuffles outright when provably empty).
+    val summaryRow = trans.agg(
+      sum(when(col("__after") < 0, 1L).otherwise(0L)).as("__bad"),
+      sum(when(col("__before") <= 0 && col("__after") > 0, 1L)
+        .otherwise(0L)).as("__nm"),
+      sum(when(col("__before") > 0 && col("__after") <= 0, 1L)
+        .otherwise(0L)).as("__nu")).collect()(0)
+    def n(f: String): Long =
+      Option(summaryRow.getAs[java.lang.Long](f)).map(_.longValue).getOrElse(0L)
+    if (n("__bad") > 0) {
+      val bad = trans.filter(col("__after") < 0).limit(1).collect()
+      require(bad.isEmpty,
+        s"signed $side batch $batchId retracts more than was inserted " +
+          s"for key ${bad.headOption.map(_.toString).getOrElse("")} — " +
+          "net key count would go negative; deltas must never delete " +
+          "rows that were not inserted")
+    }
+    val anyWaves = n("__nm") > 0 || n("__nu") > 0
 
     val dOut =
       if (otherExists) {
@@ -272,7 +294,7 @@ object IncrementalOuterJoin {
           IncrementalJoin.sideState(in, !isLeft), on, deltaIsLeft = isLeft)
         // the tap is a second consumer — cut so the delta join is not
         // recomputed (same trade as the inner appendSide)
-        val o = if (tap.isDefined) o0.cutLineage() else o0
+        val o = if (tap.isDefined) o0.cutLineage(eager = false) else o0
         in.out.append(o)
         Some(o)
       } else None
@@ -285,30 +307,44 @@ object IncrementalOuterJoin {
           d.join(matched.hint("SHUFFLE_HASH"), on, "left_anti")
         } else d
       val unmatched =
-        if (tap.isDefined) unmatched0.cutLineage() else unmatched0
+        if (tap.isDefined) unmatched0.cutLineage(eager = false)
+        else unmatched0
       un.append(unmatched.withColumn("__tbid", lit(batchId))
         .withColumn("__tside", lit(if (isLeft) "L" else "R")))
       unmatched
     }
 
     val waveDeltas = otherUn.flatMap { un =>
-      if (otherExists) {
-        val nowMatched = trans
-          .filter(col("__before") <= 0 && col("__after") > 0)
-          .select(on.map(col): _*)
-        val nowUnmatched = trans
-          .filter(col("__before") > 0 && col("__after") <= 0)
-          .select(on.map(col): _*)
-        val retract0 = unWave(in, !isLeft, nowMatched, on, batchId,
-          negate = true)
-        val readd0 = unWave(in, !isLeft, nowUnmatched, on, batchId,
-          negate = false)
-        val (retract, readd) =
-          if (tap.isDefined) (retract0.cutLineage(), readd0.cutLineage())
-          else (retract0, readd0)
-        un.append(retract)
-        un.append(readd)
-        Some(retract.unionByName(readd))
+      if (otherExists && anyWaves) {
+        // ONE pass over the target side's state for BOTH transition
+        // directions (formerly two semi-join scans + two store writes):
+        // the transitions are per-key rows, so an inner join against
+        // the flagged key set has exactly semi-join multiplicity, and
+        // the flag decides retraction (key now matched) vs re-add (key
+        // now unmatched) per row. Rows, dedup identity (__bid, __tbid,
+        // __tside, sign) and downstream Δ are identical to the two-wave
+        // form — only the scan count and write count change.
+        val waveKeys = trans
+          .filter((col("__before") <= 0 && col("__after") > 0) ||
+            (col("__before") > 0 && col("__after") <= 0))
+          .withColumn("__readd", col("__before") > 0)
+          .select(on.map(col) :+ col("__readd"): _*)
+        val state = IncrementalJoin.sideState(in, !isLeft)
+        val wave0 = state
+          .join(waveKeys.hint("SHUFFLE_HASH"), on)
+          .withColumn("__mult",
+            when(col("__readd"), col("__mult")).otherwise(-col("__mult")))
+          .withColumn("__jk", IncrementalJoin.storeKey(on.map(col)))
+          .withColumn("__tbid", lit(batchId))
+          .withColumn("__tside", lit(if (!isLeft) "R" else "L"))
+          // the USING join fronts the key columns — restore the state's
+          // column order so the un store's files stay layout-identical
+          .select((state.columns.toSeq ++
+            Seq("__jk", "__tbid", "__tside")).map(col): _*)
+        val wave = if (tap.isDefined) wave0.cutLineage(eager = false)
+        else wave0
+        un.append(wave)
+        Some(wave)
       } else None
     }
 
@@ -375,7 +411,8 @@ object IncrementalOuterJoin {
       val df = df0.drop("prefix")
       val valueCols = df.columns
         .filterNot(c => UnMeta.contains(c) || c == "__jk").toSeq
-      df.withColumn("__sgn", signum(col("__mult")))
+      IncrementalJoin.clusterByKeys(df, valueCols)
+        .withColumn("__sgn", signum(col("__mult")))
         .dropDuplicates(valueCols ++ Seq("__bid", "__tbid", "__tside", "__sgn"))
         .drop("__sgn")
         .groupBy((valueCols :+ "__jk").map(col): _*)
@@ -401,7 +438,7 @@ object IncrementalOuterJoin {
     if (!un.exists) return None
     val unDf = un.read().drop("prefix", "__jk")
     val valueCols = unDf.columns.filterNot(UnMeta.contains).toSeq
-    Some(unDf
+    Some(IncrementalJoin.clusterByKeys(unDf, valueCols)
       .withColumn("__sgn", signum(col("__mult")))
       .dropDuplicates(valueCols ++ Seq("__bid", "__tbid", "__tside", "__sgn"))
       .groupBy(valueCols.map(col): _*)

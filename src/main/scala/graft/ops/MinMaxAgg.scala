@@ -48,7 +48,7 @@ object MinMaxAgg {
   final case class Spec(keyCols: Seq[String], valCol: String)
 
   private def aggKey(spec: Spec) =
-    md5(to_json(struct(spec.keyCols.map(col): _*)))
+    IncrementalJoin.storeKey(spec.keyCols.map(col))
 
   private val CompactedBatchId = Long.MinValue
 
@@ -85,7 +85,7 @@ object MinMaxAgg {
     * [[current]]'s input, and directly useful for "all distinct values
     * per key" serving. */
   def currentGroups(store: AppendOnlyStore, spec: Spec): DataFrame =
-    store.read()
+    IncrementalJoin.clusterByKeys(store.read(), spec.keyCols :+ spec.valCol)
       .dropDuplicates((spec.keyCols :+ spec.valCol) :+ "__batch_id")
       .groupBy((spec.keyCols :+ spec.valCol).map(col): _*)
       .agg(sum(col("__net")).as("net"))
@@ -350,7 +350,8 @@ object MinMaxAgg {
     * store). Single-writer, at ingest quiescence, like every sibling. */
   def compact(store: AppendOnlyStore, spec: Spec): Unit =
     store.compactWith { df =>
-      df.dropDuplicates((spec.keyCols :+ spec.valCol) :+ "__batch_id")
+      IncrementalJoin.clusterByKeys(df, spec.keyCols :+ spec.valCol)
+        .dropDuplicates((spec.keyCols :+ spec.valCol) :+ "__batch_id")
         .groupBy((spec.keyCols :+ spec.valCol).map(col): _*)
         .agg(sum(col("__net")).as("__net"))
         .filter(col("__net") =!= 0)

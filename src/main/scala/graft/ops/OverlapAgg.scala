@@ -46,7 +46,7 @@ object OverlapAgg {
                         k: Int = 32768)
 
   private def aggKey(spec: Spec) =
-    md5(to_json(struct(spec.keyCols.map(col): _*)))
+    IncrementalJoin.storeKey(spec.keyCols.map(col))
 
   private val CompactedBatchId = Long.MinValue
 
@@ -75,7 +75,8 @@ object OverlapAgg {
     store.appendOnce(partials(batch, spec, batchId), batchId)
 
   private def deduped(store: AppendOnlyStore, spec: Spec): DataFrame =
-    store.read().dropDuplicates(spec.keyCols :+ "__batch_id")
+    IncrementalJoin.clusterByKeys(store.read(), spec.keyCols)
+      .dropDuplicates(spec.keyCols :+ "__batch_id")
 
   /** Current per-key sketch + maintained member count, re-folded from
     * stored sketches alone. */
@@ -113,7 +114,8 @@ object OverlapAgg {
     * result-invariant — see [[IncrementalAgg.compact]]). */
   def compact(store: AppendOnlyStore, spec: Spec): Unit =
     store.compactWith { df =>
-      df.dropDuplicates(spec.keyCols :+ "__batch_id")
+      IncrementalJoin.clusterByKeys(df, spec.keyCols)
+        .dropDuplicates(spec.keyCols :+ "__batch_id")
         .groupBy(spec.keyCols.map(col): _*)
         .agg(mergeUdaf(spec.k)(col("__sketch")).as("__sketch"),
           sum(col("__cnt")).as("__cnt"))

@@ -42,7 +42,7 @@ object QuantileSketchAgg {
                         k: Int = 200)
 
   private def aggKey(spec: Spec) =
-    md5(to_json(struct(spec.keyCols.map(col): _*)))
+    IncrementalJoin.storeKey(spec.keyCols.map(col))
 
   private val CompactedBatchId = Long.MinValue
 
@@ -62,7 +62,8 @@ object QuantileSketchAgg {
     store.appendOnce(partials(batch, spec, batchId), batchId)
 
   private def deduped(store: AppendOnlyStore, spec: Spec): DataFrame =
-    store.read().dropDuplicates(spec.keyCols :+ "__batch_id")
+    IncrementalJoin.clusterByKeys(store.read(), spec.keyCols)
+      .dropDuplicates(spec.keyCols :+ "__batch_id")
 
   /** Current per-key quantiles at `probs` (columns `q<pct>` with pct =
     * round(p·100)) + maintained non-null count, from stored sketches
@@ -86,7 +87,8 @@ object QuantileSketchAgg {
     * [[IncrementalAgg.compact]]). */
   def compact(store: AppendOnlyStore, spec: Spec): Unit =
     store.compactWith { df =>
-      df.dropDuplicates(spec.keyCols :+ "__batch_id")
+      IncrementalJoin.clusterByKeys(df, spec.keyCols)
+        .dropDuplicates(spec.keyCols :+ "__batch_id")
         .groupBy(spec.keyCols.map(col): _*)
         .agg(kll_merge_agg_bigint(col("__sketch"), spec.k).as("__sketch"),
           sum(col("__cnt")).as("__cnt"))

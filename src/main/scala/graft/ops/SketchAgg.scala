@@ -40,7 +40,7 @@ object SketchAgg {
                         lgK: Int = 12)
 
   private def aggKey(spec: Spec) =
-    md5(to_json(struct(spec.keyCols.map(col): _*)))
+    IncrementalJoin.storeKey(spec.keyCols.map(col))
 
   private val CompactedBatchId = Long.MinValue
 
@@ -60,7 +60,8 @@ object SketchAgg {
     store.appendOnce(partials(batch, spec, batchId), batchId)
 
   private def deduped(store: AppendOnlyStore, spec: Spec): DataFrame =
-    store.read().dropDuplicates(spec.keyCols :+ "__batch_id")
+    IncrementalJoin.clusterByKeys(store.read(), spec.keyCols)
+      .dropDuplicates(spec.keyCols :+ "__batch_id")
 
   /** Current per-key distinct estimate (exact below the sparse
     * threshold) + maintained row count, from stored sketches alone. */
@@ -84,7 +85,8 @@ object SketchAgg {
     * [[IncrementalAgg.compact]]). */
   def compact(store: AppendOnlyStore, spec: Spec): Unit =
     store.compactWith { df =>
-      df.dropDuplicates(spec.keyCols :+ "__batch_id")
+      IncrementalJoin.clusterByKeys(df, spec.keyCols)
+        .dropDuplicates(spec.keyCols :+ "__batch_id")
         .groupBy(spec.keyCols.map(col): _*)
         .agg(hll_union_agg(col("__sketch"), lit(true)).as("__sketch"),
           sum(col("__cnt")).as("__cnt"))

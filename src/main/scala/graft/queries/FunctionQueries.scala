@@ -757,7 +757,7 @@ object FunctionQueries {
       extremaSpec = Some(MinMaxAgg.Spec(Seq("n_name"), "cents")))
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = s.conf.get(aqeKey, "true")
-    s.conf.set(aqeKey, "false")
+    s.conf.set(aqeKey, sys.env.getOrElse("GRAFT_IVM_AQE", "false"))
     try {
       // the outer dim seeds FIRST: the agg tap null-extends with its
       // schema (contrast q209, which has no downstream and can let
